@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * All catalog queries resolve their inputs through here so the scan layer
+  * stays in one place: at 100 TB these become partitioned/bucketed catalog
+  * tables and this object is the only seam that needs to change.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case _        => spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) (see FIXTURES.md), which the
+    * vectorized parquet reader surfaces as nanosecond longs under
+    * `legacy.parquet.nanosAsLong`. We normalize to Spark's native
+    * microsecond TimestampType — the same truncation DuckDB applies when it
+    * reads nanos into its microsecond timestamps, so oracle comparisons on
+    * derived time columns agree.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      import org.apache.spark.sql.types.LongType
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      else raw
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}

@@ -30,7 +30,9 @@ object Tables {
       val raw = spark.read.parquet(s"$dir/events.parquet")
       import org.apache.spark.sql.types.LongType
       if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // `div` is integer division — ns epoch values exceed double's 53-bit
+        // mantissa, so a float division here would corrupt microseconds.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream analytics over the `events` table: time bucketing,
+  * sessionization, as-of matching, JSON extraction, pivot-style
+  * conditional aggregation. The batch formulations here are the same
+  * logical plans the streaming layer (graft.streaming) runs incrementally.
+  *
+  * All time arithmetic is done in epoch microseconds (long) — exact, and
+  * identical on both sides of the DuckDB oracle regardless of timestamp
+  * display precision.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling-window aggregation: events per (hour, type) with exact sums. */
+  def hourly(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+
+  /** Sessionization: a >30-minute silence starts a new session.
+    * Classic gaps-and-islands — lag → new-session flag → running sum as
+    * session id → per-session rollup. One shuffle on user_id; every window
+    * shares the same partitioning so the exchange is reused.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables
+      .events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"))
+  }
+
+  /** As-of join: each purchase matched to the user's most recent click at
+    * or before it. Expressed as carry-forward-last over a union'd timeline
+    * (one shuffle, no join) — the scalable shape of an as-of join when the
+    * probe and build sides share a partitioning key.
+    */
+  def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(s, dir)
+      .withColumn(
+        "last_click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("last_click_us"))
+  }
+
+  /** Analytic window functions: lag/lead gap analysis per user. */
+  def gaps(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables
+      .events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        (col("ts_us") - lag("ts_us", 1).over(byUser)).as("gap_us"),
+        (lead("ts_us", 1).over(byUser) - col("ts_us")).as("next_gap_us"))
+  }
+
+  /** JSON extraction from the `props` column. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+
+  /** Pivot-style conditional aggregation: event-type counts as columns.
+    * `count(when(...))` compiles to the same conditional-agg plan a pivot
+    * does, with explicit deterministic column names.
+    */
+  def typePivot(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "signup", 1)).as("n_signup"),
+        count(when(col("event_type") === "error", 1)).as("n_error"))
+
+  val queries: Map[String, Q] = Map(
+    "events_hourly"    -> (hourly _),
+    "events_sessionize" -> (sessionize _),
+    "events_asof"      -> (asofClickPurchase _),
+    "events_gaps"      -> (gaps _),
+    "events_json"      -> (jsonExtract _),
+    "events_pivot"     -> (typePivot _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "events_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+           FROM t),
+         numbered AS (
+           SELECT user_id, ts_us,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(ts_us) AS start_us, max(ts_us) AS end_us
+         FROM numbered GROUP BY 1, 2""",
+    "events_asof" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS purchase_us, last_click_us FROM (
+           SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+           FROM events)
+         WHERE event_type = 'purchase'""",
+    "events_gaps" ->
+      """SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS next_gap_us
+         FROM events""",
+    "events_json" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events",
+    "events_pivot" ->
+      """SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error
+         FROM events GROUP BY 1"""
+  )
+}

@@ -1,0 +1,388 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator grid (SURVEY.md §2.3): the categories the reference
+  * lacks entirely — joins of every flavor, window functions, cube/rollup,
+  * set ops, top-k, scalar function families — declared as first-class
+  * catalog queries over the TPC-H-ish tables.
+  *
+  * Scale discipline (the 100 TB design goal):
+  *  - dimension joins (`region`, `nation`) get explicit `broadcast()` hints;
+  *    fact-fact joins shuffle on their keys and rely on AQE for runtime
+  *    re-planning and skew splitting.
+  *  - filters are applied before joins so Catalyst pushes them into the
+  *    parquet scan (`PushedFilters` in explain).
+  *  - double sums go through `decimal(38,6)`: exact, order-independent
+  *    arithmetic — the result doesn't depend on partitioning, which is what
+  *    makes the answer stable from local[32] to a 1000-executor cluster
+  *    (and what makes the DuckDB hash-compare well-defined).
+  *  - window frames are totally ordered (unique tiebreak columns) so
+  *    running aggregates are deterministic under any partitioning.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact, order-independent sum of a double column. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+  private val DSUM = "CAST(sum(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- aggs
+
+  /** TPC-H Q1-style pricing summary: wide scan, partial+final hash agg. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Exact count-distinct per group (expands to a two-phase agg). */
+  def distinctOrdersPerFlag(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count_distinct(col("l_orderkey")).as("n_orders"),
+        count_distinct(col("l_suppkey")).as("n_supps"))
+
+  // --------------------------------------------------------------- joins
+
+  /** TPC-H Q3-style: two shuffle joins + agg + global top-k by revenue.
+    * Ties broken by orderkey so the row set is deterministic.
+    */
+  def q3TopkRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li   = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: five-way join; region/nation broadcast, facts shuffle. */
+  def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir).filter(col("r_name") === "REGION#1")
+    val nation = Tables.nation(s, dir)
+    val li     = Tables.lineitem(s, dir)
+    val ord = Tables
+      .orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables
+      .customer(s, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Broadcast-hash join against the `part` dimension. */
+  def joinBroadcastParts(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** Left-semi join: customers that have at least one order (EXISTS). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** Left-outer join preserving customers with zero orders. */
+  def joinOuter(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+
+  /** Equi + band (range) join: lineitems whose quantity falls in a window
+    * around the part's size. The equi key carries the shuffle; the range
+    * predicate is evaluated post-match — at scale this is the standard
+    * shape (never a pure cross-range join when an equi key exists).
+    */
+  def joinRange(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .join(
+        broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey") &&
+          col("l_quantity") >= col("p_size") - lit(5.0) &&
+          col("l_quantity") <= col("p_size") + lit(5.0))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_in_band"))
+
+  // ------------------------------------------------------------- windows
+
+  /** Ranking window: top-3 orders per customer by totalprice. */
+  def windowTopkOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables
+      .orders(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  /** Running (cumulative) sum per supplier over a total order — decimal
+    * accumulation so the running values are exact and order-stable.
+    */
+  def windowRunningQty(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .lineitem(s, dir)
+      .withColumn("running_qty", sum(col("l_quantity").cast("decimal(38,6)")).over(w).cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+  }
+
+  // ------------------------------------------------- cube/rollup/sets
+
+  def cubeFlagStatus(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  def rollupPriorityStatus(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+
+  /** Distinct custkeys that ordered in 1996 vs in 1997 — set algebra. */
+  private def custkeysOfYear(s: SparkSession, dir: String, year: Int): DataFrame =
+    Tables
+      .orders(s, dir)
+      .filter(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit(f"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("custkey"))
+      .distinct()
+
+  def setUnion(s: SparkSession, dir: String): DataFrame =
+    custkeysOfYear(s, dir, 1996).union(custkeysOfYear(s, dir, 1997)).distinct()
+
+  def setIntersect(s: SparkSession, dir: String): DataFrame =
+    custkeysOfYear(s, dir, 1996).intersect(custkeysOfYear(s, dir, 1997))
+
+  def setExcept(s: SparkSession, dir: String): DataFrame =
+    custkeysOfYear(s, dir, 1996).except(custkeysOfYear(s, dir, 1997))
+
+  /** Global top-k with deterministic tiebreak — TakeOrderedAndProject, no
+    * full sort of the input.
+    */
+  def topkGlobal(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(25)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  // ----------------------------------------------------- function families
+
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "a", "@").as("subbed"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+        instr(col("p_name"), "e").cast("long").as("first_e"),
+        reverse(col("p_name")).as("rev"))
+
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (dayofweek(col("o_orderdate")) - lit(1)).cast("long").as("dow"))
+
+  def mathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        abs(col("l_extendedprice") - lit(50000.0)).as("abs_dev"),
+        floor(col("l_quantity") / lit(7.0)).cast("long").as("floored"),
+        ceil(col("l_quantity") / lit(7.0)).cast("long").as("ceiled"),
+        sqrt(col("l_extendedprice")).as("root"),
+        pmod(col("l_orderkey"), lit(97L)).as("key_mod"),
+        greatest(col("l_tax"), col("l_discount")).as("gr"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"))
+
+  /** CASE WHEN bucketing + conditional aggregation. */
+  def caseBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .select(
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high")
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+
+  // ---------------------------------------------------------------- maps
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing"         -> (q1Pricing _),
+    "distinct_agg"       -> (distinctOrdersPerFlag _),
+    "q3_topk_revenue"    -> (q3TopkRevenue _),
+    "q5_nation_revenue"  -> (q5NationRevenue _),
+    "join_broadcast"     -> (joinBroadcastParts _),
+    "join_semi"          -> (joinSemi _),
+    "join_anti"          -> (joinAnti _),
+    "join_outer"         -> (joinOuter _),
+    "join_range"         -> (joinRange _),
+    "window_topk"        -> (windowTopkOrders _),
+    "window_running"     -> (windowRunningQty _),
+    "cube_agg"           -> (cubeFlagStatus _),
+    "rollup_agg"         -> (rollupPriorityStatus _),
+    "set_union"          -> (setUnion _),
+    "set_intersect"      -> (setIntersect _),
+    "set_except"         -> (setExcept _),
+    "topk_global"        -> (topkGlobal _),
+    "string_funcs"       -> (stringFuncs _),
+    "date_funcs"         -> (dateFuncs _),
+    "math_funcs"         -> (mathFuncs _),
+    "case_buckets"       -> (caseBuckets _)
+  )
+
+  private def ds(c: String) = DSUM.format(c)
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         ${ds("l_quantity")} AS sum_qty,
+         ${ds("l_extendedprice")} AS sum_base_price,
+         ${ds("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         ${ds("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         ${ds("l_quantity")} / count(*) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02' GROUP BY 1, 2""",
+    "distinct_agg" ->
+      "SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1",
+    "q3_topk_revenue" ->
+      s"""SELECT l_orderkey, o_orderdate, ${ds("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, ${ds("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'REGION#1' AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+    "join_broadcast" ->
+      s"SELECT p_brand, count(*) AS n_items, ${ds("l_quantity")} AS sum_qty FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1",
+    "join_semi" ->
+      "SELECT c_mktsegment, count(*) AS n_customers FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1",
+    "join_anti" ->
+      "SELECT c_nationkey, count(*) AS n_customers FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1",
+    "join_outer" ->
+      s"SELECT c_custkey, count(o_orderkey) AS n_orders, ${ds("o_totalprice")} AS total_spent FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1",
+    "join_range" ->
+      "SELECT p_brand, count(*) AS n_in_band FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity >= p_size - 5.0 AND l_quantity <= p_size + 5.0 GROUP BY 1",
+    "window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         FROM orders) WHERE rn <= 3""",
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+           PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+         FROM lineitem""",
+    "cube_agg" ->
+      s"SELECT l_returnflag, l_linestatus, count(*) AS n, ${ds("l_quantity")} AS sum_qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+    "rollup_agg" ->
+      s"SELECT o_orderpriority, o_orderstatus, count(*) AS n, ${ds("o_totalprice")} AS total FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)",
+    "set_union" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""",
+    "set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""",
+    "set_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""",
+    "topk_global" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25",
+    "string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substring(p_name, 1, 5) AS prefix,
+         length(p_name) AS name_len, concat_ws('-', p_brand, p_type) AS brand_type,
+         regexp_replace(p_name, 'a', '@', 'g') AS subbed,
+         lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+         strpos(p_name, 'e') AS first_e, reverse(p_name) AS rev FROM part""",
+    "date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+         dayofmonth(o_orderdate) AS dom, quarter(o_orderdate) AS qtr,
+         date_trunc('month', o_orderdate) AS month_start,
+         dayofweek(o_orderdate) AS dow FROM orders""",
+    "math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, abs(l_extendedprice - 50000.0) AS abs_dev,
+         CAST(floor(l_quantity / 7.0) AS BIGINT) AS floored,
+         CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceiled,
+         sqrt(l_extendedprice) AS root,
+         l_orderkey % 97 AS key_mod,
+         greatest(l_tax, l_discount) AS gr,
+         l_quantity * l_quantity AS qty_sq FROM lineitem""",
+    "case_buckets" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket,
+         count(*) AS n FROM customer GROUP BY 1"""
+  )
+}

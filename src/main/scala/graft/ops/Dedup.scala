@@ -1,0 +1,301 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.Tokenize
+import graft.functions.TextHash
+
+/** Document deduplication operators — the core of a training-data pipeline
+  * at 100 TB. Five strategies, all as declarative plans:
+  *
+  *  - exact        : hash-groupBy on content digest, keep-first flagging
+  *  - ngram        : exact n-gram-shingle Jaccard via inverted-index join
+  *  - minhash      : MinHash signatures + LSH banding → candidates →
+  *                   exact-Jaccard verification
+  *  - simhash      : 60-bit SimHash + pigeonhole chunk blocking →
+  *                   Hamming-distance verification
+  *  - embedding    : cosine near-dup ranking over embedding vectors
+  *
+  * Scale notes:
+  *  - Exact/ngram/minhash/simhash all reduce the O(n²) pair space through
+  *    a key-equality join (digest, shingle, band signature, bit chunk) —
+  *    shuffle-partitionable, no cross join anywhere except the small
+  *    embedding table.
+  *  - MinHash/SimHash use the md5-derived [[TextHash.hash60]] so the
+  *    DuckDB oracle replicates the *exact* pipeline (same signatures, same
+  *    candidates, same verdicts) — approximation without
+  *    irreproducibility.
+  *  - Every double division is a single IEEE op on exactly-computed
+  *    integers, so results are partition- and engine-independent.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Jaccard threshold shared by the ngram / minhash paths. */
+  val JaccardThreshold = 0.5
+  /** MinHash: 36 hash functions = 12 bands x 3 rows. */
+  val NumHashes = 36
+  val BandRows  = 3
+  /** SimHash: 60-bit signatures (hash60 width), pairs within this Hamming
+    * distance are near-dups; 4 chunks of 15 bits guarantee recall for
+    * distance <= 3 by pigeonhole.
+    */
+  val HammingMax = 3
+  val NumChunks  = 4
+
+  // ------------------------------------------------------------ building blocks
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), Tokenize.tokenCol(col("text")).as("raw"))
+      .select(col("doc_id"), filter(col("raw"), _ =!= "").as("toks"))
+      .select(col("doc_id"), explode(TextHash.shingles(col("toks"), 2)).as("sh"))
+      .distinct()
+
+  private val duckShingles =
+    """SELECT DISTINCT a.doc_id, a.t || ' ' || b.t AS sh FROM
+         (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
+           (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
+            FROM documents)) a
+       JOIN
+         (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
+           (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
+            FROM documents)) b
+       ON a.doc_id = b.doc_id AND b.i = a.i + 1"""
+
+  /** Exact Jaccard on candidate pairs: |A∩B| via the pair table, sizes via
+    * a shingle-count side table.
+    */
+  private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame): DataFrame = {
+    val sizes = shingleSets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("da", "db", "jaccard")
+  }
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: digest-partitioned keep-first. The canonical 100 TB
+    * shape — one shuffle on the digest, no comparisons.
+    */
+  def exact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("digest").orderBy("doc_id")
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .withColumn("is_dup", (row_number().over(w) > 1).cast("boolean"))
+      .select("doc_id", "digest", "is_dup")
+  }
+
+  // ------------------------------------------------------------------ ngram
+
+  /** Exact n-gram (word bigram) Jaccard dedup via inverted-index self-join:
+    * pairs are generated only for docs sharing a shingle — the join key
+    * bounds the pair space, no cross join.
+    */
+  def ngram(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir).cache()
+    val pairs = sh
+      .select(col("doc_id").as("da"), col("sh"))
+      .join(sh.select(col("doc_id").as("db"), col("sh")), "sh")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i"))
+    verifyJaccard(pairs, sh)
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash + LSH banding. K=36 md5-family hashes, 12 bands x 3 rows;
+    * candidate pairs (any shared band signature) are verified with exact
+    * Jaccard. The banding join is the scale path: signatures shuffle by
+    * (band, sig), so the pair space is bounded by genuine collisions.
+    */
+  def minhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh    = docShingles(s, dir).cache()
+    val seeds = s.range(NumHashes).select(col("id").cast("int").as("j"))
+    val mh = sh
+      .crossJoin(broadcast(seeds))
+      .groupBy("doc_id", "j")
+      .agg(min(TextHash.hash60(col("sh"), col("j"))).as("mh"))
+    val bands = mh
+      .withColumn("band", expr(s"j div $BandRows"))
+      .groupBy("doc_id", "band")
+      .agg(
+        concat_ws("-",
+          transform(sort_array(collect_list(struct(col("j"), col("mh")))), _.getField("mh").cast("string")))
+          .as("sig"))
+    val cands = bands
+      .select(col("doc_id").as("da"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("da") < col("db"))
+      .select("da", "db")
+      .distinct()
+    val pairs = cands
+      .join(sh.select(col("doc_id").as("da"), col("sh")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i"))
+    verifyJaccard(pairs, sh)
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** Per-doc 60-bit SimHash packed as a long (bit j from the sign of the
+    * count-weighted ±1 votes of token-hash bit j).
+    */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bitsIdx = s.sparkContext
+      .parallelize(Seq.tabulate(60)(j => (j, 1L << j)), 1)
+      .toDF("j", "pw")
+    val tokCounts = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(Tokenize.tokenCol(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("th", TextHash.hash60(col("t")))
+    tokCounts
+      .crossJoin(broadcast(bitsIdx))
+      .withColumn("vote", col("c") * (expr("(th div pw) % 2") * 2 - 1))
+      .groupBy("doc_id", "j")
+      .agg(sum("vote").as("sv"))
+      .withColumn("bit", when(col("sv") > 0, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(
+        aggregate(
+          transform(sort_array(collect_list(struct(col("j"), col("bit"))), asc = false),
+            _.getField("bit")),
+          lit(0L),
+          (acc, b) => acc * 2 + b).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: pigeonhole blocking (4 chunks of 15 bits — any
+    * pair within Hamming 3 shares at least one exact chunk) then exact
+    * Hamming verification with bit_count(xor). Blocking keys shuffle like
+    * any equi-join; no cross join.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = simhashSignatures(s, dir).cache()
+    val chunks = s.sparkContext
+      .parallelize(Seq.tabulate(NumChunks)(identity), 1)
+      .toDF("ck")
+    val keyed = sig
+      .crossJoin(broadcast(chunks))
+      .withColumn("ckey", expr("(simhash div cast(pow(2, ck * 15) as long)) % 32768"))
+    val cands = keyed
+      .select(col("doc_id").as("da"), col("simhash").as("sa"), col("ck"), col("ckey"))
+      .join(
+        keyed.select(col("doc_id").as("db"), col("simhash").as("sb"), col("ck"), col("ckey")),
+        Seq("ck", "ckey"))
+      .filter(col("da") < col("db"))
+      .select("da", "db", "sa", "sb")
+      .distinct()
+    cands
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select("da", "db", "hamming")
+  }
+
+  // -------------------------------------------------------------- embedding
+
+  /** Embedding cosine near-dup: top-20 most similar vector pairs. The
+    * all-pairs join is acceptable for a dimension-sized table; the scale
+    * path for billions of vectors is the LSH variant in
+    * [[Similarity.annLsh]].
+    */
+  def embedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+          .as("norm"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn(
+        "cos",
+        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v) / (col("na") * col("nb")))
+      .orderBy(desc("cos"), asc("va"), asc("vb"))
+      .limit(20)
+      .select("va", "vb", "cos")
+  }
+
+  // ------------------------------------------------------------------- maps
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact"     -> (exact _),
+    "dedup_ngram"     -> (ngram _),
+    "dedup_minhash"   -> (minhash _),
+    "dedup_simhash"   -> (simhash _),
+    "dedup_embedding" -> (embedding _)
+  )
+
+  private val h      = TextHash.duckHash60Of _
+  private val hs     = TextHash.duckHash60Seeded _
+
+  private val duckVerify =
+    s"""sized AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       inter AS (SELECT c.da, c.db, count(*) i
+                 FROM cand c JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND y.sh = x.sh
+                 GROUP BY 1, 2)
+       SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       FROM inter JOIN sized sa ON da = sa.doc_id JOIN sized sb ON db = sb.doc_id
+       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold"""
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, digest, (row_number() OVER (PARTITION BY digest ORDER BY doc_id) > 1) AS is_dup
+         FROM (SELECT doc_id, md5(text) AS digest FROM documents)""",
+    "dedup_ngram" ->
+      s"""WITH sh AS ($duckShingles),
+         cand AS (SELECT a.doc_id da, b.doc_id db FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         $duckVerify""",
+    "dedup_minhash" ->
+      s"""WITH sh AS ($duckShingles),
+         mh AS (SELECT doc_id, j, min(${hs("j", "sh")}) mh
+                FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) j) GROUP BY 1, 2),
+         bands AS (SELECT doc_id, j // $BandRows band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) sig
+                   FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         $duckVerify""",
+    "dedup_simhash" ->
+      s"""WITH tc AS (SELECT doc_id, t, count(*) c FROM
+           (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')) t
+            FROM documents) GROUP BY 1, 2),
+         votes AS (SELECT doc_id, j, sum(c * (((${h("t")} >> j) & 1) * 2 - 1)) sv
+                   FROM tc CROSS JOIN (SELECT unnest(range(0, 60)) j) GROUP BY 1, 2),
+         bits AS (SELECT doc_id, j, CASE WHEN sv > 0 THEN 1 ELSE 0 END bt FROM votes),
+         sig AS (SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list(CAST(bt AS BIGINT) ORDER BY j DESC)),
+                     (a, b) -> a * 2 + b) simhash
+                 FROM bits GROUP BY doc_id),
+         keyed AS (SELECT doc_id, simhash, ck, (simhash // CAST(pow(2, ck * 15) AS BIGINT)) % 32768 ckey
+                   FROM sig CROSS JOIN (SELECT unnest(range(0, $NumChunks)) ck)),
+         cand AS (SELECT DISTINCT a.doc_id da, a.simhash sa, b.doc_id db, b.simhash sb
+                  FROM keyed a JOIN keyed b ON a.ck = b.ck AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+         SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand
+         WHERE bit_count(xor(sa, sb)) <= $HammingMax""",
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb,
+                    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+                    FROM embeddings)
+         SELECT a.vec_id va, b.vec_id vb,
+           list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         ORDER BY cos DESC, va ASC, vb ASC LIMIT 20"""
+  )
+}

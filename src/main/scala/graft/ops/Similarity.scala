@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextHash
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *  - `sim_topk`  : brute-force cosine top-k — the correctness baseline.
+  *    The query set is broadcast; candidates stream through one scan, so
+  *    the cost is |Q| x |N| with no shuffle of the big side. This is the
+  *    right physical shape when |Q| is small even at billions of vectors.
+  *  - `sim_ann_lsh`: random-hyperplane LSH — the scale path. Signatures
+  *    bucket the vectors; only same-bucket candidates are scored. The
+  *    hyperplanes are derived from [[TextHash.hash60]] parities and vector
+  *    components are quantized to integers before voting, so signatures
+  *    are exactly reproducible in the DuckDB oracle (and across runs /
+  *    partitionings — no floating-point accumulation order anywhere in
+  *    the signature).
+  *
+  * Cosine itself is a single left-to-right fold over the 64 dims in both
+  * engines; empirically bit-identical (verified by the oracle gate).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumQueryVecs = 20
+  val TopK         = 5
+  /** LSH: `NumTables` independent hash tables of `NumPlanes` deterministic
+    * hyperplanes each; candidates are the union over tables (standard
+    * multi-table LSH — recall compounds across tables). Components are
+    * quantized at 1e3 so signatures are exact integer arithmetic.
+    */
+  val NumPlanes = 6
+  val NumTables = 4
+
+  private def withNorm(e: DataFrame): DataFrame =
+    e.select(
+      col("vec_id"),
+      col("embedding"),
+      sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+        .as("norm"))
+
+  private def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(ea, eb, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v) / (na * nb)
+
+  /** Brute-force exact top-k neighbors for the first `NumQueryVecs` ids. */
+  def topkBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir))
+    val q = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"))
+    val c = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"))
+    val w = Window.partitionBy("va").orderBy(desc("cos"), asc("vb"))
+    broadcast(q)
+      .join(c, col("va") =!= col("vb"))
+      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("va", "vb", "cos", "rn")
+  }
+
+  /** Deterministic random-hyperplane signatures, one bucket per (vector,
+    * table): table t's plane j's weight for component i is ±1 from the
+    * parity of hash60("i:j:t") (1-based i); components are quantized with
+    * floor(x*1000) so the vote sum is exact integer arithmetic —
+    * signatures are partition-order independent.
+    */
+  def signatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planes = s
+      .range(NumPlanes * NumTables)
+      .select((col("id") % NumPlanes).cast("int").as("j"), (col("id") / NumPlanes).cast("int").as("tbl"))
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("i", col("pos") + 1)
+      .withColumn("xq", floor(col("x").cast("double") * 1000).cast("long"))
+      .crossJoin(broadcast(planes))
+      .withColumn(
+        "w",
+        when(TextHash.hash60(concat_ws(":",
+          col("i").cast("string"), col("j").cast("string"), col("tbl").cast("string"))) % 2 === 1, 1L)
+          .otherwise(-1L))
+      .groupBy("vec_id", "tbl", "j")
+      .agg(sum(col("xq") * col("w")).as("sv"))
+      .withColumn("bit", when(col("sv") > 0, 1L).otherwise(0L))
+      .groupBy("vec_id", "tbl")
+      .agg(
+        aggregate(
+          transform(sort_array(collect_list(struct(col("j"), col("bit"))), asc = false),
+            _.getField("bit")),
+          lit(0L),
+          (acc, b) => acc * 2 + b).as("bucket"))
+  }
+
+  /** ANN top-k: candidates = union over hash tables of same-bucket pairs,
+    * de-duplicated, then ranked by exact cosine. Recall vs. the
+    * brute-force baseline is asserted in the test suite.
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e   = withNorm(Tables.embeddings(s, dir))
+    val sig = signatures(s, dir)
+    val cands = sig
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("va"), col("tbl"), col("bucket"))
+      .join(sig.select(col("vec_id").as("vb"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("va") =!= col("vb"))
+      .select("va", "vb")
+      .distinct()
+    val q = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"))
+    val c = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"))
+    val w = Window.partitionBy("va").orderBy(desc("cos"), asc("vb"))
+    cands
+      .join(broadcast(q), "va")
+      .join(c, "vb")
+      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("va", "vb", "cos", "rn")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_topk"    -> (topkBrute _),
+    "sim_ann_lsh" -> (annLsh _)
+  )
+
+  private val duckNorm =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] emb,
+            sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+            FROM embeddings)"""
+
+  private val duckSig =
+    s"""expl AS (SELECT vec_id, generate_subscripts(embedding, 1) i, unnest(embedding) x FROM embeddings),
+       votes AS (SELECT vec_id, tbl, j,
+           sum(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) *
+               (CASE WHEN ${TextHash.duckHash60Of(
+        "CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(tbl AS VARCHAR)")} % 2 = 1 THEN 1 ELSE -1 END)) sv
+         FROM expl
+         CROSS JOIN (SELECT unnest(range(0, $NumPlanes)) j)
+         CROSS JOIN (SELECT unnest(range(0, $NumTables)) tbl)
+         GROUP BY 1, 2, 3),
+       sig AS (SELECT vec_id, tbl,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list(CAST(CASE WHEN sv > 0 THEN 1 ELSE 0 END AS BIGINT) ORDER BY j DESC)),
+             (a, b) -> a * 2 + b) bucket
+         FROM votes GROUP BY vec_id, tbl)"""
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH $duckNorm
+         SELECT va, vb, cos, rn FROM (
+           SELECT a.vec_id va, b.vec_id vb,
+             list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) DESC, b.vec_id ASC) AS rn
+           FROM e a JOIN e b ON a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id)
+         WHERE rn <= $TopK""",
+    "sim_ann_lsh" ->
+      s"""WITH $duckNorm,
+         $duckSig,
+         cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
+                  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                  WHERE a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id)
+         SELECT va, vb, cos, rn FROM (
+           SELECT va, vb,
+             list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) AS cos,
+             row_number() OVER (PARTITION BY va
+               ORDER BY list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) DESC, vb ASC) AS rn
+           FROM cand JOIN e qa ON qa.vec_id = va JOIN e qb ON qb.vec_id = vb)
+         WHERE rn <= $TopK"""
+  )
+}

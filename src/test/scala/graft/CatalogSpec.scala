@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract checks on the driver-facing catalog itself. */
+class CatalogSpec extends AnyFunSuite with SparkTestBase {
+
+  test("no silent key collisions across catalog modules") {
+    val modules: Seq[(String, Iterable[String])] = Seq(
+      "reference"  -> ops.Reference.queries.keys,
+      "relational" -> ops.Relational.queries.keys,
+      "events"     -> ops.Events.queries.keys,
+      "dedup"      -> ops.Dedup.queries.keys,
+      "similarity" -> ops.Similarity.queries.keys,
+      "text"       -> ops.TextAnalysis.queries.keys,
+      "mr"         -> ops.MRCompat.queries.keys)
+    val all = modules.flatMap(_._2).toSeq
+    assert(all.size == all.distinct.size,
+      s"duplicate query names: ${all.diff(all.distinct).distinct.mkString(", ")}")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every query has oracle SQL (full-strength correctness gate)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"rows-only (weak) checks for: ${missing.mkString(", ")}")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracle without query: ${orphaned.mkString(", ")}")
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

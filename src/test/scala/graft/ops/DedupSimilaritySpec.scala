@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Quality properties of the approximate dedup/ANN operators that the
+  * DuckDB oracle gate can't express: recall against exact baselines,
+  * in-memory corner cases, determinism across reruns.
+  */
+class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("exact dedup flags copies, keeps first") {
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "unique"), (4L, "same text"))
+      .toDF("doc_id", "text")
+    // run the same plan shape as Dedup.exact over an in-memory frame
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("digest").orderBy("doc_id")
+    val out = df
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .withColumn("is_dup", row_number().over(w) > 1)
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._3).toSeq ==
+      Seq(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
+  test("minhash recall: finds every exact-jaccard pair on sf0.001") {
+    val exact = Dedup.ngram(spark, Sf0001).select("da", "db")
+      .as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhash(spark, Sf0001).select("da", "db")
+      .as[(Long, Long)].collect().toSet
+    assert(mh.subsetOf(exact), "minhash emitted a pair exact jaccard rejects")
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = mh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"minhash recall $recall below floor")
+  }
+
+  test("simhash signatures are deterministic and 60-bit") {
+    val pairs = Dedup.simhashSignatures(spark, Sf0001)
+    val s1 = pairs.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val s2 = Dedup.simhashSignatures(spark, Sf0001).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(s1 == s2, "simhash signatures not deterministic across runs")
+    assert(s1.map(_._2).forall(v => v >= 0L && v < (1L << 60)), "signature outside 60-bit range")
+  }
+
+  test("ann lsh results carry exact cosine and appear in brute-force ranking") {
+    val brute = Similarity.topkBrute(spark, Sf0001)
+      .select("va", "vb", "cos").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val ann = Similarity.annLsh(spark, Sf0001)
+      .select("va", "vb", "cos").as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty, "ann produced no candidates — LSH bucketing degenerate")
+    ann.foreach { case (a, b, c) =>
+      brute.get((a, b)).foreach(expected => assert(expected == c,
+        s"ann cosine for ($a,$b) = $c but brute-force computed $expected"))
+    }
+    val perQuery = ann.groupBy(_._1)
+    assert(perQuery.values.forall(_.length <= Similarity.TopK))
+  }
+
+  test("ann recall vs brute-force top-k is nonzero and reported") {
+    val brute = Similarity.topkBrute(spark, Sf0001)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annLsh(spark, Sf0001)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val recall = ann.intersect(brute).size.toDouble / brute.size
+    info(f"ann recall vs brute-force top-${Similarity.TopK}: $recall%.3f")
+    assert(recall > 0.0)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed view of an event row for stateful processing. */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** A closed user session emitted by the stateful sessionizer. */
+case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,
+    n_events: Long)
+
+private case class SessionState(startUs: Long, endUs: Long, n: Long)
+
+/** Structured Streaming surface: the batch Events plans re-expressed as
+  * incremental queries. The reference is pure batch (SURVEY.md §2.3 —
+  * streaming row “No”), so this is parity-plus: the same logical
+  * aggregations running on an unbounded source with watermark-driven
+  * state eviction.
+  *
+  * Scale: state is keyed by (window, type) / user_id — partitioned by the
+  * shuffle like any agg; watermarks bound state size, which is what makes
+  * the operator viable on an unbounded 100 TB/day firehose.
+  */
+object EventStream extends Serializable {
+
+  val SessionGapMinutes = 30L
+
+  /** Full-microsecond epoch value — `Timestamp.getTime` alone is
+    * millisecond-truncated; the sub-ms part lives in the nanos field.
+    */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+
+  /** Tumbling-window counts/sums with a 1-hour watermark — the streaming
+    * twin of `events_hourly` (graft.ops.Events.hourly).
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+      .select(col("win.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Stateful sessionization via flatMapGroupsWithState with event-time
+    * timeout — the streaming twin of `events_sessionize`: a session
+    * closes when the watermark passes its end + gap.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, batch: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s   = state.get
+        val out = Session(userId, s.startUs, s.endUs, s.n)
+        state.remove()
+        return Iterator.single(out)
+      }
+      val sorted = batch.toVector.sortBy(e => (tsMicros(e.ts), e.event_id))
+      val closed = Vector.newBuilder[Session]
+      var cur    = state.getOption
+      sorted.foreach { e =>
+        val us = tsMicros(e.ts)
+        cur match {
+          case Some(s) if us - s.endUs <= gapUs =>
+            cur = Some(SessionState(s.startUs, us, s.n + 1))
+          case Some(s) =>
+            closed += Session(userId, s.startUs, s.endUs, s.n)
+            cur = Some(SessionState(us, us, 1))
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.endUs / 1000L + SessionGapMinutes * 60L * 1000L)
+        case None => ()
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -13,7 +13,8 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
       "dedup"      -> ops.Dedup.queries.keys,
       "similarity" -> ops.Similarity.queries.keys,
       "text"       -> ops.TextAnalysis.queries.keys,
-      "mr"         -> ops.MRCompat.queries.keys)
+      "mr"         -> ops.MRCompat.queries.keys,
+      "multimodal" -> multimodal.Multimodal.queries.keys)
     val all = modules.flatMap(_._2).toSeq
     assert(all.size == all.distinct.size,
       s"duplicate query names: ${all.diff(all.distinct).distinct.mkString(", ")}")

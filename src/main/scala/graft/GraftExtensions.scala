@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.FloatDotProduct
+
+/** Session extension registering the engine's native expressions so SQL
+  * users get them without touching the Scala API:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   SELECT graft_dot_f(a.embedding, b.embedding) FROM ...
+  *
+  * (The Scala surface registers the same functions lazily per session via
+  * [[graft.functions.VectorFunctions.register]].)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot_f"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot_f"),
+      exprs => FloatDotProduct(exprs.head, exprs(1))))
+  }
+}

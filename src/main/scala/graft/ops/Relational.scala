@@ -254,6 +254,41 @@ object Relational {
         greatest(col("l_tax"), col("l_discount")).as("gr"),
         (col("l_quantity") * col("l_quantity")).as("qty_sq"))
 
+  /** Full-outer join with null-side accounting. */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "full_outer")
+      .agg(
+        count(when(col("c_custkey").isNotNull && col("o_orderkey").isNotNull, 1)).as("n_matched"),
+        count(when(col("o_orderkey").isNull, 1)).as("n_cust_only"),
+        count(when(col("c_custkey").isNull, 1)).as("n_order_only"))
+
+  /** Cross join (dimension x dimension — the only safe cross-join shape). */
+  def crossJoinDims(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .region(s, dir)
+      .crossJoin(Tables.nation(s, dir))
+      .select("r_name", "n_name")
+
+  /** UNION ALL keeps duplicates (vs the distinct set ops above). */
+  def unionAll(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    val f      = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    urgent
+      .select("o_orderstatus")
+      .unionAll(f.select("o_orderstatus"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Explicit grouping sets (beyond cube/rollup). */
+  def groupingSetsNation(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .nation(s, dir)
+      .groupingSets(Seq(Seq(col("n_regionkey")), Seq.empty), col("n_regionkey"))
+      .agg(count(lit(1)).as("n"))
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def caseBuckets(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -286,6 +321,10 @@ object Relational {
     "set_intersect"      -> (setIntersect _),
     "set_except"         -> (setExcept _),
     "topk_global"        -> (topkGlobal _),
+    "join_full_outer"    -> (joinFullOuter _),
+    "cross_join"         -> (crossJoinDims _),
+    "union_all"          -> (unionAll _),
+    "grouping_sets"      -> (groupingSetsNation _),
     "string_funcs"       -> (stringFuncs _),
     "date_funcs"         -> (dateFuncs _),
     "math_funcs"         -> (mathFuncs _),
@@ -362,6 +401,20 @@ object Relational {
          SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""",
     "topk_global" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25",
+    "join_full_outer" ->
+      """SELECT count(*) FILTER (WHERE c_custkey IS NOT NULL AND o_orderkey IS NOT NULL) AS n_matched,
+         count(*) FILTER (WHERE o_orderkey IS NULL) AS n_cust_only,
+         count(*) FILTER (WHERE c_custkey IS NULL) AS n_order_only
+         FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""",
+    "cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "union_all" ->
+      """SELECT o_orderstatus, count(*) AS n FROM (
+           SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+           UNION ALL
+           SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'F') GROUP BY 1""",
+    "grouping_sets" ->
+      "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY GROUPING SETS ((n_regionkey), ())",
     "string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS uname, substring(p_name, 1, 5) AS prefix,
          length(p_name) AS name_len, concat_ws('-', p_brand, p_type) AS brand_type,

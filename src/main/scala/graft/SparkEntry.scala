@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, Q] =
     ops.Reference.queries ++ ops.Relational.queries ++ ops.Events.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.TextAnalysis.queries ++
-      ops.MRCompat.queries ++ multimodal.Multimodal.queries
+      ops.MRCompat.queries ++ multimodal.Multimodal.queries ++
+      ops.TypedAgg.queries ++ ops.Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Reference.oracle ++ ops.Relational.oracle ++ ops.Events.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
-      ops.MRCompat.oracle ++ multimodal.Multimodal.oracle
+      ops.MRCompat.oracle ++ multimodal.Multimodal.oracle ++
+      ops.TypedAgg.oracle ++ ops.Skew.oracle
 }

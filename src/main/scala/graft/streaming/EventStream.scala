@@ -46,6 +46,16 @@ object EventStream extends Serializable {
         sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drop replayed event ids while the watermark
+    * allows a duplicate to still arrive — state is evicted once the
+    * watermark passes, so dedup state stays bounded on an unbounded
+    * stream (the streaming twin of `dedup_exact`).
+    */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful sessionization via flatMapGroupsWithState with event-time
     * timeout — the streaming twin of `events_sessionize`: a session
     * closes when the watermark passes its end + gap.

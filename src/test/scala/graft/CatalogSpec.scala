@@ -14,7 +14,9 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
       "similarity" -> ops.Similarity.queries.keys,
       "text"       -> ops.TextAnalysis.queries.keys,
       "mr"         -> ops.MRCompat.queries.keys,
-      "multimodal" -> multimodal.Multimodal.queries.keys)
+      "multimodal" -> multimodal.Multimodal.queries.keys,
+      "typed"      -> ops.TypedAgg.queries.keys,
+      "skew"       -> ops.Skew.queries.keys)
     val all = modules.flatMap(_._2).toSeq
     assert(all.size == all.distinct.size,
       s"duplicate query names: ${all.diff(all.distinct).distinct.mkString(", ")}")

@@ -46,6 +46,19 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val ev = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .limit(200)
+    ev.union(ev).coalesce(1).write.mode("overwrite").parquet(dir) // every event twice
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(dir)
+    runToCompletion(EventStream.dedup(src), "dedup_out")
+    assert(spark.table("dedup_out").count() == 200)
+  }
+
   test("stateful sessionization converges to the batch gaps-and-islands answer") {
     val src = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")

@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_f"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot_f"),
       exprs => FloatDotProduct(exprs.head, exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -156,6 +156,20 @@ object Relational {
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
   }
 
+  /** Same query through the custom whole-operator plan
+    * ([[graft.plans.GroupedTopK]]): shuffle on the key but NO sort — a
+    * bounded per-key heap ranks inside the operator. Shares window_topk's
+    * oracle; the two must agree bit-for-bit.
+    */
+  def windowTopkFast(s: SparkSession, dir: String): DataFrame =
+    graft.plans.GroupedTopK
+      .topK(
+        Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys = Seq("o_custkey"),
+        order = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
   /** Running (cumulative) sum per supplier over a total order — decimal
     * accumulation so the running values are exact and order-stable.
     */
@@ -314,6 +328,7 @@ object Relational {
     "join_outer"         -> (joinOuter _),
     "join_range"         -> (joinRange _),
     "window_topk"        -> (windowTopkOrders _),
+    "window_topk_fast"   -> (windowTopkFast _),
     "window_running"     -> (windowRunningQty _),
     "cube_agg"           -> (cubeFlagStatus _),
     "rollup_agg"         -> (rollupPriorityStatus _),
@@ -373,6 +388,11 @@ object Relational {
     "join_range" ->
       "SELECT p_brand, count(*) AS n_in_band FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity >= p_size - 5.0 AND l_quantity <= p_size + 5.0 GROUP BY 1",
     "window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         FROM orders) WHERE rn <= 3""",
+    "window_topk_fast" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
          SELECT o_custkey, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn

@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge over the `private[sql]` constructor for DataFrames from
+  * custom logical plans — the standard extension-library shim (Spark
+  * exposes plan *injection* via SparkSessionExtensions but not plan
+  * *construction*).
+  */
+object GraftSqlShims {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column → catalyst Expression (`Column.expr` is classic-internal
+    * in Spark 4).
+    */
+  def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+}

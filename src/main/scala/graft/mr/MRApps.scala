@@ -50,9 +50,12 @@ object MRApps {
   object Metadata extends MRApp {
     val name = "metadata"
     def map(filename: String, contents: String): Seq[KV] =
+      // codePointCount, not .length: the oracle's length() counts code
+      // points, while String.length counts UTF-16 units (differs for
+      // supplementary-plane characters)
       Seq(
-        KV(filename, filename.length.toString),
-        KV(filename, contents.length.toString),
+        KV(filename, filename.codePointCount(0, filename.length).toString),
+        KV(filename, contents.codePointCount(0, contents.length).toString),
         KV(filename, "xyzzy"))
     def reduce(key: String, values: Seq[String]): Seq[String] =
       Seq(values.sorted.mkString(" "))

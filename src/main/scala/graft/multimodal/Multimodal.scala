@@ -87,10 +87,11 @@ object Multimodal extends Serializable {
     "multimodal_features" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-         octet_length(CAST(text AS BLOB)) AS n_bytes,
-         CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substring(text, 1, 1)) END AS BIGINT) AS first_byte,
-         octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
-         octet_length(CAST(text AS BLOB)) % 480 AS fake_height
+         octet_length(encode(text)) AS n_bytes,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE CAST('0x' || substr(hex(encode(text)), 1, 2) AS BIGINT) END AS first_byte,
+         octet_length(encode(text)) % 640 AS fake_width,
+         octet_length(encode(text)) % 480 AS fake_height
          FROM documents"""
   )
 }

@@ -62,6 +62,25 @@ object Dedup {
 
   // ------------------------------------------------------------ building blocks
 
+  /** Caches are per-query-plan: a later catalog query would otherwise pin
+    * the previous query's shingle blocks for the whole session. Each
+    * dedup query releases the caches its predecessor registered.
+    */
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.List[DataFrame]]()
+
+  private def releaseCaches(s: SparkSession): Unit = {
+    val prev = trackedCaches.remove(s)
+    if (prev != null) prev.forEach(df => { df.unpersist(false); () })
+  }
+
+  private def trackedCache(s: SparkSession, df: DataFrame): DataFrame = {
+    trackedCaches
+      .computeIfAbsent(s, _ => java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]()))
+      .add(df)
+    df.cache()
+  }
+
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
@@ -120,7 +139,8 @@ object Dedup {
     * bounds the pair space, no cross join.
     */
   def ngram(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir).cache()
+    releaseCaches(s)
+    val sh = trackedCache(s, docShingles(s, dir))
     val pairs = sh
       .select(col("doc_id").as("da"), col("sh"))
       .join(sh.select(col("doc_id").as("db"), col("sh")), "sh")
@@ -138,7 +158,8 @@ object Dedup {
     * (band, sig), so the pair space is bounded by genuine collisions.
     */
   def minhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir).cache()
+    releaseCaches(s)
+    val sh = trackedCache(s, docShingles(s, dir))
     // all hash lanes as parallel aggregation columns — one pass over the
     // shingle table instead of a seeds crossJoin (36x the rows), and one
     // md5 per row with integer lane arithmetic instead of 36 md5 calls
@@ -200,7 +221,8 @@ object Dedup {
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = simhashSignatures(s, dir).cache()
+    releaseCaches(s)
+    val sig = trackedCache(s, simhashSignatures(s, dir))
     val chunks = s.sparkContext
       .parallelize(Seq.tabulate(NumChunks)(identity), 1)
       .toDF("ck")
@@ -229,17 +251,13 @@ object Dedup {
     * [[Similarity.annLsh]].
     */
   def embedding(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables
-      .embeddings(s, dir)
-      .select(
-        col("vec_id"),
-        col("embedding"),
-        sqrt(VectorFunctions.dotF(s, col("embedding"), col("embedding"))).as("norm"))
+    // norm/cosine construction shared with Similarity so the exact
+    // arithmetic shape (which the oracle depends on) has one definition
+    val e = Similarity.withNorm(Tables.embeddings(s, dir))
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"))
     a.join(b, col("va") < col("vb"))
-      .withColumn("cos",
-        VectorFunctions.dotF(s, col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", Similarity.cosine(s, col("ea"), col("eb"), col("na"), col("nb")))
       .orderBy(desc("cos"), asc("va"), asc("vb"))
       .limit(20)
       .select("va", "vb", "cos")

@@ -36,7 +36,7 @@ object Similarity {
   val NumPlanes = 6
   val NumTables = 4
 
-  private def withNorm(e: DataFrame): DataFrame = {
+  private[ops] def withNorm(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     e.select(
       col("vec_id"),
@@ -44,7 +44,7 @@ object Similarity {
       sqrt(VectorFunctions.dotF(s, col("embedding"), col("embedding"))).as("norm"))
   }
 
-  private def cosine(s: SparkSession, ea: Column, eb: Column, na: Column, nb: Column): Column =
+  private[ops] def cosine(s: SparkSession, ea: Column, eb: Column, na: Column, nb: Column): Column =
     VectorFunctions.dotF(s, ea, eb) / (na * nb)
 
   /** Brute-force exact top-k neighbors for the first `NumQueryVecs` ids. */

@@ -24,7 +24,9 @@ object TypedAgg {
   class DecimalSum(f: Li => Double) extends Aggregator[Li, java.math.BigDecimal, Double] {
     override def zero: java.math.BigDecimal = java.math.BigDecimal.ZERO
     override def reduce(b: java.math.BigDecimal, a: Li): java.math.BigDecimal =
-      b.add(java.math.BigDecimal.valueOf(f(a)))
+      // quantize to scale 6 exactly like the oracle's CAST(x AS DECIMAL(38,6))
+      // — summing unrounded values would diverge for >6-decimal inputs
+      b.add(java.math.BigDecimal.valueOf(f(a)).setScale(6, java.math.RoundingMode.HALF_UP))
     override def merge(x: java.math.BigDecimal, y: java.math.BigDecimal): java.math.BigDecimal =
       x.add(y)
     override def finish(b: java.math.BigDecimal): Double = b.doubleValue()

@@ -78,7 +78,11 @@ object EventStream extends Serializable {
         val us = tsMicros(e.ts)
         cur match {
           case Some(s) if us - s.endUs <= gapUs =>
-            cur = Some(SessionState(s.startUs, us, s.n + 1))
+            // min/max, not assignment: an in-watermark out-of-order event
+            // must never move the session end backwards (it would diverge
+            // from the batch answer and could set a timeout timestamp the
+            // watermark has already passed, failing the query)
+            cur = Some(SessionState(math.min(s.startUs, us), math.max(s.endUs, us), s.n + 1))
           case Some(s) =>
             closed += Session(userId, s.startUs, s.endUs, s.n)
             cur = Some(SessionState(us, us, 1))

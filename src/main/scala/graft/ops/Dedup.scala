@@ -81,27 +81,36 @@ object Dedup {
     df.cache()
   }
 
+  /** Distinct (doc, shingle-hash) pairs: shingles are hashed to 60-bit
+    * longs BEFORE the distinct, so every downstream shuffle/join moves
+    * 8-byte keys instead of ~30-char strings. The DuckDB oracle applies
+    * the same hash pre-distinct, so the (astronomically unlikely, ~2^-61
+    * per pair) hash collisions are mirrored exactly.
+    */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
       .select(col("doc_id"), Tokenize.tokenCol(col("text")).as("raw"))
       .select(col("doc_id"), filter(col("raw"), _ =!= "").as("toks"))
-      .select(col("doc_id"), explode(TextHash.shingles(col("toks"), ShingleN)).as("sh"))
+      .select(col("doc_id"), explode(TextHash.shingles(col("toks"), ShingleN)).as("shs"))
+      .select(col("doc_id"), TextHash.hash60(col("shs")).as("sh"))
       .distinct()
 
+  private val WP = "[^\\p{L}]+"
+
   private val duckShingles =
-    """SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS sh FROM
+    s"""SELECT DISTINCT a.doc_id, ${TextHash.duckHash60Of("a.t || ' ' || b.t || ' ' || c.t")} AS sh FROM
          (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
-           (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
+           (SELECT doc_id, list_filter(regexp_split_to_array(text, '$WP'), x -> x <> '') l
             FROM documents)) a
        JOIN
          (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
-           (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
+           (SELECT doc_id, list_filter(regexp_split_to_array(text, '$WP'), x -> x <> '') l
             FROM documents)) b
        ON a.doc_id = b.doc_id AND b.i = a.i + 1
        JOIN
          (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
-           (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
+           (SELECT doc_id, list_filter(regexp_split_to_array(text, '$WP'), x -> x <> '') l
             FROM documents)) c
        ON a.doc_id = c.doc_id AND c.i = a.i + 2"""
 
@@ -163,7 +172,7 @@ object Dedup {
     // all hash lanes as parallel aggregation columns — one pass over the
     // shingle table instead of a seeds crossJoin (36x the rows), and one
     // md5 per row with integer lane arithmetic instead of 36 md5 calls
-    val based = sh.withColumn("h32", TextHash.hash60(col("sh")) % ModP)
+    val based = sh.withColumn("h32", col("sh") % ModP)
     val mhAggs = (0 until NumHashes).map(j =>
       min((col("h32") * laneA(j) + laneB(j)) % ModP).as(s"mh_$j"))
     val mh = based.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
@@ -295,7 +304,7 @@ object Dedup {
          $duckVerify""",
     "dedup_minhash" ->
       s"""WITH sh AS ($duckShingles),
-         based AS (SELECT doc_id, ${h("sh")} % $ModP h32 FROM sh),
+         based AS (SELECT doc_id, sh % $ModP h32 FROM sh),
          mh AS (SELECT doc_id, j, min(((2*j+1)*h32 + 7919*j) % $ModP) mh
                 FROM based CROSS JOIN (SELECT unnest(range(0, $NumHashes)) j) GROUP BY 1, 2),
          bands AS (SELECT doc_id, j // $BandRows band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) sig

@@ -46,6 +46,30 @@ object EventStream extends Serializable {
         sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks in the preceding hour. Both sides carry watermarks so join
+    * state is evicted once no matching row can still arrive — the bounded
+    * -state form of a streaming join (unbounded joins are a memory leak
+    * at firehose scale).
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases
+      .alias("p")
+      .join(
+        clicks.alias("c"),
+        expr("c.user_id = p.user_id AND click_ts <= purchase_ts AND " +
+          "click_ts >= purchase_ts - INTERVAL 1 HOUR"))
+      .select(col("p.user_id").as("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming exact dedup: drop replayed event ids while the watermark
     * allows a duplicate to still arrive — state is evicted once the
     * watermark passes, so dedup state stays bounded on an unbounded

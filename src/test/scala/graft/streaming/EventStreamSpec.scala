@@ -46,6 +46,30 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("stream-stream interval join converges to the batch join") {
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(streamDir)
+    runToCompletion(EventStream.clickPurchaseJoin(src), "ssjoin_out")
+    val got = spark.table("ssjoin_out")
+      .select("user_id", "purchase_id", "click_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, Sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    val want = purchases
+      .join(clicks,
+        col("p_user") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+      .select(col("p_user"), col("purchase_id"), col("click_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should contain click->purchase pairs")
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val ev = Tables.events(spark, Sf0001)

@@ -62,24 +62,11 @@ object Dedup {
 
   // ------------------------------------------------------------ building blocks
 
-  /** Caches are per-query-plan: a later catalog query would otherwise pin
-    * the previous query's shingle blocks for the whole session. Each
-    * dedup query releases the caches its predecessor registered.
-    */
-  private val trackedCaches =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.List[DataFrame]]()
-
-  private def releaseCaches(s: SparkSession): Unit = {
-    val prev = trackedCaches.remove(s)
-    if (prev != null) prev.forEach(df => { df.unpersist(false); () })
-  }
-
-  private def trackedCache(s: SparkSession, df: DataFrame): DataFrame = {
-    trackedCaches
-      .computeIfAbsent(s, _ => java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]()))
-      .add(df)
-    df.cache()
-  }
+  // No explicit caching anywhere in these pipelines: each query reuses
+  // the same DataFrame object for its repeated subtrees, so Spark plans
+  // the duplicate scans as ReusedExchange — measured faster than
+  // .cache() (which pays a serialize-and-store pass and pins executor
+  // storage memory for the rest of the session).
 
   /** Distinct (doc, shingle-hash) pairs: shingles are hashed to 60-bit
     * longs BEFORE the distinct, so every downstream shuffle/join moves
@@ -148,8 +135,7 @@ object Dedup {
     * bounds the pair space, no cross join.
     */
   def ngram(s: SparkSession, dir: String): DataFrame = {
-    releaseCaches(s)
-    val sh = trackedCache(s, docShingles(s, dir))
+    val sh = docShingles(s, dir)
     val pairs = sh
       .select(col("doc_id").as("da"), col("sh"))
       .join(sh.select(col("doc_id").as("db"), col("sh")), "sh")
@@ -167,8 +153,7 @@ object Dedup {
     * (band, sig), so the pair space is bounded by genuine collisions.
     */
   def minhash(s: SparkSession, dir: String): DataFrame = {
-    releaseCaches(s)
-    val sh = trackedCache(s, docShingles(s, dir))
+    val sh = docShingles(s, dir)
     // all hash lanes as parallel aggregation columns — one pass over the
     // shingle table instead of a seeds crossJoin (36x the rows), and one
     // md5 per row with integer lane arithmetic instead of 36 md5 calls
@@ -230,8 +215,7 @@ object Dedup {
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    releaseCaches(s)
-    val sig = trackedCache(s, simhashSignatures(s, dir))
+    val sig = simhashSignatures(s, dir)
     val chunks = s.sparkContext
       .parallelize(Seq.tabulate(NumChunks)(identity), 1)
       .toDF("ck")

@@ -303,6 +303,49 @@ object Relational {
       .groupingSets(Seq(Seq(col("n_regionkey")), Seq.empty), col("n_regionkey"))
       .agg(count(lit(1)).as("n"))
 
+  /** Discrete median (lower of the two middle elements) per group via
+    * ranking — deterministic, unlike interpolated percentiles whose
+    * floating-point interpolation differs across engines.
+    */
+  def medianDisc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    Tables
+      .orders(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+      .filter(expr("rnk = (cnt + 1) div 2")) // lower middle (1-based); div = integer division
+      .select(col("o_orderpriority"), col("o_totalprice").as("median_price"))
+  }
+
+  /** Array-function family over the tokenized documents. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), filter(split(col("text"), "[^\\p{L}]+"), _ =!= "").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        array_join(slice(col("toks"), 1, 3), " ").as("first3"),
+        array_join(reverse(col("toks")), " ").as("reversed"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        array_position(col("toks"), "the").cast("long").as("first_the"),
+        array_join(array_sort(array_distinct(col("toks"))), " ").as("deduped"))
+
+  /** Scalar subquery: orders above the global average price (Catalyst
+    * rewrites the subquery to a broadcast of one row).
+    */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val avgPrice = Tables
+      .orders(s, dir)
+      .agg((sum(col("o_totalprice").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("ap"))
+    Tables
+      .orders(s, dir)
+      .crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("ap"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_above_avg"))
+  }
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def caseBuckets(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -343,7 +386,10 @@ object Relational {
     "string_funcs"       -> (stringFuncs _),
     "date_funcs"         -> (dateFuncs _),
     "math_funcs"         -> (mathFuncs _),
-    "case_buckets"       -> (caseBuckets _)
+    "case_buckets"       -> (caseBuckets _),
+    "median_disc"        -> (medianDisc _),
+    "array_funcs"        -> (arrayFuncs _),
+    "scalar_subquery"    -> (scalarSubquery _)
   )
 
   private def ds(c: String) = DSUM.format(c)
@@ -456,6 +502,26 @@ object Relational {
          l_quantity * l_quantity AS qty_sq FROM lineitem""",
     "case_buckets" ->
       """SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket,
-         count(*) AS n FROM customer GROUP BY 1"""
+         count(*) AS n FROM customer GROUP BY 1""",
+    "median_disc" ->
+      """SELECT o_orderpriority, o_totalprice AS median_price FROM (
+           SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rnk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+           FROM orders)
+         WHERE rnk = (cnt + 1) // 2""",
+    "array_funcs" ->
+      """SELECT doc_id, len(l) AS n_toks,
+         array_to_string(l[1:3], ' ') AS first3,
+         array_to_string(list_reverse(l), ' ') AS reversed,
+         list_contains(l, 'spark') AS has_spark,
+         CAST(coalesce(list_position(l, 'the'), 0) AS BIGINT) AS first_the,
+         array_to_string(list_sort(list_distinct(l)), ' ') AS deduped
+         FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
+               FROM documents)""",
+    "scalar_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n_above_avg FROM orders
+         WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) FROM orders)
+         GROUP BY 1"""
   )
 }

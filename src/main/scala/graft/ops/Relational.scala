@@ -184,6 +184,21 @@ object Relational {
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
   }
 
+  /** RANGE-frame window (vs the ROWS frames above): peers are defined by
+    * value distance, not row position.
+    */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_orderpriority")
+      .orderBy("o_totalprice")
+      .rangeBetween(-10000L, 0L)
+    Tables
+      .orders(s, dir)
+      .withColumn("n_within_10k",
+        count(lit(1)).over(w).cast("long"))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "n_within_10k")
+  }
+
   // ------------------------------------------------- cube/rollup/sets
 
   def cubeFlagStatus(s: SparkSession, dir: String): DataFrame =
@@ -373,6 +388,7 @@ object Relational {
     "window_topk"        -> (windowTopkOrders _),
     "window_topk_fast"   -> (windowTopkFast _),
     "window_running"     -> (windowRunningQty _),
+    "window_range_frame" -> (windowRangeFrame _),
     "cube_agg"           -> (cubeFlagStatus _),
     "rollup_agg"         -> (rollupPriorityStatus _),
     "set_union"          -> (setUnion _),
@@ -449,6 +465,11 @@ object Relational {
            PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem""",
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+         count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k
+         FROM orders""",
     "cube_agg" ->
       s"SELECT l_returnflag, l_linestatus, count(*) AS n, ${ds("l_quantity")} AS sum_qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
     "rollup_agg" ->

@@ -75,7 +75,7 @@ object Relational {
 
   /** TPC-H Q5-style: five-way join; region/nation broadcast, facts shuffle. */
   def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
-    val region = Tables.region(s, dir).filter(col("r_name") === "REGION#1")
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(s, dir)
     val li     = Tables.lineitem(s, dir)
     val ord = Tables
@@ -436,7 +436,7 @@ object Relational {
          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-         WHERE r_name = 'REGION#1' AND o_orderdate >= TIMESTAMP '1996-01-01'
+         WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY 1""",
     "join_broadcast" ->

@@ -110,13 +110,21 @@ object Relational {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
 
-  /** Left-anti join: customers with no orders (NOT EXISTS). */
-  def joinAnti(s: SparkSession, dir: String): DataFrame =
+  /** Left-anti join: customers with no 1996 orders (NOT EXISTS). The
+    * year filter makes the result non-degenerate — every fixture customer
+    * has at least one order overall.
+    */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val ord96 = Tables
+      .orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     Tables
       .customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(ord96, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_customers"))
+  }
 
   /** Left-outer join preserving customers with zero orders. */
   def joinOuter(s: SparkSession, dir: String): DataFrame =
@@ -444,7 +452,10 @@ object Relational {
     "join_semi" ->
       "SELECT c_mktsegment, count(*) AS n_customers FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1",
     "join_anti" ->
-      "SELECT c_nationkey, count(*) AS n_customers FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1",
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+         GROUP BY 1""",
     "join_outer" ->
       s"SELECT c_custkey, count(o_orderkey) AS n_orders, ${ds("o_totalprice")} AS total_spent FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1",
     "join_range" ->

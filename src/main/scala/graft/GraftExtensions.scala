@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot_f"),
       exprs => FloatDotProduct(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.WindowToTopKRule)
   }
 }

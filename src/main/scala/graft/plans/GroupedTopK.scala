@@ -96,11 +96,15 @@ case class GroupedTopKExec(
           heap.enqueue(row.copy())
         }
       }
-      val joiner = new JoinedRow
+      // rank column type follows the rank attribute: int when substituted
+      // for row_number() by WindowToTopKRule, long from the Scala API
+      val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
+      val joiner    = new JoinedRow
       heaps.iterator.flatMap { case (_, heap) =>
         val worstFirst: Seq[InternalRow] = heap.dequeueAll
         worstFirst.reverseIterator.zipWithIndex.map { case (r, i) =>
-          outProj(joiner(r, InternalRow(i + 1L))).copy()
+          val rank = if (rankIsInt) InternalRow(i + 1) else InternalRow(i + 1L)
+          outProj(joiner(r, rank)).copy()
         }
       }
     }
@@ -119,11 +123,17 @@ object GroupedTopKStrategy extends SparkStrategy {
 
 object GroupedTopK {
 
-  /** Idempotent per-session strategy registration. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent per-session registration of the planner strategy and the
+    * window-rewrite optimizer rule.
+    */
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(WindowToTopKRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ WindowToTopKRule
+  }
 
   /** Top `k` rows per `keys` group under `order` (column name → ascending?),
     * with a 1-based rank column appended. Names become catalyst

@@ -27,6 +27,39 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Sort "), s"custom top-k should not sort:\n$plan")
   }
 
+  test("optimizer rule rewrites bare row_number+filter into GroupedTopK") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    GroupedTopK.register(spark)
+    val w = W.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val df = graft.Tables.orders(spark, Sf0001)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    assert(df.queryExecution.optimizedPlan.toString.contains("GroupedTopK"),
+      df.queryExecution.optimizedPlan.toString)
+    val got = df.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      col("rn").cast("long"))
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val want = Relational.windowTopkOrders(spark, Sf0001)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(got == want, "rewritten plan diverged from the window answer")
+  }
+
+  test("optimizer rule leaves non-matching window shapes alone") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    GroupedTopK.register(spark)
+    // rank() has different tie semantics than row_number — must NOT rewrite
+    val w = W.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
+    val df = graft.Tables.orders(spark, Sf0001)
+      .withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 3)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("GroupedTopK"))
+    // (note: a cast between row_number and the filter IS rewritten — the
+    // optimizer unwraps the cast before this rule runs, which is correct)
+  }
+
   test("k larger than every group returns whole groups, ranked") {
     val df = Seq((1L, 10.0), (1L, 30.0), (2L, 20.0)).toDF("k", "v")
     val out = GroupedTopK.topK(df, Seq("k"), Seq("v" -> false), k = 5)

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: temp-view registration, native functions from SQL,
+  * and the optimizer rewrite applying to plain SQL text.
+  */
+class CatalogSqlSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("plain SQL over registered views matches the DataFrame catalog") {
+    val viaSql = Catalog
+      .sql(spark, Sf0001,
+        "SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaDf = ops.Relational.distinctOrdersPerFlag(spark, Sf0001)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaSql == viaDf)
+  }
+
+  test("native dot-product function is callable from SQL") {
+    Catalog.registerViews(spark, Sf0001)
+    val d = spark
+      .sql("SELECT graft_dot_f(embedding, embedding) AS d FROM embeddings WHERE vec_id = 0")
+      .as[Double].head()
+    assert(d > 0.0)
+  }
+
+  test("SQL top-N-per-group text hits the custom operator via the rewrite rule") {
+    Catalog.registerViews(spark, Sf0001)
+    val df = spark.sql("""
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3""")
+    assert(df.queryExecution.optimizedPlan.toString.contains("GroupedTopK"),
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.count() == ops.Relational.windowTopkOrders(spark, Sf0001).count())
+  }
+}

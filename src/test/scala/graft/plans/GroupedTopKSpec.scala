@@ -67,6 +67,27 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq((1L, 30.0, 1L), (1L, 10.0, 2L), (2L, 20.0, 1L)))
   }
 
+  test("property: matches a reference top-k on seeded random data") {
+    val rnd = new scala.util.Random(13)
+    for (round <- 1 to 3) {
+      val rows = Seq.fill(500)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toDouble, rnd.nextLong()))
+      val df   = rows.toDF("k", "v", "tie").repartition(7)
+      val k    = 1 + rnd.nextInt(4)
+      val got = GroupedTopK.topK(df, Seq("k"), Seq("v" -> false, "tie" -> true), k)
+        .as[(Long, Double, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+      val want = rows
+        .groupBy(_._1)
+        .toSeq
+        .flatMap { case (key, grp) =>
+          grp.sortBy(r => (-r._2, r._3)).take(k).zipWithIndex.map { case (r, i) =>
+            (r._1, r._2, r._3, (i + 1).toLong)
+          }
+        }
+        .sortBy(r => (r._1, r._4))
+      assert(got == want, s"round $round, k=$k")
+    }
+  }
+
   test("empty input yields empty output") {
     val df = Seq.empty[(Long, Double)].toDF("k", "v")
     assert(GroupedTopK.topK(df, Seq("k"), Seq("v" -> true), k = 3).count() == 0)

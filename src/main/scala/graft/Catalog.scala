@@ -13,14 +13,19 @@ object Catalog {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register every driver table under its name for the given scale dir,
-    * and the native function registry. Idempotent.
+    * the native function registry, and the top-N rewrite. Cached per
+    * (session, dir) — repeated sql() calls don't re-read parquet footers.
     */
-  def registerViews(spark: SparkSession, dir: String): Unit = {
-    TableNames.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
-    functions.VectorFunctions.register(spark)
-    plans.GroupedTopK.register(spark)
-  }
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    if (registeredDir.put(spark, dir) != dir) {
+      TableNames.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+      functions.VectorFunctions.register(spark)
+      plans.GroupedTopK.registerRewrite(spark)
+    }
 
   /** Convenience: SQL against the registered views. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {

@@ -418,6 +418,15 @@ object Relational {
 
   private def ds(c: String) = DSUM.format(c)
 
+  /** Shared by window_topk and window_topk_fast — the two formulations
+    * must agree bit-for-bit, so they verify against one oracle text.
+    */
+  private val windowTopkOracle =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+       SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+       FROM orders) WHERE rn <= 3"""
+
   val oracle: Map[String, String] = Map(
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -460,16 +469,8 @@ object Relational {
       s"SELECT c_custkey, count(o_orderkey) AS n_orders, ${ds("o_totalprice")} AS total_spent FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1",
     "join_range" ->
       "SELECT p_brand, count(*) AS n_in_band FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity >= p_size - 5.0 AND l_quantity <= p_size + 5.0 GROUP BY 1",
-    "window_topk" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-         SELECT o_custkey, o_orderkey, o_totalprice,
-           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-         FROM orders) WHERE rn <= 3""",
-    "window_topk_fast" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-         SELECT o_custkey, o_orderkey, o_totalprice,
-           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-         FROM orders) WHERE rn <= 3""",
+    "window_topk" -> windowTopkOracle,
+    "window_topk_fast" -> windowTopkOracle,
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER (

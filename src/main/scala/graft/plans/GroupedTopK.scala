@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.collection.mutable
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftSqlShims, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
@@ -64,6 +64,12 @@ case class GroupedTopKExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupKeys) :: Nil
 
+  /** Rows stay where the child's exchange put them, so a downstream
+    * groupBy/join on the same keys must not re-shuffle.
+    */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal        = k
     val keyExprs      = groupKeys
@@ -123,17 +129,29 @@ object GroupedTopKStrategy extends SparkStrategy {
 
 object GroupedTopK {
 
-  /** Idempotent per-session registration of the planner strategy and the
-    * window-rewrite optimizer rule.
+  /** Idempotent registration of the planner strategy only — what the
+    * Scala `topK` API needs. The window-rewrite rule is a separate,
+    * explicit opt-in ([[registerRewrite]] / [[graft.GraftExtensions]] /
+    * [[graft.Catalog.registerViews]]) so sessions that want to exercise
+    * Spark's own window operator aren't silently rerouted.
     */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GroupedTopKStrategy
+
+  /** Opt in to the transparent row_number-top-N rewrite. */
+  def registerRewrite(spark: SparkSession): Unit = {
+    register(spark)
     if (!spark.experimental.extraOptimizations.contains(WindowToTopKRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ WindowToTopKRule
   }
+
+  /** Remove the rewrite (the strategy is harmless to leave). */
+  def unregisterRewrite(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == WindowToTopKRule)
 
   /** Top `k` rows per `keys` group under `order` (column name → ascending?),
     * with a 1-based rank column appended. Names become catalyst
@@ -147,6 +165,7 @@ object GroupedTopK {
       k: Int,
       rankName: String = "rn"): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    require(k >= 1, s"topK requires k >= 1, got $k")
     val spark = df.sparkSession
     register(spark)
     val sortOrders = order.map { case (name, asc) =>

@@ -10,10 +10,4 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
-
-  /** Column → catalyst Expression (`Column.expr` is classic-internal
-    * in Spark 4).
-    */
-  def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
-    classic.ExpressionUtils.expression(c)
 }

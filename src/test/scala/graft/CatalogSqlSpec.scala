@@ -35,6 +35,9 @@ class CatalogSqlSpec extends AnyFunSuite with SparkTestBase {
         FROM orders) WHERE rn <= 3""")
     assert(df.queryExecution.optimizedPlan.toString.contains("GroupedTopK"),
       df.queryExecution.optimizedPlan.toString)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("WindowGroupLimit"), s"inferred group-limit survived:\n$phys")
+    assert(!phys.contains("Sort "), s"sort survived the rewrite:\n$phys")
     assert(df.count() == ops.Relational.windowTopkOrders(spark, Sf0001).count())
   }
 }

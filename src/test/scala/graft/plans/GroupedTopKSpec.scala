@@ -12,6 +12,9 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
   test("bit-identical to the window row_number formulation") {
+    // make sure the rewrite is off so windowTopkOrders exercises Spark's
+    // real window operator (other suites may have registered it)
+    GroupedTopK.unregisterRewrite(spark)
     val fast = Relational.windowTopkFast(spark, Sf0001)
       .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
     val win = Relational.windowTopkOrders(spark, Sf0001)
@@ -30,7 +33,7 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestBase {
   test("optimizer rule rewrites bare row_number+filter into GroupedTopK") {
     import org.apache.spark.sql.expressions.{Window => W}
     import org.apache.spark.sql.functions._
-    GroupedTopK.register(spark)
+    GroupedTopK.registerRewrite(spark)
     val w = W.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
     val df = graft.Tables.orders(spark, Sf0001)
       .withColumn("rn", row_number().over(w))
@@ -49,7 +52,7 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestBase {
   test("optimizer rule leaves non-matching window shapes alone") {
     import org.apache.spark.sql.expressions.{Window => W}
     import org.apache.spark.sql.functions._
-    GroupedTopK.register(spark)
+    GroupedTopK.registerRewrite(spark)
     // rank() has different tie semantics than row_number — must NOT rewrite
     val w = W.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
     val df = graft.Tables.orders(spark, Sf0001)

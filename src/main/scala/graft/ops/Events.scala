@@ -97,6 +97,31 @@ object Events {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))
 
+  /** Top-5 events per user by value — the window formulation. Groups here
+    * are large (tens of thousands of events per user at scale), which is
+    * where the sort-free twin below pulls away.
+    */
+  def topkValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+    Tables
+      .events(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("user_id", "event_id", "value", "rn")
+  }
+
+  /** Same query through [[graft.plans.GroupedTopK]] (bounded heaps, no
+    * per-partition sort); shares the oracle above — must agree exactly.
+    */
+  def topkValueFast(s: SparkSession, dir: String): DataFrame =
+    graft.plans.GroupedTopK
+      .topK(
+        Tables.events(s, dir).select("user_id", "event_id", "value"),
+        keys = Seq("user_id"),
+        order = Seq("value" -> false, "event_id" -> true),
+        k = 5)
+      .select("user_id", "event_id", "value", "rn")
+
   /** Pivot-style conditional aggregation: event-type counts as columns.
     * `count(when(...))` compiles to the same conditional-agg plan a pivot
     * does, with explicit deterministic column names.
@@ -118,10 +143,20 @@ object Events {
     "events_asof"      -> (asofClickPurchase _),
     "events_gaps"      -> (gaps _),
     "events_json"      -> (jsonExtract _),
+    "events_topk"      -> (topkValue _),
+    "events_topk_fast" -> (topkValueFast _),
     "events_pivot"     -> (typePivot _)
   )
 
+  private val topkOracle =
+    """SELECT user_id, event_id, value, rn FROM (
+       SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+       FROM events) WHERE rn <= 5"""
+
   val oracle: Map[String, String] = Map(
+    "events_topk"      -> topkOracle,
+    "events_topk_fast" -> topkOracle,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value

@@ -13,18 +13,21 @@ object Catalog {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // weak keys: never retain stopped sessions; recorded only AFTER a
+  // successful registration so a failure (bad dir) isn't cached
+  private val registeredDir = java.util.Collections
+    .synchronizedMap(new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every driver table under its name for the given scale dir,
     * the native function registry, and the top-N rewrite. Cached per
     * (session, dir) — repeated sql() calls don't re-read parquet footers.
     */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    if (registeredDir.put(spark, dir) != dir) {
+    if (registeredDir.get(spark) != dir) {
       TableNames.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
       functions.VectorFunctions.register(spark)
       plans.GroupedTopK.registerRewrite(spark)
+      registeredDir.put(spark, dir)
     }
 
   /** Convenience: SQL against the registered views. */

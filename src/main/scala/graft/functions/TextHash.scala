@@ -36,17 +36,11 @@ object TextHash {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
-  /** Seeded variant: independent hash family member per seed. */
-  def hash60(s: Column, seed: Column): Column =
-    hash60(concat(seed.cast("string"), lit(":"), s))
-
   /** DuckDB SQL fragment equivalents (kept adjacent so the two sides
     * can't drift): substitute the string expression for %s.
     */
   val duckHash60: String        = "CAST('0x' || substring(md5(%s), 1, 15) AS BIGINT)"
   def duckHash60Of(e: String): String = duckHash60.format(e)
-  def duckHash60Seeded(seedExpr: String, e: String): String =
-    duckHash60.format(s"CAST($seedExpr AS VARCHAR) || ':' || $e")
 
   /** Word-level n-gram shingles from a token array column (n >= 2):
     * zip the array with its shifted self and join with spaces.

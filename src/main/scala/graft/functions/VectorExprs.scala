@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * this expression compiles (doGenCode) to a tight primitive loop inside
   * whole-stage codegen. Semantics are identical — a strict left-to-right
   * accumulation in double — so results are bit-equal to the fold and the
-  * DuckDB oracle stays exact.
+  * DuckDB oracle stays exact. Mismatched array lengths raise (as DuckDB's
+  * list_inner_product does) rather than silently truncating.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,7 +40,10 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: array lengths differ (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var acc = 0.0
     var i   = 0
     while (i < n) {
@@ -54,7 +58,11 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot_f: array lengths differ (" + $x.numElements() + " vs " + $y.numElements() + ")");
+         |}
+         |int $n = $x.numElements();
          |double ${ev.value}_acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}_acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);

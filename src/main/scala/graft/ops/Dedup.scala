@@ -130,7 +130,7 @@ object Dedup {
 
   // ------------------------------------------------------------------ ngram
 
-  /** Exact n-gram (word bigram) Jaccard dedup via inverted-index self-join:
+  /** Exact n-gram (word trigram, see ShingleN) Jaccard dedup via inverted-index self-join:
     * pairs are generated only for docs sharing a shingle — the join key
     * bounds the pair space, no cross join.
     */
@@ -266,8 +266,7 @@ object Dedup {
     "dedup_embedding" -> (embedding _)
   )
 
-  private val h      = TextHash.duckHash60Of _
-  private val hs     = TextHash.duckHash60Seeded _
+  private val h = TextHash.duckHash60Of _
 
   private val duckVerify =
     s"""sized AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),

@@ -119,7 +119,9 @@ object Similarity {
       .filter(col("va") =!= col("vb"))
       .select("va", "vb")
       .distinct()
-    val q = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"))
+    val q = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"))
     val c = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"))
     val w = Window.partitionBy("va").orderBy(desc("cos"), asc("vb"))
     cands

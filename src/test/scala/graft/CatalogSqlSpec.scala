@@ -26,6 +26,18 @@ class CatalogSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(d > 0.0)
   }
 
+  test("graft_dot_f raises on mismatched array lengths (DuckDB parity)") {
+    Catalog.registerViews(spark, Sf0001)
+    val e = intercept[Throwable] {
+      spark.sql(
+        "SELECT graft_dot_f(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("lengths differ")), e.toString)
+  }
+
   test("SQL top-N-per-group text hits the custom operator via the rewrite rule") {
     Catalog.registerViews(spark, Sf0001)
     val df = spark.sql("""

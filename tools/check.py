@@ -4,7 +4,6 @@ DuckDB over the same parquet tables and diff against the Spark results that
 graft.Verify dumped. Usage: check.py <sfDir> <verifyOutDir>"""
 import json, sys, glob, os
 import duckdb
-import pyarrow.parquet as pq
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -37,6 +36,12 @@ for name in sorted(oracle):
     else:
         diff = (s != dd) & ~(s.isna() & dd.isna())
         bad = diff.any(axis=1)
+        if bad.sum() == 0:
+            dt = {c: (str(s[c].dtype), str(dd[c].dtype))
+                  for c in sc if str(s[c].dtype) != str(dd[c].dtype)}
+            print(f"FAIL {name}: values equal but dtypes differ: {dt}")
+            fail += 1
+            continue
         print(f"FAIL {name}: {bad.sum()} mismatched rows of {len(s)}")
         print("spark:", s[bad].head(3).to_dict("records"))
         print("duck :", dd[bad].head(3).to_dict("records"))

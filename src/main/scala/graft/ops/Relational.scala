@@ -182,9 +182,12 @@ object Relational {
     * accumulation so the running values are exact and order-stable.
     */
   def windowRunningQty(s: SparkSession, dir: String): DataFrame = {
+    // l_partkey disambiguates duplicate (orderkey, linenumber) pairs in
+    // the synthetic data — without it the order is not total and the
+    // running sum is nondeterministic on the tied rows
     val w = Window
       .partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables
       .lineitem(s, dir)
@@ -474,7 +477,7 @@ object Relational {
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER (
-           PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem""",
     "window_range_frame" ->

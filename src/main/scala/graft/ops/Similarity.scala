@@ -22,6 +22,10 @@ import graft.functions.{TextHash, VectorFunctions}
   *
   * Cosine itself is a single left-to-right fold over the 64 dims in both
   * engines; empirically bit-identical (verified by the oracle gate).
+  *
+  * Background on distributed top-k similarity search: see PAPERS.md
+  * (e.g. REPOSE, ICDE 2021 — partition-local candidate pruning before
+  * global ranking, the same shape as the bucket-then-rank plan here).
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame

@@ -372,6 +372,20 @@ object Relational {
       .agg(count(lit(1)).as("n_above_avg"))
   }
 
+  /** Equi-width histogram (explicit bucket arithmetic — DuckDB has no
+    * width_bucket, so both engines share the same formula).
+    */
+  def histDocLen(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        when(col("n_chars") < 0, 0L)
+          .when(col("n_chars") >= 600, 13L)
+          .otherwise(floor(col("n_chars") / lit(50.0)).cast("long") + 1)
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def caseBuckets(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -415,6 +429,7 @@ object Relational {
     "math_funcs"         -> (mathFuncs _),
     "case_buckets"       -> (caseBuckets _),
     "median_disc"        -> (medianDisc _),
+    "hist_doc_len"       -> (histDocLen _),
     "array_funcs"        -> (arrayFuncs _),
     "scalar_subquery"    -> (scalarSubquery _)
   )
@@ -539,6 +554,11 @@ object Relational {
     "case_buckets" ->
       """SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket,
          count(*) AS n FROM customer GROUP BY 1""",
+    "hist_doc_len" ->
+      """SELECT CASE WHEN n_chars < 0 THEN 0
+                    WHEN n_chars >= 600 THEN 13
+                    ELSE CAST(floor(n_chars / 50.0) AS BIGINT) + 1 END AS bucket,
+         count(*) AS n FROM documents GROUP BY 1""",
     "median_disc" ->
       """SELECT o_orderpriority, o_totalprice AS median_price FROM (
            SELECT o_orderpriority, o_totalprice,

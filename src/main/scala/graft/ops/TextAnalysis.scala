@@ -90,7 +90,13 @@ object TextAnalysis {
         col("n_types"),
         (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
         (col("n_types").cast("double") / col("n_tokens")).as("type_token_ratio"),
-        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"))
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        // fixed-weight composite; every term is a single IEEE op chain
+        // written identically in the oracle
+        (lit(0.4) * (col("n_types").cast("double") / col("n_tokens")) +
+          lit(0.3) * (col("n_stop").cast("double") / col("n_tokens")) +
+          lit(0.3) * least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)))
+          .as("quality_score"))
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single other non-space chars).
@@ -151,7 +157,10 @@ object TextAnalysis {
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_types,
          CAST(sum(length(t)) AS DOUBLE) / count(*) AS avg_token_len,
          CAST(count(DISTINCT t) AS DOUBLE) / count(*) AS type_token_ratio,
-         CAST(count(*) FILTER (WHERE t IN ${inList(Stopwords)}) AS DOUBLE) / count(*) AS stopword_ratio
+         CAST(count(*) FILTER (WHERE t IN ${inList(Stopwords)}) AS DOUBLE) / count(*) AS stopword_ratio,
+         0.4 * (CAST(count(DISTINCT t) AS DOUBLE) / count(*)) +
+         0.3 * (CAST(count(*) FILTER (WHERE t IN ${inList(Stopwords)}) AS DOUBLE) / count(*)) +
+         0.3 * least(CAST(count(*) AS DOUBLE) / 100.0, 1.0) AS quality_score
          FROM ($duckToks) GROUP BY 1""",
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS ws_tokens,

@@ -122,6 +122,23 @@ object Events {
         k = 5)
       .select("user_id", "event_id", "value", "rn")
 
+  /** Retention: users active in week 1 who return in week 2 — the
+    * two-period cohort intersection, computed as one pass (per-user
+    * activity flags, then one summary row) instead of a self-join.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("ts") < lit("2024-01-08").cast("timestamp"), 1L).otherwise(0L)).as("w1"),
+        max(when(col("ts") >= lit("2024-01-08").cast("timestamp") &&
+          col("ts") < lit("2024-01-15").cast("timestamp"), 1L).otherwise(0L)).as("w2"))
+      .agg(
+        sum("w1").as("n_week1_users"),
+        sum("w2").as("n_week2_users"),
+        sum(col("w1") * col("w2")).as("n_retained"))
+
   /** Pivot-style conditional aggregation: event-type counts as columns.
     * `count(when(...))` compiles to the same conditional-agg plan a pivot
     * does, with explicit deterministic column names.
@@ -143,6 +160,7 @@ object Events {
     "events_asof"      -> (asofClickPurchase _),
     "events_gaps"      -> (gaps _),
     "events_json"      -> (jsonExtract _),
+    "events_retention" -> (retention _),
     "events_topk"      -> (topkValue _),
     "events_topk_fast" -> (topkValueFast _),
     "events_pivot"     -> (typePivot _)
@@ -155,6 +173,14 @@ object Events {
        FROM events) WHERE rn <= 5"""
 
   val oracle: Map[String, String] = Map(
+    "events_retention" ->
+      """SELECT CAST(sum(w1) AS BIGINT) AS n_week1_users,
+                CAST(sum(w2) AS BIGINT) AS n_week2_users,
+                CAST(sum(w1 * w2) AS BIGINT) AS n_retained
+         FROM (SELECT user_id,
+                 max(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS w1,
+                 max(CASE WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS w2
+               FROM events GROUP BY 1)""",
     "events_topk"      -> topkOracle,
     "events_topk_fast" -> topkOracle,
     "events_hourly" ->

@@ -46,6 +46,15 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("sessionize invariants: events partition exactly into sessions") {
+    val total = Tables.events(spark, Sf0001).count()
+    val sessions = graft.ops.Events.sessionize(spark, Sf0001)
+      .select("n_events", "start_us", "end_us")
+      .as[(Long, Long, Long)].collect()
+    assert(sessions.map(_._1).sum == total, "session sizes must sum to the event count")
+    assert(sessions.forall { case (_, s, e) => s <= e }, "session start must not exceed end")
+  }
+
   test("stream-stream interval join converges to the batch join") {
     val src = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")

@@ -122,6 +122,24 @@ object Events {
         k = 5)
       .select("user_id", "event_id", "value", "rn")
 
+  /** First/last event type per user via min_by/max_by over a totally
+    * ordered key (ts, event_id) — the argmin/argmax aggregate family.
+    */
+  def firstLast(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      // zero-padded (ts_us, event_id) composite: total by construction,
+      // and a scalar so DuckDB's arg_min/arg_max accept it
+      .withColumn("ord",
+        concat(
+          lpad(unix_micros(col("ts")).cast("string"), 20, "0"), lit(":"),
+          lpad(col("event_id").cast("string"), 12, "0")))
+      .groupBy("user_id")
+      .agg(
+        min_by(col("event_type"), col("ord")).as("first_type"),
+        max_by(col("event_type"), col("ord")).as("last_type"),
+        count(lit(1)).as("n"))
+
   /** Retention: users active in week 1 who return in week 2 — the
     * two-period cohort intersection, computed as one pass (per-user
     * activity flags, then one summary row) instead of a self-join.
@@ -161,6 +179,7 @@ object Events {
     "events_gaps"      -> (gaps _),
     "events_json"      -> (jsonExtract _),
     "events_retention" -> (retention _),
+    "events_first_last" -> (firstLast _),
     "events_topk"      -> (topkValue _),
     "events_topk_fast" -> (topkValueFast _),
     "events_pivot"     -> (typePivot _)
@@ -173,6 +192,12 @@ object Events {
        FROM events) WHERE rn <= 5"""
 
   val oracle: Map[String, String] = Map(
+    "events_first_last" ->
+      """SELECT user_id,
+         arg_min(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_type,
+         arg_max(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type,
+         count(*) AS n
+         FROM events GROUP BY 1""",
     "events_retention" ->
       """SELECT CAST(sum(w1) AS BIGINT) AS n_week1_users,
                 CAST(sum(w2) AS BIGINT) AS n_week2_users,

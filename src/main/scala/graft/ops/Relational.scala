@@ -47,6 +47,16 @@ object Relational {
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
+  /** min/max/count per group — order-independent extremes. */
+  def aggMinMax(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .supplier(s, dir)
+      .groupBy("s_nationkey")
+      .agg(
+        min(col("s_acctbal")).as("min_bal"),
+        max(col("s_acctbal")).as("max_bal"),
+        count(lit(1)).as("n_suppliers"))
+
   /** Exact count-distinct per group (expands to a two-phase agg). */
   def distinctOrdersPerFlag(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -403,6 +413,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q1_pricing"         -> (q1Pricing _),
     "distinct_agg"       -> (distinctOrdersPerFlag _),
+    "agg_minmax"         -> (aggMinMax _),
     "q3_topk_revenue"    -> (q3TopkRevenue _),
     "q5_nation_revenue"  -> (q5NationRevenue _),
     "join_broadcast"     -> (joinBroadcastParts _),
@@ -455,6 +466,8 @@ object Relational {
          ${ds("l_quantity")} / count(*) AS avg_qty,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02' GROUP BY 1, 2""",
+    "agg_minmax" ->
+      "SELECT s_nationkey, min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal, count(*) AS n_suppliers FROM supplier GROUP BY 1",
     "distinct_agg" ->
       "SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1",
     "q3_topk_revenue" ->

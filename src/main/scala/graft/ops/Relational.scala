@@ -396,6 +396,40 @@ object Relational {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
 
+  /** Deterministic 5% sample via the shared md5 hash — reproducible across
+    * runs, engines, and partitionings (never `TABLESAMPLE`/`rand()`, which
+    * are not). The standard trick for stable dev subsets of a 100 TB
+    * table.
+    */
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(
+        graft.functions.TextHash.hash60(
+          concat_ws(":", col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+            col("l_partkey").cast("string"))) % 100 < 5)
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("l_quantity").cast("decimal(38,6)")).cast("double").as("sum_qty"))
+
+  /** NULL-handling function family over the outer join's null side. */
+  def nullFuncs(s: SparkSession, dir: String): DataFrame = {
+    val ord96 = Tables
+      .orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables
+      .customer(s, dir)
+      .join(ord96, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(max(col("o_totalprice")).as("max96"))
+      .select(
+        col("c_custkey"),
+        coalesce(col("max96"), lit(0.0)).as("max_or_zero"),
+        col("max96").isNull.as("inactive_96"),
+        nullif(coalesce(col("max96"), lit(0.0)), lit(0.0)).as("nullif_zero"))
+  }
+
   /** CASE WHEN bucketing + conditional aggregation. */
   def caseBuckets(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -441,6 +475,8 @@ object Relational {
     "case_buckets"       -> (caseBuckets _),
     "median_disc"        -> (medianDisc _),
     "hist_doc_len"       -> (histDocLen _),
+    "sample_hash"        -> (sampleHash _),
+    "null_funcs"         -> (nullFuncs _),
     "array_funcs"        -> (arrayFuncs _),
     "scalar_subquery"    -> (scalarSubquery _)
   )
@@ -567,6 +603,22 @@ object Relational {
     "case_buckets" ->
       """SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket,
          count(*) AS n FROM customer GROUP BY 1""",
+    "sample_hash" ->
+      s"""SELECT count(*) AS n_sampled,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE ${graft.functions.TextHash.duckHash60Of(
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)")} % 100 < 5""",
+    "null_funcs" ->
+      """SELECT c_custkey,
+         coalesce(max96, 0.0) AS max_or_zero,
+         max96 IS NULL AS inactive_96,
+         nullif(coalesce(max96, 0.0), 0.0) AS nullif_zero
+         FROM (SELECT c_custkey, max(o_totalprice) AS max96
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey
+                 AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+               GROUP BY 1)""",
     "hist_doc_len" ->
       """SELECT CASE WHEN n_chars < 0 THEN 0
                     WHEN n_chars >= 600 THEN 13

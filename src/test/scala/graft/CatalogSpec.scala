@@ -16,7 +16,8 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
       "mr"         -> ops.MRCompat.queries.keys,
       "multimodal" -> multimodal.Multimodal.queries.keys,
       "typed"      -> ops.TypedAgg.queries.keys,
-      "skew"       -> ops.Skew.queries.keys)
+      "skew"       -> ops.Skew.queries.keys,
+      "pipeline"   -> ops.Pipeline.queries.keys)
     val all = modules.flatMap(_._2).toSeq
     assert(all.size == all.distinct.size,
       s"duplicate query names: ${all.diff(all.distinct).distinct.mkString(", ")}")

@@ -111,6 +111,20 @@ object TextAnalysis {
           .as("bpe_tokens"),
         col("n_chars"))
 
+  /** Corpus n-gram statistics: top-20 word bigrams with deterministic
+    * tiebreak — the collocation table every corpus report starts with.
+    */
+  def topBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(graft.functions.TextHash.shingles(
+        filter(Tokenize.tokenCol(col("text")), _ =!= ""), 2).as("bgs"))
+      .select(explode(col("bgs")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+
   /** Document fingerprinting: md5 of the sorted-distinct-token canonical
     * form plus a polynomial rolling hash over the token stream
     * (order-sensitive — distinguishes permuted docs the canonical form
@@ -131,6 +145,7 @@ object TextAnalysis {
     "text_lang_id"     -> (langId _),
     "text_quality"     -> (quality _),
     "text_token_count" -> (tokenCount _),
+    "text_top_bigrams" -> (topBigrams _),
     "text_fingerprint" -> (fingerprint _)
   )
 
@@ -166,6 +181,17 @@ object TextAnalysis {
       """SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS ws_tokens,
          len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]')) AS bpe_tokens,
          n_chars FROM documents""",
+    "text_top_bigrams" ->
+      """SELECT a.t || ' ' || b.t AS bigram, count(*) AS n FROM
+           (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
+             (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
+              FROM documents)) a
+         JOIN
+           (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
+             (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
+              FROM documents)) b
+         ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""",
     "text_fingerprint" ->
       s"""SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS canonical_fp,

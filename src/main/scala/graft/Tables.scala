@@ -23,7 +23,12 @@ object Tables {
     * reads nanos into its microsecond timestamps, so oracle comparisons on
     * derived time columns agree.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame = spark.synchronized {
+    // The flag matters only while spark.read resolves the parquet schema
+    // (eager, inside this block); synchronize the toggle window on the
+    // session so concurrent plan construction (parallel suites, streaming
+    // + batch) can't interleave a set/restore pair and read the wrong
+    // schema or clobber another thread's restore.
     val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try {

@@ -41,6 +41,27 @@ object MRApps {
       val docs = values.distinct.sorted
       Seq(s"${docs.size} ${docs.mkString(",")}")
     }
+
+    /** Values arrive ascending on the secondary-sort path, so distinct is
+      * adjacent dedup — one pass, no group materialization even for a
+      * stopword's doc list (only the deduped output string is buffered,
+      * which the output format requires).
+      */
+    override def reduceStream(key: String, values: Iterator[String]): Iterator[String] = {
+      val docs           = new StringBuilder
+      var n              = 0
+      var prev: String   = null
+      while (values.hasNext) {
+        val v = values.next()
+        if (v != prev) {
+          n += 1
+          if (n > 1) docs.append(',')
+          docs.append(v)
+          prev = v
+        }
+      }
+      Iterator.single(s"$n ${docs.toString}")
+    }
   }
 
   /** Metadata extraction (`example/mrapps/nocrash/nocrash.go:29-38`): per

@@ -90,7 +90,15 @@ object Similarity {
     }).toMap
 
   def signatures(s: SparkSession, dir: String): DataFrame = {
-    val xq = transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
+    // zip_with pads the shorter side with nulls, which would silently
+    // zero every vote bit on a dimension mismatch — fail loudly instead.
+    // The check lives inside the value path so column pruning can't
+    // eliminate it.
+    val emb = when(size(col("embedding")) === Dims, col("embedding"))
+      .otherwise(raise_error(format_string(
+        s"embedding dimensionality %s != $Dims for vec_id %s",
+        size(col("embedding")).cast("string"), col("vec_id").cast("string"))))
+    val xq = transform(emb, x => floor(x.cast("double") * 1000).cast("long"))
     def vote(tbl: Int, j: Int): Column =
       aggregate(
         zip_with(col("xq"), typedLit(weights((tbl, j))), (x, w) => x * w),

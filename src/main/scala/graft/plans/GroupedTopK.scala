@@ -12,8 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Whole-operator grouped top-k: the first k rows per key under an
   * ordering, with their ranks — the operator behind every "top N per
@@ -25,8 +27,13 @@ import org.apache.spark.sql.types.LongType
   * surface) before the window operator scans and discards. This operator
   * declares only `ClusteredDistribution(keys)` — same shuffle, *no sort*
   * — and keeps a bounded k-element heap per key (O(n log k), memory
-  * bounded by #keys·k rows per partition). At 100 TB, not sorting the
-  * 99.999% of rows that lose is the whole game.
+  * bounded by #keys·k rows per partition). Because #keys·k is unbounded
+  * under high key cardinality, heap residency is metered against
+  * [[GroupedTopK.SpillThresholdKey]]; past the budget the partition
+  * falls back to Spark's spillable external sort (key, order) + a
+  * streaming first-k-per-group scan — never worse than the window plan
+  * it replaces, and never an OOM. At 100 TB, not sorting the 99.999% of
+  * rows that lose is the whole game.
   *
   * The reference has no window machinery at all (SURVEY.md §2.3), so
   * this is the (c)-tier custom-operator path from the design brief:
@@ -70,22 +77,52 @@ case class GroupedTopKExec(
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "spillFallbacks" -> SQLMetrics.createMetric(
+      sparkContext, "partitions that fell back to external sort"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal        = k
     val keyExprs      = groupKeys
     val orderExprs    = order
     val childOutput   = child.output
     val outputAttrs   = output
+    val childSchema = org.apache.spark.sql.types.StructType(childOutput.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable, a.metadata)))
+    val budgetBytes   = conf.getConfString(
+      GroupedTopK.SpillThresholdKey, GroupedTopK.SpillThresholdDefault).toLong
+    // Grouping keys are hashable by construction but a map-typed key is
+    // not orderable — no sorted fallback exists for it, so keep the
+    // unbounded-heap behavior there (matching Spark, where a window
+    // can't partition by a map either).
+    val sortable = keyExprs.forall(e =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(e.dataType))
+    val numOutputRows  = longMetric("numOutputRows")
+    val spillFallbacks = longMetric("spillFallbacks")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord     = GenerateOrdering.generate(orderExprs, childOutput)
       // downstream operators require UnsafeRow — project the joined
       // (row, rank) through the output schema
       val outProj = UnsafeProjection.create(outputAttrs, outputAttrs)
-      // max-heap under `ord`: the head is the current worst of the best-k,
-      // evicted when a better row arrives
+      // rank column type follows the rank attribute: int when substituted
+      // for row_number() by WindowToTopKRule, long from the Scala API
+      val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
+      val joiner    = new JoinedRow
+      def rankRow(i: Int): InternalRow =
+        if (rankIsInt) InternalRow(i) else InternalRow(i.toLong)
+
+      // Phase 1 — bounded per-key max-heaps under `ord`: the head is the
+      // current worst of the best-k, evicted when a better row arrives.
+      // Heap memory is bounded by #distinct-keys·k rows; with high key
+      // cardinality that is unbounded, so track retained bytes and bail
+      // to phase 2 when they exceed the budget.
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
+      var retainedBytes = 0L
+      var overBudget    = false
+      while (it.hasNext && !overBudget) {
+        val row = it.next()
         // copy the projected key only on first sight — the common case
         // (key already present) must not allocate
         val probe = keyProj(row)
@@ -93,24 +130,78 @@ case class GroupedTopKExec(
           case Some(h) => h
           case None =>
             val h = mutable.PriorityQueue.empty[InternalRow](ord)
-            heaps.put(probe.copy(), h)
+            val keyCopy = probe.copy()
+            heaps.put(keyCopy, h)
+            retainedBytes += keyCopy.getSizeInBytes
             h
         }
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+        if (heap.size < kLocal) {
+          val c = row.copy()
+          retainedBytes += c.asInstanceOf[UnsafeRow].getSizeInBytes
+          heap.enqueue(c)
+          if (retainedBytes > budgetBytes && sortable) overBudget = true
+        } else if (ord.compare(row, heap.head) < 0) {
+          val evicted = heap.dequeue()
+          retainedBytes -= evicted.asInstanceOf[UnsafeRow].getSizeInBytes
+          val c = row.copy()
+          retainedBytes += c.asInstanceOf[UnsafeRow].getSizeInBytes
+          heap.enqueue(c)
+          if (retainedBytes > budgetBytes && sortable) overBudget = true
         }
       }
-      // rank column type follows the rank attribute: int when substituted
-      // for row_number() by WindowToTopKRule, long from the Scala API
-      val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
-      val joiner    = new JoinedRow
-      heaps.iterator.flatMap { case (_, heap) =>
-        val worstFirst: Seq[InternalRow] = heap.dequeueAll
-        worstFirst.reverseIterator.zipWithIndex.map { case (r, i) =>
-          val rank = if (rankIsInt) InternalRow(i + 1) else InternalRow(i + 1L)
-          outProj(joiner(r, rank)).copy()
+
+      if (!overBudget) {
+        heaps.iterator.flatMap { case (_, heap) =>
+          val worstFirst: Seq[InternalRow] = heap.dequeueAll
+          worstFirst.reverseIterator.zipWithIndex.map { case (r, i) =>
+            numOutputRows += 1
+            outProj(joiner(r, rankRow(i + 1))).copy()
+          }
+        }
+      } else {
+        // Phase 2 — key cardinality too high for in-memory heaps: feed
+        // everything buffered so far plus the rest of the input into
+        // Spark's spillable external sorter, ordered (key ASC, order),
+        // then stream-group the sorted run emitting the first k per key.
+        // This is exactly the plan shape Spark's own window operator
+        // uses, with its full disk-spill machinery — the operator
+        // degrades to sort-based instead of OOMing.
+        spillFallbacks += 1
+        val sortExprs = keyExprs.map(SortOrder(_, Ascending)) ++ orderExprs
+        val fullOrd   = GenerateOrdering.generate(sortExprs, childOutput)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow)
+              : UnsafeExternalRowSorter.PrefixComputer.Prefix = zero
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          childSchema, fullOrd, PrefixComparators.LONG, prefixComputer,
+          GraftSqlShims.pageSizeBytes, false)
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        heaps.foreach { case (_, heap) =>
+          heap.foreach(r => sorter.insertRow(r.asInstanceOf[UnsafeRow]))
+        }
+        heaps.clear()
+        val remaining = it.map {
+          case u: UnsafeRow => u
+          case r            => toUnsafe(r)
+        }
+        val sorted = sorter.sort(remaining.asInstanceOf[Iterator[UnsafeRow]])
+        var groupKey: UnsafeRow = null
+        var emitted             = 0
+        sorted.flatMap { row =>
+          val key = keyProj(row)
+          if (groupKey == null || key != groupKey) {
+            groupKey = key.copy()
+            emitted = 0
+          }
+          if (emitted < kLocal) {
+            emitted += 1
+            numOutputRows += 1
+            // outProj's buffer is reused; valid until the consumer's next
+            // hasNext/next call, per the operator iterator contract
+            Some(outProj(joiner(row, rankRow(emitted))))
+          } else None
         }
       }
     }
@@ -128,6 +219,16 @@ object GroupedTopKStrategy extends SparkStrategy {
 }
 
 object GroupedTopK {
+
+  /** Per-partition byte budget for the in-memory per-key heaps. When the
+    * retained (key + buffered row) bytes exceed this, the partition falls
+    * back to Spark's spillable external sort — the operator stays fast on
+    * the common low-cardinality case and memory-safe on adversarial key
+    * cardinality. 64 MiB default: at 32-way parallelism that caps heap
+    * residency at 2 GiB before any spill, far below executor memory.
+    */
+  val SpillThresholdKey     = "spark.graft.topk.spillThresholdBytes"
+  val SpillThresholdDefault: String = (64L * 1024 * 1024).toString
 
   /** Idempotent registration of the planner strategy only — what the
     * Scala `topK` API needs. The window-rewrite rule is a separate,
@@ -166,6 +267,11 @@ object GroupedTopK {
       rankName: String = "rn"): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     require(k >= 1, s"topK requires k >= 1, got $k")
+    require(
+      keys.nonEmpty,
+      "topK requires at least one grouping key (ClusteredDistribution(Nil) is not " +
+        "plannable); for a global top-k use df.orderBy(...).limit(k), which Spark " +
+        "plans as TakeOrderedAndProject")
     val spark = df.sparkSession
     register(spark)
     val sortOrders = order.map { case (name, asc) =>

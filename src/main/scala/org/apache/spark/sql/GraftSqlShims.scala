@@ -10,4 +10,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Executor-side Tungsten page size — what SortExec hands to
+    * UnsafeExternalRowSorter; `MemoryManager.pageSizeBytes` is
+    * `private[spark]`.
+    */
+  def pageSizeBytes: Long = org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
 }

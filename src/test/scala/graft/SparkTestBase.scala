@@ -21,4 +21,12 @@ trait SparkTestBase {
   }
 
   val Sf0001 = "/root/testdata/sf0.001"
+
+  /** Set session confs for the duration of `f`, restoring prior values. */
+  def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally prior.foreach { case (k, ov) => ov.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }

@@ -95,4 +95,64 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestBase {
     val df = Seq.empty[(Long, Double)].toDF("k", "v")
     assert(GroupedTopK.topK(df, Seq("k"), Seq("v" -> true), k = 3).count() == 0)
   }
+
+  test("at least one grouping key is required (global top-k is orderBy.limit)") {
+    val df = Seq((1L, 10.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      GroupedTopK.topK(df, Seq.empty, Seq("v" -> true), k = 3)
+    }
+    assert(e.getMessage.contains("grouping key"))
+  }
+
+  /** Unwrap AQE (including query-stage wrappers, which hide their subtree
+    * from `collect`) to reach the materialized GroupedTopKExec — call
+    * after an action.
+    */
+  private def topKExec(df: org.apache.spark.sql.DataFrame): GroupedTopKExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Option[GroupedTopKExec] = p match {
+      case g: GroupedTopKExec       => Some(g)
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec        => find(q.plan)
+      case other => other.children.iterator.map(find).collectFirst { case Some(g) => g }
+    }
+    find(df.queryExecution.executedPlan).get
+  }
+
+  test("high key cardinality falls back to external sort, same answer") {
+    // every row its own key → heaps retain the entire input; a 1 KiB
+    // budget forces the spill path almost immediately
+    val rnd  = new scala.util.Random(29)
+    val rows = Seq.tabulate(5000)(i => (i.toLong, rnd.nextInt(1000).toDouble, rnd.nextLong()))
+    withSQLConf(GroupedTopK.SpillThresholdKey -> "1024") {
+      val df  = rows.toDF("k", "v", "tie").repartition(4)
+      val out = GroupedTopK.topK(df, Seq("k"), Seq("v" -> false, "tie" -> true), k = 2)
+      // collect on `out` itself so the inspected queryExecution is the one
+      // that ran (a derived .as[...] dataset would plan separately)
+      val got = out.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._4)).toSeq
+      assert(topKExec(out).metrics("spillFallbacks").value > 0,
+        "tiny budget + distinct keys must trigger the sort fallback")
+      val want = rows
+        .groupBy(_._1).toSeq
+        .flatMap { case (_, grp) =>
+          grp.sortBy(r => (-r._2, r._3)).take(2).zipWithIndex.map { case (r, i) =>
+            (r._1, r._2, r._3, (i + 1).toLong)
+          }
+        }
+        .sortBy(r => (r._1, r._4))
+      assert(got == want, "spill path diverged from the in-memory answer")
+    }
+  }
+
+  test("mixed partitions: low-cardinality keys stay on the heap path") {
+    // 20 keys × k=3 fits any budget — fallback must NOT trigger
+    val rows = Seq.tabulate(2000)(i => ((i % 20).toLong, (i * 37 % 997).toDouble, i.toLong))
+    val df   = rows.toDF("k", "v", "tie").repartition(4)
+    val out  = GroupedTopK.topK(df, Seq("k"), Seq("v" -> false, "tie" -> true), k = 3)
+    assert(out.collect().length == 60)
+    assert(topKExec(out).metrics("spillFallbacks").value == 0)
+  }
 }

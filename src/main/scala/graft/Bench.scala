@@ -5,12 +5,21 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark harness (driver contract): runs the whole catalog on
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
   *
+  * Noise discipline (round 3): every query is executed `Runs` times and
+  * the reported per-query number is the MEDIAN; the `spread` map carries
+  * `max - min` across the repeats so a reader (and
+  * `tools/bench_compare.py`) can tell a real regression from machine
+  * load. Round-2's single-shot numbers swung 6-7x on untouched queries,
+  * which made every per-query delta unactionable.
+  *
   * A small warm-up (count + one broadcast-join query) runs before the
   * timed loop so first-query numbers measure the plan, not JVM/codegen
   * bootstrap. Queries run in sorted name order for run-to-run
   * comparability.
   */
 object Bench {
+  val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,21 +38,36 @@ object Bench {
 
     // a failed query reports -1 (visible sentinel) and is excluded from
     // the total — a broken catalog must not read as a fast one
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (local iteration aid);
+    // unset = full catalog, which is what the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results: Seq[(String, Double, Double)] =
+      SparkEntry.queries.toSeq
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .sortBy(_._1)
+        .map { case (name, fn) =>
+        val times = (1 to Runs).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              None
+          }
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+        if (times.size < Runs) (name, -1.0, -1.0)
+        else {
+          val sorted = times.sorted
+          (name, sorted(Runs / 2), sorted.last - sorted.head)
+        }
+      }
+    def jmap(f: ((String, Double, Double)) => Double): String =
+      results.map { case r @ (k, _, _) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
+    val qs      = jmap(_._2)
+    val spreads = jmap(_._3)
+    val total   = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$Runs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -117,9 +117,15 @@ object TextAnalysis {
   def topBigrams(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
-      .select(graft.functions.TextHash.shingles(
-        filter(Tokenize.tokenCol(col("text")), _ =!= ""), 2).as("bgs"))
-      .select(explode(col("bgs")).as("bigram"))
+      // materialize the token array BEFORE shingling: the shingle
+      // transform's lambda references the token array per index, and an
+      // inlined filter(split(...)) there re-tokenizes the whole document
+      // for every element_at — O(tokens²) regex work per doc (the round-2
+      // 12.4 s pathology). As a named column it binds to an attribute,
+      // and CollapseProject keeps the projection (expensive alias,
+      // multiple references), so tokenization happens once per document.
+      .select(filter(Tokenize.tokenCol(col("text")), _ =!= "").as("toks"))
+      .select(explode(graft.functions.TextHash.shingles(col("toks"), 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("bigram"))

@@ -16,13 +16,13 @@ import graft.functions.{TextHash, VectorFunctions}
   *                   exact-Jaccard verification
   *  - simhash      : 60-bit SimHash + pigeonhole chunk blocking →
   *                   Hamming-distance verification
-  *  - embedding    : cosine near-dup ranking over embedding vectors
+  *  - embedding    : cosine near-dup ranking over LSH-bucketed candidate
+  *                   pairs (random-hyperplane signatures)
   *
   * Scale notes:
-  *  - Exact/ngram/minhash/simhash all reduce the O(n²) pair space through
-  *    a key-equality join (digest, shingle, band signature, bit chunk) —
-  *    shuffle-partitionable, no cross join anywhere except the small
-  *    embedding table.
+  *  - All five strategies reduce the O(n²) pair space through a
+  *    key-equality join (digest, shingle, band signature, bit chunk,
+  *    hyperplane bucket) — shuffle-partitionable, no cross join anywhere.
   *  - MinHash/SimHash use the md5-derived [[TextHash.hash60]] so the
   *    DuckDB oracle replicates the *exact* pipeline (same signatures, same
   *    candidates, same verdicts) — approximation without
@@ -59,6 +59,15 @@ object Dedup {
     */
   val HammingMax = 3
   val NumChunks  = 4
+  /** Embedding near-dup LSH geometry: 8 tables x 4 planes — wider buckets
+    * and more tables than `sim_ann_lsh`'s 4x6 because whole-table pair
+    * generation needs recall on mid-similarity pairs (the fixture's top
+    * pairs sit near cos 0.45, where collision odds per 6-plane bucket are
+    * ~7%; 4 planes x 8 tables compounds to ~0.8, and to ~1.0 for genuine
+    * near-dups at cos >= 0.9).
+    */
+  val EmbTables = 8
+  val EmbPlanes = 4
 
   // ------------------------------------------------------------ building blocks
 
@@ -214,13 +223,12 @@ object Dedup {
     * any equi-join; no cross join.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val sig = simhashSignatures(s, dir)
-    val chunks = s.sparkContext
-      .parallelize(Seq.tabulate(NumChunks)(identity), 1)
-      .toDF("ck")
+    // chunk expansion as a generator over a 4-element literal — same rows
+    // as a crossJoin against a constant table, but stays a projection
+    // (no BroadcastNestedLoopJoin in the plan)
     val keyed = sig
-      .crossJoin(broadcast(chunks))
+      .withColumn("ck", explode(typedLit((0 until NumChunks).toList)))
       .withColumn("ckey", expr("(simhash div cast(pow(2, ck * 15) as long)) % 32768"))
     val cands = keyed
       .select(col("doc_id").as("da"), col("simhash").as("sa"), col("ck"), col("ckey"))
@@ -238,18 +246,29 @@ object Dedup {
 
   // -------------------------------------------------------------- embedding
 
-  /** Embedding cosine near-dup: top-20 most similar vector pairs. The
-    * all-pairs join is acceptable for a dimension-sized table; the scale
-    * path for billions of vectors is the LSH variant in
-    * [[Similarity.annLsh]].
+  /** Embedding cosine near-dup: top-20 most similar vector pairs among
+    * LSH-bucketed candidates. Pair generation is an equi-join on
+    * (table, bucket) from [[Similarity.signatures]] — the pair space is
+    * bounded by genuine bucket collisions, so the plan shuffles and
+    * hash-joins like every other dedup path (no cross join, no
+    * BroadcastNestedLoop). The DuckDB oracle mirrors the identical
+    * bucketing, and the exact all-pairs ranking survives as the recall
+    * oracle in DedupSimilaritySpec.
     */
   def embedding(s: SparkSession, dir: String): DataFrame = {
     // norm/cosine construction shared with Similarity so the exact
     // arithmetic shape (which the oracle depends on) has one definition
-    val e = Similarity.withNorm(Tables.embeddings(s, dir))
-    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"))
-    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"))
-    a.join(b, col("va") < col("vb"))
+    val e   = Similarity.withNorm(Tables.embeddings(s, dir))
+    val sig = Similarity.signatures(s, dir, EmbTables, EmbPlanes)
+    val cands = sig
+      .select(col("vec_id").as("va"), col("tbl"), col("bucket"))
+      .join(sig.select(col("vec_id").as("vb"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("va") < col("vb"))
+      .select("va", "vb")
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb")), "vb")
       .withColumn("cos", Similarity.cosine(s, col("ea"), col("eb"), col("na"), col("nb")))
       .orderBy(desc("cos"), asc("va"), asc("vb"))
       .limit(20)
@@ -313,12 +332,13 @@ object Dedup {
          SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand
          WHERE bit_count(xor(sa, sb)) <= $HammingMax""",
     "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb,
-                    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
-                    FROM embeddings)
-         SELECT a.vec_id va, b.vec_id vb,
-           list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
+      s"""WITH ${Similarity.duckNorm},
+         ${Similarity.duckSigFor(EmbTables, EmbPlanes)},
+         cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
+                  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                  AND a.vec_id < b.vec_id)
+         SELECT va, vb, list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) AS cos
+         FROM cand JOIN e qa ON qa.vec_id = va JOIN e qb ON qb.vec_id = vb
          ORDER BY cos DESC, va ASC, vb ASC LIMIT 20"""
   )
 }

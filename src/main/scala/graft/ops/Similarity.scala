@@ -76,20 +76,26 @@ object Similarity {
   /** Embedding dimensionality of the fixture tables. */
   val Dims = 64
 
-  /** Hyperplane weight matrix, precomputed driver-side with the *same*
-    * md5 formula the oracle evaluates in SQL — constants ship as
-    * literals, so signature evaluation is pure integer arithmetic per
-    * row: no md5, no explode, no shuffle.
+  /** Hyperplane weight vector for (table, plane), precomputed driver-side
+    * with the *same* md5 formula the oracle evaluates in SQL — constants
+    * ship as literals, so signature evaluation is pure integer arithmetic
+    * per row: no md5, no explode, no shuffle. Independent of the
+    * (tables, planes) config, so any caller's geometry draws from the
+    * same family.
     */
-  private lazy val weights: Map[(Int, Int), Seq[Long]] =
-    (for {
-      tbl <- 0 until NumTables
-      j   <- 0 until NumPlanes
-    } yield (tbl, j) -> (1 to Dims).map { i =>
+  private def planeWeights(tbl: Int, j: Int): Seq[Long] =
+    (1 to Dims).map { i =>
       if (TextHash.hash60Jvm(s"$i:$j:$tbl") % 2 == 1) 1L else -1L
-    }).toMap
+    }
 
-  def signatures(s: SparkSession, dir: String): DataFrame = {
+  /** Bucketing geometry is a recall/selectivity dial: fewer planes =
+    * wider buckets = higher recall per table; more tables compound
+    * recall. `sim_ann_lsh` uses the default 4x6 (selective buckets, small
+    * query set); `dedup_embedding` passes 8x4 (recall-heavy, whole-table
+    * pair generation).
+    */
+  def signatures(s: SparkSession, dir: String,
+      tables: Int = NumTables, planes: Int = NumPlanes): DataFrame = {
     // zip_with pads the shorter side with nulls, which would silently
     // zero every vote bit on a dimension mismatch — fail loudly instead.
     // The check lives inside the value path so column pruning can't
@@ -101,10 +107,10 @@ object Similarity {
     val xq = transform(emb, x => floor(x.cast("double") * 1000).cast("long"))
     def vote(tbl: Int, j: Int): Column =
       aggregate(
-        zip_with(col("xq"), typedLit(weights((tbl, j))), (x, w) => x * w),
+        zip_with(col("xq"), typedLit(planeWeights(tbl, j)), (x, w) => x * w),
         lit(0L), (acc, v) => acc + v)
     def bucket(tbl: Int): Column =
-      (0 until NumPlanes)
+      (0 until planes)
         .map(j => when(vote(tbl, j) > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _)
     Tables
@@ -112,7 +118,7 @@ object Similarity {
       .select(col("vec_id"), xq.as("xq"))
       .select(
         col("vec_id"),
-        explode(array((0 until NumTables).map(t =>
+        explode(array((0 until tables).map(t =>
           struct(lit(t).as("tbl"), bucket(t).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
@@ -150,26 +156,29 @@ object Similarity {
     "sim_ann_lsh" -> (annLsh _)
   )
 
-  private val duckNorm =
+  // shared with Dedup's embedding oracle so the bucketing SQL can't drift
+  private[ops] val duckNorm =
     """e AS (SELECT vec_id, embedding::DOUBLE[] emb,
             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
             FROM embeddings)"""
 
-  private val duckSig =
+  private[ops] def duckSigFor(tables: Int, planes: Int): String =
     s"""expl AS (SELECT vec_id, generate_subscripts(embedding, 1) i, unnest(embedding) x FROM embeddings),
        votes AS (SELECT vec_id, tbl, j,
            sum(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) *
                (CASE WHEN ${TextHash.duckHash60Of(
         "CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(tbl AS VARCHAR)")} % 2 = 1 THEN 1 ELSE -1 END)) sv
          FROM expl
-         CROSS JOIN (SELECT unnest(range(0, $NumPlanes)) j)
-         CROSS JOIN (SELECT unnest(range(0, $NumTables)) tbl)
+         CROSS JOIN (SELECT unnest(range(0, $planes)) j)
+         CROSS JOIN (SELECT unnest(range(0, $tables)) tbl)
          GROUP BY 1, 2, 3),
        sig AS (SELECT vec_id, tbl,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
              list(CAST(CASE WHEN sv > 0 THEN 1 ELSE 0 END AS BIGINT) ORDER BY j DESC)),
              (a, b) -> a * 2 + b) bucket
          FROM votes GROUP BY vec_id, tbl)"""
+
+  private[ops] val duckSig = duckSigFor(NumTables, NumPlanes)
 
   val oracle: Map[String, String] = Map(
     "sim_topk" ->

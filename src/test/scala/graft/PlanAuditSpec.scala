@@ -33,4 +33,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("wc")
     assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
   }
+
+  test("dedup/sim candidate joins are hash joins, never nested-loop or cartesian") {
+    // every approximate-dedup strategy must bound the pair space with an
+    // equi-join; a BroadcastNestedLoop/CartesianProduct here is the
+    // all-pairs scale-killer this audit exists to catch
+    for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash", "dedup_embedding", "sim_ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BroadcastNestedLoopJoin:\n$p")
+    }
+  }
+
+  test("pipeline_clean_corpus reuses exchanges for its repeated subtrees") {
+    // static planner check (AQE reuses at runtime via the stage cache,
+    // which doesn't show in the pre-execution plan string)
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val p = plan("pipeline_clean_corpus")
+      assert(p.contains("ReusedExchange"), p)
+    }
+  }
 }

@@ -59,6 +59,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(perQuery.values.forall(_.length <= Similarity.TopK))
   }
 
+  test("embedding near-dup: LSH candidates recover the exact all-pairs top-20") {
+    // the exact all-pairs ranking (the pre-round-3 catalog query) lives on
+    // here as the recall oracle for the LSH-bucketed production query
+    val e = Similarity.withNorm(graft.Tables.embeddings(spark, Sf0001))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"))
+    val exact = a.join(b, col("va") < col("vb"))
+      .withColumn("cos", Similarity.cosine(spark, col("ea"), col("eb"), col("na"), col("nb")))
+      .orderBy(desc("cos"), asc("va"), asc("vb")).limit(20)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embedding(spark, Sf0001)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(exact.size == 20 && lsh.size == 20)
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    info(f"lsh top-20 recall vs exact all-pairs top-20: $recall%.3f")
+    assert(recall >= 0.5, s"LSH bucketing lost too much of the exact top-20 (recall $recall)")
+  }
+
   test("ann recall vs brute-force top-k is nonzero and reported") {
     val brute = Similarity.topkBrute(spark, Sf0001)
       .select("va", "vb").as[(Long, Long)].collect().toSet

@@ -43,6 +43,80 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(salted == direct)
   }
 
+  /** Unwrap AQE wrappers to the materialized GroupedTopKExec (call after
+    * an action) — mirror of the helper in GroupedTopKSpec.
+    */
+  private def topKExec(df: org.apache.spark.sql.DataFrame): graft.plans.GroupedTopKExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Option[graft.plans.GroupedTopKExec] = p match {
+      case g: graft.plans.GroupedTopKExec => Some(g)
+      case a: AdaptiveSparkPlanExec       => find(a.executedPlan)
+      case q: QueryStageExec              => find(q.plan)
+      case other => other.children.iterator.map(find).collectFirst { case Some(g) => g }
+    }
+    find(df.queryExecution.executedPlan).get
+  }
+
+  test("10x events scale-up: GroupedTopK heap path holds and results replicate exactly") {
+    // empirical scale point for the 100 TB argument: 1M events (10x the
+    // bench SF), disjoint id spaces per copy — per-user top-5 of the
+    // scaled table must contain the original result verbatim in copy 0,
+    // have exactly 10x the rows, and never hit the spill fallback at the
+    // default 64 MiB budget (heaps hold 5 rows x users per partition)
+    val src = "/root/testdata/sf0.1"
+    val dir = java.nio.file.Files.createTempDirectory("graft-10x-events").toString
+    val off = 1000000000L
+    val ev  = Tables.events(spark, src)
+    (0 until 10)
+      .map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * off))
+        .withColumn("user_id", col("user_id") + lit(i * off)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val t0   = System.nanoTime()
+    val big  = Events.topkValueFast(spark, dir)
+    val rows = big.collect()
+    info(f"events_topk_fast over 1M rows: ${(System.nanoTime() - t0) / 1e9}%.1f s, ${rows.length} rows")
+    val base = Events.topkValueFast(spark, src)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(rows.length == 10 * base.size, "scaled top-k row count is not 10x the original")
+    val copy0 = rows
+      .filter(_.getLong(0) < off)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._4)).toSeq
+    assert(copy0 == base, "copy-0 slice of the 10x result diverged from the sf0.1 result")
+    assert(topKExec(big).metrics("spillFallbacks").value == 0,
+      "default budget must keep bounded per-user heaps on the heap path at 1M rows")
+  }
+
+  test("duplication-heavy 10x corpus: minhash finds exactly the predicted pair volume") {
+    // candidate-volume stress: every sf0.01 document gets 10 exact copies
+    // (worst case for LSH banding — identical signatures collide in every
+    // band). The output is exactly predictable: C(10,2)=45 jaccard-1.0
+    // pairs per copy-group plus 10x10 replicas of every original
+    // near-dup pair — candidates stay bounded by genuine collisions, no
+    // quadratic blow-up across groups.
+    val src = "/root/testdata/sf0.01"
+    val dir = java.nio.file.Files.createTempDirectory("graft-10x-docs").toString
+    val off = 1000000000L
+    val docs = Tables.documents(spark, src)
+    val nDocs = docs.count()
+    (0 until 10)
+      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * off)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val basePairs = Dedup.minhash(spark, src).count()
+    val t0  = System.nanoTime()
+    val big = Dedup.minhash(spark, dir).as[(Long, Long, Double)].collect()
+    info(f"dedup_minhash over ${10 * nDocs} docs: ${(System.nanoTime() - t0) / 1e9}%.1f s, ${big.length} pairs")
+    val intraGroup = big.filter { case (da, db, _) => da % off == db % off }
+    assert(intraGroup.length == 45 * nDocs, "missing exact-copy pairs (LSH recall must be 1.0 on identical docs)")
+    assert(intraGroup.forall(_._3 == 1.0), "exact copies must verify at jaccard 1.0")
+    assert(big.length == 45 * nDocs + 100 * basePairs,
+      s"pair volume ${big.length} != predicted ${45 * nDocs + 100 * basePairs}")
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     val li    = Tables.lineitem(spark, Sf0001)
     val exact = li.select(count_distinct(col("l_orderkey"))).as[Long].head()

@@ -20,7 +20,8 @@ object SparkEntry {
     ops.Reference.queries ++ ops.Relational.queries ++ ops.Events.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.TextAnalysis.queries ++
       ops.MRCompat.queries ++ multimodal.Multimodal.queries ++
-      ops.TypedAgg.queries ++ ops.Skew.queries ++ ops.Pipeline.queries
+      ops.TypedAgg.queries ++ ops.Skew.queries ++ ops.Pipeline.queries ++
+      ops.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -30,5 +31,6 @@ object SparkEntry {
     ops.Reference.oracle ++ ops.Relational.oracle ++ ops.Events.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
       ops.MRCompat.oracle ++ multimodal.Multimodal.oracle ++
-      ops.TypedAgg.oracle ++ ops.Skew.oracle ++ ops.Pipeline.oracle
+      ops.TypedAgg.oracle ++ ops.Skew.oracle ++ ops.Pipeline.oracle ++
+      ops.Curation.oracle
 }

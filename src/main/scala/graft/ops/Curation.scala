@@ -1,0 +1,312 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.Tokenize
+import graft.functions.{TextHash, VectorFunctions}
+
+/** Corpus-curation operators beyond dedup/quality-scoring: the remaining
+  * pieces of a training-data pipeline at 100 TB.
+  *
+  *  - repetition  : Gopher-style repetition filters (top-token / top-bigram
+  *                  mass fractions) — the highest-signal cheap quality rule
+  *  - contamination: benchmark n-gram decontamination — distinct trigram
+  *                  overlap of every document against a held-out source's
+  *                  shingle set, the industry-standard 13-gram check scaled
+  *                  to the fixture's short documents
+  *  - split       : deterministic hash-based train/val/test assignment —
+  *                  reproducible across runs, partitionings, and engines
+  *  - chunks      : fixed-size token windowing (the pre-tokenization pass
+  *                  that feeds sequence packing)
+  *  - tfidf       : per-document top terms by tf-idf (rational score:
+  *                  tf·N/df — one IEEE division, no log, so the ranking is
+  *                  bit-reproducible in the oracle)
+  *  - centroids   : one k-means assignment step over the embedding table
+  *                  against K fixed centroids shipped as literals
+  *
+  * Scale shapes: everything is scan → project/agg or an equi-join on an
+  * 8-byte shingle hash. The centroid assignment is a pure projection (no
+  * join at all — centroid vectors are driver-side literals, the same
+  * pattern as the LSH hyperplane weights).
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Repetition flags (Gopher-style): a doc is repetitive when the most
+    * frequent token carries >20% of token mass or the most frequent
+    * bigram >18%.
+    */
+  val TopTokenMax  = 0.2
+  val TopBigramMax = 0.18
+  /** Contamination: held-out source acting as the "benchmark" set, and the
+    * distinct-trigram overlap ratio above which a doc is flagged.
+    */
+  val BenchmarkSource = "src0"
+  val ContamMax       = 0.25
+  /** Split: hash60("split:"+doc_id) mod 100 → <80 train, <90 val, else test. */
+  val TrainPct = 80
+  val ValPct   = 90
+  /** Chunking: tokens per chunk. */
+  val ChunkSize = 50
+  /** tf-idf: top terms kept per document. */
+  val TfidfK = 3
+  /** Centroid assignment: the first K vectors act as fixed centroids. */
+  val KCentroids = 8
+
+  private def withToks(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("source"), Tokenize.tokenCol(col("text")).as("raw"))
+      .select(col("doc_id"), col("source"), filter(col("raw"), _ =!= "").as("toks"))
+
+  // ------------------------------------------------------------- repetition
+
+  /** Per-doc repetition stats: token count, top-token fraction, top-bigram
+    * fraction, and the composite flag. Two partial-aggregated passes (one
+    * per n-gram order) joined on doc_id.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = withToks(s, dir)
+    val tokStats = toks
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_tok"))
+    val bgStats = toks
+      .select(col("doc_id"), explode(TextHash.shingles(col("toks"), 2)).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bg"))
+    val tokFrac = col("top_tok").cast("double") / col("n_tokens")
+    val bgFrac  = coalesce(col("top_bg").cast("double") / col("n_bigrams"), lit(0.0))
+    tokStats
+      .join(bgStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        tokFrac.as("top_token_frac"),
+        bgFrac.as("top_bigram_frac"),
+        (tokFrac > TopTokenMax || bgFrac > TopBigramMax).as("repetitive"))
+  }
+
+  // ---------------------------------------------------------- contamination
+
+  /** Distinct (doc, source, trigram-hash) triples — the shingle table the
+    * contamination join keys on. 8-byte keys, like Dedup.docShingles.
+    */
+  private def srcShingles(s: SparkSession, dir: String): DataFrame =
+    withToks(s, dir)
+      .select(col("doc_id"), col("source"), explode(TextHash.shingles(col("toks"), 3)).as("shs"))
+      .select(col("doc_id"), col("source"), TextHash.hash60(col("shs")).as("sh"))
+      .distinct()
+
+  /** Benchmark decontamination: for every doc outside [[BenchmarkSource]],
+    * the fraction of its distinct trigrams that appear anywhere in the
+    * benchmark source's trigram set. One equi-join on the hash, one
+    * per-doc aggregation.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh    = srcShingles(s, dir)
+    val bench = sh.filter(col("source") === BenchmarkSource).select("sh").distinct()
+    val ratio = col("n_hit").cast("double") / col("n_sh")
+    sh.filter(col("source") =!= BenchmarkSource)
+      .join(bench.withColumn("hit", lit(1)), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+      .select(
+        col("doc_id"),
+        col("n_sh"),
+        col("n_hit"),
+        ratio.as("contamination_ratio"),
+        (ratio >= ContamMax).as("contaminated"))
+  }
+
+  // ------------------------------------------------------------------ split
+
+  /** Deterministic train/val/test assignment by md5-derived hash of the
+    * doc id — reproducible across engines (the DuckDB oracle computes the
+    * identical buckets), runs, and partitionings. Per-(lang, split)
+    * counts and char totals.
+    */
+  def split(s: SparkSession, dir: String): DataFrame = {
+    val bucket = TextHash.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    Tables
+      .documents(s, dir)
+      .withColumn(
+        "split",
+        when(bucket < TrainPct, "train").when(bucket < ValPct, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  // ----------------------------------------------------------------- chunks
+
+  /** Fixed-size token windows: (doc, chunk ordinal, tokens in chunk).
+    * posexplode → integer-division bucket → count; the last chunk per doc
+    * is the only one allowed to be short.
+    */
+  def chunks(s: SparkSession, dir: String): DataFrame =
+    withToks(s, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "t")))
+      .select(col("doc_id"), expr(s"pos div $ChunkSize").cast("long").as("chunk_id"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"))
+
+  // ------------------------------------------------------------------ tfidf
+
+  /** Top-[[TfidfK]] terms per document by tf-idf with the rational score
+    * tf·N/df (monotone in the log formulation for fixed N, but exactly
+    * one IEEE division — bit-reproducible cross-engine, no transcendental
+    * parity traps). N is the corpus size, resolved driver-side (a
+    * metadata-only count).
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(s, dir).count()
+    val tc = withToks(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tc.groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
+    val score = (col("tf") * lit(nDocs)).cast("double") / col("df")
+    val w     = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tc.join(dfreq, "t")
+      .select(col("doc_id"), col("t").as("term"), score.as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TfidfK)
+  }
+
+  // -------------------------------------------------------------- centroids
+
+  /** One k-means assignment step: every vector goes to its argmax-cosine
+    * centroid (ties → lowest centroid id); per-centroid counts and mean
+    * cosine. Centroid vectors are collected driver-side (K rows) and ship
+    * as literals, so assignment is a scan-side projection — no join, no
+    * shuffle except the K-row final aggregation.
+    */
+  def centroidAssign(s: SparkSession, dir: String): DataFrame = {
+    val cents: Seq[(Long, Seq[Float], Double)] = Tables
+      .embeddings(s, dir)
+      .filter(col("vec_id") < KCentroids)
+      .select("vec_id", "embedding")
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        // same left-to-right double fold as FloatDotProduct / DuckDB
+        // list_inner_product — centroid norms must be bit-identical
+        val norm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        (r.getLong(0), v, norm)
+      }
+      .sortBy(_._1)
+      .toSeq
+    val e = Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        sqrt(VectorFunctions.dotF(s, col("embedding"), col("embedding"))).as("norm"))
+    val scored = e.select(
+      col("vec_id") +: cents.map { case (cid, v, cnorm) =>
+        (VectorFunctions.dotF(s, col("embedding"), typedLit(v)) / (col("norm") * lit(cnorm)))
+          .as(s"cos_$cid")
+      }: _*)
+    val best = greatest(cents.map { case (cid, _, _) => col(s"cos_$cid") }: _*)
+    val assigned = cents.foldRight(lit(null).cast("long")) { case ((cid, _, _), els) =>
+      when(col(s"cos_$cid") === best, lit(cid)).otherwise(els)
+    }
+    scored
+      .select(col("vec_id"), assigned.as("centroid"), best.as("cos"))
+      .groupBy("centroid")
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        (sum(col("cos").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("avg_cos"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_repetition"    -> (repetition _),
+    "text_contamination" -> (contamination _),
+    "sample_split"       -> (split _),
+    "text_chunks"        -> (chunks _),
+    "text_tfidf"         -> (tfidf _),
+    "embed_assign"       -> (centroidAssign _)
+  )
+
+  private val WP = "[^\\p{L}]+"
+
+  /** Tokenized docs as DuckDB lists, one row per doc. */
+  private val duckToksList =
+    s"SELECT doc_id, source, list_filter(regexp_split_to_array(text, '$WP'), x -> x <> '') l FROM documents"
+
+  /** n-gram join fragment: l[i] || ' ' || l[i+1] (… ) over 1-based list
+    * positions via range — empty for docs shorter than n.
+    */
+  private def duckNgrams(n: Int): String = {
+    val parts = (0 until n).map(k => s"l[i + $k]").mkString(" || ' ' || ")
+    s"unnest(list_transform(range(1, len(l) - ${n - 2}), i -> $parts))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH toks AS ($duckToksList),
+         tc AS (SELECT doc_id, t, count(*) c FROM (SELECT doc_id, unnest(l) t FROM toks) GROUP BY 1, 2),
+         tok AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens, max(c) top_tok FROM tc GROUP BY 1),
+         bc AS (SELECT doc_id, b, count(*) c FROM (SELECT doc_id, ${duckNgrams(2)} b FROM toks) GROUP BY 1, 2),
+         bga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_bigrams, max(c) top_bg FROM bc GROUP BY 1)
+         SELECT tok.doc_id, n_tokens,
+           CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
+           coalesce(CAST(top_bg AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac,
+           (CAST(top_tok AS DOUBLE) / n_tokens > $TopTokenMax OR
+            coalesce(CAST(top_bg AS DOUBLE) / n_bigrams, 0.0) > $TopBigramMax) AS repetitive
+         FROM tok LEFT JOIN bga ON tok.doc_id = bga.doc_id""",
+    "text_contamination" ->
+      s"""WITH toks AS ($duckToksList),
+         sh AS (SELECT DISTINCT doc_id, source, ${TextHash.duckHash60Of("g")} sh
+                FROM (SELECT doc_id, source, ${duckNgrams(3)} g FROM toks)),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE source = '$BenchmarkSource')
+         SELECT s.doc_id, count(*) AS n_sh, count(b.sh) AS n_hit,
+           CAST(count(b.sh) AS DOUBLE) / count(*) AS contamination_ratio,
+           (CAST(count(b.sh) AS DOUBLE) / count(*) >= $ContamMax) AS contaminated
+         FROM sh s LEFT JOIN bench b ON s.sh = b.sh
+         WHERE s.source <> '$BenchmarkSource' GROUP BY 1""",
+    "sample_split" ->
+      s"""SELECT lang,
+           CASE WHEN ${TextHash.duckHash60Of("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct THEN 'train'
+                WHEN ${TextHash.duckHash60Of("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < $ValPct THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1, 2""",
+    "text_chunks" ->
+      s"""SELECT doc_id, (i - 1) // $ChunkSize AS chunk_id, count(*) AS n_tokens
+         FROM (SELECT doc_id, generate_subscripts(l, 1) i FROM ($duckToksList))
+         GROUP BY 1, 2""",
+    "text_tfidf" ->
+      s"""WITH toks AS ($duckToksList),
+         tc AS (SELECT doc_id, t, count(*) tf FROM (SELECT doc_id, unnest(l) t FROM toks) GROUP BY 1, 2),
+         dfreq AS (SELECT t, count(DISTINCT doc_id) df FROM tc GROUP BY 1),
+         n AS (SELECT count(*) nd FROM documents)
+         SELECT doc_id, term, score, rn FROM (
+           SELECT tc.doc_id, tc.t AS term,
+             CAST(tc.tf * (SELECT nd FROM n) AS DOUBLE) / dfreq.df AS score,
+             row_number() OVER (PARTITION BY tc.doc_id
+               ORDER BY CAST(tc.tf * (SELECT nd FROM n) AS DOUBLE) / dfreq.df DESC, tc.t ASC) AS rn
+           FROM tc JOIN dfreq ON tc.t = dfreq.t)
+         WHERE rn <= $TfidfK""",
+    "embed_assign" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb,
+                     sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+                     FROM embeddings),
+         cent AS (SELECT vec_id cid, emb cemb, nrm cnrm FROM e WHERE vec_id < $KCentroids),
+         scored AS (SELECT e.vec_id, cent.cid,
+                      list_inner_product(e.emb, cent.cemb) / (e.nrm * cent.cnrm) AS cos
+                    FROM e CROSS JOIN cent),
+         best AS (SELECT vec_id, cid, cos,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) rn
+                  FROM scored)
+         SELECT cid AS centroid, count(*) AS n_assigned,
+           CAST(sum(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_cos
+         FROM best WHERE rn = 1 GROUP BY 1"""
+  )
+}

@@ -17,7 +17,8 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
       "multimodal" -> multimodal.Multimodal.queries.keys,
       "typed"      -> ops.TypedAgg.queries.keys,
       "skew"       -> ops.Skew.queries.keys,
-      "pipeline"   -> ops.Pipeline.queries.keys)
+      "pipeline"   -> ops.Pipeline.queries.keys,
+      "curation"   -> ops.Curation.queries.keys)
     val all = modules.flatMap(_._2).toSeq
     assert(all.size == all.distinct.size,
       s"duplicate query names: ${all.diff(all.distinct).distinct.mkString(", ")}")

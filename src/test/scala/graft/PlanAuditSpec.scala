@@ -45,6 +45,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("text_top_bigrams tokenizes each document exactly once") {
+    // the round-2 12.4s pathology: the regex split inlined into the
+    // shingle lambda re-tokenized the doc per element_at. The fix keeps
+    // the token array in its own projection; if CollapseProject ever
+    // re-inlines it, the split expression shows up more than once.
+    val p = plan("text_top_bigrams")
+    val splits = "split\\(".r.findAllIn(p).length
+    assert(splits == 1, s"expected exactly one tokenizer split in the plan, found $splits:\n$p")
+  }
+
   test("pipeline_clean_corpus reuses exchanges for its repeated subtrees") {
     // static planner check (AQE reuses at runtime via the stage cache,
     // which doesn't show in the pre-execution plan string)

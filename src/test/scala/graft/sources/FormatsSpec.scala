@@ -29,4 +29,5 @@ class FormatsSpec extends AnyFunSuite with SparkTestBase {
   test("parquet round-trip")(roundtrip("parquet"))
   test("csv round-trip")(roundtrip("csv"))
   test("json round-trip")(roundtrip("json"))
+  test("orc round-trip")(roundtrip("orc"))
 }

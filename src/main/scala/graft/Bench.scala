@@ -39,8 +39,10 @@ object Bench {
     // a failed query reports -1 (visible sentinel) and is excluded from
     // the total — a broken catalog must not read as a fast one
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (local iteration aid);
-    // unset = full catalog, which is what the driver runs.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // unset or empty = full catalog, which is what the driver runs (a
+    // set-but-empty var must not print a 0-second "full" total).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
     val results: Seq[(String, Double, Double)] =
       SparkEntry.queries.toSeq
         .filter { case (n, _) => only.forall(_.contains(n)) }

@@ -234,11 +234,12 @@ object Curation {
     "embed_assign"       -> (centroidAssign _)
   )
 
-  private val WP = "[^\\p{L}]+"
-
-  /** Tokenized docs as DuckDB lists, one row per doc. */
+  /** Tokenized docs as DuckDB lists, one row per doc. The split pattern is
+    * [[Tokenize.WordPattern]] itself — the regex is parity-critical, so
+    * there is exactly one definition for both engines.
+    */
   private val duckToksList =
-    s"SELECT doc_id, source, list_filter(regexp_split_to_array(text, '$WP'), x -> x <> '') l FROM documents"
+    s"SELECT doc_id, source, list_filter(regexp_split_to_array(text, '${Tokenize.WordPattern}'), x -> x <> '') l FROM documents"
 
   /** n-gram join fragment: l[i] || ' ' || l[i+1] (… ) over 1-based list
     * positions via range — empty for docs shorter than n.

@@ -65,6 +65,11 @@ object Dedup {
     * pairs sit near cos 0.45, where collision odds per 6-plane bucket are
     * ~7%; 4 planes x 8 tables compounds to ~0.8, and to ~1.0 for genuine
     * near-dups at cos >= 0.9).
+    *
+    * The plane count is pinned (the DuckDB oracle SQL is static) and
+    * sized for the 500-2000-vector fixtures; at real scale the geometry
+    * must grow with the table — [[Similarity.planesFor]] keeps bucket
+    * occupancy (and therefore candidate volume per row) constant.
     */
   val EmbTables = 8
   val EmbPlanes = 4
@@ -92,7 +97,8 @@ object Dedup {
       .select(col("doc_id"), TextHash.hash60(col("shs")).as("sh"))
       .distinct()
 
-  private val WP = "[^\\p{L}]+"
+  // the split regex is parity-critical: single definition for both engines
+  private val WP = Tokenize.WordPattern
 
   private val duckShingles =
     s"""SELECT DISTINCT a.doc_id, ${TextHash.duckHash60Of("a.t || ' ' || b.t || ' ' || c.t")} AS sh FROM

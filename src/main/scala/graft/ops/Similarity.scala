@@ -88,11 +88,25 @@ object Similarity {
       if (TextHash.hash60Jvm(s"$i:$j:$tbl") % 2 == 1) 1L else -1L
     }
 
+  /** Planes needed to hold expected bucket occupancy near `targetBucket`
+    * rows for an n-row table: 2^planes buckets per table ≈ n/targetBucket.
+    * Same-bucket candidate volume per table is ~n·occupancy/2, so keeping
+    * occupancy constant keeps pair generation LINEAR in n; a fixed plane
+    * count degenerates toward all-pairs (n²/2^planes) as n grows. The
+    * catalog queries pin small geometries (4x6, 8x4) because their DuckDB
+    * oracle SQL is static and the fixtures are 500-2000 vectors; a real
+    * deployment sizes planes with this function (e.g. 24 planes for 1e9
+    * vectors at occupancy ~60) and compounds recall with more tables.
+    */
+  def planesFor(n: Long, targetBucket: Int = 64): Int =
+    math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+
   /** Bucketing geometry is a recall/selectivity dial: fewer planes =
     * wider buckets = higher recall per table; more tables compound
     * recall. `sim_ann_lsh` uses the default 4x6 (selective buckets, small
     * query set); `dedup_embedding` passes 8x4 (recall-heavy, whole-table
-    * pair generation).
+    * pair generation). Size `planes` via [[planesFor]] when the table is
+    * not fixture-sized.
     */
   def signatures(s: SparkSession, dir: String,
       tables: Int = NumTables, planes: Int = NumPlanes): DataFrame = {

@@ -77,6 +77,17 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"LSH bucketing lost too much of the exact top-20 (recall $recall)")
   }
 
+  test("planesFor keeps LSH bucket occupancy (candidate volume per row) constant") {
+    for (n <- Seq(10000L, 1000000L, 1000000000L)) {
+      val planes    = Similarity.planesFor(n)
+      val occupancy = n.toDouble / (1L << planes)
+      assert(occupancy <= 64.0 && occupancy > 16.0,
+        s"n=$n planes=$planes occupancy=$occupancy outside (16, 64]")
+    }
+    assert(Similarity.planesFor(1000000000L) == 24)
+    assert(Similarity.planesFor(100L) >= 1)
+  }
+
   test("ann recall vs brute-force top-k is nonzero and reported") {
     val brute = Similarity.topkBrute(spark, Sf0001)
       .select("va", "vb").as[(Long, Long)].collect().toSet

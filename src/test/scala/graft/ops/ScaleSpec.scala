@@ -43,6 +43,19 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(salted == direct)
   }
 
+  /** Temp dir that is recursively removed after `f` — the 10x fixtures
+    * are hundreds of MB and must not accumulate across runs.
+    */
+  private def withTempDir(prefix: String)(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try f(dir.toString)
+    finally {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach((p: Path) => Files.deleteIfExists(p))
+    }
+  }
+
   /** Unwrap AQE wrappers to the materialized GroupedTopKExec (call after
     * an action) — mirror of the helper in GroupedTopKSpec.
     */
@@ -65,29 +78,30 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     // have exactly 10x the rows, and never hit the spill fallback at the
     // default 64 MiB budget (heaps hold 5 rows x users per partition)
     val src = "/root/testdata/sf0.1"
-    val dir = java.nio.file.Files.createTempDirectory("graft-10x-events").toString
-    val off = 1000000000L
-    val ev  = Tables.events(spark, src)
-    (0 until 10)
-      .map(i => ev
-        .withColumn("event_id", col("event_id") + lit(i * off))
-        .withColumn("user_id", col("user_id") + lit(i * off)))
-      .reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val t0   = System.nanoTime()
-    val big  = Events.topkValueFast(spark, dir)
-    val rows = big.collect()
-    info(f"events_topk_fast over 1M rows: ${(System.nanoTime() - t0) / 1e9}%.1f s, ${rows.length} rows")
-    val base = Events.topkValueFast(spark, src)
-      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
-    assert(rows.length == 10 * base.size, "scaled top-k row count is not 10x the original")
-    val copy0 = rows
-      .filter(_.getLong(0) < off)
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
-      .sortBy(r => (r._1, r._4)).toSeq
-    assert(copy0 == base, "copy-0 slice of the 10x result diverged from the sf0.1 result")
-    assert(topKExec(big).metrics("spillFallbacks").value == 0,
-      "default budget must keep bounded per-user heaps on the heap path at 1M rows")
+    withTempDir("graft-10x-events") { dir =>
+      val off = 1000000000L
+      val ev  = Tables.events(spark, src)
+      (0 until 10)
+        .map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i * off))
+          .withColumn("user_id", col("user_id") + lit(i * off)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val t0   = System.nanoTime()
+      val big  = Events.topkValueFast(spark, dir)
+      val rows = big.collect()
+      info(f"events_topk_fast over 1M rows: ${(System.nanoTime() - t0) / 1e9}%.1f s, ${rows.length} rows")
+      val base = Events.topkValueFast(spark, src)
+        .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+      assert(rows.length == 10 * base.size, "scaled top-k row count is not 10x the original")
+      val copy0 = rows
+        .filter(_.getLong(0) < off)
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._4)).toSeq
+      assert(copy0 == base, "copy-0 slice of the 10x result diverged from the sf0.1 result")
+      assert(topKExec(big).metrics("spillFallbacks").value == 0,
+        "default budget must keep bounded per-user heaps on the heap path at 1M rows")
+    }
   }
 
   test("duplication-heavy 10x corpus: minhash finds exactly the predicted pair volume") {
@@ -98,23 +112,30 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     // near-dup pair — candidates stay bounded by genuine collisions, no
     // quadratic blow-up across groups.
     val src = "/root/testdata/sf0.01"
-    val dir = java.nio.file.Files.createTempDirectory("graft-10x-docs").toString
-    val off = 1000000000L
-    val docs = Tables.documents(spark, src)
-    val nDocs = docs.count()
-    (0 until 10)
-      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * off)))
-      .reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val basePairs = Dedup.minhash(spark, src).count()
-    val t0  = System.nanoTime()
-    val big = Dedup.minhash(spark, dir).as[(Long, Long, Double)].collect()
-    info(f"dedup_minhash over ${10 * nDocs} docs: ${(System.nanoTime() - t0) / 1e9}%.1f s, ${big.length} pairs")
-    val intraGroup = big.filter { case (da, db, _) => da % off == db % off }
-    assert(intraGroup.length == 45 * nDocs, "missing exact-copy pairs (LSH recall must be 1.0 on identical docs)")
-    assert(intraGroup.forall(_._3 == 1.0), "exact copies must verify at jaccard 1.0")
-    assert(big.length == 45 * nDocs + 100 * basePairs,
-      s"pair volume ${big.length} != predicted ${45 * nDocs + 100 * basePairs}")
+    withTempDir("graft-10x-docs") { dir =>
+      val off  = 1000000000L
+      val docs = Tables.documents(spark, src)
+      // only docs long enough to shingle produce minhash signatures — the
+      // predicted pair count must not silently assume every fixture doc
+      // has >= ShingleN letter-tokens
+      val nSig = docs
+        .select(size(filter(graft.text.Tokenize.tokenCol(col("text")), _ =!= "")).as("n"))
+        .filter(col("n") >= Dedup.ShingleN)
+        .count()
+      (0 until 10)
+        .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * off)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val basePairs = Dedup.minhash(spark, src).count()
+      val t0  = System.nanoTime()
+      val big = Dedup.minhash(spark, dir).as[(Long, Long, Double)].collect()
+      info(f"dedup_minhash over ${10 * nSig} shingleable docs: ${(System.nanoTime() - t0) / 1e9}%.1f s, ${big.length} pairs")
+      val intraGroup = big.filter { case (da, db, _) => da % off == db % off }
+      assert(intraGroup.length == 45 * nSig, "missing exact-copy pairs (LSH recall must be 1.0 on identical docs)")
+      assert(intraGroup.forall(_._3 == 1.0), "exact copies must verify at jaccard 1.0")
+      assert(big.length == 45 * nSig + 100 * basePairs,
+        s"pair volume ${big.length} != predicted ${45 * nSig + 100 * basePairs}")
+    }
   }
 
   test("approx_count_distinct lands within 5% of exact") {

@@ -43,26 +43,34 @@ object Bench {
     // set-but-empty var must not print a 0-second "full" total).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
       .map(_.split(",").map(_.trim).toSet)
-    val results: Seq[(String, Double, Double)] =
-      SparkEntry.queries.toSeq
-        .filter { case (n, _) => only.forall(_.contains(n)) }
-        .sortBy(_._1)
-        .map { case (name, fn) =>
-        val times = (1 to Runs).flatMap { _ =>
-          val t0 = System.nanoTime()
+    val catalog = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
+    // repeats run as whole-catalog passes (round-robin), not back-to-back:
+    // a transient machine-load spike then inflates ONE run of several
+    // queries — which the median rejects — instead of all Runs samples of
+    // one query, which it cannot
+    val samples: Seq[Seq[(String, Option[Double])]] = (1 to Runs).map { _ =>
+      catalog.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val t =
           try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               None
           }
-        }
-        if (times.size < Runs) (name, -1.0, -1.0)
-        else {
-          val sorted = times.sorted
-          (name, sorted(Runs / 2), sorted.last - sorted.head)
-        }
+        name -> t
       }
+    }
+    val results: Seq[(String, Double, Double)] = catalog.map { case (name, _) =>
+      val times = samples.flatMap(_.collectFirst { case (`name`, Some(t)) => t })
+      if (times.size < Runs) (name, -1.0, -1.0)
+      else {
+        val sorted = times.sorted
+        (name, sorted(Runs / 2), sorted.last - sorted.head)
+      }
+    }
     def jmap(f: ((String, Double, Double)) => Double): String =
       results.map { case r @ (k, _, _) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
     val qs      = jmap(_._2)

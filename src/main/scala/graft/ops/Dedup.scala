@@ -281,6 +281,59 @@ object Dedup {
       .select("va", "vb", "cos")
   }
 
+  // ------------------------------------------------------------- clustering
+
+  /** Near-dup clusters from the minhash pair graph: iterative min-label
+    * propagation (connected components) to a fixpoint, then canonical-doc
+    * selection (cluster id = smallest member). This is the step a real
+    * pipeline runs after pairwise detection — dedup decisions are made
+    * per CLUSTER (keep one representative), not per pair.
+    *
+    * Scale shape: the classic Spark connected-components loop — edges are
+    * materialized once (`localCheckpoint` truncates the minhash lineage so
+    * iterations don't replay it), each round is one equi-join + one
+    * aggregation, and convergence is reached in O(component diameter)
+    * rounds (near-dup clusters are shallow — a handful of rounds even at
+    * corpus scale). The min-label fixpoint is order-independent, so the
+    * result is deterministic under any partitioning.
+    *
+    * The DuckDB oracle reaches the same fixpoint through a recursive CTE
+    * (transitive closure + min per node) — tractable because components
+    * are small, which is exactly the regime near-dup graphs live in.
+    */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val prs = minhash(s, dir).select(col("da"), col("db")).localCheckpoint(true)
+    val edges = prs
+      .union(prs.select(col("db").as("da"), col("da").as("db")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds    = 0
+    while (!converged && rounds < 50) {
+      // candidate labels for node n this round: its own label plus every
+      // neighbor's label; the new label is the minimum
+      val next = labels
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node")
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels, Seq("node"))
+        .filter(next("label") =!= labels("label"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(
+      col("node").as("doc_id"),
+      col("label").as("cluster_id"),
+      (col("node") === col("label")).as("is_canonical"))
+  }
+
   // ------------------------------------------------------------------- maps
 
   val queries: Map[String, Q] = Map(
@@ -288,19 +341,41 @@ object Dedup {
     "dedup_ngram"     -> (ngram _),
     "dedup_minhash"   -> (minhash _),
     "dedup_simhash"   -> (simhash _),
-    "dedup_embedding" -> (embedding _)
+    "dedup_embedding" -> (embedding _),
+    "dedup_clusters"  -> (clusters _)
   )
 
   private val h = TextHash.duckHash60Of _
 
-  private val duckVerify =
+  /** Verified-pair CTE chain (ends in `pairs(da, db, jaccard)`), shared by
+    * the per-strategy oracles and the clustering oracle.
+    */
+  private[ops] val duckPairsCte =
     s"""sized AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
        inter AS (SELECT c.da, c.db, count(*) i
                  FROM cand c JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND y.sh = x.sh
-                 GROUP BY 1, 2)
-       SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-       FROM inter JOIN sized sa ON da = sa.doc_id JOIN sized sb ON db = sb.doc_id
-       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold"""
+                 GROUP BY 1, 2),
+       pairs AS (SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+                 FROM inter JOIN sized sa ON da = sa.doc_id JOIN sized sb ON db = sb.doc_id
+                 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold)"""
+
+  private val duckVerify =
+    s"""$duckPairsCte
+       SELECT da, db, jaccard FROM pairs"""
+
+  /** The full minhash WITH-chain up to `pairs` — importable as the edge
+    * set of the clustering oracle.
+    */
+  private[ops] val duckMinhashPairsCte =
+    s"""sh AS ($duckShingles),
+       based AS (SELECT doc_id, sh % $ModP h32 FROM sh),
+       mh AS (SELECT doc_id, j, min(((2*j+1)*h32 + 7919*j) % $ModP) mh
+              FROM based CROSS JOIN (SELECT unnest(range(0, $NumHashes)) j) GROUP BY 1, 2),
+       bands AS (SELECT doc_id, j // $BandRows band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) sig
+                 FROM mh GROUP BY 1, 2),
+       cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+                FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       $duckPairsCte"""
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -311,15 +386,8 @@ object Dedup {
          cand AS (SELECT a.doc_id da, b.doc_id db FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
          $duckVerify""",
     "dedup_minhash" ->
-      s"""WITH sh AS ($duckShingles),
-         based AS (SELECT doc_id, sh % $ModP h32 FROM sh),
-         mh AS (SELECT doc_id, j, min(((2*j+1)*h32 + 7919*j) % $ModP) mh
-                FROM based CROSS JOIN (SELECT unnest(range(0, $NumHashes)) j) GROUP BY 1, 2),
-         bands AS (SELECT doc_id, j // $BandRows band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) sig
-                   FROM mh GROUP BY 1, 2),
-         cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
-                  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         $duckVerify""",
+      s"""WITH $duckMinhashPairsCte
+         SELECT da, db, jaccard FROM pairs""",
     "dedup_simhash" ->
       s"""WITH tc AS (SELECT doc_id, t, count(*) c FROM
            (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')) t
@@ -337,6 +405,18 @@ object Dedup {
                   FROM keyed a JOIN keyed b ON a.ck = b.ck AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
          SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand
          WHERE bit_count(xor(sa, sb)) <= $HammingMax""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         $duckMinhashPairsCte,
+         edges AS (SELECT da a, db b FROM pairs UNION ALL SELECT db a, da b FROM pairs),
+         reach(node, label) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+         )
+         SELECT node AS doc_id, min(label) AS cluster_id,
+           (node = min(label)) AS is_canonical
+         FROM reach GROUP BY node""",
     "dedup_embedding" ->
       s"""WITH ${Similarity.duckNorm},
          ${Similarity.duckSigFor(EmbTables, EmbPlanes)},

@@ -77,6 +77,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"LSH bucketing lost too much of the exact top-20 (recall $recall)")
   }
 
+  test("near-dup clusters: pairs land in one cluster, canonical is the min member") {
+    val pairs = Dedup.minhash(spark, Sf0001).select("da", "db").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val cl    = Dedup.clusters(spark, Sf0001).as[(Long, Long, Boolean)].collect()
+    val label = cl.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+    cl.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid not labeled by its min member")
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cid,
+        s"cluster $cid canonical flag wrong")
+    }
+  }
+
   test("planesFor keeps LSH bucket occupancy (candidate volume per row) constant") {
     for (n <- Seq(10000L, 1000000L, 1000000000L)) {
       val planes    = Similarity.planesFor(n)

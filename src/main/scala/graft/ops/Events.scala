@@ -172,7 +172,31 @@ object Events {
         count(when(col("event_type") === "signup", 1)).as("n_signup"),
         count(when(col("event_type") === "error", 1)).as("n_error"))
 
+  /** Ordered funnel: users who did view → click → purchase with strictly
+    * increasing timestamps. Each stage is one filtered aggregation joined
+    * to the previous stage's per-user frontier (min qualifying time) —
+    * per-stage shuffles on user_id, no window over the whole stream, and
+    * the stage frames shrink monotonically (the 100 TB shape: the big
+    * table is scanned once per stage with the filter pushed to the scan,
+    * the frontier table is the small join side).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("tv"))
+      .groupBy("user_id").agg(min(col("us")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("tc"))
+      .groupBy("user_id").agg(min(col("us")).as("tp"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    stage(v, "1_view").unionAll(stage(c, "2_click")).unionAll(stage(p, "3_purchase"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_funnel"    -> (funnel _),
     "events_hourly"    -> (hourly _),
     "events_sessionize" -> (sessionize _),
     "events_asof"      -> (asofClickPurchase _),
@@ -192,6 +216,15 @@ object Events {
        FROM events) WHERE rn <= 5"""
 
   val oracle: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) tv FROM events WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(epoch_us(e.ts)) tc FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.tv GROUP BY 1),
+         p AS (SELECT e.user_id, min(epoch_us(e.ts)) tp FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.tc GROUP BY 1)
+         SELECT '1_view' AS stage, count(*) AS users FROM v
+         UNION ALL SELECT '2_click', count(*) FROM c
+         UNION ALL SELECT '3_purchase', count(*) FROM p""",
     "events_first_last" ->
       """SELECT user_id,
          arg_min(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_type,

@@ -220,6 +220,26 @@ object Relational {
       .select("o_orderkey", "o_orderpriority", "o_totalprice", "n_within_10k")
   }
 
+  /** Ranking-function family: rank/dense_rank/percent_rank/cume_dist over
+    * a peers-by-value window (ties share ranks — deterministic regardless
+    * of intra-peer order) and ntile over a provably TOTAL order (tile
+    * boundaries depend on exact row order, so c_custkey disambiguates).
+    * percent_rank and cume_dist are single IEEE divisions of exact
+    * integers — bit-identical cross-engine.
+    */
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    val byBal = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    val total = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("rnk", rank().over(byBal).cast("long"))
+      .withColumn("drnk", dense_rank().over(byBal).cast("long"))
+      .withColumn("prank", percent_rank().over(byBal))
+      .withColumn("cdist", cume_dist().over(byBal))
+      .withColumn("tile", ntile(4).over(total).cast("long"))
+  }
+
   // ------------------------------------------------- cube/rollup/sets
 
   def cubeFlagStatus(s: SparkSession, dir: String): DataFrame =
@@ -458,6 +478,7 @@ object Relational {
     "window_topk"        -> (windowTopkOrders _),
     "window_topk_fast"   -> (windowTopkFast _),
     "window_running"     -> (windowRunningQty _),
+    "window_ranks"       -> (windowRanks _),
     "window_range_frame" -> (windowRangeFrame _),
     "cube_agg"           -> (cubeFlagStatus _),
     "rollup_agg"         -> (rollupPriorityStatus _),
@@ -544,6 +565,15 @@ object Relational {
            PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem""",
+    "window_ranks" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+         percent_rank() OVER w AS prank,
+         cume_dist() OVER w AS cdist,
+         CAST(ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS BIGINT) AS tile
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)""",
     "window_range_frame" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
          count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice

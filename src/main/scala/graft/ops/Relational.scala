@@ -272,6 +272,22 @@ object Relational {
   def setExcept(s: SparkSession, dir: String): DataFrame =
     custkeysOfYear(s, dir, 1996).except(custkeysOfYear(s, dir, 1997))
 
+  /** Bag (multiset) variant of the year slice — no distinct, one row per
+    * order — for the ALL set operations, which preserve multiplicity.
+    */
+  private def custkeysBagOfYear(s: SparkSession, dir: String, year: Int): DataFrame =
+    Tables
+      .orders(s, dir)
+      .filter(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit(f"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("custkey"))
+
+  def setExceptAll(s: SparkSession, dir: String): DataFrame =
+    custkeysBagOfYear(s, dir, 1996).exceptAll(custkeysBagOfYear(s, dir, 1997))
+
+  def setIntersectAll(s: SparkSession, dir: String): DataFrame =
+    custkeysBagOfYear(s, dir, 1996).intersectAll(custkeysBagOfYear(s, dir, 1997))
+
   /** Global top-k with deterministic tiebreak — TakeOrderedAndProject, no
     * full sort of the input.
     */
@@ -485,6 +501,8 @@ object Relational {
     "set_union"          -> (setUnion _),
     "set_intersect"      -> (setIntersect _),
     "set_except"         -> (setExcept _),
+    "set_except_all"     -> (setExceptAll _),
+    "set_intersect_all"  -> (setIntersectAll _),
     "topk_global"        -> (topkGlobal _),
     "join_full_outer"    -> (joinFullOuter _),
     "cross_join"         -> (crossJoinDims _),
@@ -594,6 +612,14 @@ object Relational {
     "set_except" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
          EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""",
+    "set_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""",
+    "set_intersect_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         INTERSECT ALL
          SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""",
     "topk_global" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25",

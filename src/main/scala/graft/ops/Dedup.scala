@@ -310,9 +310,17 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // labels are monotonically non-increasing per node, so the exact
+    // (decimal) label sum is a complete convergence witness: unchanged sum
+    // ⟺ no label changed — one aggregation job per round instead of an
+    // anti-join
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+    var prevSum   = labelSum(labels)
     var converged = false
     var rounds    = 0
-    while (!converged && rounds < 50) {
+    val MaxRounds = 50
+    while (!converged && rounds < MaxRounds) {
       // candidate labels for node n this round: its own label plus every
       // neighbor's label; the new label is the minimum
       val next = labels
@@ -322,12 +330,21 @@ object Dedup {
         .groupBy("node")
         .agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels, Seq("node"))
-        .filter(next("label") =!= labels("label"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      // the superseded generation's checkpoint blocks are dead weight —
+      // release them so the loop holds at most two label generations
+      labels.queryExecution.toRdd.unpersist(false)
       labels = next
+      prevSum = nextSum
       rounds += 1
     }
+    // a silent non-converged return would emit WRONG cluster ids (and
+    // diverge from the oracle's full fixpoint) — fail loudly instead;
+    // near-dup components are shallow, so 50 rounds means data pathology
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $MaxRounds rounds — component diameter exceeds the bound")
     labels.select(
       col("node").as("doc_id"),
       col("label").as("cluster_id"),

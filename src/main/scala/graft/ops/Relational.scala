@@ -256,12 +256,7 @@ object Relational {
 
   /** Distinct custkeys that ordered in 1996 vs in 1997 — set algebra. */
   private def custkeysOfYear(s: SparkSession, dir: String, year: Int): DataFrame =
-    Tables
-      .orders(s, dir)
-      .filter(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp"))
-      .filter(col("o_orderdate") < lit(f"${year + 1}-01-01").cast("timestamp"))
-      .select(col("o_custkey").as("custkey"))
-      .distinct()
+    custkeysBagOfYear(s, dir, year).distinct()
 
   def setUnion(s: SparkSession, dir: String): DataFrame =
     custkeysOfYear(s, dir, 1996).union(custkeysOfYear(s, dir, 1997)).distinct()

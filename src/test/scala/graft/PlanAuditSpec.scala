@@ -55,6 +55,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(splits == 1, s"expected exactly one tokenizer split in the plan, found $splits:\n$p")
   }
 
+  test("curation scans prune to the referenced columns") {
+    // a scan that reads all columns for a narrow projection is wrong at
+    // any scale — sample_split must not read text, embed_assign must
+    // read only the embedding
+    assert(plan("sample_split").contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"))
+    assert(plan("embed_assign").contains("ReadSchema: struct<embedding:array<float>>"))
+  }
+
+  test("full catalog: no unexpected nested-loop or cartesian plans") {
+    // the only sanctioned nested-loop plans: cross_join (the operator
+    // itself), scalar_subquery's 1-row broadcast, sim_topk's |Q|-row
+    // broadcast against the candidate stream
+    val allowed = Set("cross_join", "scalar_subquery", "sim_topk")
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop/cartesian join:\n$p")
+    }
+  }
+
   test("pipeline_clean_corpus reuses exchanges for its repeated subtrees") {
     // static planner check (AQE reuses at runtime via the stage cache,
     // which doesn't show in the pre-execution plan string)

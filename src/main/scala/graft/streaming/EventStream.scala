@@ -14,6 +14,12 @@ case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,
 
 private case class SessionState(startUs: Long, endUs: Long, n: Long)
 
+/** A user's current funnel stage (0 = none … 3 = purchased). */
+case class FunnelStage(user_id: Long, stage: Int)
+
+/** Funnel frontier times (epoch µs; Long.MaxValue = stage not reached). */
+private case class FunnelState(tv: Long, tc: Long, tp: Long)
+
 /** Structured Streaming surface: the batch Events plans re-expressed as
   * incremental queries. The reference is pure batch (SURVEY.md §2.3 —
   * streaming row “No”), so this is parity-plus: the same logical
@@ -79,6 +85,46 @@ object EventStream extends Serializable {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stateful streaming funnel — the incremental twin of
+    * `graft.ops.Events.funnel`: per user, a frontier state machine tracks
+    * the earliest qualifying view/click/purchase times (strictly
+    * increasing), emitting the user's current stage each update. Events
+    * are sorted per batch like the sessionizer; across batches the
+    * frontier recurrence is order-safe for event-time-ordered delivery
+    * (frontiers only move earlier as earlier events are processed first).
+    * State per user is three longs — bounded regardless of stream length.
+    */
+  def funnelStages(events: Dataset[Event]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]): FunnelStage = {
+      val s0 = state.getOption.getOrElse(FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue))
+      var tv = s0.tv
+      var tc = s0.tc
+      var tp = s0.tp
+      batch.toVector.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+        val us = tsMicros(e.ts)
+        e.event_type match {
+          case "view"     => tv = math.min(tv, us)
+          case "click"    => if (us > tv) tc = math.min(tc, us)
+          case "purchase" => if (us > tc) tp = math.min(tp, us)
+          case _          => ()
+        }
+      }
+      state.update(FunnelState(tv, tc, tp))
+      val stage =
+        if (tp != Long.MaxValue) 3
+        else if (tc != Long.MaxValue) 2
+        else if (tv != Long.MaxValue) 1
+        else 0
+      FunnelStage(userId, stage)
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
 
   /** Stateful sessionization via flatMapGroupsWithState with event-time
     * timeout — the streaming twin of `events_sessionize`: a session

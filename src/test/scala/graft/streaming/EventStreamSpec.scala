@@ -92,6 +92,31 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.table("dedup_out").count() == 200)
   }
 
+  test("stateful streaming funnel converges to the batch funnel counts") {
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(streamDir)
+      .as[Event]
+    val q = EventStream.funnelStages(src).toDF()
+      .writeStream.format("memory").queryName("funnel_out").outputMode("update").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // stage is monotone per user, so the max over emitted updates is the
+    // final stage
+    val stages = spark.table("funnel_out")
+      .filter(col("user_id") =!= -1L)
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .as[(Long, Int)].collect()
+    val got = Map(
+      "1_view"     -> stages.count(_._2 >= 1).toLong,
+      "2_click"    -> stages.count(_._2 >= 2).toLong,
+      "3_purchase" -> stages.count(_._2 >= 3).toLong)
+    val want = graft.ops.Events.funnel(spark, Sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(want("3_purchase") > 0, "fixture should complete some funnels")
+    assert(got == want, s"streaming funnel $got != batch funnel $want")
+  }
+
   test("stateful sessionization converges to the batch gaps-and-islands answer") {
     val src = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")

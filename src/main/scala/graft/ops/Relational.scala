@@ -47,6 +47,20 @@ object Relational {
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
+  /** TPC-H Q6 shape (revenue-change forecast): a scan-bound
+    * filter-everything-then-sum — every predicate must reach the parquet
+    * reader, the aggregation is a single scalar. Dates shifted to the
+    * synthetic fixture's 1995-2001 range.
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
   /** min/max/count per group — order-independent extremes. */
   def aggMinMax(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -481,6 +495,7 @@ object Relational {
     "agg_minmax"         -> (aggMinMax _),
     "q3_topk_revenue"    -> (q3TopkRevenue _),
     "q5_nation_revenue"  -> (q5NationRevenue _),
+    "q6_forecast"        -> (q6Forecast _),
     "join_broadcast"     -> (joinBroadcastParts _),
     "join_semi"          -> (joinSemi _),
     "join_anti"          -> (joinAnti _),
@@ -536,6 +551,11 @@ object Relational {
          ${ds("l_quantity")} / count(*) AS avg_qty,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02' GROUP BY 1, 2""",
+    "q6_forecast" ->
+      s"""SELECT ${ds("l_extendedprice * l_discount")} AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "agg_minmax" ->
       "SELECT s_nationkey, min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal, count(*) AS n_suppliers FROM supplier GROUP BY 1",
     "distinct_agg" ->

@@ -16,6 +16,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan("q1_pricing").contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
   }
 
+  test("q6_forecast pushes every predicate into the scan") {
+    // read the scan node's metadata directly — the plan's toString
+    // truncates long PushedFilters lists
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val pushed = SparkEntry.queries("q6_forecast")(spark, Sf0001)
+      .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f.metadata("PushedFilters") }
+      .mkString
+    for (f <- Seq(
+        "GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(pushed.contains(f), s"missing pushed filter $f in: $pushed")
+  }
+
   test("q5_nation_revenue broadcasts its dimension joins") {
     assert(plan("q5_nation_revenue").contains("BroadcastHashJoin"))
   }

@@ -195,8 +195,19 @@ object Events {
     stage(v, "1_view").unionAll(stage(c, "2_click")).unionAll(stage(p, "3_purchase"))
   }
 
+  /** Unpivot (wide → long) via the `stack` generator — the inverse of
+    * [[typePivot]], closing the reshape pair. A generator in a projection:
+    * no shuffle beyond the pivot's own aggregation.
+    */
+  def typeUnpivot(s: SparkSession, dir: String): DataFrame =
+    typePivot(s, dir).selectExpr(
+      "user_id",
+      "stack(5, 'click', n_click, 'view', n_view, 'purchase', n_purchase, " +
+        "'signup', n_signup, 'error', n_error) AS (metric, n)")
+
   val queries: Map[String, Q] = Map(
     "events_funnel"    -> (funnel _),
+    "events_unpivot"   -> (typeUnpivot _),
     "events_hourly"    -> (hourly _),
     "events_sessionize" -> (sessionize _),
     "events_asof"      -> (asofClickPurchase _),
@@ -284,6 +295,19 @@ object Events {
            count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
            count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
            count(*) FILTER (WHERE event_type = 'error') AS n_error
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+    "events_unpivot" ->
+      """WITH p AS (SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error
+         FROM events GROUP BY 1)
+         SELECT user_id, 'click' AS metric, n_click AS n FROM p
+         UNION ALL SELECT user_id, 'view', n_view FROM p
+         UNION ALL SELECT user_id, 'purchase', n_purchase FROM p
+         UNION ALL SELECT user_id, 'signup', n_signup FROM p
+         UNION ALL SELECT user_id, 'error', n_error FROM p"""
   )
 }

@@ -301,8 +301,15 @@ object Dedup {
     * (transitive closure + min per node) — tractable because components
     * are small, which is exactly the regime near-dup graphs live in.
     */
-  def clusters(s: SparkSession, dir: String): DataFrame = {
-    val prs = minhash(s, dir).select(col("da"), col("db")).localCheckpoint(true)
+  def clusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhash(s, dir).select(col("da"), col("db")))
+
+  /** Min-label connected components over an undirected pair list
+    * (da, db) — the reusable core of [[clusters]]. Returns
+    * (doc_id, cluster_id, is_canonical) for every node in any pair.
+    */
+  def connectedComponents(pairList: DataFrame): DataFrame = {
+    val prs = pairList.toDF("da", "db").localCheckpoint(true)
     val edges = prs
       .union(prs.select(col("db").as("da"), col("da").as("db")))
       .toDF("src", "dst")

@@ -92,6 +92,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("connected components: chain graph converges across multiple propagation rounds") {
+    // a 10-node path has diameter 9 — min-label propagation needs several
+    // rounds, exercising the loop beyond the fixture's mostly-pair
+    // components; plus two isolated pairs to check cluster separation
+    val edges = (0L until 9L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (200L, 201L))
+    val cl = Dedup.connectedComponents(edges.toDF("da", "db"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(cl.length == 14)
+    assert(cl.filter(_._1 <= 9L).forall(_._2 == 0L), "chain must collapse to cluster 0")
+    assert(cl.filter(r => r._1 >= 100L && r._1 <= 101L).forall(_._2 == 100L))
+    assert(cl.filter(_._1 >= 200L).forall(_._2 == 200L))
+    assert(cl.count(_._3) == 3, "exactly one canonical per component")
+  }
+
   test("planesFor keeps LSH bucket occupancy (candidate volume per row) constant") {
     for (n <- Seq(10000L, 1000000L, 1000000000L)) {
       val planes    = Similarity.planesFor(n)

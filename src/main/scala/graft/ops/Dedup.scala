@@ -304,6 +304,29 @@ object Dedup {
   def clusters(s: SparkSession, dir: String): DataFrame =
     connectedComponents(minhash(s, dir).select(col("da"), col("db")))
 
+  /** The RDD a `localCheckpoint(true)` Dataset actually persisted: the
+    * one inside its LogicalRDD leaf. (`queryExecution.toRdd` is a freshly
+    * derived execution RDD with storage level NONE — unpersisting that is
+    * a no-op.)
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed
+      .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+      .foreach(_.unpersist(false))
+
+  /** One round of min-label propagation: every node takes the minimum of
+    * its own label and its neighbors' labels. Exposed so PlanAuditSpec
+    * can pin the join shape (the full [[connectedComponents]] executes
+    * eagerly, leaving only a checkpoint scan to audit).
+    */
+  private[ops] def propagateOnce(labels: DataFrame, edges: DataFrame): DataFrame =
+    labels
+      .join(edges, col("node") === col("src"))
+      .select(col("dst").as("node"), col("label"))
+      .union(labels)
+      .groupBy("node")
+      .agg(min(col("label")).as("label"))
+
   /** Min-label connected components over an undirected pair list
     * (da, db) — the reusable core of [[clusters]]. Returns
     * (doc_id, cluster_id, is_canonical) for every node in any pair.
@@ -314,6 +337,7 @@ object Dedup {
       .union(prs.select(col("db").as("da"), col("da").as("db")))
       .toDF("src", "dst")
       .localCheckpoint(true)
+    freeCheckpoint(prs) // edges is materialized; the pair snapshot is dead
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -328,24 +352,17 @@ object Dedup {
     var rounds    = 0
     val MaxRounds = 50
     while (!converged && rounds < MaxRounds) {
-      // candidate labels for node n this round: its own label plus every
-      // neighbor's label; the new label is the minimum
-      val next = labels
-        .join(edges, col("node") === col("src"))
-        .select(col("dst").as("node"), col("label"))
-        .union(labels)
-        .groupBy("node")
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val next    = propagateOnce(labels, edges).localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       // the superseded generation's checkpoint blocks are dead weight —
       // release them so the loop holds at most two label generations
-      labels.queryExecution.toRdd.unpersist(false)
+      freeCheckpoint(labels)
       labels = next
       prevSum = nextSum
       rounds += 1
     }
+    freeCheckpoint(edges) // the result depends only on the final labels
     // a silent non-converged return would emit WRONG cluster ids (and
     // diverge from the oracle's full fixpoint) — fail loudly instead;
     // near-dup components are shallow, so 50 rounds means data pathology

@@ -80,14 +80,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   test("full catalog: no unexpected nested-loop or cartesian plans") {
     // the only sanctioned nested-loop plans: cross_join (the operator
     // itself), scalar_subquery's 1-row broadcast, sim_topk's |Q|-row
-    // broadcast against the candidate stream
-    val allowed = Set("cross_join", "scalar_subquery", "sim_topk")
+    // broadcast against the candidate stream. dedup_clusters executes
+    // eagerly (checkpointed loop), leaving only a result scan here — its
+    // per-round join shape is audited directly in the next test.
+    val allowed = Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop/cartesian join:\n$p")
     }
   }
+
 
   test("pipeline_clean_corpus reuses exchanges for its repeated subtrees") {
     // static planner check (AQE reuses at runtime via the stage cache,

@@ -22,6 +22,22 @@ trait SparkTestBase {
 
   val Sf0001 = "/root/testdata/sf0.001"
 
+  /** Unwrap AQE wrappers (including query-stage wrappers, which hide
+    * their subtree from `collect`) to reach the materialized
+    * GroupedTopKExec — call after an action.
+    */
+  def topKExec(df: org.apache.spark.sql.DataFrame): graft.plans.GroupedTopKExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Option[graft.plans.GroupedTopKExec] = p match {
+      case g: graft.plans.GroupedTopKExec => Some(g)
+      case a: AdaptiveSparkPlanExec       => find(a.executedPlan)
+      case q: QueryStageExec              => find(q.plan)
+      case other => other.children.iterator.map(find).collectFirst { case Some(g) => g }
+    }
+    find(df.queryExecution.executedPlan).get
+  }
+
   /** Set session confs for the duration of `f`, restoring prior values. */
   def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }

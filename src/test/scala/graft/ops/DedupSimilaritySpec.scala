@@ -92,6 +92,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("connected-components propagation round is an equi-join, never nested-loop") {
+    // the full-catalog PlanAuditSpec sweep can't see inside dedup_clusters
+    // (it executes eagerly, leaving only a checkpoint scan), so the
+    // per-round join shape is pinned here directly
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("node", "label")
+    val edges  = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val p = Dedup.propagateOnce(labels, edges).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("connected components release superseded checkpoint storage") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges  = (0L until 9L).map(i => (i, i + 1))
+    Dedup.connectedComponents(edges.toDF("da", "db")).collect()
+    val grown = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // a 10-node path converges in ~10 rounds; without per-round release
+    // that is ~12 retained checkpoint generations — with it, only the
+    // final labels (plus at most a straggler) survive
+    assert(grown.size <= 3,
+      s"${grown.size} checkpointed RDDs retained after CC — superseded generations not freed")
+  }
+
   test("connected components: chain graph converges across multiple propagation rounds") {
     // a 10-node path has diameter 9 — min-label propagation needs several
     // rounds, exercising the loop beyond the fixture's mostly-pair

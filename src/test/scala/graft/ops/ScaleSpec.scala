@@ -52,23 +52,10 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     finally {
       import java.nio.file.{Files, Path}
       import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach((p: Path) => Files.deleteIfExists(p))
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse.foreach((p: Path) => Files.deleteIfExists(p))
+      finally walk.close() // the stream holds open directory handles
     }
-  }
-
-  /** Unwrap AQE wrappers to the materialized GroupedTopKExec (call after
-    * an action) — mirror of the helper in GroupedTopKSpec.
-    */
-  private def topKExec(df: org.apache.spark.sql.DataFrame): graft.plans.GroupedTopKExec = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def find(p: SparkPlan): Option[graft.plans.GroupedTopKExec] = p match {
-      case g: graft.plans.GroupedTopKExec => Some(g)
-      case a: AdaptiveSparkPlanExec       => find(a.executedPlan)
-      case q: QueryStageExec              => find(q.plan)
-      case other => other.children.iterator.map(find).collectFirst { case Some(g) => g }
-    }
-    find(df.queryExecution.executedPlan).get
   }
 
   test("10x events scale-up: GroupedTopK heap path holds and results replicate exactly") {

@@ -104,21 +104,7 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("grouping key"))
   }
 
-  /** Unwrap AQE (including query-stage wrappers, which hide their subtree
-    * from `collect`) to reach the materialized GroupedTopKExec — call
-    * after an action.
-    */
-  private def topKExec(df: org.apache.spark.sql.DataFrame): GroupedTopKExec = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def find(p: SparkPlan): Option[GroupedTopKExec] = p match {
-      case g: GroupedTopKExec       => Some(g)
-      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
-      case q: QueryStageExec        => find(q.plan)
-      case other => other.children.iterator.map(find).collectFirst { case Some(g) => g }
-    }
-    find(df.queryExecution.executedPlan).get
-  }
+  // topKExec (AQE unwrapping) is provided by SparkTestBase
 
   test("high key cardinality falls back to external sort, same answer") {
     // every row its own key → heaps retain the entire input; a 1 KiB

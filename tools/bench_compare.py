@@ -42,13 +42,16 @@ def load(p):
             if obj is not None:
                 out[key] = obj
     if "queries" not in out:
-        # last resort: first {name: number, ...} object anywhere in tail
+        # last resort: first {name: number, ...} object anywhere in tail —
+        # but never the one that belongs to the "spread" key, or a cut
+        # inside the queries object would silently compare spreads as
+        # times
         for m in re.finditer(r'\{"[a-zA-Z0-9_]+"\s*:\s*[0-9.-]', tail):
             obj = _obj_at(tail, m.start())
-            if obj:
+            if obj and obj != out.get("spread"):
                 out["queries"] = obj
                 break
-    if "queries" not in out:
+    if "queries" not in out or out["queries"] == out.get("spread"):
         sys.exit(f"{p}: no per-query map found (truncated bench tail?)")
     return out
 

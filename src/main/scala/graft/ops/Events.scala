@@ -195,6 +195,27 @@ object Events {
     stage(v, "1_view").unionAll(stage(c, "2_click")).unionAll(stage(p, "3_purchase"))
   }
 
+  /** Trailing-baseline deviation over the aggregated hourly series — a
+    * window OVER an aggregate (two-level plan: groupBy → window on the
+    * much smaller series), the standard anomaly-screen shape. The
+    * deviation is count minus the decimal-exact trailing-24-bucket mean —
+    * no stddev, whose accumulation order diverges across engines.
+    */
+  def hourlyDeviation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-24, -1)
+    Tables
+      .events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("trailing_mean",
+        sum(col("n").cast("decimal(38,6)")).over(w).cast("double") /
+          count(col("n")).over(w))
+      .withColumn("deviation", col("n") - col("trailing_mean"))
+      .filter(col("trailing_mean").isNotNull)
+      .select("hour", "event_type", "n", "trailing_mean", "deviation")
+  }
+
   /** Unpivot (wide → long) via the `stack` generator — the inverse of
     * [[typePivot]], closing the reshape pair. A generator in a projection:
     * no shuffle beyond the pivot's own aggregation.
@@ -208,6 +229,7 @@ object Events {
   val queries: Map[String, Q] = Map(
     "events_funnel"    -> (funnel _),
     "events_unpivot"   -> (typeUnpivot _),
+    "events_hourly_dev" -> (hourlyDeviation _),
     "events_hourly"    -> (hourly _),
     "events_sessionize" -> (sessionize _),
     "events_asof"      -> (asofClickPurchase _),
@@ -296,6 +318,15 @@ object Events {
            count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
            count(*) FILTER (WHERE event_type = 'error') AS n_error
          FROM events GROUP BY 1""",
+    "events_hourly_dev" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT hour, event_type, n,
+           CAST(sum(CAST(n AS DECIMAL(38,6))) OVER w AS DOUBLE) / count(n) OVER w AS trailing_mean,
+           n - CAST(sum(CAST(n AS DECIMAL(38,6))) OVER w AS DOUBLE) / count(n) OVER w AS deviation
+         FROM h
+         WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+         QUALIFY trailing_mean IS NOT NULL""",
     "events_unpivot" ->
       """WITH p AS (SELECT user_id,
            count(*) FILTER (WHERE event_type = 'click') AS n_click,

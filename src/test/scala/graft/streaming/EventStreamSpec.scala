@@ -117,6 +117,36 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want, s"streaming funnel $got != batch funnel $want")
   }
 
+  test("streaming funnel carries state across micro-batches (time-split delivery)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mid    = all(all.length / 2).ts
+    val stream = MemoryStream[Event]
+    val q = EventStream.funnelStages(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("funnel_mb_out").outputMode("update").start()
+    try {
+      // two event-time-ordered batches: frontier state built in batch 1
+      // must qualify clicks/purchases arriving in batch 2
+      stream.addData(all.filter(!_.ts.after(mid)).toSeq)
+      q.processAllAvailable()
+      stream.addData(all.filter(_.ts.after(mid)).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stages = spark.table("funnel_mb_out")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .as[(Long, Int)].collect()
+    val got = Map(
+      "1_view"     -> stages.count(_._2 >= 1).toLong,
+      "2_click"    -> stages.count(_._2 >= 2).toLong,
+      "3_purchase" -> stages.count(_._2 >= 3).toLong)
+    val want = graft.ops.Events.funnel(spark, Sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"multi-batch streaming funnel $got != batch funnel $want")
+  }
+
   test("stateful sessionization converges to the batch gaps-and-islands answer") {
     val src = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")

@@ -37,6 +37,12 @@ case class FloatDotProduct(left: Expression, right: Expression)
     }
   }
 
+  /** A null ELEMENT yields a null result (DuckDB's list_inner_product
+    * semantics) — getFloat on a null slot would silently read 0.0f and
+    * produce a finite, wrong dot product.
+    */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -47,6 +53,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i   = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -64,8 +71,12 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |}
          |int $n = $x.numElements();
          |double ${ev.value}_acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}_acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value}_acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
          |}
          |${ev.value} = ${ev.value}_acc;
        """.stripMargin

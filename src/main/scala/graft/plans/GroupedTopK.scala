@@ -65,11 +65,21 @@ case class GroupedTopKExec(
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
 
+  /** Grouping keys with floating-point values normalized (0.0 == -0.0,
+    * canonical NaN) — Spark's NormalizeFloatingNumbers rule does this for
+    * built-in groupBy/window plans but does not know this operator, so it
+    * is applied here: the exchange must hash, and the heaps/sorted-run
+    * scan must group, the normalized bytes, or a group containing both
+    * zero encodings splits across partitions and ranks restart.
+    */
+  private lazy val normalizedKeys: Seq[Expression] =
+    groupKeys.map(GraftSqlShims.normalizeFloats)
+
   /** Co-locate each key's rows; deliberately NO requiredChildOrdering —
     * avoiding the sort is the point.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupKeys) :: Nil
+    ClusteredDistribution(normalizedKeys) :: Nil
 
   /** Rows stay where the child's exchange put them, so a downstream
     * groupBy/join on the same keys must not re-shuffle.
@@ -83,8 +93,20 @@ case class GroupedTopKExec(
       sparkContext, "partitions that fell back to external sort"))
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // map-typed keys group by binary representation, where logically equal
+    // maps can differ in bytes — Spark's own groupBy/window rejects them
+    // at analysis for the same reason
+    def containsMap(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType  => containsMap(a.elementType)
+      case _                                        => false
+    }
+    require(
+      !groupKeys.exists(e => containsMap(e.dataType)),
+      "GroupedTopK cannot group by a map-typed key (map equality is not byte equality)")
     val kLocal        = k
-    val keyExprs      = groupKeys
+    val keyExprs      = normalizedKeys
     val orderExprs    = order
     val childOutput   = child.output
     val outputAttrs   = output
@@ -118,11 +140,18 @@ case class GroupedTopKExec(
       // Heap memory is bounded by #distinct-keys·k rows; with high key
       // cardinality that is unbounded, so track retained bytes and bail
       // to phase 2 when they exceed the budget.
+      // normalize the physical row format once, up front: both the heap
+      // buffer (getSizeInBytes accounting) and the phase-2 sorter insert
+      // require UnsafeRow, and a child may legally emit any InternalRow
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       var retainedBytes = 0L
       var overBudget    = false
       while (it.hasNext && !overBudget) {
-        val row = it.next()
+        val row = it.next() match {
+          case u: UnsafeRow => u
+          case r            => toUnsafe(r)
+        }
         // copy the projected key only on first sight — the common case
         // (key already present) must not allocate
         val probe = keyProj(row)
@@ -137,14 +166,14 @@ case class GroupedTopKExec(
         }
         if (heap.size < kLocal) {
           val c = row.copy()
-          retainedBytes += c.asInstanceOf[UnsafeRow].getSizeInBytes
+          retainedBytes += c.getSizeInBytes
           heap.enqueue(c)
           if (retainedBytes > budgetBytes && sortable) overBudget = true
         } else if (ord.compare(row, heap.head) < 0) {
           val evicted = heap.dequeue()
           retainedBytes -= evicted.asInstanceOf[UnsafeRow].getSizeInBytes
           val c = row.copy()
-          retainedBytes += c.asInstanceOf[UnsafeRow].getSizeInBytes
+          retainedBytes += c.getSizeInBytes
           heap.enqueue(c)
           if (retainedBytes > budgetBytes && sortable) overBudget = true
         }
@@ -155,7 +184,10 @@ case class GroupedTopKExec(
           val worstFirst: Seq[InternalRow] = heap.dequeueAll
           worstFirst.reverseIterator.zipWithIndex.map { case (r, i) =>
             numOutputRows += 1
-            outProj(joiner(r, rankRow(i + 1))).copy()
+            // outProj's buffer is reused; valid until the consumer's next
+            // call, per the operator iterator contract (phase 2 relies on
+            // the same contract)
+            outProj(joiner(r, rankRow(i + 1)))
           }
         }
       } else {
@@ -177,7 +209,6 @@ case class GroupedTopKExec(
         val sorter = UnsafeExternalRowSorter.create(
           childSchema, fullOrd, PrefixComparators.LONG, prefixComputer,
           GraftSqlShims.pageSizeBytes, false)
-        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
         heaps.foreach { case (_, heap) =>
           heap.foreach(r => sorter.insertRow(r.asInstanceOf[UnsafeRow]))
         }

@@ -25,8 +25,11 @@ object WindowToTopKRule extends Rule[LogicalPlan] {
 
   private def bound(cond: Expression): Option[(AttributeReference, Int)] = cond match {
     case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) => Some((a, k))
-    case LessThan(a: AttributeReference, IntegerLiteral(k))        => Some((a, k - 1))
-    case _                                                         => None
+    // guard Int.MinValue: k - 1 would overflow to Int.MaxValue and turn an
+    // always-false filter into a top-everything
+    case LessThan(a: AttributeReference, IntegerLiteral(k)) if k > Int.MinValue =>
+      Some((a, k - 1))
+    case _ => None
   }
 
   /** Floating-point grouping keys are normalized (0.0 vs -0.0, NaN bit

@@ -22,20 +22,44 @@ import org.apache.spark.sql.functions._
   */
 object TextSources {
 
-  /** F1: whole files as rows. */
-  def wholeFiles(spark: SparkSession, pathGlob: String): DataFrame =
+  /** F1: whole files as rows. `input_file_name()` yields a URL-encoded
+    * absolute URI; the reference's apps key on the path as given on the
+    * command line (the indexer uses it as the document id), so decode it
+    * and relativize against the launch directory. Per-file rows, so the
+    * typed map's codegen break is irrelevant.
+    */
+  def wholeFiles(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val cwd = new java.io.File(".").getCanonicalPath + "/"
     spark.read
       .option("wholetext", "true")
       .text(pathGlob)
       .select(input_file_name().as("filename"), col("value").as("contents"))
+      .as[(String, String)]
+      .map { case (uri, contents) =>
+        val p =
+          try {
+            val path = new java.net.URI(uri).getPath
+            if (path == null) uri else path
+          } catch { case _: java.net.URISyntaxException => uri }
+        (if (p.startsWith(cwd)) p.substring(cwd.length) else p) -> contents
+      }
+      .toDF("filename", "contents")
+  }
 
   /** F2: lines as rows. */
   def lines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).select(col("value").as("line"))
 
-  /** F8: write a (key, value) frame in the reference's output format. */
+  /** F8: write a (key, value) frame in the reference's output format.
+    * Null values map to the empty string — the reference's data model has
+    * no nulls ("" is its only missing representation, SURVEY.md §1.1), and
+    * a bare `concat_ws` would drop the separator, producing a line
+    * `readKV` cannot parse.
+    */
   def writeKV(df: DataFrame, path: String): Unit =
-    df.select(concat_ws(" ", col("key"), col("value")).as("value"))
+    df.select(concat_ws(" ", coalesce(col("key"), lit("")), coalesce(col("value"), lit("")))
+        .as("value"))
       .write
       .mode("overwrite")
       .text(path)

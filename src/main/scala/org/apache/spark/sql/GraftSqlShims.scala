@@ -16,4 +16,11 @@ object GraftSqlShims {
     * `private[spark]`.
     */
   def pageSizeBytes: Long = org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+
+  /** Floating-point key normalization (0.0 == -0.0, canonical NaN) — the
+    * transformation Spark applies to groupBy/join/window keys;
+    * `NormalizeFloatingNumbers.normalize` is `private[sql]`.
+    */
+  def normalizeFloats(e: catalyst.expressions.Expression): catalyst.expressions.Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -38,6 +38,14 @@ class CatalogSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(messages(e).exists(_.contains("lengths differ")), e.toString)
   }
 
+  test("graft_dot_f yields NULL on a null array element (DuckDB parity)") {
+    Catalog.registerViews(spark, Sf0001)
+    val row = spark.sql(
+      "SELECT graft_dot_f(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d").head()
+    assert(row.isNullAt(0), s"expected NULL, got ${row.get(0)}")
+  }
+
   test("SQL top-N-per-group text hits the custom operator via the rewrite rule") {
     Catalog.registerViews(spark, Sf0001)
     val df = spark.sql("""

@@ -63,6 +63,49 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestBase {
     // optimizer unwraps the cast before this rule runs, which is correct)
   }
 
+  test("float keys: 0.0 and -0.0 group together, matching window semantics") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq((0.0, 1.0, 1L), (-0.0, 2.0, 2L), (0.0, 3.0, 3L), (1.5, 4.0, 4L))
+    val df   = rows.toDF("k", "v", "tie").repartition(4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(desc("v"), asc("tie"))
+    val want = df.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 2)
+      .select("v", "rn").as[(Double, Long)].collect().sorted.toSeq
+    for (threshold <- Seq(GroupedTopK.SpillThresholdDefault, "1")) {
+      withSQLConf(GroupedTopK.SpillThresholdKey -> threshold) {
+        val got = GroupedTopK.topK(df, Seq("k"), Seq("v" -> false, "tie" -> true), 2)
+          .select("v", "rn").as[(Double, Long)].collect().sorted.toSeq
+        assert(got == want,
+          s"threshold=$threshold: zero-sign keys split a group (got $got, want $want)")
+      }
+    }
+  }
+
+  test("rewrite rule leaves rn < Int.MinValue (always-false) to Spark") {
+    import org.apache.spark.sql.functions._
+    GroupedTopK.registerRewrite(spark)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("v")
+      val df = Seq((1L, 1.0)).toDF("k", "v")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") < Int.MinValue)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("GroupedTopK"))
+      assert(df.count() == 0)
+    } finally GroupedTopK.unregisterRewrite(spark)
+  }
+
+  test("map-typed grouping keys are rejected") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 1.0)).toDF("k", "v").withColumn("m", map(lit("a"), col("k")))
+    val e = intercept[Throwable] {
+      GroupedTopK.topK(df, Seq("m"), Seq("v" -> true), 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("map-typed key")), e.toString)
+  }
+
   test("k larger than every group returns whole groups, ranked") {
     val df = Seq((1L, 10.0), (1L, 30.0), (2L, 20.0)).toDF("k", "v")
     val out = GroupedTopK.topK(df, Seq("k"), Seq("v" -> false), k = 5)

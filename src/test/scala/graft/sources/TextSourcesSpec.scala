@@ -23,6 +23,25 @@ class TextSourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(1)._1.endsWith("b.txt") && rows(1)._2 == "solo")
   }
 
+  test("whole-file scan decodes URI escapes and relativizes cwd paths") {
+    val dir = Files.createTempDirectory("graft-enc").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "with space.txt"), "x")
+    val name = TextSources.wholeFiles(spark, s"$dir/*.txt")
+      .as[(String, String)].collect().head._1
+    // the raw input_file_name() would be file:/...with%20space.txt — the
+    // reference keys on the plain path (document ids in the indexer)
+    assert(name == s"$dir/with space.txt", name)
+  }
+
+  test("KV sink maps a null value to the empty string (reference's no-null model)") {
+    val sink = Files.createTempDirectory("graft-nullkv").toString + "/kv"
+    TextSources.writeKV(
+      Seq(("k1", Option("v1")), ("k2", None)).toDF("key", "value"), sink)
+    val back = TextSources.readKV(spark, sink)
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(back == Seq("k1" -> "v1", "k2" -> ""), back.toString)
+  }
+
   test("line scan strips trailing newline, one row per line") {
     val dir = Files.createTempDirectory("graft-lines").toString
     Files.writeString(java.nio.file.Paths.get(dir, "x.txt"), "l1\nl2\n\nl4\n")

@@ -23,11 +23,16 @@ object Catalog {
     * (session, dir) — repeated sql() calls don't re-read parquet footers.
     */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    if (registeredDir.get(spark) != dir) {
-      TableNames.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
-      functions.VectorFunctions.register(spark)
-      plans.GroupedTopK.registerRewrite(spark)
-      registeredDir.put(spark, dir)
+    // synchronized on the session (same monitor as Tables.events): two
+    // threads registering different dirs would otherwise interleave the
+    // per-table loop and cache a mixed-dir view set
+    spark.synchronized {
+      if (registeredDir.get(spark) != dir) {
+        TableNames.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+        functions.VectorFunctions.register(spark)
+        plans.GroupedTopK.registerRewrite(spark)
+        registeredDir.put(spark, dir)
+      }
     }
 
   /** Convenience: SQL against the registered views. */

@@ -19,7 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_dot_f"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot_f"),
-      exprs => FloatDotProduct(exprs.head, exprs(1))))
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_dot_f requires exactly 2 arguments, got ${exprs.length}")
+        FloatDotProduct(exprs.head, exprs(1))
+      }))
     e.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.WindowToTopKRule)
   }

@@ -91,7 +91,11 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_f",
-      exprs => FloatDotProduct(exprs.head, exprs(1)),
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_dot_f requires exactly 2 arguments, got ${exprs.length}")
+        FloatDotProduct(exprs.head, exprs(1))
+      },
       "scala_udf")
 
   def dotF(spark: SparkSession, a: Column, b: Column): Column = {

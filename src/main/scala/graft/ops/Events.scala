@@ -133,7 +133,9 @@ object Events {
       .withColumn("ord",
         concat(
           lpad(unix_micros(col("ts")).cast("string"), 20, "0"), lit(":"),
-          lpad(col("event_id").cast("string"), 12, "0")))
+          // 20-wide: lpad TRUNCATES over-width input, which would invert
+          // the tiebreak for ids past 1e12 — plausible at design scale
+          lpad(col("event_id").cast("string"), 20, "0")))
       .groupBy("user_id")
       .agg(
         min_by(col("event_type"), col("ord")).as("first_type"),
@@ -260,8 +262,8 @@ object Events {
          UNION ALL SELECT '3_purchase', count(*) FROM p""",
     "events_first_last" ->
       """SELECT user_id,
-         arg_min(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_type,
-         arg_max(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type,
+         arg_min(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS first_type,
+         arg_max(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS last_type,
          count(*) AS n
          FROM events GROUP BY 1""",
     "events_retention" ->
@@ -309,7 +311,7 @@ object Events {
            lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS next_gap_us
          FROM events""",
     "events_json" ->
-      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events",
+      "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events",
     "events_pivot" ->
       """SELECT user_id,
            count(*) FILTER (WHERE event_type = 'click') AS n_click,

@@ -402,7 +402,8 @@ object Relational {
   def arrayFuncs(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
-      .select(col("doc_id"), filter(split(col("text"), "[^\\p{L}]+"), _ =!= "").as("toks"))
+      .select(col("doc_id"),
+        filter(graft.text.Tokenize.tokenCol(col("text")), _ =!= "").as("toks"))
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"),

@@ -17,8 +17,11 @@ private case class SessionState(startUs: Long, endUs: Long, n: Long)
 /** A user's current funnel stage (0 = none … 3 = purchased). */
 case class FunnelStage(user_id: Long, stage: Int)
 
-/** Funnel frontier times (epoch µs; Long.MaxValue = stage not reached). */
-private case class FunnelState(tv: Long, tc: Long, tp: Long)
+/** Funnel frontier times (epoch µs; Long.MaxValue = stage not reached);
+  * maxUs tracks the latest event time seen so cross-batch order
+  * violations fail loudly instead of silently dropping stages.
+  */
+private case class FunnelState(tv: Long, tc: Long, tp: Long, maxUs: Long)
 
 /** Structured Streaming surface: the batch Events plans re-expressed as
   * incremental queries. The reference is pure batch (SURVEY.md §2.3 —
@@ -36,9 +39,12 @@ object EventStream extends Serializable {
 
   /** Full-microsecond epoch value — `Timestamp.getTime` alone is
     * millisecond-truncated; the sub-ms part lives in the nanos field.
+    * floorDiv, not `/`: for pre-epoch timestamps truncation toward zero
+    * would pair a too-high second with the always-positive nanos and
+    * flip the sub-second sign (matching `unix_micros` requires flooring).
     */
   private def tsMicros(ts: java.sql.Timestamp): Long =
-    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** Tumbling-window counts/sums with a 1-hour watermark — the streaming
     * twin of `events_hourly` (graft.ops.Events.hourly).
@@ -91,20 +97,31 @@ object EventStream extends Serializable {
     * the earliest qualifying view/click/purchase times (strictly
     * increasing), emitting the user's current stage each update. Events
     * are sorted per batch like the sessionizer; across batches the
-    * frontier recurrence is order-safe for event-time-ordered delivery
-    * (frontiers only move earlier as earlier events are processed first).
-    * State per user is three longs — bounded regardless of stream length.
+    * recurrence is only exact for event-time-ordered delivery (a late
+    * view could retroactively qualify a click already discarded), so the
+    * operator ENFORCES that contract — a cross-batch regression throws
+    * instead of silently under-reporting stages. Feed it an event-time
+    * sorted stream (e.g. watermark-reordered upstream). State per user is
+    * four longs — bounded regardless of stream length.
     */
   def funnelStages(events: Dataset[Event]): Dataset[FunnelStage] = {
     import events.sparkSession.implicits._
 
     def fn(userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]): FunnelStage = {
-      val s0 = state.getOption.getOrElse(FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue))
-      var tv = s0.tv
-      var tc = s0.tc
-      var tp = s0.tp
+      val s0 = state.getOption
+        .getOrElse(FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue, Long.MinValue))
+      var tv    = s0.tv
+      var tc    = s0.tc
+      var tp    = s0.tp
+      var maxUs = s0.maxUs
       batch.toVector.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
         val us = tsMicros(e.ts)
+        if (us < maxUs)
+          throw new IllegalStateException(
+            s"funnelStages: out-of-order cross-batch delivery for user $userId " +
+              s"(event at $us µs after state advanced to $maxUs µs) — the frontier " +
+              "recurrence requires event-time-ordered batches")
+        maxUs = math.max(maxUs, us)
         e.event_type match {
           case "view"     => tv = math.min(tv, us)
           case "click"    => if (us > tv) tc = math.min(tc, us)
@@ -112,7 +129,7 @@ object EventStream extends Serializable {
           case _          => ()
         }
       }
-      state.update(FunnelState(tv, tc, tp))
+      state.update(FunnelState(tv, tc, tp, maxUs))
       val stage =
         if (tp != Long.MaxValue) 3
         else if (tc != Long.MaxValue) 2

@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr —
+// without this, sbt re-logs every line with an "[info] " prefix, which
+// breaks the driver's parse of Bench's one-line JSON contract.
+run / outputStrategy := Some(StdoutOutput)
+// The round-driver captures only the tail of stdout and parses the last
+// JSON line; sbt's trailing "[success] Total time ..." line must not
+// displace it out of that window.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

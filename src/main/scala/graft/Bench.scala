@@ -71,13 +71,33 @@ object Bench {
         (name, sorted(Runs / 2), sorted.last - sorted.head)
       }
     }
-    def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map { case r @ (k, _, _) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
-    val qs      = jmap(_._2)
-    val spreads = jmap(_._3)
-    val total   = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$Runs,"spread":$spreads,"sf":"$sfDir"}""")
+    // The driver stores only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that window (rounds 1-3 shipped a ~4 KB line with
+    // full-precision doubles + a spread map -> "parsed": null every round).
+    // So the stdout line must stay compact: adaptive-precision seconds,
+    // numeric sf, no spread map. Full precision + spreads go to
+    // BENCH_FULL.json in the cwd for tools/bench_compare.py.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else if (v >= 10) f"$v%.1f"
+      else if (v >= 0.1) f"$v%.2f"
+      else f"$v%.3f"
+    def jmap(f: ((String, Double, Double)) => Double, p: Double => String): String =
+      results.map { case r @ (k, _, _) => "\"" + k + "\":" + p(f(r)) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    def line(p: Double => String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(_._2, p)},"runs":$Runs,"sf":$sfNum}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2, _.toString)},"runs":$Runs,"spread":${jmap(_._3, _.toString)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    // degrade precision rather than overflow the driver's tail window
+    val out = Seq(line(fmt), line(v => if (v < 0) "-1" else f"$v%.2f"))
+      .find(_.length <= 1900)
+      .getOrElse(line(v => if (v < 0) "-1" else f"$v%.1f"))
+    println(out)
     spark.stop()
   }
 }

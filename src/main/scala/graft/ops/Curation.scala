@@ -225,13 +225,44 @@ object Curation {
         (sum(col("cos").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("avg_cos"))
   }
 
+  // -------------------------------------------------------------- pii scrub
+
+  /** Identifier runs (the fixtures' stand-in for PII: digit sequences in
+    * customer/supplier names and raw event props). A real deployment swaps
+    * the pattern set for email/phone/SSN regexes — the plan shape (scan →
+    * regexp project → partial agg) is identical.
+    */
+  val PiiPattern = "[0-9]+"
+
+  /** Redaction audit: per source table, row count, total identifier runs
+    * redacted, and the distinct masked forms that remain. One scan per
+    * table, no joins; the masking itself ([[PiiPattern]] → `<ID>`) is the
+    * projection a cleaning pipeline would write back out.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, tbl: String, c: Column): DataFrame =
+      df.select(
+        lit(tbl).as("tbl"),
+        regexp_replace(c, PiiPattern, "<ID>").as("masked"),
+        size(regexp_extract_all(c, lit(PiiPattern), lit(0))).cast("long").as("runs"))
+    audit(Tables.customer(s, dir), "customer", col("c_name"))
+      .unionAll(audit(Tables.supplier(s, dir), "supplier", col("s_name")))
+      .unionAll(audit(Tables.events(s, dir), "events", col("props")))
+      .groupBy("tbl")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("runs")).as("n_redacted"),
+        count_distinct(col("masked")).as("n_forms"))
+  }
+
   val queries: Map[String, Q] = Map(
     "text_repetition"    -> (repetition _),
     "text_contamination" -> (contamination _),
     "sample_split"       -> (split _),
     "text_chunks"        -> (chunks _),
     "text_tfidf"         -> (tfidf _),
-    "embed_assign"       -> (centroidAssign _)
+    "embed_assign"       -> (centroidAssign _),
+    "pii_scrub"          -> (piiScrub _)
   )
 
   /** Tokenized docs as DuckDB lists, one row per doc. The split pattern is
@@ -295,6 +326,14 @@ object Curation {
                ORDER BY CAST(tc.tf * (SELECT nd FROM n) AS DOUBLE) / dfreq.df DESC, tc.t ASC) AS rn
            FROM tc JOIN dfreq ON tc.t = dfreq.t)
          WHERE rn <= $TfidfK""",
+    "pii_scrub" ->
+      s"""SELECT tbl, count(*) AS n_rows,
+           CAST(sum(len(regexp_extract_all(v, '$PiiPattern'))) AS BIGINT) AS n_redacted,
+           count(DISTINCT regexp_replace(v, '$PiiPattern', '<ID>', 'g')) AS n_forms
+         FROM (SELECT 'customer' tbl, c_name v FROM customer
+               UNION ALL SELECT 'supplier', s_name FROM supplier
+               UNION ALL SELECT 'events', props FROM events)
+         GROUP BY 1""",
     "embed_assign" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb,
                      sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm

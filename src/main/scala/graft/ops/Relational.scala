@@ -61,6 +61,54 @@ object Relational {
       .filter(col("l_quantity") < 24)
       .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
 
+  /** The two nations q7_volume trades between. */
+  val Q7NationA = "NATION_1"
+  val Q7NationB = "NATION_2"
+
+  /** TPC-H Q7 shape (volume shipping): the deepest join tree in the
+    * catalog — lineitem x orders x customer x supplier x nation x nation.
+    * The nation sides are pre-filtered to the two trading partners and
+    * broadcast; the fact-side joins are left to Catalyst/AQE (customer
+    * and supplier broadcast automatically at fixture scale; at 100 TB
+    * AQE picks shuffled hash joins keyed on the order/supplier keys).
+    */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq(Q7NationA, Q7NationB)
+    val n1 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(
+        col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+  }
+
+  /** Sketch summaries: HyperLogLog++ distinct counts and KLL-style
+    * approximate percentiles — the sub-linear-memory answers a 100 TB
+    * exploratory scan actually uses (an exact count_distinct shuffles
+    * every distinct key; the HLL sketch is a few KB per partition and
+    * merges order-independently). No DuckDB oracle: the two engines'
+    * sketch internals differ by design, so the driver records the weaker
+    * rows-only check and ApproxStatsSpec bounds the error vs the exact
+    * answers instead.
+    */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+
   /** min/max/count per group — order-independent extremes. */
   def aggMinMax(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -497,6 +545,8 @@ object Relational {
     "q3_topk_revenue"    -> (q3TopkRevenue _),
     "q5_nation_revenue"  -> (q5NationRevenue _),
     "q6_forecast"        -> (q6Forecast _),
+    "q7_volume"          -> (q7Volume _),
+    "approx_stats"       -> (approxStats _),
     "join_broadcast"     -> (joinBroadcastParts _),
     "join_semi"          -> (joinSemi _),
     "join_anti"          -> (joinAnti _),
@@ -557,6 +607,19 @@ object Relational {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         ${ds("l_extendedprice * (1.0 - l_discount)")} AS volume
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name IN ('$Q7NationA', '$Q7NationB')
+           AND n2.n_name IN ('$Q7NationA', '$Q7NationB')
+           AND n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3""",
     "agg_minmax" ->
       "SELECT s_nationkey, min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal, count(*) AS n_suppliers FROM supplier GROUP BY 1",
     "distinct_agg" ->

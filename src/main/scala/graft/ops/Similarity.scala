@@ -165,9 +165,86 @@ object Similarity {
       .select("va", "vb", "cos", "rn")
   }
 
+  /** IVF geometry: coarse centroids (the first `IvfK` vectors, the same
+    * fixed-centroid convention as Curation.centroidAssign) and the number
+    * of nearest cells each query probes.
+    */
+  val IvfK   = 8
+  val NProbe = 2
+
+  /** IVF-style ANN — the other classic scale path next to LSH (see
+    * PAPERS.md on inverted-file indexes): every vector is assigned to its
+    * nearest coarse centroid (a pure scan-side projection — centroids ship
+    * as literals, so there is NO join and no shuffle to build the index),
+    * each query probes its [[NProbe]] nearest cells, and only vectors in
+    * probed cells are reranked by exact cosine.
+    *
+    * Scale shape: the cell id is 8 bytes per vector; candidates per query
+    * are ~NProbe·n/K rows reached through one equi-join on cell id. A real
+    * deployment sizes K ~ sqrt(n) (so both the centroid set and the cell
+    * occupancy grow as sqrt(n)) and switches the assignment projection to
+    * a broadcast join once K outgrows comfortable literal/codegen size
+    * (~hundreds); the plan shape is otherwise unchanged. Recall vs the
+    * brute-force baseline is asserted in the test suite.
+    */
+  def ivf(s: SparkSession, dir: String): DataFrame = {
+    val cents: Seq[(Long, Seq[Float], Double)] = Tables
+      .embeddings(s, dir)
+      .filter(col("vec_id") < IvfK)
+      .select("vec_id", "embedding")
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        // left-to-right double fold — bit-identical to FloatDotProduct and
+        // DuckDB list_inner_product (oracle-parity requirement)
+        val norm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+        (r.getLong(0), v, norm)
+      }
+      .sortBy(_._1)
+      .toSeq
+    val e = withNorm(Tables.embeddings(s, dir))
+    // cells ranked best-first per vector; ties break to the lowest cid —
+    // the comparator mirrors the oracle's ORDER BY cos DESC, cid ASC
+    // (avoids sorting on a negated double, where -0.0 vs 0.0 could
+    // diverge from SQL ordering)
+    val ranked = array_sort(
+      array(cents.map { case (cid, v, cnorm) =>
+        struct(
+          (VectorFunctions.dotF(s, col("embedding"), typedLit(v)) / (col("norm") * lit(cnorm)))
+            .as("cos"),
+          lit(cid).as("cid"))
+      }: _*),
+      (l, r) =>
+        when(l("cos") > r("cos"), -1)
+          .when(l("cos") < r("cos"), 1)
+          .when(l("cid") < r("cid"), -1)
+          .when(l("cid") > r("cid"), 1)
+          .otherwise(0))
+    val assigned = e.select(col("vec_id"), col("embedding"), col("norm"), ranked.as("cells"))
+    val index = assigned
+      .select(
+        col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"),
+        element_at(col("cells"), 1)("cid").as("cell"))
+    val probes = assigned
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(
+        col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"),
+        explode(slice(col("cells"), 1, NProbe)).as("pc"))
+      .select(col("va"), col("ea"), col("na"), col("pc")("cid").as("cell"))
+    val w = Window.partitionBy("va").orderBy(desc("cos"), asc("vb"))
+    broadcast(probes)
+      .join(index, "cell")
+      .filter(col("va") =!= col("vb"))
+      .withColumn("cos", cosine(s, col("ea"), col("eb"), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("va", "vb", "cos", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk"    -> (topkBrute _),
-    "sim_ann_lsh" -> (annLsh _)
+    "sim_ann_lsh" -> (annLsh _),
+    "sim_ivf"     -> (ivf _)
   )
 
   // shared with Dedup's embedding oracle so the bucketing SQL can't drift
@@ -216,6 +293,24 @@ object Similarity {
              row_number() OVER (PARTITION BY va
                ORDER BY list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) DESC, vb ASC) AS rn
            FROM cand JOIN e qa ON qa.vec_id = va JOIN e qb ON qb.vec_id = vb)
+         WHERE rn <= $TopK""",
+    "sim_ivf" ->
+      s"""WITH $duckNorm,
+         cent AS (SELECT vec_id cid, emb cemb, nrm cnrm FROM e WHERE vec_id < $IvfK),
+         ranked AS (SELECT e.vec_id, cent.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.emb, cent.cemb) / (e.nrm * cent.cnrm) DESC, cent.cid ASC) crn
+           FROM e CROSS JOIN cent),
+         cells AS (SELECT vec_id vb, cid cell FROM ranked WHERE crn = 1),
+         probes AS (SELECT vec_id va, cid cell FROM ranked
+                    WHERE vec_id < $NumQueryVecs AND crn <= $NProbe)
+         SELECT va, vb, cos, rn FROM (
+           SELECT va, vb,
+             list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) AS cos,
+             row_number() OVER (PARTITION BY va
+               ORDER BY list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) DESC, vb ASC) AS rn
+           FROM probes p JOIN cells c ON p.cell = c.cell AND p.va <> c.vb
+           JOIN e qa ON qa.vec_id = p.va JOIN e qb ON qb.vec_id = c.vb)
          WHERE rn <= $TopK"""
   )
 }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Storage-layout operators: the two write-side techniques that pay for
+  * themselves at 100 TB.
+  *
+  *  - bucket_join : lineitem and orders are bucketed (and sorted) on the
+  *    join key at WRITE time, so the fact-fact join needs no exchange at
+  *    all — the sort-merge join reads co-located buckets directly. On a
+  *    real cluster this turns the single most expensive shuffle of a
+  *    TPC-H-shaped workload (lineitem x orders, re-joined by every
+  *    reporting query) into a one-time cost paid by the ETL writer.
+  *    PlanAuditSpec asserts the executed plan contains zero shuffle
+  *    exchanges.
+  *  - part_prune  : orders written partitioned by month; a month-filtered
+  *    aggregate must touch exactly one partition directory. The scan's
+  *    partition count is asserted in PlanAuditSpec — a 100 TB table is
+  *    only queryable interactively because of this directory-level
+  *    pruning.
+  *
+  * The derived tables are materialized at most once per (session, sf-dir)
+  * into the session warehouse (`spark-warehouse/`, a local stand-in for
+  * the lake); results are identical to querying the raw parquet, which is
+  * exactly what the DuckDB oracle does.
+  */
+object Storage {
+  type Q = (SparkSession, String) => DataFrame
+
+  val Buckets    = 8
+  val PruneMonth = "1995-03"
+
+  private val built = new ConcurrentHashMap[String, Boolean]()
+
+  /** Deterministic short table-name tag per sf dir ("sf0.01" -> "sf0_01"). */
+  private def tag(dir: String): String =
+    dir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Idempotently materialize the bucketed/partitioned twins for `dir`.
+    * computeIfAbsent both de-dupes across the catalog's repeated calls
+    * (Bench runs every query 3x) and serializes concurrent first calls.
+    */
+  /** Drop `table` and its warehouse directory. The warehouse outlives the
+    * in-memory catalog across JVM runs, and saveAsTable refuses to create
+    * a "new" managed table over a leftover location
+    * (LOCATION_ALREADY_EXISTS) — so a fresh session must clear both.
+    */
+  private def reset(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh   = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), table)
+    val fs   = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+  }
+
+  private def ensure(s: SparkSession, dir: String): String = {
+    val t = tag(dir)
+    built.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", { _ =>
+      Seq(s"graft_li_bkt_$t", s"graft_ord_bkt_$t", s"graft_ord_month_$t")
+        .foreach(reset(s, _))
+      Tables.lineitem(s, dir)
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"graft_li_bkt_$t")
+      Tables.orders(s, dir)
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"graft_ord_bkt_$t")
+      Tables.orders(s, dir)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .saveAsTable(s"graft_ord_month_$t")
+      true
+    })
+    t
+  }
+
+  /** Revenue by order status through the co-located join. The merge hint
+    * keeps the plan a sort-merge join (broadcast would also avoid the
+    * exchange on the fixture, but SMJ-over-buckets is the shape that
+    * scales to two 100 TB fact tables).
+    */
+  def bucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val t  = ensure(s, dir)
+    val li = s.table(s"graft_li_bkt_$t").hint("merge")
+    val o  = s.table(s"graft_ord_bkt_$t")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)"))
+          .cast("double").as("revenue"))
+  }
+
+  /** One month's order mix — a scan that must read 1 of ~80 partitions. */
+  def partPrune(s: SparkSession, dir: String): DataFrame = {
+    val t = ensure(s, dir)
+    s.table(s"graft_ord_month_$t")
+      .filter(col("o_month") === PruneMonth)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("sum_price"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "bucket_join" -> (bucketJoin _),
+    "part_prune"  -> (partPrune _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "bucket_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "part_prune" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+         FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '$PruneMonth'
+         GROUP BY 1"""
+  )
+}

@@ -18,7 +18,8 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
       "typed"      -> ops.TypedAgg.queries.keys,
       "skew"       -> ops.Skew.queries.keys,
       "pipeline"   -> ops.Pipeline.queries.keys,
-      "curation"   -> ops.Curation.queries.keys)
+      "curation"   -> ops.Curation.queries.keys,
+      "storage"    -> ops.Storage.queries.keys)
     val all = modules.flatMap(_._2).toSeq
     assert(all.size == all.distinct.size,
       s"duplicate query names: ${all.diff(all.distinct).distinct.mkString(", ")}")
@@ -26,10 +27,15 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("every query has oracle SQL (full-strength correctness gate)") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only checks are reserved for genuinely oracle-inexpressible
+    // results; each entry here must have a spec bounding its error against
+    // an exact twin instead (approx_stats -> ApproxStatsSpec)
+    val rowsOnly = Set("approx_stats")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"rows-only (weak) checks for: ${missing.mkString(", ")}")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracle without query: ${orphaned.mkString(", ")}")
+    assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty, "stale rows-only allowlist entry")
   }
 
   test("flagship entry returns rows on sf0.001") {

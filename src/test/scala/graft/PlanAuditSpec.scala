@@ -92,6 +92,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   }
 
 
+  test("bucket_join runs shuffle-free over the co-located buckets") {
+    // the whole point of the bucketed layout: a fact-fact sort-merge join
+    // with ZERO exchanges (and no per-query sort either — the buckets are
+    // written sorted on the join key)
+    val p = plan("bucket_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // the only exchange is the 3-group final aggregate; an unbucketed
+    // lineitem x orders join would add one per join side (3 total)
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"bucketed join still shuffles its inputs:\n$p")
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
+  test("part_prune touches exactly one partition of the month-partitioned table") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = SparkEntry.queries("part_prune")(spark, Sf0001)
+      .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, "no partition filters on the scan")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, got ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("pipeline_clean_corpus reuses exchanges for its repeated subtrees") {
     // static planner check (AQE reuses at runtime via the stage cache,
     // which doesn't show in the pre-execution plan string)

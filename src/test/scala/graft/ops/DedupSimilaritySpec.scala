@@ -148,4 +148,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     info(f"ann recall vs brute-force top-${Similarity.TopK}: $recall%.3f")
     assert(recall > 0.0)
   }
+
+  test("ivf: cosines exact, per-query k bounded, recall vs brute force reported") {
+    val brute = Similarity.topkBrute(spark, Sf0001)
+      .select("va", "vb", "cos").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val ivf = Similarity.ivf(spark, Sf0001)
+      .select("va", "vb", "cos").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty, "ivf produced no candidates — cell assignment degenerate")
+    ivf.foreach { case (a, b, c) =>
+      brute.get((a, b)).foreach(expected => assert(expected == c,
+        s"ivf cosine for ($a,$b) = $c but brute-force computed $expected"))
+    }
+    assert(ivf.groupBy(_._1).values.forall(_.length <= Similarity.TopK))
+    val recall = ivf.map { case (a, b, _) => (a, b) }.toSet
+      .intersect(brute.keySet).size.toDouble / brute.size
+    info(f"ivf (K=${Similarity.IvfK}, nprobe=${Similarity.NProbe}) recall vs brute-force: $recall%.3f")
+    assert(recall > 0.0)
+  }
 }

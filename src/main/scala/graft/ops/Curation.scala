@@ -225,6 +225,42 @@ object Curation {
         (sum(col("cos").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("avg_cos"))
   }
 
+  // ------------------------------------------------------------- seq pack
+
+  /** Packing geometry: documents are distributed across [[PackBuckets]]
+    * independent lanes and packed into shards of [[PackCapacity]] tokens.
+    */
+  val PackBuckets  = 16
+  val PackCapacity = 512
+
+  /** Sequence packing: assign every document to a training shard of
+    * ~[[PackCapacity]] tokens. Documents land in a deterministic lane
+    * (hash60 of the doc id mod [[PackBuckets]]), are ordered totally
+    * within the lane (hash, then unique doc_id), and a doc belongs to the
+    * shard where its exclusive running token count starts — the standard
+    * streaming first-fit approximation (a doc spanning a boundary stays
+    * in the shard it started in, so shards can overflow by at most one
+    * document).
+    *
+    * Scale shape: the cumulative sum is windowed PER LANE, so the sort
+    * parallelism is [[PackBuckets]]-way (sized to the cluster in a real
+    * deployment) — never a global single-partition window. One shuffle on
+    * the lane key, then a partial-aggregated rollup per shard.
+    */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val h = TextHash.hash60(concat(lit("pack:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withToks(s, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("nt"))
+      .withColumn("h", h)
+      .withColumn("bucket", col("h") % PackBuckets)
+      .withColumn("cum", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .select(col("bucket"), expr(s"cum div $PackCapacity").as("shard_id"), col("nt"))
+      .groupBy("bucket", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+  }
+
   // -------------------------------------------------------------- pii scrub
 
   /** Identifier runs (the fixtures' stand-in for PII: digit sequences in
@@ -262,7 +298,8 @@ object Curation {
     "text_chunks"        -> (chunks _),
     "text_tfidf"         -> (tfidf _),
     "embed_assign"       -> (centroidAssign _),
-    "pii_scrub"          -> (piiScrub _)
+    "pii_scrub"          -> (piiScrub _),
+    "seq_pack"           -> (seqPack _)
   )
 
   /** Tokenized docs as DuckDB lists, one row per doc. The split pattern is
@@ -326,6 +363,17 @@ object Curation {
                ORDER BY CAST(tc.tf * (SELECT nd FROM n) AS DOUBLE) / dfreq.df DESC, tc.t ASC) AS rn
            FROM tc JOIN dfreq ON tc.t = dfreq.t)
          WHERE rn <= $TfidfK""",
+    "seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(l) AS BIGINT) nt,
+             ${TextHash.duckHash60Of("'pack:' || CAST(doc_id AS VARCHAR)")} h
+           FROM ($duckToksList)),
+         c AS (SELECT h % $PackBuckets AS bucket, nt,
+             CAST(coalesce(sum(nt) OVER (PARTITION BY h % $PackBuckets ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) cum
+           FROM t)
+         SELECT bucket, cum // $PackCapacity AS shard_id,
+           count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+         FROM c GROUP BY 1, 2""",
     "pii_scrub" ->
       s"""SELECT tbl, count(*) AS n_rows,
            CAST(sum(len(regexp_extract_all(v, '$PiiPattern'))) AS BIGINT) AS n_redacted,

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkTestBase, Tables}
+
+/** Properties of the curation operators the row-level oracle can't state:
+  * the packing invariants (coverage, overflow bound, partitioning
+  * independence) that make seq_pack's shards safe to feed a trainer.
+  */
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("seq_pack: shards cover every document exactly once") {
+    val shards = Curation.seqPack(spark, Sf0001)
+    val nDocs  = Tables.documents(spark, Sf0001).count()
+    assert(shards.agg(sum("n_docs")).as[Long].head() == nDocs)
+  }
+
+  test("seq_pack: no shard exceeds capacity by more than one document") {
+    // a doc that starts inside a shard's token window stays there, so a
+    // shard holds at most capacity + (longest single doc) tokens; a doc
+    // longer than the capacity legitimately owns its own oversized shard
+    val maxDoc = Tables.documents(spark, Sf0001)
+      .select(size(split(col("text"), "[^\\p{L}]+")).cast("long"))
+      .as[Long].collect().max
+    val worst = Curation.seqPack(spark, Sf0001)
+      .agg(max("n_tokens")).as[Long].head()
+    assert(worst <= Curation.PackCapacity + maxDoc,
+      s"shard of $worst tokens exceeds capacity ${Curation.PackCapacity} + max doc $maxDoc")
+  }
+
+  test("seq_pack: shard ids are dense per lane and lane count is bounded") {
+    val shards = Curation.seqPack(spark, Sf0001)
+      .select("bucket", "shard_id").as[(Long, Long)].collect()
+    assert(shards.map(_._1).distinct.length <= Curation.PackBuckets)
+    shards.groupBy(_._1).foreach { case (b, xs) =>
+      val ids = xs.map(_._2).sorted
+      assert(ids.head == 0 && ids.last == ids.length - 1,
+        s"lane $b shard ids not dense: ${ids.mkString(",")}")
+    }
+  }
+
+  test("seq_pack: deterministic across reruns and shuffle-partition counts") {
+    val a = Curation.seqPack(spark, Sf0001)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    withSQLConf("spark.sql.shuffle.partitions" -> "13") {
+      val b = Curation.seqPack(spark, Sf0001)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(a == b)
+    }
+  }
+}

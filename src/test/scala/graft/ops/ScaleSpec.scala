@@ -125,6 +125,60 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("AQE splits the skewed partition of a hot-key join") {
+    // the runtime half of the skew story (Skew.saltedTotals is the manual
+    // half): 95% of the fact rows share one join key, thresholds scaled
+    // to the fixture, and AQE must re-plan the join with the hot
+    // partition split (isSkewJoin) while returning exactly one row per
+    // fact row
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.ShuffledJoin
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+    withTempDir("graft-skew") { dir =>
+      // materialize both sides as MULTI-FILE parquet first: AQE splits a
+      // skewed reduce partition at map-output-block granularity, so the
+      // hot key's bytes must come from several mappers — reading a
+      // single-row-group file gives one mapper, whose block is
+      // indivisible, and the skew rule silently declines to split
+      li.select(
+          when(col("l_orderkey") % 20 =!= 0, lit(0L)).otherwise(col("l_orderkey")).as("k"),
+          col("l_quantity"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/fact.parquet")
+      val fact = spark.read.parquet(s"$dir/fact.parquet")
+      fact.select("k").distinct().withColumn("payload", col("k") * 2)
+        .write.mode("overwrite").parquet(s"$dir/dim.parquet")
+      val dim = spark.read.parquet(s"$dir/dim.parquet")
+      withSQLConf(
+        "spark.sql.adaptive.enabled"                                  -> "true",
+        "spark.sql.autoBroadcastJoinThreshold"                        -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold"               -> "-1",
+        "spark.sql.adaptive.skewJoin.enabled"                         -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor"           -> "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> "64KB") {
+        val j = fact.join(dim, "k")
+        // execute j's own physical plan (count() would plan a different
+        // query and leave this AdaptiveSparkPlan un-finalized)
+        assert(j.queryExecution.toRdd.count() == fact.count(),
+          "hot-key join lost or duplicated rows")
+        val joins = walk(j.queryExecution.executedPlan).collect { case s: ShuffledJoin => s }
+        assert(joins.nonEmpty, "expected a shuffled join in the adaptive plan")
+        assert(joins.exists(_.isSkewJoin),
+          s"AQE did not mark the join skew-split:\n${j.queryExecution.executedPlan}")
+      }
+    }
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     val li    = Tables.lineitem(spark, Sf0001)
     val exact = li.select(count_distinct(col("l_orderkey"))).as[Long].head()

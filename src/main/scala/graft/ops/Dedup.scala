@@ -167,8 +167,11 @@ object Dedup {
     * Jaccard. The banding join is the scale path: signatures shuffle by
     * (band, sig), so the pair space is bounded by genuine collisions.
     */
-  def minhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir)
+  /** Banded-signature candidate pairs (da < db, distinct) from the
+    * shingle table — the blocking stage shared by [[minhash]] (exact
+    * Jaccard verify) and [[fuzzy]] (edit-distance verify).
+    */
+  private def minhashCands(sh: DataFrame): DataFrame = {
     // all hash lanes as parallel aggregation columns — one pass over the
     // shingle table instead of a seeds crossJoin (36x the rows), and one
     // md5 per row with integer lane arithmetic instead of 36 md5 calls
@@ -185,18 +188,44 @@ object Dedup {
     val bands = mh
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cands = bands
+    bands
       .select(col("doc_id").as("da"), col("band"), col("sig"))
       .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("da") < col("db"))
       .select("da", "db")
       .distinct()
+  }
+
+  def minhash(s: SparkSession, dir: String): DataFrame = {
+    val sh    = docShingles(s, dir)
+    val cands = minhashCands(sh)
     val pairs = cands
       .join(sh.select(col("doc_id").as("da"), col("sh")), "da")
       .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
       .groupBy("da", "db")
       .agg(count(lit(1)).as("i"))
     verifyJaccard(pairs, sh)
+  }
+
+  /** Max relative edit distance for [[fuzzy]] (distance / longer length). */
+  val FuzzyMaxRel = 0.4
+
+  /** Fuzzy dedup: the same MinHash banding bounds the candidate space,
+    * but verification is character-level edit distance (Levenshtein)
+    * relative to the longer text — the classic fuzzy-match metric for
+    * boilerplate variants that token-set Jaccard scores too leniently.
+    * Levenshtein is O(|a|·|b|) per pair, which is exactly why it runs
+    * only on blocked candidates, never all pairs.
+    */
+  def fuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val dist = levenshtein(col("ta"), col("tb")).cast("long")
+    val rel  = dist.cast("double") / greatest(length(col("ta")), length(col("tb"))).cast("double")
+    minhashCands(docShingles(s, dir))
+      .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+      .select(col("da"), col("db"), dist.as("dist"), rel.as("rel"))
+      .filter(col("rel") <= FuzzyMaxRel)
   }
 
   // ---------------------------------------------------------------- simhash
@@ -383,7 +412,8 @@ object Dedup {
     "dedup_minhash"   -> (minhash _),
     "dedup_simhash"   -> (simhash _),
     "dedup_embedding" -> (embedding _),
-    "dedup_clusters"  -> (clusters _)
+    "dedup_clusters"  -> (clusters _),
+    "dedup_fuzzy"     -> (fuzzy _)
   )
 
   private val h = TextHash.duckHash60Of _
@@ -407,7 +437,11 @@ object Dedup {
   /** The full minhash WITH-chain up to `pairs` — importable as the edge
     * set of the clustering oracle.
     */
-  private[ops] val duckMinhashPairsCte =
+  /** The minhash WITH-chain up to the blocked candidate set `cand(da, db)`
+    * — shared by the Jaccard-verified pairs chain and the fuzzy
+    * (edit-distance-verified) oracle.
+    */
+  private[ops] val duckMinhashCandCte =
     s"""sh AS ($duckShingles),
        based AS (SELECT doc_id, sh % $ModP h32 FROM sh),
        mh AS (SELECT doc_id, j, min(((2*j+1)*h32 + 7919*j) % $ModP) mh
@@ -415,7 +449,10 @@ object Dedup {
        bands AS (SELECT doc_id, j // $BandRows band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) sig
                  FROM mh GROUP BY 1, 2),
        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
-                FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+                FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
+
+  private[ops] val duckMinhashPairsCte =
+    s"""$duckMinhashCandCte,
        $duckPairsCte"""
 
   val oracle: Map[String, String] = Map(
@@ -429,6 +466,14 @@ object Dedup {
     "dedup_minhash" ->
       s"""WITH $duckMinhashPairsCte
          SELECT da, db, jaccard FROM pairs""",
+    "dedup_fuzzy" ->
+      s"""WITH $duckMinhashCandCte
+         SELECT da, db, dist, rel FROM (
+           SELECT da, db, CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist,
+             CAST(levenshtein(x.text, y.text) AS DOUBLE) /
+               CAST(greatest(length(x.text), length(y.text)) AS DOUBLE) AS rel
+           FROM cand JOIN documents x ON x.doc_id = da JOIN documents y ON y.doc_id = db)
+         WHERE rel <= $FuzzyMaxRel""",
     "dedup_simhash" ->
       s"""WITH tc AS (SELECT doc_id, t, count(*) c FROM
            (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')) t

@@ -228,7 +228,34 @@ object Events {
       "stack(5, 'click', n_click, 'view', n_view, 'purchase', n_purchase, " +
         "'signup', n_signup, 'error', n_error) AS (metric, n)")
 
+  /** Dense hourly resample: the full hour spine from first to last event
+    * with zero-filled counts — the gap-filling half of time-series prep
+    * ([[gaps]] only measures silences; this materializes them). The spine
+    * derives from a 1-row min/max aggregate exploded through `sequence`,
+    * so it is always tiny (#hours) regardless of the event volume; the
+    * left join against the hourly rollup broadcasts at any scale.
+    */
+  def fillHours(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables
+      .events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spine = Tables
+      .events(s, dir)
+      .agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    spine
+      .join(hourly, Seq("hour"), "left")
+      .select(
+        col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)) === 0).as("is_gap"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_fill"      -> (fillHours _),
     "events_funnel"    -> (funnel _),
     "events_unpivot"   -> (typeUnpivot _),
     "events_hourly_dev" -> (hourlyDeviation _),
@@ -280,6 +307,12 @@ object Events {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    "events_fill" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) h, count(*) n FROM events GROUP BY 1),
+         bounds AS (SELECT date_trunc('hour', min(ts)) h0, date_trunc('hour', max(ts)) h1 FROM events),
+         spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS "hour" FROM bounds)
+         SELECT spine."hour", coalesce(n, 0) AS n, (coalesce(n, 0) = 0) AS is_gap
+         FROM spine LEFT JOIN hourly ON hourly.h = spine."hour"""",
     "events_sessionize" ->
       """WITH t AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -82,8 +82,11 @@ object Bench {
       else if (v >= 10) f"$v%.1f"
       else if (v >= 0.1) f"$v%.2f"
       else f"$v%.3f"
+    def jmapOf(rs: Seq[(String, Double, Double)],
+               f: ((String, Double, Double)) => Double, p: Double => String): String =
+      rs.map { case r @ (k, _, _) => "\"" + k + "\":" + p(f(r)) }.mkString("{", ",", "}")
     def jmap(f: ((String, Double, Double)) => Double, p: Double => String): String =
-      results.map { case r @ (k, _, _) => "\"" + k + "\":" + p(f(r)) }.mkString("{", ",", "}")
+      jmapOf(results, f, p)
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     def line(p: Double => String): String =
@@ -93,10 +96,21 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    // degrade precision rather than overflow the driver's tail window
-    val out = Seq(line(fmt), line(v => if (v < 0) "-1" else f"$v%.2f"))
-      .find(_.length <= 1900)
-      .getOrElse(line(v => if (v < 0) "-1" else f"$v%.1f"))
+    // Degrade precision rather than overflow the driver's tail window; as a
+    // last resort keep only the SLOWEST queries (the ones a perf reader
+    // needs) and say how many sub-threshold ones were dropped — the total
+    // still covers the whole catalog, and BENCH_FULL.json (committed) has
+    // every query at full precision.
+    val p1 = (v: Double) => if (v < 0) "-1" else f"$v%.1f"
+    def truncLine(keep: Int): String = {
+      val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(keep) ++
+        results.filter(_._2 < 0) // failures stay visible at any truncation
+      val sorted = slowest.sortBy(_._1)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmapOf(sorted, _._2, p1)},"omitted":${results.size - sorted.size},"note":"slowest $keep of ${results.size}; full set in BENCH_FULL.json","runs":$Runs,"sf":$sfNum}"""
+    }
+    val candidates = Seq(line(fmt), line(v => if (v < 0) "-1" else f"$v%.2f"), line(p1)) ++
+      Seq(80, 60, 40, 25).map(truncLine)
+    val out = candidates.find(_.length <= 1800).getOrElse(truncLine(15))
     println(out)
     spark.stop()
   }

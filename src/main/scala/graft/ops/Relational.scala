@@ -91,6 +91,82 @@ object Relational {
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
   }
 
+  /** TPC-H Q10 shape (returned-item reporting): who returned the most
+    * revenue last quarter. Fact-fact join shuffles on the order key; the
+    * nation dimension broadcasts; top-20 is a TakeOrderedAndProject (no
+    * global sort materializes). The quarter filter reaches the orders scan.
+    */
+  def q10Returned(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables.customer(s, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13 shape (customer order distribution): a left outer join
+    * folded through TWO aggregations — orders-per-customer, then
+    * customers-per-order-count. The second agg's input is one row per
+    * customer, so it is tiny no matter how large orders is; the only real
+    * shuffle is the first one, keyed on the customer key.
+    */
+  def q13OrderDist(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q14 shape (promotion effect): conditional aggregation over a
+    * part-dimension join — the CASE routes each row's revenue into the
+    * promo bucket or not, and the answer is one global ratio. Both sums
+    * go through decimal, so the final double division is deterministic.
+    */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+        dsum(rev)).as("promo_revenue"))
+  }
+
+  /** Minimum summed quantity for an order to count as "large" in q18. */
+  val Q18MinQty = 300.0
+
+  /** TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    * aggregation used as a semi-join filter, then re-aggregation of the
+    * surviving orders. The `big` set is a tiny fraction of orders (top ~1%
+    * by quantity), so the semi-join broadcasts it; the HAVING compare runs
+    * on the exact decimal sum, so membership is partition-order
+    * independent — the property that keeps the row set stable at scale.
+    */
+  def q18BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val big = li.groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("big_qty"))
+      .filter(col("big_qty") > Q18MinQty)
+      .select(col("l_orderkey").as("big_orderkey"))
+    Tables.orders(s, dir)
+      .join(broadcast(big), col("o_orderkey") === col("big_orderkey"), "left_semi")
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
   /** Sketch summaries: HyperLogLog++ distinct counts and KLL-style
     * approximate percentiles — the sub-linear-memory answers a 100 TB
     * exploratory scan actually uses (an exact count_distinct shuffles
@@ -546,6 +622,10 @@ object Relational {
     "q5_nation_revenue"  -> (q5NationRevenue _),
     "q6_forecast"        -> (q6Forecast _),
     "q7_volume"          -> (q7Volume _),
+    "q10_returned"       -> (q10Returned _),
+    "q13_order_dist"     -> (q13OrderDist _),
+    "q14_promo"          -> (q14Promo _),
+    "q18_big_orders"     -> (q18BigOrders _),
     "approx_stats"       -> (approxStats _),
     "join_broadcast"     -> (joinBroadcastParts _),
     "join_semi"          -> (joinSemi _),
@@ -620,6 +700,35 @@ object Relational {
            AND n2.n_name IN ('$Q7NationA', '$Q7NationB')
            AND n1.n_name <> n2.n_name
          GROUP BY 1, 2, 3""",
+    "q10_returned" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         ${ds("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_returnflag = 'R'
+         GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "q13_order_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1)
+         GROUP BY 1""",
+    "q14_promo" ->
+      s"""SELECT 100.0 *
+         ${ds("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+         ${ds("l_extendedprice * (1.0 - l_discount)")} AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "q18_big_orders" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         ${ds("l_quantity")} AS sum_qty
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem GROUP BY 1
+           HAVING ${ds("l_quantity")} > $Q18MinQty)
+         GROUP BY 1, 2, 3, 4, 5 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
     "agg_minmax" ->
       "SELECT s_nationkey, min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal, count(*) AS n_suppliers FROM supplier GROUP BY 1",
     "distinct_agg" ->

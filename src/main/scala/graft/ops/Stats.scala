@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Descriptive-statistics operators: exact moments (mean/variance/stddev),
+  * correlation, and feature scaling — the profiling pass every dataset
+  * gets before training, expressed so the answers are bit-stable at any
+  * partitioning.
+  *
+  * Spark's own `var_samp`/`corr` aggregate in streaming double arithmetic,
+  * so their results depend on partition order — unusable under the
+  * cross-engine hash gate and irreproducible run-to-run at cluster scale.
+  * Instead every sum here goes through decimal(38,6) (exact, commutative),
+  * and the closed-form moment/correlation formulas then run as plain IEEE
+  * double expressions on those exact inputs — the same bits on local[32],
+  * a 1000-executor cluster, and DuckDB. One aggregation shuffle per query,
+  * keyed on the (low-cardinality) group column; AQE coalesces the tiny
+  * post-shuffle partitions.
+  */
+object Stats {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+  private val DSUM = "CAST(sum(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** Exact per-group moments of `events.value`: count, mean, sample
+    * variance/stddev via the sum-of-squares identity on decimal-exact
+    * sums, plus the (trivially exact) extremes.
+    */
+  def moments(s: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    Tables
+      .events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(v).as("sx"),
+        dsum(v * v).as("sxx"),
+        min(v).as("min_value"),
+        max(v).as("max_value"))
+      .select(
+        col("event_type"),
+        col("n"),
+        (col("sx") / col("n")).as("mean_value"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0)))
+          .as("var_value"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0)))
+          .as("std_value"),
+        col("min_value"),
+        col("max_value"))
+  }
+
+  /** Pearson correlation between an event's value and its hour-of-day,
+    * per event type — "does this metric have a diurnal cycle". All five
+    * sums are decimal-exact; the closed form divides deterministic
+    * doubles (sqrt is IEEE-correctly-rounded in both engines).
+    */
+  def corrValueHour(s: SparkSession, dir: String): DataFrame = {
+    val x = col("value")
+    val y = hour(col("ts")).cast("double")
+    Tables
+      .events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(x).as("sx"),
+        dsum(y).as("sy"),
+        dsum(x * y).as("sxy"),
+        dsum(x * x).as("sxx"),
+        dsum(y * y).as("syy"))
+      .select(
+        col("event_type"),
+        col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_value_hour"))
+  }
+
+  /** Min-max feature scaling of `value` within its event type — the
+    * normalization step before the embedding/clustering stages. A window
+    * over the whole partition computes the exact extremes; the per-row
+    * rescale is one IEEE division. At scale this is one shuffle on
+    * event_type (or zero if the input is already bucketed by it).
+    */
+  def minmaxScale(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        ((col("value") - min(col("value")).over(w)) /
+          (max(col("value")).over(w) - min(col("value")).over(w))).as("scaled"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stats_moments"      -> (moments _),
+    "stats_corr"         -> (corrValueHour _),
+    "stats_minmax_scale" -> (minmaxScale _)
+  )
+
+  private def ds(c: String) = DSUM.format(c)
+
+  val oracle: Map[String, String] = Map(
+    "stats_moments" ->
+      s"""WITH a AS (SELECT event_type, count(*) AS n,
+           ${ds("value")} AS sx, ${ds("value * value")} AS sxx,
+           min(value) AS min_value, max(value) AS max_value
+           FROM events GROUP BY 1)
+         SELECT event_type, n, sx / n AS mean_value,
+           (sxx - sx * sx / n) / (n - 1.0) AS var_value,
+           sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std_value,
+           min_value, max_value
+         FROM a""",
+    "stats_corr" ->
+      s"""WITH a AS (SELECT event_type, count(*) AS n,
+           ${ds("value")} AS sx, ${ds("CAST(hour(ts) AS DOUBLE)")} AS sy,
+           ${ds("value * CAST(hour(ts) AS DOUBLE)")} AS sxy,
+           ${ds("value * value")} AS sxx,
+           ${ds("CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)")} AS syy
+           FROM events GROUP BY 1)
+         SELECT event_type, n,
+           (n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_hour
+         FROM a""",
+    "stats_minmax_scale" ->
+      """SELECT event_id, event_type, value,
+         (value - min(value) OVER (PARTITION BY event_type)) /
+           (max(value) OVER (PARTITION BY event_type) -
+            min(value) OVER (PARTITION BY event_type)) AS scaled
+         FROM events"""
+  )
+}

@@ -131,6 +131,34 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("bigram"))
       .limit(20)
 
+  /** Unigram language-model scoring: train the LM on the corpus itself
+    * (token → corpus count), then score every document by its mean token
+    * negative log-likelihood `mean(ln N - ln c_t)` — the cheap perplexity
+    * proxy used to rank documents for quality filtering (high mean NLL =
+    * full of corpus-rare tokens). Two-pass shape: the vocabulary aggregate
+    * is tiny and BROADCASTS back onto the token stream, the total-count
+    * scalar rides along as a literal-sized cross join, so the only real
+    * shuffle is the final per-doc aggregation.
+    *
+    * Determinism: `ln` over the integer counts is bit-equal across
+    * JVM/DuckDB (verified exhaustively for the fixture vocabulary), each
+    * per-token NLL goes through decimal(38,6) before the per-doc sum, and
+    * `max` needs no such care.
+    */
+  def unigramLm(s: SparkSession, dir: String): DataFrame = {
+    val t   = toks(s, dir)
+    val tc  = t.groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = t.agg(count(lit(1)).cast("double").as("n_total"))
+    val nll = log(col("n_total")) - log(col("c").cast("double"))
+    t.join(broadcast(tc), "t")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(nll.cast("decimal(38,6)")).cast("double") / count(lit(1))).as("mean_nll"),
+        max(nll).as("max_nll"))
+  }
+
   /** Document fingerprinting: md5 of the sorted-distinct-token canonical
     * form plus a polynomial rolling hash over the token stream
     * (order-sensitive — distinguishes permuted docs the canonical form
@@ -152,6 +180,7 @@ object TextAnalysis {
     "text_quality"     -> (quality _),
     "text_token_count" -> (tokenCount _),
     "text_top_bigrams" -> (topBigrams _),
+    "text_unigram_lm"  -> (unigramLm _),
     "text_fingerprint" -> (fingerprint _)
   )
 
@@ -198,6 +227,15 @@ object TextAnalysis {
               FROM documents)) b
          ON a.doc_id = b.doc_id AND b.i = a.i + 1
          GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""",
+    "text_unigram_lm" ->
+      s"""WITH t AS ($duckToks),
+         tc AS (SELECT t, count(*) AS c FROM t GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM t)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CAST(ln(n_total) - ln(CAST(c AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*) AS mean_nll,
+           max(ln(n_total) - ln(CAST(c AS DOUBLE))) AS max_nll
+         FROM t JOIN tc USING (t), tot GROUP BY 1""",
     "text_fingerprint" ->
       s"""SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS canonical_fp,

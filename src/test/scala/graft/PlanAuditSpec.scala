@@ -77,13 +77,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan("embed_assign").contains("ReadSchema: struct<embedding:array<float>>"))
   }
 
+  test("round-4 TPC-H shapes plan as designed") {
+    // q10: quarter filter reaches the orders scan, nation broadcasts,
+    // top-20 is TakeOrderedAndProject (no global sort materializes)
+    val p10 = plan("q10_returned")
+    assert(p10.contains("TakeOrderedAndProject"), p10)
+    assert(p10.contains("BroadcastHashJoin"), p10)
+    assert(p10.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), p10)
+    // q13: the second aggregation (customers-per-order-count) must reuse
+    // the first's tiny output — exactly two hash-partition exchanges
+    // (customer-key join/agg + c_count re-agg), never a third
+    val p13 = plan("q13_order_dist")
+    assert(p13.split("Exchange hashpartitioning").length - 1 <= 2, p13)
+    // q18: the HAVING-filtered big-order set must broadcast into a
+    // left-semi hash join, not shuffle the whole orders table against it
+    val p18 = plan("q18_big_orders")
+    assert(p18.contains("BroadcastHashJoin") && p18.contains("LeftSemi"), p18)
+  }
+
+  test("stats queries aggregate in one shuffle") {
+    // partial+final agg on the group key; the moment/correlation math is
+    // pure projection on the 5-row aggregate output
+    for (q <- Seq("stats_moments", "stats_corr"))
+      assert(plan(q).split("Exchange hashpartitioning").length - 1 == 1, plan(q))
+  }
+
   test("full catalog: no unexpected nested-loop or cartesian plans") {
     // the only sanctioned nested-loop plans: cross_join (the operator
     // itself), scalar_subquery's 1-row broadcast, sim_topk's |Q|-row
-    // broadcast against the candidate stream. dedup_clusters executes
-    // eagerly (checkpointed loop), leaving only a result scan here — its
+    // broadcast against the candidate stream, text_unigram_lm's 1-row
+    // corpus-total broadcast. dedup_clusters executes eagerly
+    // (checkpointed loop), leaving only a result scan here — its
     // per-round join shape is audited directly in the next test.
-    val allowed = Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters")
+    val allowed =
+      Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters", "text_unigram_lm")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

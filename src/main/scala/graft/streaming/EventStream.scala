@@ -92,6 +92,34 @@ object EventStream extends Serializable {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Running exact moments per event type — the streaming twin of
+    * `graft.ops.Stats.moments`. The running state is the decimal-exact
+    * (n, Σx, Σx², min, max) tuple, so after ANY micro-batch the emitted
+    * moments equal the batch answer over the prefix consumed so far —
+    * not merely at convergence. A global (unwindowed) aggregate keyed on
+    * the low-cardinality event_type: state is a handful of rows, so no
+    * watermark is needed and the query runs in complete output mode.
+    */
+  def moments(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast("decimal(38,6)")).cast("double").as("sxx"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(
+        col("event_type"),
+        col("n"),
+        (col("sx") / col("n")).as("mean_value"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0)))
+          .as("var_value"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0)))
+          .as("std_value"),
+        col("min_value"),
+        col("max_value"))
+
   /** Stateful streaming funnel — the incremental twin of
     * `graft.ops.Events.funnel`: per user, a frontier state machine tracks
     * the earliest qualifying view/click/purchase times (strictly

@@ -46,6 +46,27 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming moments equal the batch stats bit-for-bit") {
+    // complete-mode global agg: decimal-exact running sums mean the final
+    // table must equal Stats.moments EXACTLY, not approximately
+    // the sentinel only exists to push watermarks for the windowed tests;
+    // complete-mode needs no watermark, and its 1-row group would hit the
+    // ANSI divide-by-zero in var's (n-1) divisor — drop it at the source
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(streamDir)
+      .filter(col("event_type") =!= "sentinel")
+    val q = EventStream.moments(src).writeStream
+      .format("memory").queryName("moments_out").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("moments_out")
+      .as[(String, Long, Double, Double, Double, Double, Double)].collect().toSet
+    val want = graft.ops.Stats.moments(spark, Sf0001)
+      .as[(String, Long, Double, Double, Double, Double, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("sessionize invariants: events partition exactly into sessions") {
     val total = Tables.events(spark, Sf0001).count()
     val sessions = graft.ops.Events.sessionize(spark, Sf0001)

@@ -143,6 +143,36 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Per-event-type sampling rates in permille for [[stratified]] — the
+    * unlisted types fall to [[StratDefaultPermille]]. Downsampling the
+    * flood types hard while keeping the rare ones is how a 100 TB event
+    * log becomes a tractable analysis table without losing the tail.
+    */
+  val StratRates: Seq[(String, Int)] = Seq("click" -> 50, "view" -> 20, "purchase" -> 500)
+  val StratDefaultPermille           = 100
+
+  /** Stratified deterministic sampling: each event type keeps its own
+    * hash-bucket rate. Like [[split]] this is pure projection + one
+    * aggregation — membership is a function of the row alone, so the
+    * sample is reproducible across runs, partitionings, and engines, and
+    * two pipelines sampling the same log independently select the SAME
+    * rows (the property random() sampling can never give you).
+    */
+  def stratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket = TextHash.hash60(concat(lit("strat:"), col("event_id").cast("string"))) % 1000
+    val rate = StratRates
+      .foldLeft(lit(StratDefaultPermille)) { case (acc, (t, r)) =>
+        when(col("event_type") === t, r).otherwise(acc)
+      }
+    Tables
+      .events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(bucket < rate, 1)).as("n_sampled"),
+        max(rate).cast("long").as("rate_permille"))
+  }
+
   // ----------------------------------------------------------------- chunks
 
   /** Fixed-size token windows: (doc, chunk ordinal, tokens in chunk).
@@ -295,6 +325,7 @@ object Curation {
     "text_repetition"    -> (repetition _),
     "text_contamination" -> (contamination _),
     "sample_split"       -> (split _),
+    "sample_stratified"  -> (stratified _),
     "text_chunks"        -> (chunks _),
     "text_tfidf"         -> (tfidf _),
     "embed_assign"       -> (centroidAssign _),
@@ -347,6 +378,15 @@ object Curation {
                 ELSE 'test' END AS split,
            count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1, 2""",
+    "sample_stratified" -> {
+      val rateCase = StratRates
+        .map { case (t, r) => s"WHEN event_type = '$t' THEN $r" }
+        .mkString("CASE ", " ", s" ELSE $StratDefaultPermille END")
+      s"""SELECT event_type, count(*) AS n_total,
+           count(*) FILTER (WHERE ${TextHash.duckHash60Of("'strat:' || CAST(event_id AS VARCHAR)")} % 1000 < $rateCase) AS n_sampled,
+           CAST(max($rateCase) AS BIGINT) AS rate_permille
+         FROM events GROUP BY 1"""
+    },
     "text_chunks" ->
       s"""SELECT doc_id, (i - 1) // $ChunkSize AS chunk_id, count(*) AS n_tokens
          FROM (SELECT doc_id, generate_subscripts(l, 1) i FROM ($duckToksList))

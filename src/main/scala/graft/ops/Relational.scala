@@ -141,6 +141,35 @@ object Relational {
         dsum(rev)).as("promo_revenue"))
   }
 
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    * OR-of-ANDs condition spanning both join sides. Catalyst cannot
+    * derive per-side filters from a cross-side disjunction on its own, so
+    * the implied envelopes are stated explicitly — the brand/size union
+    * reaches the part scan and the quantity envelope reaches the lineitem
+    * scan (pinned in PlanAuditSpec), which is what keeps the pre-join
+    * input narrow at scale; the exact disjunction then filters the joined
+    * rows.
+    */
+  def q19Disjunct(s: SparkSession, dir: String): DataFrame = {
+    val band1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 15)
+    val band2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+      col("l_quantity").between(10, 25)
+    val band3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+      col("l_quantity").between(20, 35)
+    val partSide = Tables.part(s, dir).filter(
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)))
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity").between(1, 35))
+      .join(broadcast(partSide), col("l_partkey") === col("p_partkey"))
+      .filter(band1 || band2 || band3)
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Minimum summed quantity for an order to count as "large" in q18. */
   val Q18MinQty = 300.0
 
@@ -626,6 +655,7 @@ object Relational {
     "q13_order_dist"     -> (q13OrderDist _),
     "q14_promo"          -> (q14Promo _),
     "q18_big_orders"     -> (q18BigOrders _),
+    "q19_disjunct"       -> (q19Disjunct _),
     "approx_stats"       -> (approxStats _),
     "join_broadcast"     -> (joinBroadcastParts _),
     "join_semi"          -> (joinSemi _),
@@ -729,6 +759,12 @@ object Relational {
            SELECT l_orderkey FROM lineitem GROUP BY 1
            HAVING ${ds("l_quantity")} > $Q18MinQty)
          GROUP BY 1, 2, 3, 4, 5 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q19_disjunct" ->
+      s"""SELECT ${ds("l_extendedprice * (1.0 - l_discount)")} AS revenue, count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+            OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)""",
     "agg_minmax" ->
       "SELECT s_nationkey, min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal, count(*) AS n_suppliers FROM supplier GROUP BY 1",
     "distinct_agg" ->

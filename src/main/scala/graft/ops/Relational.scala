@@ -200,10 +200,11 @@ object Relational {
     * approximate percentiles — the sub-linear-memory answers a 100 TB
     * exploratory scan actually uses (an exact count_distinct shuffles
     * every distinct key; the HLL sketch is a few KB per partition and
-    * merges order-independently). No DuckDB oracle: the two engines'
-    * sketch internals differ by design, so the driver records the weaker
-    * rows-only check and ApproxStatsSpec bounds the error vs the exact
-    * answers instead.
+    * merges order-independently). Deliberately NOT a catalog entry: the
+    * two engines' sketch internals differ by design, so there is no DuckDB
+    * oracle — `ApproxStatsSpec` bounds its error against the exact twin
+    * (`Stats.percentilesExact`, which IS oracle-checked) and asserts
+    * partitioning-independence instead.
     */
   def approxStats(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -656,7 +657,6 @@ object Relational {
     "q14_promo"          -> (q14Promo _),
     "q18_big_orders"     -> (q18BigOrders _),
     "q19_disjunct"       -> (q19Disjunct _),
-    "approx_stats"       -> (approxStats _),
     "join_broadcast"     -> (joinBroadcastParts _),
     "join_semi"          -> (joinSemi _),
     "join_anti"          -> (joinAnti _),

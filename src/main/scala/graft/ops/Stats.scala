@@ -81,27 +81,68 @@ object Stats {
   }
 
   /** Min-max feature scaling of `value` within its event type — the
-    * normalization step before the embedding/clustering stages. A window
-    * over the whole partition computes the exact extremes; the per-row
-    * rescale is one IEEE division. At scale this is one shuffle on
-    * event_type (or zero if the input is already bucketed by it).
+    * normalization step before the embedding/clustering stages.
+    *
+    * NOT a window: `Window.partitionBy(event_type)` over a 5-value key
+    * funnels every row of a type into a single task's sort — at 100 TB
+    * that is five tasks each holding a fifth of the table. Instead the
+    * extremes come from a partial-aggregating `groupBy` (map-side combine,
+    * fully parallel, 5-row result) and are broadcast-joined back, so the
+    * rescale is a pure map stage over the original partitioning.
     */
   def minmaxScale(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-    Tables
-      .events(s, dir)
+    val ev = Tables.events(s, dir)
+    val extremes = ev
+      .groupBy("event_type")
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.select("event_id", "event_type", "value")
+      .join(broadcast(extremes), "event_type")
       .select(
         col("event_id"),
         col("event_type"),
         col("value"),
-        ((col("value") - min(col("value")).over(w)) /
-          (max(col("value")).over(w) - min(col("value")).over(w))).as("scaled"))
+        ((col("value") - col("lo")) / (col("hi") - col("lo"))).as("scaled"))
+  }
+
+  /** Exact nearest-rank percentiles (p50/p95 of l_extendedprice) plus the
+    * exact order-count per return flag — the oracle-able exact twin of the
+    * sketch-based `Relational.approxStats` profile (which stays out of the
+    * catalog because HLL/KLL internals legitimately differ across engines;
+    * `ApproxStatsSpec` bounds its error against these exact answers).
+    *
+    * Scale shape: percentiles do NOT sort the table. A `groupBy(value)`
+    * count first collapses the input to its distinct (flag, price) pairs —
+    * a parallel partial-aggregating shuffle — and only that collapsed
+    * frame is windowed for the cumulative count. Money-style values have
+    * bounded cardinality, so the windowed side stays millions of rows at
+    * 100 TB, not trillions. Rank thresholds use pure integer arithmetic
+    * (`ceil(p·n)` as `(p·n + 99) div 100`) — no float rank, no
+    * interpolation, bit-identical across engines.
+    */
+  def percentilesExact(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val vc = li
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("c"))
+    val cum = vc
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("l_returnflag").orderBy("l_extendedprice")))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy("l_returnflag")))
+    def pick(p: Int, name: String) =
+      cum
+        .filter(expr(s"cum - c < ($p * tot + 99) div 100 AND cum >= ($p * tot + 99) div 100"))
+        .select(col("l_returnflag"), col("l_extendedprice").as(name))
+    li.groupBy("l_returnflag")
+      .agg(count_distinct(col("l_orderkey")).as("n_orders"))
+      .join(broadcast(pick(50, "p50_price")), "l_returnflag")
+      .join(broadcast(pick(95, "p95_price")), "l_returnflag")
   }
 
   val queries: Map[String, Q] = Map(
     "stats_moments"      -> (moments _),
     "stats_corr"         -> (corrValueHour _),
-    "stats_minmax_scale" -> (minmaxScale _)
+    "stats_minmax_scale" -> (minmaxScale _),
+    "stats_percentiles"  -> (percentilesExact _)
   )
 
   private def ds(c: String) = DSUM.format(c)
@@ -133,6 +174,26 @@ object Stats {
          (value - min(value) OVER (PARTITION BY event_type)) /
            (max(value) OVER (PARTITION BY event_type) -
             min(value) OVER (PARTITION BY event_type)) AS scaled
-         FROM events"""
+         FROM events""",
+    "stats_percentiles" ->
+      """WITH vc AS (
+           SELECT l_returnflag, l_extendedprice, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (
+           SELECT l_returnflag, l_extendedprice, c,
+             CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+           FROM vc),
+         p50 AS (
+           SELECT l_returnflag, l_extendedprice AS p50_price FROM cum
+           WHERE cum - c < (50 * tot + 99) // 100 AND cum >= (50 * tot + 99) // 100),
+         p95 AS (
+           SELECT l_returnflag, l_extendedprice AS p95_price FROM cum
+           WHERE cum - c < (95 * tot + 99) // 100 AND cum >= (95 * tot + 99) // 100),
+         nd AS (
+           SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
+           FROM lineitem GROUP BY 1)
+         SELECT nd.l_returnflag, n_orders, p50_price, p95_price
+         FROM nd JOIN p50 USING (l_returnflag) JOIN p95 USING (l_returnflag)"""
   )
 }

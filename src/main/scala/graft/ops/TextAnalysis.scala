@@ -135,10 +135,12 @@ object TextAnalysis {
     * (token → corpus count), then score every document by its mean token
     * negative log-likelihood `mean(ln N - ln c_t)` — the cheap perplexity
     * proxy used to rank documents for quality filtering (high mean NLL =
-    * full of corpus-rare tokens). Two-pass shape: the vocabulary aggregate
-    * is tiny and BROADCASTS back onto the token stream, the total-count
-    * scalar rides along as a literal-sized cross join, so the only real
-    * shuffle is the final per-doc aggregation.
+    * full of corpus-rare tokens). Two-pass shape: the token→count join is
+    * left unhinted — by Heaps' law a 100 TB corpus has 10⁸–10⁹ distinct
+    * types, far past any broadcast budget, so the planner/AQE must be free
+    * to pick the shuffle hash join (and may still broadcast when a small
+    * corpus makes the vocabulary tiny). Only the 1-row total-count scalar
+    * is explicitly broadcast.
     *
     * Determinism: `ln` over the integer counts is bit-equal across
     * JVM/DuckDB (verified exhaustively for the fixture vocabulary), each
@@ -150,7 +152,7 @@ object TextAnalysis {
     val tc  = t.groupBy("t").agg(count(lit(1)).as("c"))
     val tot = t.agg(count(lit(1)).cast("double").as("n_total"))
     val nll = log(col("n_total")) - log(col("c").cast("double"))
-    t.join(broadcast(tc), "t")
+    t.join(tc, "t")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(

@@ -28,15 +28,14 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("every query has oracle SQL (full-strength correctness gate)") {
-    // rows-only checks are reserved for genuinely oracle-inexpressible
-    // results; each entry here must have a spec bounding its error against
-    // an exact twin instead (approx_stats -> ApproxStatsSpec)
-    val rowsOnly = Set("approx_stats")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    // sketch-based profiles (Relational.approxStats) stay OUT of the
+    // catalog — their internals legitimately differ across engines; each
+    // is spec-bound against an oracle-checked exact twin instead
+    // (ApproxStatsSpec vs stats_percentiles)
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"rows-only (weak) checks for: ${missing.mkString(", ")}")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracle without query: ${orphaned.mkString(", ")}")
-    assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty, "stale rows-only allowlist entry")
   }
 
   test("flagship entry returns rows on sf0.001") {

@@ -102,6 +102,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       assert(plan(q).split("Exchange hashpartitioning").length - 1 == 1, plan(q))
   }
 
+  test("stats_minmax_scale broadcasts the extremes back — no low-cardinality window") {
+    // Window.partitionBy over the 5-value event_type would put a fifth of
+    // the table into each of five tasks' sorts; the scale shape is a
+    // partial-agg for the extremes plus a broadcast join back
+    val p = plan("stats_minmax_scale")
+    assert(!p.contains("Window"), s"minmax scaling regressed to a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("text_unigram_lm leaves the vocabulary join unhinted") {
+    // a forced broadcast(tc) ships the whole distinct-token table; by
+    // Heaps' law that is 10⁸–10⁹ rows at 100 TB — the planner must stay
+    // free to pick the shuffle join. Only the 1-row corpus total may hint.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val qe = SparkEntry.queries("text_unigram_lm")(spark, Sf0001).queryExecution
+    val hints = qe.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1, s"expected only the corpus-total broadcast hint, got ${hints.size}")
+  }
+
   test("full catalog: no unexpected nested-loop or cartesian plans") {
     // the only sanctioned nested-loop plans: cross_join (the operator
     // itself), scalar_subquery's 1-row broadcast, sim_topk's |Q|-row

@@ -4,8 +4,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.{SparkTestBase, Tables}
 
-/** approx_stats has no DuckDB oracle (sketch internals differ across
-  * engines by design), so its correctness contract lives here: the HLL++
+/** The sketch-based profile (Relational.approxStats) is deliberately not a
+  * catalog entry — sketch internals differ across engines by design, so it
+  * has no DuckDB oracle (its oracle-checked exact twin is
+  * `stats_percentiles`). Its correctness contract lives here: the HLL++
   * distinct counts and approximate percentiles must stay within tight
   * error bounds of the exact answers, and the sketches must be
   * partitioning-independent (merge order must not matter — the property

@@ -260,10 +260,17 @@ object Relational {
       .orders(s, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    // the fact-fact joins are hinted shuffle_hash: all three tables grow
+    // with the data, so no side is broadcastable at scale — and without
+    // the hint the static planner broadcast the column-pruned LINEITEM
+    // whenever the testdata's size estimate dipped under the 10 MB
+    // threshold (the r3→r4 bench swing: building a fact-table hashed
+    // relation serially on the driver). Dimensions (nation/region) stay
+    // explicit broadcasts.
     Tables
       .customer(s, dir)
-      .join(ord, col("c_custkey") === col("o_custkey"))
-      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(ord.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"))
+      .join(li.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
       .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))

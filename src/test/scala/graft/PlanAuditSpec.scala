@@ -30,8 +30,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       assert(pushed.contains(f), s"missing pushed filter $f in: $pushed")
   }
 
-  test("q5_nation_revenue broadcasts its dimension joins") {
-    assert(plan("q5_nation_revenue").contains("BroadcastHashJoin"))
+  test("q5_nation_revenue broadcasts dimensions but never a fact table") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p) // nation/region dims
+    // the customer⋈orders⋈lineitem spine must shuffle: every side grows
+    // with the data, and an unhinted plan has broadcast lineitem whenever
+    // the pruned-size estimate dipped under the 10 MB threshold
+    assert(p.contains("ShuffledHashJoin"), p)
+    // no fact scan may sit under a BroadcastExchange subtree
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val sp = SparkEntry.queries("q5_nation_revenue")(spark, Sf0001).queryExecution.sparkPlan
+    val broadcastScans = sp.collect { case b: BroadcastExchangeExec =>
+      b.collectLeaves().collect { case f: FileSourceScanExec => f.metadata("Location") }
+    }.flatten
+    for (fact <- Seq("lineitem", "orders", "customer"))
+      assert(!broadcastScans.exists(_.contains(fact + ".parquet")),
+        s"fact $fact is broadcast in q5: $broadcastScans")
   }
 
   test("topk_global is TakeOrderedAndProject, not sort+limit") {

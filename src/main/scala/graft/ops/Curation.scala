@@ -257,34 +257,48 @@ object Curation {
 
   // ------------------------------------------------------------- seq pack
 
-  /** Packing geometry: documents are distributed across [[PackBuckets]]
-    * independent lanes and packed into shards of [[PackCapacity]] tokens.
+  /** Packing geometry: documents are distributed across
+    * `ceil(n_docs / PackDocsPerLane)` independent lanes and packed into
+    * shards of [[PackCapacity]] tokens. The lane count GROWS with the
+    * corpus — a constant would cap the packing stage's parallelism
+    * forever; deriving it from the row count keeps ~[[PackDocsPerLane]]
+    * docs per lane-sort at any scale (sf0.001 → 4 lanes, sf0.1 → 40, a
+    * 1B-doc corpus → ~8M).
     */
-  val PackBuckets  = 16
-  val PackCapacity = 512
+  val PackDocsPerLane = 128
+  val PackCapacity    = 512
+
+  /** Lane count for an `n`-document corpus (same formula as the oracle). */
+  def packLanes(n: Long): Long = (n + PackDocsPerLane - 1) / PackDocsPerLane
 
   /** Sequence packing: assign every document to a training shard of
     * ~[[PackCapacity]] tokens. Documents land in a deterministic lane
-    * (hash60 of the doc id mod [[PackBuckets]]), are ordered totally
-    * within the lane (hash, then unique doc_id), and a doc belongs to the
-    * shard where its exclusive running token count starts — the standard
-    * streaming first-fit approximation (a doc spanning a boundary stays
-    * in the shard it started in, so shards can overflow by at most one
-    * document).
+    * (hash60 of the doc id mod the derived lane count), are ordered
+    * totally within the lane (hash, then unique doc_id), and a doc
+    * belongs to the shard where its exclusive running token count starts
+    * — the standard streaming first-fit approximation (a doc spanning a
+    * boundary stays in the shard it started in, so shards can overflow by
+    * at most one document).
     *
-    * Scale shape: the cumulative sum is windowed PER LANE, so the sort
-    * parallelism is [[PackBuckets]]-way (sized to the cluster in a real
-    * deployment) — never a global single-partition window. One shuffle on
-    * the lane key, then a partial-aggregated rollup per shard.
+    * Scale shape: the cumulative sum is windowed PER LANE and the lane
+    * count scales with the input — never a global single-partition
+    * window, never a fixed parallelism ceiling. The lane count itself is
+    * a count(*) over parquet footers (metadata-only), broadcast as one
+    * row. One shuffle on the lane key, then a partial-aggregated rollup
+    * per shard.
     */
   def seqPack(s: SparkSession, dir: String): DataFrame = {
     val h = TextHash.hash60(concat(lit("pack:"), col("doc_id").cast("string")))
+    val lanes = Tables
+      .documents(s, dir)
+      .agg(expr(s"(count(*) + ${PackDocsPerLane - 1}) div $PackDocsPerLane").as("lanes"))
     val w = Window.partitionBy("bucket").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     withToks(s, dir)
       .select(col("doc_id"), size(col("toks")).cast("long").as("nt"))
       .withColumn("h", h)
-      .withColumn("bucket", col("h") % PackBuckets)
+      .crossJoin(broadcast(lanes))
+      .withColumn("bucket", col("h") % col("lanes"))
       .withColumn("cum", coalesce(sum(col("nt")).over(w), lit(0L)))
       .select(col("bucket"), expr(s"cum div $PackCapacity").as("shard_id"), col("nt"))
       .groupBy("bucket", "shard_id")
@@ -404,13 +418,16 @@ object Curation {
            FROM tc JOIN dfreq ON tc.t = dfreq.t)
          WHERE rn <= $TfidfK""",
     "seq_pack" ->
-      s"""WITH t AS (SELECT doc_id, CAST(len(l) AS BIGINT) nt,
+      s"""WITH lanes AS (
+             SELECT (count(*) + ${PackDocsPerLane - 1}) // $PackDocsPerLane AS lanes
+             FROM documents),
+         t AS (SELECT doc_id, CAST(len(l) AS BIGINT) nt,
              ${TextHash.duckHash60Of("'pack:' || CAST(doc_id AS VARCHAR)")} h
            FROM ($duckToksList)),
-         c AS (SELECT h % $PackBuckets AS bucket, nt,
-             CAST(coalesce(sum(nt) OVER (PARTITION BY h % $PackBuckets ORDER BY h, doc_id
+         c AS (SELECT h % lanes AS bucket, nt,
+             CAST(coalesce(sum(nt) OVER (PARTITION BY h % lanes ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) cum
-           FROM t)
+           FROM t, lanes)
          SELECT bucket, cum // $PackCapacity AS shard_id,
            count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
          FROM c GROUP BY 1, 2""",

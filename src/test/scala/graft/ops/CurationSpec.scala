@@ -33,12 +33,24 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
   test("seq_pack: shard ids are dense per lane and lane count is bounded") {
     val shards = Curation.seqPack(spark, Sf0001)
       .select("bucket", "shard_id").as[(Long, Long)].collect()
-    assert(shards.map(_._1).distinct.length <= Curation.PackBuckets)
+    val nDocs = Tables.documents(spark, Sf0001).count()
+    assert(shards.map(_._1).distinct.length <= Curation.packLanes(nDocs))
     shards.groupBy(_._1).foreach { case (b, xs) =>
       val ids = xs.map(_._2).sorted
       assert(ids.head == 0 && ids.last == ids.length - 1,
         s"lane $b shard ids not dense: ${ids.mkString(",")}")
     }
+  }
+
+  test("seq_pack: lane count scales with corpus size, never a fixed ceiling") {
+    // sf0.001 (500 docs) → 4 lanes; sf0.1 (5000 docs) → 40. A constant
+    // lane count would cap the packing sort's parallelism at any scale.
+    val small = Curation.seqPack(spark, Sf0001)
+      .select("bucket").distinct().count()
+    val large = Curation.seqPack(spark, "/root/testdata/sf0.1")
+      .select("bucket").distinct().count()
+    assert(small <= Curation.packLanes(500) && small > 1, s"small=$small")
+    assert(large > small, s"lane count did not grow: $small vs $large")
   }
 
   test("seq_pack: deterministic across reruns and shuffle-partition counts") {

@@ -170,6 +170,41 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q4-style correlated EXISTS: orders of one quarter with at
+    * least one line shipped more than 60 days after the order date.
+    * Written as genuine correlated-EXISTS SQL over the registered views —
+    * Catalyst decorrelates it to a left-semi hash join on the order key
+    * (pinned in PlanAuditSpec: LeftSemi, never a nested loop), so the
+    * EXISTS probe is one shuffle-bounded pass at any scale.
+    */
+  def q4LateOrders(s: SparkSession, dir: String): DataFrame =
+    graft.Catalog.sql(s, dir,
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority""")
+
+  /** TPC-H Q17-style correlated scalar aggregate: revenue lost to
+    * small-quantity lines of one brand, where "small" is 20% of that
+    * part's own average quantity. Catalyst decorrelates the per-part
+    * average into a grouped aggregate joined back on l_partkey (pinned:
+    * no nested loop). The correlated average runs through the decimal-sum
+    * discipline so group membership is partition-order independent.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame =
+    graft.Catalog.sql(s, dir,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#23'
+           AND l_quantity < (
+             SELECT CAST(0.2 AS DOUBLE) *
+               (CAST(sum(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*))
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+
   /** Minimum summed quantity for an order to count as "large" in q18. */
   val Q18MinQty = 300.0
 
@@ -664,6 +699,8 @@ object Relational {
     "q14_promo"          -> (q14Promo _),
     "q18_big_orders"     -> (q18BigOrders _),
     "q19_disjunct"       -> (q19Disjunct _),
+    "q4_late_orders"     -> (q4LateOrders _),
+    "q17_small_qty"      -> (q17SmallQty _),
     "join_broadcast"     -> (joinBroadcastParts _),
     "join_semi"          -> (joinSemi _),
     "join_anti"          -> (joinAnti _),
@@ -772,6 +809,23 @@ object Relational {
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
             OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)""",
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority""",
+    "q17_small_qty" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#23'
+           AND l_quantity < (
+             SELECT CAST(0.2 AS DOUBLE) *
+               (CAST(sum(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*))
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
     "agg_minmax" ->
       "SELECT s_nationkey, min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal, count(*) AS n_suppliers FROM supplier GROUP BY 1",
     "distinct_agg" ->

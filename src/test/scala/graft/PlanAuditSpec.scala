@@ -117,6 +117,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       assert(plan(q).split("Exchange hashpartitioning").length - 1 == 1, plan(q))
   }
 
+  test("correlated subqueries decorrelate to hash joins") {
+    // q4's correlated EXISTS must become a left-semi hash join on the
+    // order key; q17's correlated scalar average must become a grouped
+    // aggregate joined back on l_partkey — a nested-loop re-evaluation of
+    // the subquery per outer row would be the O(n²) scale-killer
+    val p4 = plan("q4_late_orders")
+    assert(p4.contains("LeftSemi"), p4)
+    assert(!p4.contains("BroadcastNestedLoopJoin") && !p4.contains("CartesianProduct"), p4)
+    val p17 = plan("q17_small_qty")
+    assert(p17.contains("HashAggregate") || p17.contains("SortAggregate"), p17)
+    assert(!p17.contains("BroadcastNestedLoopJoin") && !p17.contains("CartesianProduct"), p17)
+  }
+
   test("stats_minmax_scale broadcasts the extremes back — no low-cardinality window") {
     // Window.partitionBy over the 5-value event_type would put a fifth of
     // the table into each of five tasks' sorts; the scale shape is a
@@ -140,11 +153,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // the only sanctioned nested-loop plans: cross_join (the operator
     // itself), scalar_subquery's 1-row broadcast, sim_topk's |Q|-row
     // broadcast against the candidate stream, text_unigram_lm's 1-row
-    // corpus-total broadcast. dedup_clusters executes eagerly
-    // (checkpointed loop), leaving only a result scan here — its
-    // per-round join shape is audited directly in the next test.
+    // corpus-total broadcast, seq_pack's 1-row lane-count broadcast.
+    // dedup_clusters executes eagerly (checkpointed loop), leaving only a
+    // result scan here — its per-round join shape is audited directly in
+    // the next test.
     val allowed =
-      Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters", "text_unigram_lm")
+      Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters", "text_unigram_lm",
+        "seq_pack")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

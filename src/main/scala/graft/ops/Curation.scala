@@ -213,42 +213,70 @@ object Curation {
 
   /** One k-means assignment step: every vector goes to its argmax-cosine
     * centroid (ties → lowest centroid id); per-centroid counts and mean
-    * cosine. Centroid vectors are collected driver-side (K rows) and ship
-    * as literals, so assignment is a scan-side projection — no join, no
-    * shuffle except the K-row final aggregation.
+    * cosine. At fixture K the centroid vectors ship as literals, so
+    * assignment is a scan-side projection — no join, no shuffle except
+    * the K-row final aggregation. Past
+    * [[Similarity.IvfLiteralBudget]] centroids (a real k-means uses
+    * hundreds+) the assignment switches to a broadcast join + per-vector
+    * argmax — same results bit-for-bit (asserted in CurationSpec).
     */
-  def centroidAssign(s: SparkSession, dir: String): DataFrame = {
-    val cents: Seq[(Long, Seq[Float], Double)] = Tables
-      .embeddings(s, dir)
-      .filter(col("vec_id") < KCentroids)
-      .select("vec_id", "embedding")
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Float](1)
-        // same left-to-right double fold as FloatDotProduct / DuckDB
-        // list_inner_product — centroid norms must be bit-identical
-        val norm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-        (r.getLong(0), v, norm)
-      }
-      .sortBy(_._1)
-      .toSeq
+  def centroidAssign(s: SparkSession, dir: String): DataFrame =
+    assignImpl(s, dir, literal = KCentroids <= Similarity.IvfLiteralBudget)
+
+  private[ops] def assignImpl(s: SparkSession, dir: String, literal: Boolean): DataFrame = {
     val e = Tables
       .embeddings(s, dir)
       .select(
         col("vec_id"),
         col("embedding"),
         sqrt(VectorFunctions.dotF(s, col("embedding"), col("embedding"))).as("norm"))
-    val scored = e.select(
-      col("vec_id") +: cents.map { case (cid, v, cnorm) =>
-        (VectorFunctions.dotF(s, col("embedding"), typedLit(v)) / (col("norm") * lit(cnorm)))
-          .as(s"cos_$cid")
-      }: _*)
-    val best = greatest(cents.map { case (cid, _, _) => col(s"cos_$cid") }: _*)
-    val assigned = cents.foldRight(lit(null).cast("long")) { case ((cid, _, _), els) =>
-      when(col(s"cos_$cid") === best, lit(cid)).otherwise(els)
-    }
-    scored
-      .select(col("vec_id"), assigned.as("centroid"), best.as("cos"))
+    val perVec =
+      if (literal) {
+        val cents: Seq[(Long, Seq[Float], Double)] = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") < KCentroids)
+          .select("vec_id", "embedding")
+          .collect()
+          .map { r =>
+            val v = r.getSeq[Float](1)
+            // same left-to-right double fold as FloatDotProduct / DuckDB
+            // list_inner_product — centroid norms must be bit-identical
+            val norm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+            (r.getLong(0), v, norm)
+          }
+          .sortBy(_._1)
+          .toSeq
+        val scored = e.select(
+          col("vec_id") +: cents.map { case (cid, v, cnorm) =>
+            (VectorFunctions.dotF(s, col("embedding"), typedLit(v)) / (col("norm") * lit(cnorm)))
+              .as(s"cos_$cid")
+          }: _*)
+        val best = greatest(cents.map { case (cid, _, _) => col(s"cos_$cid") }: _*)
+        val assigned = cents.foldRight(lit(null).cast("long")) { case ((cid, _, _), els) =>
+          when(col(s"cos_$cid") === best, lit(cid)).otherwise(els)
+        }
+        scored.select(col("vec_id"), assigned.as("centroid"), best.as("cos"))
+      } else {
+        // broadcast-join path: centroids never touch the driver. The
+        // per-vector argmax is max(struct(cos, -cid)) — lexicographic max
+        // picks the highest cosine and, on exact ties, the LOWEST cid,
+        // matching the literal path's first-match-wins fold.
+        val cent = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") < KCentroids)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+          .withColumn("cnorm", sqrt(VectorFunctions.dotF(s, col("cemb"), col("cemb"))))
+        e.crossJoin(broadcast(cent))
+          .withColumn("ccos",
+            VectorFunctions.dotF(s, col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
+          .groupBy("vec_id")
+          .agg(max(struct(col("ccos").as("cos"), (-col("cid")).as("negcid"))).as("bestc"))
+          .select(
+            col("vec_id"),
+            (-col("bestc")("negcid")).as("centroid"),
+            col("bestc")("cos").as("cos"))
+      }
+    perVec
       .groupBy("centroid")
       .agg(
         count(lit(1)).as("n_assigned"),

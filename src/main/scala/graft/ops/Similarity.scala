@@ -172,6 +172,14 @@ object Similarity {
   val IvfK   = 8
   val NProbe = 2
 
+  /** Past this many centroids the assignment switches from a literal
+    * codegen projection to a broadcast join: K ~ sqrt(n) grows with the
+    * corpus, and a million-centroid set neither fits a generated method
+    * nor belongs on the driver as literals. Both paths are bit-identical
+    * (asserted in SimilaritySpec).
+    */
+  val IvfLiteralBudget = 64
+
   /** IVF-style ANN — the other classic scale path next to LSH (see
     * PAPERS.md on inverted-file indexes): every vector is assigned to its
     * nearest coarse centroid (a pure scan-side projection — centroids ship
@@ -182,45 +190,79 @@ object Similarity {
     * Scale shape: the cell id is 8 bytes per vector; candidates per query
     * are ~NProbe·n/K rows reached through one equi-join on cell id. A real
     * deployment sizes K ~ sqrt(n) (so both the centroid set and the cell
-    * occupancy grow as sqrt(n)) and switches the assignment projection to
-    * a broadcast join once K outgrows comfortable literal/codegen size
-    * (~hundreds); the plan shape is otherwise unchanged. Recall vs the
+    * occupancy grow as sqrt(n)); past [[IvfLiteralBudget]] centroids the
+    * assignment runs as a broadcast join + per-vector re-aggregation
+    * instead of a literal projection — same results bit-for-bit, the plan
+    * shape downstream of the assignment is unchanged. Recall vs the
     * brute-force baseline is asserted in the test suite.
     */
-  def ivf(s: SparkSession, dir: String): DataFrame = {
-    val cents: Seq[(Long, Seq[Float], Double)] = Tables
-      .embeddings(s, dir)
-      .filter(col("vec_id") < IvfK)
-      .select("vec_id", "embedding")
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Float](1)
-        // left-to-right double fold — bit-identical to FloatDotProduct and
-        // DuckDB list_inner_product (oracle-parity requirement)
-        val norm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-        (r.getLong(0), v, norm)
-      }
-      .sortBy(_._1)
-      .toSeq
+  def ivf(s: SparkSession, dir: String): DataFrame =
+    ivfImpl(s, dir, literal = IvfK <= IvfLiteralBudget)
+
+  /** Tie-total best-first cell comparator — mirrors the oracle's ORDER BY
+    * cos DESC, cid ASC (avoids sorting on a negated double, where -0.0 vs
+    * 0.0 could diverge from SQL ordering).
+    */
+  private def cellCmp(l: Column, r: Column): Column =
+    when(l("cos") > r("cos"), -1)
+      .when(l("cos") < r("cos"), 1)
+      .when(l("cid") < r("cid"), -1)
+      .when(l("cid") > r("cid"), 1)
+      .otherwise(0)
+
+  private[ops] def ivfImpl(s: SparkSession, dir: String, literal: Boolean): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir))
-    // cells ranked best-first per vector; ties break to the lowest cid —
-    // the comparator mirrors the oracle's ORDER BY cos DESC, cid ASC
-    // (avoids sorting on a negated double, where -0.0 vs 0.0 could
-    // diverge from SQL ordering)
-    val ranked = array_sort(
-      array(cents.map { case (cid, v, cnorm) =>
-        struct(
-          (VectorFunctions.dotF(s, col("embedding"), typedLit(v)) / (col("norm") * lit(cnorm)))
-            .as("cos"),
-          lit(cid).as("cid"))
-      }: _*),
-      (l, r) =>
-        when(l("cos") > r("cos"), -1)
-          .when(l("cos") < r("cos"), 1)
-          .when(l("cid") < r("cid"), -1)
-          .when(l("cid") > r("cid"), 1)
-          .otherwise(0))
-    val assigned = e.select(col("vec_id"), col("embedding"), col("norm"), ranked.as("cells"))
+    // `assigned`: every vector with its best-first ranked cell array.
+    val assigned =
+      if (literal) {
+        // driver-literal centroids: K small enough that the K cosines
+        // compile into one codegen'd projection — zero joins, zero
+        // shuffles to build the index
+        val cents: Seq[(Long, Seq[Float], Double)] = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") < IvfK)
+          .select("vec_id", "embedding")
+          .collect()
+          .map { r =>
+            val v = r.getSeq[Float](1)
+            // left-to-right double fold — bit-identical to FloatDotProduct
+            // and DuckDB list_inner_product (oracle-parity requirement)
+            val norm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+            (r.getLong(0), v, norm)
+          }
+          .sortBy(_._1)
+          .toSeq
+        val ranked = array_sort(
+          array(cents.map { case (cid, v, cnorm) =>
+            struct(
+              (VectorFunctions.dotF(s, col("embedding"), typedLit(v)) / (col("norm") * lit(cnorm)))
+                .as("cos"),
+              lit(cid).as("cid"))
+          }: _*),
+          cellCmp)
+        e.select(col("vec_id"), col("embedding"), col("norm"), ranked.as("cells"))
+      } else {
+        // broadcast-join path: centroids stay distributed (never collected
+        // to the driver); each vector meets the K-row broadcast, and the
+        // ranked cell array is rebuilt per vector by a hash aggregation on
+        // vec_id. collect_list order is nondeterministic, but the same
+        // tie-total comparator makes the sorted array identical to the
+        // literal path's.
+        val cent = Tables
+          .embeddings(s, dir)
+          .filter(col("vec_id") < IvfK)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+          .withColumn("cnorm", sqrt(VectorFunctions.dotF(s, col("cemb"), col("cemb"))))
+        e.crossJoin(broadcast(cent))
+          .withColumn("ccos",
+            VectorFunctions.dotF(s, col("embedding"), col("cemb")) / (col("norm") * col("cnorm")))
+          .groupBy("vec_id")
+          .agg(
+            first(col("embedding")).as("embedding"),
+            first(col("norm")).as("norm"),
+            array_sort(collect_list(struct(col("ccos").as("cos"), col("cid"))), cellCmp)
+              .as("cells"))
+      }
     val index = assigned
       .select(
         col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"),

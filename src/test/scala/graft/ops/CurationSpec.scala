@@ -53,6 +53,12 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(large > small, s"lane count did not grow: $small vs $large")
   }
 
+  test("embed_assign: literal and broadcast-join centroid paths agree bit-for-bit") {
+    def rows(literal: Boolean) = Curation.assignImpl(spark, Sf0001, literal)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows(literal = true) == rows(literal = false))
+  }
+
   test("seq_pack: deterministic across reruns and shuffle-partition counts") {
     val a = Curation.seqPack(spark, Sf0001)
       .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq

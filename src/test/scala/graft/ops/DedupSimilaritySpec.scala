@@ -166,4 +166,17 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     info(f"ivf (K=${Similarity.IvfK}, nprobe=${Similarity.NProbe}) recall vs brute-force: $recall%.3f")
     assert(recall > 0.0)
   }
+
+  test("ivf: literal and broadcast-join centroid paths agree bit-for-bit") {
+    // the K ~ sqrt(n) deployment switches assignment from codegen literals
+    // to a broadcast join once K outgrows IvfLiteralBudget; the switch
+    // must be invisible in the results — same cells, same cosine BITS
+    def rows(literal: Boolean) = Similarity.ivfImpl(spark, Sf0001, literal)
+      .select("va", "vb", "cos", "rn").as[(Long, Long, Double, Long)]
+      .collect().sortBy(r => (r._1, r._4)).toSeq
+    val lit = rows(literal = true)
+    val join = rows(literal = false)
+    assert(lit == join,
+      s"paths diverge: ${lit.diff(join).take(3)} vs ${join.diff(lit).take(3)}")
+  }
 }

@@ -205,6 +205,170 @@ object Relational {
                (CAST(sum(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*))
              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
 
+  /** TPC-H Q8-style market share: one nation's share of supplier revenue
+    * among one region's customers, per year. Two independent dimension
+    * paths hang off the fact spine — customer→nation→region filters the
+    * rows, supplier→nation labels them — and the share is a conditional
+    * aggregate, so the whole two-branch snowflake is one pass over
+    * lineitem with broadcast dimensions.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val r = Tables.region(s, dir).filter(col("r_name") === "AMERICA")
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((dsum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0.0))) / dsum(vol))
+        .as("mkt_share"))
+  }
+
+  /** TPC-H Q9-style product profit (adapted: the reference schema has no
+    * partsupp, so supply cost is `p_retailprice · quantity`): profit per
+    * supplier nation per year over a part-name filter. The name filter
+    * prunes part before its broadcast; profit math runs through the
+    * decimal sum.
+    */
+  def q9Profit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("%red%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dsum(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity")).as("sum_profit"))
+
+  /** TPC-H Q12-style (adapted: no l_shipmode — the two-bucket CASE
+    * aggregation runs on order priority instead): per return flag, how
+    * many of one year's lines belong to urgent/high-priority orders.
+    */
+  def q12Priority(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(hi, 1).otherwise(0)).cast("long").as("high_line_count"),
+        sum(when(hi, 0).otherwise(1)).cast("long").as("low_line_count"))
+  }
+
+  /** TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    * max. The max is a 1-row aggregate of the tiny per-supplier revenue
+    * table, joined back as an equi-join on the exact decimal-derived
+    * revenue — no second scan of lineitem, no window.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    Tables.supplier(s, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .select("s_suppkey", "s_name", "total_rev")
+  }
+
+  /** TPC-H Q16-style supplier diversity (adapted: supplier↔part pairs come
+    * from lineitem instead of partsupp): distinct suppliers per surviving
+    * (brand, size) after a NOT-IN supplier blacklist — a null-safe anti
+    * join, then a two-phase distinct aggregate.
+    */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 9, 17, 25, 33, 41, 49).map(lit(_))
+    val bad = Tables.supplier(s, dir)
+      .filter(col("s_name").like("%77%"))
+      .select(col("s_suppkey").as("bad_sk"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#4" && col("p_size").isin(sizes: _*))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("bad_sk"), "left_anti")
+      .groupBy("p_brand", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q21-style waiting orders (adapted: lateness = shipped >90 days
+    * after the order date): suppliers of one nation who were the ONLY
+    * late supplier on a finished multi-supplier order. Correlated EXISTS
+    * + NOT EXISTS over the same fact table — Catalyst decorrelates both
+    * into semi/anti hash joins on the order key.
+    */
+  def q21Waiting(s: SparkSession, dir: String): DataFrame =
+    graft.Catalog.sql(s, dir,
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE o_orderstatus = 'F' AND n_name = 'NATION_5'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 100""")
+
+  /** TPC-H Q22-style dormant high-balance customers (adapted: "no orders
+    * at all" never happens in the fixtures, so dormancy = no orders in
+    * the trailing years): nation-grouped count and balance of
+    * above-average-balance customers with no recent orders. Scalar
+    * subquery + correlated NOT EXISTS → broadcast + anti join.
+    */
+  def q22Dormant(s: SparkSession, dir: String): DataFrame =
+    graft.Catalog.sql(s, dir,
+      """SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+           AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                                   / count(*)
+                            FROM customer
+                            WHERE c_acctbal > 0.0 AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6))
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '1999-01-01')
+         GROUP BY c_nationkey""")
+
+  /** TPC-H Q2-style minimum-cost supplier (adapted: no partsupp, so the
+    * correlated minimum runs on supplier account balance over the
+    * suppliers that actually shipped the part, and region scoping rides
+    * the nation dimension): for each size-15 part, its cheapest European
+    * supplier. The correlated scalar min decorrelates into a grouped
+    * aggregate joined back on the part key.
+    */
+  def q2MinCost(s: SparkSession, dir: String): DataFrame =
+    graft.Catalog.sql(s, dir,
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+         FROM part, lineitem, supplier, nation, region
+         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'EUROPE' AND p_size = 15
+           AND s_acctbal = (SELECT min(s2.s_acctbal)
+                            FROM lineitem l2, supplier s2, nation n2, region r2
+                            WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+                              AND s2.s_nationkey = n2.n_nationkey
+                              AND n2.n_regionkey = r2.r_regionkey
+                              AND r2.r_name = 'EUROPE')
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")
+
   /** Minimum summed quantity for an order to count as "large" in q18. */
   val Q18MinQty = 300.0
 
@@ -701,6 +865,14 @@ object Relational {
     "q19_disjunct"       -> (q19Disjunct _),
     "q4_late_orders"     -> (q4LateOrders _),
     "q17_small_qty"      -> (q17SmallQty _),
+    "q8_market_share"    -> (q8MarketShare _),
+    "q9_profit"          -> (q9Profit _),
+    "q12_priority"       -> (q12Priority _),
+    "q15_top_supplier"   -> (q15TopSupplier _),
+    "q16_supplier_cnt"   -> (q16SupplierCnt _),
+    "q21_waiting"        -> (q21Waiting _),
+    "q22_dormant"        -> (q22Dormant _),
+    "q2_min_cost"        -> (q2MinCost _),
     "join_broadcast"     -> (joinBroadcastParts _),
     "join_semi"          -> (joinSemi _),
     "join_anti"          -> (joinAnti _),
@@ -826,6 +998,89 @@ object Relational {
              SELECT CAST(0.2 AS DOUBLE) *
                (CAST(sum(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*))
              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           ${ds("CASE WHEN n2.n_name = 'NATION_5' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+             / ${ds("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'AMERICA' GROUP BY 1""",
+    "q9_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           ${ds("l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity")} AS sum_profit
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%' GROUP BY 1, 2""",
+    "q12_priority" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+           SELECT l_suppkey, ${ds("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_rev
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         JOIN (SELECT max(total_rev) AS mr FROM rev) ON total_rev = mr""",
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#4' AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77%')
+         GROUP BY 1, 2""",
+    "q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE o_orderstatus = 'F' AND n_name = 'NATION_5'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 100""",
+    "q22_dormant" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+           AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                                   / count(*)
+                            FROM customer
+                            WHERE c_acctbal > 0.0 AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6))
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '1999-01-01')
+         GROUP BY c_nationkey""",
+    "q2_min_cost" ->
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+         FROM part, lineitem, supplier, nation, region
+         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'EUROPE' AND p_size = 15
+           AND s_acctbal = (SELECT min(s2.s_acctbal)
+                            FROM lineitem l2, supplier s2, nation n2, region r2
+                            WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+                              AND s2.s_nationkey = n2.n_nationkey
+                              AND n2.n_regionkey = r2.r_regionkey
+                              AND r2.r_name = 'EUROPE')
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
     "agg_minmax" ->
       "SELECT s_nationkey, min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal, count(*) AS n_suppliers FROM supplier GROUP BY 1",
     "distinct_agg" ->

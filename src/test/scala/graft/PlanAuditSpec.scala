@@ -130,6 +130,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p17.contains("BroadcastNestedLoopJoin") && !p17.contains("CartesianProduct"), p17)
   }
 
+  test("round-5 TPC-H shapes plan as designed") {
+    // q21: both correlated subqueries decorrelate — a semi and an anti
+    // hash join on the order key, never a per-row re-scan
+    val p21 = plan("q21_waiting")
+    assert(p21.contains("LeftSemi"), p21)
+    assert(p21.contains("LeftAnti"), p21)
+    // q8: the two-branch snowflake broadcasts every dimension; the fact
+    // spine is the only shuffled input
+    assert(plan("q8_market_share").contains("BroadcastHashJoin"))
+    // q16: the supplier blacklist is an anti hash join, the part filter
+    // broadcasts
+    val p16 = plan("q16_supplier_cnt")
+    assert(p16.contains("LeftAnti"), p16)
+    // q15: the max-revenue filter is an equi-join against a 1-row
+    // aggregate, not a window or a re-aggregation of lineitem
+    assert(!plan("q15_top_supplier").contains("Window"))
+  }
+
   test("stats_minmax_scale broadcasts the extremes back — no low-cardinality window") {
     // Window.partitionBy over the 5-value event_type would put a fifth of
     // the table into each of five tasks' sorts; the scale shape is a

@@ -283,6 +283,21 @@ object Curation {
         (sum(col("cos").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("avg_cos"))
   }
 
+  /** Per-label mean embedding, emitted as (label, dim, mean_val) rows —
+    * the class-centroid computation that seeds clustering / probes
+    * embedding drift. posexplode fans each vector into (position, value)
+    * pairs, one shuffle on (label, dim) partial-aggregates the decimal
+    * sums; 10 labels × 64 dims = 640 output rows at any corpus size.
+    * Dimensions are 1-based to match SQL `generate_subscripts`.
+    */
+  def labelMeanEmbedding(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg((sum(col("x").cast("double").cast("decimal(38,6)")).cast("double") / count(lit(1)))
+        .as("mean_val"))
+
   // ------------------------------------------------------------- seq pack
 
   /** Packing geometry: documents are distributed across
@@ -371,6 +386,7 @@ object Curation {
     "text_chunks"        -> (chunks _),
     "text_tfidf"         -> (tfidf _),
     "embed_assign"       -> (centroidAssign _),
+    "embed_label_mean"   -> (labelMeanEmbedding _),
     "pii_scrub"          -> (piiScrub _),
     "seq_pack"           -> (seqPack _)
   )
@@ -480,6 +496,13 @@ object Curation {
                   FROM scored)
          SELECT cid AS centroid, count(*) AS n_assigned,
            CAST(sum(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_cos
-         FROM best WHERE rn = 1 GROUP BY 1"""
+         FROM best WHERE rn = 1 GROUP BY 1""",
+    "embed_label_mean" ->
+      """SELECT label, CAST(i AS BIGINT) AS dim,
+           CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean_val
+         FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+               FROM embeddings)
+         GROUP BY 1, 2"""
   )
 }

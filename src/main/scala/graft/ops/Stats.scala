@@ -138,11 +138,82 @@ object Stats {
       .join(broadcast(pick(95, "p95_price")), "l_returnflag")
   }
 
+  /** Quantization grid for [[robustScale]]'s percentiles: value·16 is a
+    * power-of-two scaling, exact in binary floating point, so the grid
+    * assignment and the de-quantized grid values are bit-deterministic in
+    * both engines — no rounding anywhere.
+    */
+  val RobustGrid = 16
+
+  /** Robust (median/IQR) scaling of `value` per event type — the
+    * outlier-resistant alternative to [[minmaxScale]]. Continuous
+    * measures have ~n distinct values, so exact nearest-rank quantiles
+    * over raw values would re-sort the table; instead values are
+    * quantized onto a 1/[[RobustGrid]]-unit grid first (exact power-of-2
+    * arithmetic), the grid histogram (bounded by the value RANGE, not the
+    * row count) is windowed for cumulative counts, and the three
+    * quartiles broadcast back. Median/IQR are then grid values —
+    * deterministic at any partitioning.
+    */
+  def robustScale(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val vc = ev
+      .groupBy(col("event_type"), floor(col("value") * RobustGrid).as("g"))
+      .agg(count(lit(1)).as("c"))
+    val cum = vc
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("event_type").orderBy("g")))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy("event_type")))
+    def pick(p: Int, name: String) =
+      cum
+        .filter(expr(s"cum - c < ($p * tot + 99) div 100 AND cum >= ($p * tot + 99) div 100"))
+        .select(col("event_type"), (col("g").cast("double") / RobustGrid).as(name))
+    val q = pick(25, "q1").join(pick(50, "med"), "event_type").join(pick(75, "q3"), "event_type")
+    ev.select("event_id", "event_type", "value")
+      .join(broadcast(q), "event_type")
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        ((col("value") - col("med")) / (col("q3") - col("q1"))).as("robust"))
+  }
+
+  /** 3-sigma anomaly audit per event type: exact decimal-sum moments
+    * broadcast back onto the stream, z-scores as pure projection, outlier
+    * counts as a conditional aggregate — the scalable two-pass shape
+    * (aggregate → broadcast → map) with no window anywhere.
+    */
+  def anomaly3Sigma(s: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    val m = Tables
+      .events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(v).as("sx"), dsum(v * v).as("sxx"))
+      .select(
+        col("event_type"),
+        (col("sx") / col("n")).as("mean_value"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0)))
+          .as("std_value"))
+    Tables
+      .events(s, dir)
+      .select("event_type", "value")
+      .join(broadcast(m), "event_type")
+      .select(col("event_type"),
+        abs((col("value") - col("mean_value")) / col("std_value")).as("az"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("az") > 3.0, 1).otherwise(0)).cast("long").as("n_outliers"),
+        max(col("az")).as("max_abs_z"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stats_moments"      -> (moments _),
     "stats_corr"         -> (corrValueHour _),
     "stats_minmax_scale" -> (minmaxScale _),
-    "stats_percentiles"  -> (percentilesExact _)
+    "stats_percentiles"  -> (percentilesExact _),
+    "stats_robust_scale" -> (robustScale _),
+    "stats_anomaly"      -> (anomaly3Sigma _)
   )
 
   private def ds(c: String) = DSUM.format(c)
@@ -194,6 +265,41 @@ object Stats {
            SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
            FROM lineitem GROUP BY 1)
          SELECT nd.l_returnflag, n_orders, p50_price, p95_price
-         FROM nd JOIN p50 USING (l_returnflag) JOIN p95 USING (l_returnflag)"""
+         FROM nd JOIN p50 USING (l_returnflag) JOIN p95 USING (l_returnflag)""",
+    "stats_robust_scale" ->
+      s"""WITH vc AS (
+           SELECT event_type, CAST(floor(value * $RobustGrid) AS BIGINT) AS g, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, g, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY g) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+           FROM vc),
+         q1 AS (SELECT event_type, CAST(g AS DOUBLE) / $RobustGrid AS q1 FROM cum
+                WHERE cum - c < (25 * tot + 99) // 100 AND cum >= (25 * tot + 99) // 100),
+         med AS (SELECT event_type, CAST(g AS DOUBLE) / $RobustGrid AS med FROM cum
+                WHERE cum - c < (50 * tot + 99) // 100 AND cum >= (50 * tot + 99) // 100),
+         q3 AS (SELECT event_type, CAST(g AS DOUBLE) / $RobustGrid AS q3 FROM cum
+                WHERE cum - c < (75 * tot + 99) // 100 AND cum >= (75 * tot + 99) // 100)
+         SELECT event_id, events.event_type, value, (value - med) / (q3 - q1) AS robust
+         FROM events
+         JOIN q1 ON events.event_type = q1.event_type
+         JOIN med ON events.event_type = med.event_type
+         JOIN q3 ON events.event_type = q3.event_type""",
+    "stats_anomaly" ->
+      s"""WITH m AS (
+           SELECT event_type, count(*) AS n, ${ds("value")} AS sx, ${ds("value * value")} AS sxx
+           FROM events GROUP BY 1),
+         mm AS (
+           SELECT event_type, sx / n AS mean_value,
+             sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std_value
+           FROM m),
+         z AS (
+           SELECT events.event_type, abs((value - mean_value) / std_value) AS az
+           FROM events JOIN mm ON events.event_type = mm.event_type)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           max(az) AS max_abs_z
+         FROM z GROUP BY 1"""
   )
 }

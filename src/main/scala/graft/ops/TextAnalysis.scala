@@ -142,23 +142,121 @@ object TextAnalysis {
     * corpus makes the vocabulary tiny). Only the 1-row total-count scalar
     * is explicitly broadcast.
     *
-    * Determinism: `ln` over the integer counts is bit-equal across
-    * JVM/DuckDB (verified exhaustively for the fixture vocabulary), each
-    * per-token NLL goes through decimal(38,6) before the per-doc sum, and
-    * `max` needs no such care.
+    * Determinism: Spark's `ln` is StrictMath (fdlibm) while DuckDB's is
+    * the platform libm — they disagree in the LAST ULP for some integer
+    * arguments (e.g. ln 74), so no raw `ln` may reach an output column.
+    * Every NLL is quantized through decimal(38,6) first; the mean sums
+    * those quantized values and the max compares them.
     */
   def unigramLm(s: SparkSession, dir: String): DataFrame = {
     val t   = toks(s, dir)
     val tc  = t.groupBy("t").agg(count(lit(1)).as("c"))
     val tot = t.agg(count(lit(1)).cast("double").as("n_total"))
-    val nll = log(col("n_total")) - log(col("c").cast("double"))
+    val nllQ = (log(col("n_total")) - log(col("c").cast("double"))).cast("decimal(38,6)")
     t.join(tc, "t")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        (sum(nll.cast("decimal(38,6)")).cast("double") / count(lit(1))).as("mean_nll"),
-        max(nll).as("max_nll"))
+        (sum(nllQ).cast("double") / count(lit(1))).as("mean_nll"),
+        max(nllQ).cast("double").as("max_nll"))
+  }
+
+  /** Bigram language-model scoring — the next-order refinement of
+    * [[unigramLm]]: score each document by the mean conditional negative
+    * log-likelihood `ln c(w1·) - ln c(w1 w2)` of its adjacent token
+    * pairs (both counts trained on the corpus's own bigram stream, so
+    * the conditional is a proper probability). Like the unigram LM, BOTH
+    * model joins stay unhinted — bigram types outnumber unigram types,
+    * so a forced broadcast would be even more wrong at scale; the
+    * planner/AQE picks shuffle joins when the model tables outgrow the
+    * broadcast budget.
+    */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), filter(Tokenize.tokenCol(col("text")), _ =!= "").as("toks"))
+      .select(col("doc_id"), explode(TextHash.shingles(col("toks"), 2)).as("b"))
+      // tokens cannot contain spaces (the tokenizer splits on non-letter
+      // runs), so the shingle's first space is an exact prefix boundary
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+    val c2 = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1").as("w1c")).agg(count(lit(1)).as("c1"))
+    // quantized before ANY aggregate — Spark's StrictMath ln and DuckDB's
+    // libm ln differ in the last ulp for some counts (see unigramLm)
+    val nllQ = (log(col("c1").cast("double")) - log(col("c2").cast("double")))
+      .cast("decimal(38,6)")
+    bg.join(c2, "b")
+      .join(c1, col("w1") === col("w1c"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(nllQ).cast("double") / count(lit(1))).as("mean_nll"),
+        max(nllQ).cast("double").as("max_nll"))
+  }
+
+  /** Per-document token-distribution Shannon entropy (nats) — the
+    * repetitiveness signal orthogonal to [[Curation.repetition]]'s n-gram
+    * ratios: `H = ln n - (Σ c·ln c)/n` over the doc's token counts. One
+    * shuffle on (doc_id, token), then a per-doc rollup; `c·ln c` products
+    * of exact integers go through the decimal sum.
+    */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_toks"),
+        sum((col("c").cast("double") * log(col("c").cast("double"))).cast("decimal(38,6)"))
+          .cast("double").as("sclc"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        // the outer ln(n) is quantized with the whole expression — raw
+        // lns never reach an output (StrictMath vs libm last-ulp skew)
+        (log(col("n_toks").cast("double")) - col("sclc") / col("n_toks").cast("double"))
+          .cast("decimal(38,6)").cast("double").as("entropy"))
+
+  /** Terms per language entering the Zipf fit. */
+  val ZipfTopN = 1000
+
+  /** Zipf-law exponent per language: least-squares slope of ln(frequency)
+    * on ln(rank) over each language's [[ZipfTopN]] most frequent tokens —
+    * the corpus-health diagnostic (natural text ≈ -1; pathological
+    * corpora drift). The per-language ranking runs on [[graft.plans.GroupedTopK]]
+    * (bounded per-group heaps, spill-guarded) instead of a window: the
+    * ranked relation is the whole vocabulary, and a 5-partition window
+    * sort over 10⁸ types is the low-cardinality-window anti-pattern the
+    * catalog bans. The regression itself is five decimal-exact sums over
+    * ≤[[ZipfTopN]] rows per language.
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val ltc = Tables
+      .documents(s, dir)
+      .select(col("lang"), explode(Tokenize.tokenCol(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("lang", "t")
+      .agg(count(lit(1)).as("c"))
+    val top = graft.plans.GroupedTopK.topK(
+      ltc, keys = Seq("lang"), order = Seq("c" -> false, "t" -> true), k = ZipfTopN,
+      rankName = "rnk")
+    val x = log(col("rnk").cast("double"))
+    val y = log(col("c").cast("double"))
+    def dsumD(c: Column) = sum(c.cast("decimal(38,6)")).cast("double")
+    top
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        dsumD(x).as("sx"),
+        dsumD(y).as("sy"),
+        dsumD(x * y).as("sxy"),
+        dsumD(x * x).as("sxx"))
+      .select(
+        col("lang"),
+        col("n_terms"),
+        ((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx"))).as("zipf_slope"))
   }
 
   /** Document fingerprinting: md5 of the sorted-distinct-token canonical
@@ -183,11 +281,28 @@ object TextAnalysis {
     "text_token_count" -> (tokenCount _),
     "text_top_bigrams" -> (topBigrams _),
     "text_unigram_lm"  -> (unigramLm _),
+    "text_bigram_lm"   -> (bigramLm _),
+    "text_entropy"     -> (tokenEntropy _),
+    "text_zipf_slope"  -> (zipfSlope _),
     "text_fingerprint" -> (fingerprint _)
   )
 
   private val duckToks =
     "SELECT doc_id, t FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS t FROM documents) WHERE t <> ''"
+
+  /** Adjacent-pair (bigram) stream with its prefix token, via the same
+    * 1-based position self-join as the text_top_bigrams oracle.
+    */
+  private val duckBigrams =
+    """SELECT a.doc_id, a.t || ' ' || b.t AS b, a.t AS w1 FROM
+         (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
+           (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
+            FROM documents)) a
+       JOIN
+         (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
+           (SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') l
+            FROM documents)) b
+       ON a.doc_id = b.doc_id AND b.i = a.i + 1"""
 
   private def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
 
@@ -236,8 +351,45 @@ object TextAnalysis {
          SELECT doc_id, count(*) AS n_tokens,
            CAST(sum(CAST(ln(n_total) - ln(CAST(c AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE)
              / count(*) AS mean_nll,
-           max(ln(n_total) - ln(CAST(c AS DOUBLE))) AS max_nll
+           CAST(max(CAST(ln(n_total) - ln(CAST(c AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS max_nll
          FROM t JOIN tc USING (t), tot GROUP BY 1""",
+    "text_bigram_lm" ->
+      s"""WITH bg AS ($duckBigrams),
+         cb AS (SELECT b, count(*) AS nb FROM bg GROUP BY 1),
+         cw AS (SELECT w1, count(*) AS nw FROM bg GROUP BY 1)
+         SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(CAST(ln(CAST(nw AS DOUBLE)) - ln(CAST(nb AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*) AS mean_nll,
+           CAST(max(CAST(ln(CAST(nw AS DOUBLE)) - ln(CAST(nb AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS max_nll
+         FROM bg JOIN cb USING (b) JOIN cw USING (w1) GROUP BY 1""",
+    "text_entropy" ->
+      s"""WITH dc AS (SELECT doc_id, t, count(*) AS c FROM ($duckToks) GROUP BY 1, 2),
+         a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+             CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sclc
+           FROM dc GROUP BY 1)
+         SELECT doc_id, n_toks,
+           CAST(CAST(ln(CAST(n_toks AS DOUBLE)) - sclc / CAST(n_toks AS DOUBLE)
+                AS DECIMAL(38,6)) AS DOUBLE) AS entropy
+         FROM a""",
+    "text_zipf_slope" ->
+      s"""WITH ltc AS (
+           SELECT lang, t, count(*) AS c FROM (
+             SELECT lang, unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS t FROM documents)
+           WHERE t <> '' GROUP BY 1, 2),
+         top AS (
+           SELECT lang, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, t ASC) AS rnk
+           FROM ltc QUALIFY rnk <= $ZipfTopN),
+         a AS (
+           SELECT lang, count(*) AS n_terms,
+             CAST(sum(CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+           FROM top GROUP BY 1)
+         SELECT lang, n_terms,
+           (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) AS zipf_slope
+         FROM a""",
     "text_fingerprint" ->
       s"""SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS canonical_fp,

@@ -128,14 +128,18 @@ object Stats {
       .withColumn("cum",
         sum(col("c")).over(Window.partitionBy("l_returnflag").orderBy("l_extendedprice")))
       .withColumn("tot", sum(col("c")).over(Window.partitionBy("l_returnflag")))
-    def pick(p: Int, name: String) =
-      cum
-        .filter(expr(s"cum - c < ($p * tot + 99) div 100 AND cum >= ($p * tot + 99) div 100"))
-        .select(col("l_returnflag"), col("l_extendedprice").as(name))
+    // both percentiles in ONE pass over the cumulative histogram: exactly
+    // one row per group satisfies each rank window, so a conditional min
+    // is the value itself (halves the plan vs a filter-join per pick)
+    def hit(p: Int) = expr(s"cum - c < ($p * tot + 99) div 100 AND cum >= ($p * tot + 99) div 100")
+    val pcts = cum
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(hit(50), col("l_extendedprice"))).as("p50_price"),
+        min(when(hit(95), col("l_extendedprice"))).as("p95_price"))
     li.groupBy("l_returnflag")
       .agg(count_distinct(col("l_orderkey")).as("n_orders"))
-      .join(broadcast(pick(50, "p50_price")), "l_returnflag")
-      .join(broadcast(pick(95, "p95_price")), "l_returnflag")
+      .join(broadcast(pcts), "l_returnflag")
   }
 
   /** Quantization grid for [[robustScale]]'s percentiles: value·16 is a
@@ -164,11 +168,16 @@ object Stats {
       .withColumn("cum",
         sum(col("c")).over(Window.partitionBy("event_type").orderBy("g")))
       .withColumn("tot", sum(col("c")).over(Window.partitionBy("event_type")))
-    def pick(p: Int, name: String) =
-      cum
-        .filter(expr(s"cum - c < ($p * tot + 99) div 100 AND cum >= ($p * tot + 99) div 100"))
-        .select(col("event_type"), (col("g").cast("double") / RobustGrid).as(name))
-    val q = pick(25, "q1").join(pick(50, "med"), "event_type").join(pick(75, "q3"), "event_type")
+    // all three quartiles in one conditional-aggregate pass (see
+    // percentilesExact)
+    def hit(p: Int) = expr(s"cum - c < ($p * tot + 99) div 100 AND cum >= ($p * tot + 99) div 100")
+    def gv(c: Column) = c.cast("double") / RobustGrid
+    val q = cum
+      .groupBy("event_type")
+      .agg(
+        gv(min(when(hit(25), col("g")))).as("q1"),
+        gv(min(when(hit(50), col("g")))).as("med"),
+        gv(min(when(hit(75), col("g")))).as("q3"))
     ev.select("event_id", "event_type", "value")
       .join(broadcast(q), "event_type")
       .select(

@@ -143,6 +143,24 @@ object Dedup {
       .select("doc_id", "digest", "is_dup")
   }
 
+  /** The APPLY step of exact dedup — the deduplicated corpus itself, not
+    * the audit: keep the lowest doc_id of every digest group and emit the
+    * surviving rows. Aggregation on the digest (partial+final) then a
+    * semi join on the kept ids — both shuffle-bounded, no window.
+    */
+  def exactApply(s: SparkSession, dir: String): DataFrame = {
+    val keep = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    Tables
+      .documents(s, dir)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars")
+  }
+
   // ------------------------------------------------------------------ ngram
 
   /** Exact n-gram (word trigram, see ShingleN) Jaccard dedup via inverted-index self-join:
@@ -413,7 +431,8 @@ object Dedup {
     "dedup_simhash"   -> (simhash _),
     "dedup_embedding" -> (embedding _),
     "dedup_clusters"  -> (clusters _),
-    "dedup_fuzzy"     -> (fuzzy _)
+    "dedup_fuzzy"     -> (fuzzy _),
+    "dedup_apply"     -> (exactApply _)
   )
 
   private val h = TextHash.duckHash60Of _
@@ -459,6 +478,9 @@ object Dedup {
     "dedup_exact" ->
       """SELECT doc_id, digest, (row_number() OVER (PARTITION BY digest ORDER BY doc_id) > 1) AS is_dup
          FROM (SELECT doc_id, md5(text) AS digest FROM documents)""",
+    "dedup_apply" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
     "dedup_ngram" ->
       s"""WITH sh AS ($duckShingles),
          cand AS (SELECT a.doc_id da, b.doc_id db FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),

@@ -369,6 +369,24 @@ object Relational {
                               AND r2.r_name = 'EUROPE')
          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")
 
+  /** TPC-H Q11-style important suppliers (adapted: revenue share instead
+    * of partsupp stock value): suppliers whose revenue exceeds a fixed
+    * fraction of the corpus total — the HAVING-over-global-scalar shape.
+    * Both aggregates share one lineitem pass each; the threshold is a
+    * 1-row broadcast and membership is decided on exact decimal sums.
+    */
+  def q11Important(s: SparkSession, dir: String): DataFrame = {
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val rev = Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(dsum(vol).as("supp_rev"))
+    val thr = Tables.lineitem(s, dir).agg((dsum(vol) * lit(0.001)).as("threshold"))
+    rev
+      .crossJoin(broadcast(thr))
+      .filter(col("supp_rev") > col("threshold"))
+      .select("l_suppkey", "supp_rev")
+  }
+
   /** Minimum summed quantity for an order to count as "large" in q18. */
   val Q18MinQty = 300.0
 
@@ -873,6 +891,7 @@ object Relational {
     "q21_waiting"        -> (q21Waiting _),
     "q22_dormant"        -> (q22Dormant _),
     "q2_min_cost"        -> (q2MinCost _),
+    "q11_important"      -> (q11Important _),
     "join_broadcast"     -> (joinBroadcastParts _),
     "join_semi"          -> (joinSemi _),
     "join_anti"          -> (joinAnti _),
@@ -1081,6 +1100,13 @@ object Relational {
                               AND n2.n_regionkey = r2.r_regionkey
                               AND r2.r_name = 'EUROPE')
          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "q11_important" ->
+      s"""WITH rev AS (
+           SELECT l_suppkey, ${ds("l_extendedprice * (1.0 - l_discount)")} AS supp_rev
+           FROM lineitem GROUP BY 1)
+         SELECT l_suppkey, supp_rev FROM rev
+         WHERE supp_rev > (SELECT ${ds("l_extendedprice * (1.0 - l_discount)")} * 0.001
+                           FROM lineitem)""",
     "agg_minmax" ->
       "SELECT s_nationkey, min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal, count(*) AS n_suppliers FROM supplier GROUP BY 1",
     "distinct_agg" ->

@@ -218,6 +218,45 @@ object TextAnalysis {
         (log(col("n_toks").cast("double")) - col("sclc") / col("n_toks").cast("double"))
           .cast("decimal(38,6)").cast("double").as("entropy"))
 
+  /** Minimum bigram support and result size for the PMI collocations. */
+  val PmiMinCount = 5
+  val PmiTopN     = 50
+
+  /** Top collocations by pointwise mutual information
+    * `ln(N·c12 / (c1·c2))` over corpus bigram/unigram counts with a
+    * minimum-support cut — the other corpus-normalized score the
+    * unigram-LM two-pass shape carries: count aggregates join back
+    * unhinted (model tables outgrow any broadcast budget), the bigram
+    * total rides as a 1-row broadcast, and the final top-N is a
+    * TakeOrderedAndProject over the support-filtered survivors. The PMI
+    * is quantized through decimal(38,6) (four lns — StrictMath/libm
+    * last-ulp hazard) BEFORE ordering, with the bigram string as the
+    * total tiebreak.
+    */
+  def pmiTop(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables
+      .documents(s, dir)
+      .select(filter(Tokenize.tokenCol(col("text")), _ =!= "").as("toks"))
+      .select(explode(TextHash.shingles(col("toks"), 2)).as("b"))
+    val c12 = bg.groupBy("b").agg(count(lit(1)).as("c12")).filter(col("c12") >= PmiMinCount)
+    val uni = toks(s, dir).groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = bg.agg(count(lit(1)).cast("double").as("n_bg"))
+    c12
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .withColumn("w2", substring_index(col("b"), " ", -1))
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("b").as("bigram"),
+        col("c12"),
+        (log(col("n_bg")) + log(col("c12").cast("double")) -
+          log(col("c1").cast("double")) - log(col("c2").cast("double")))
+          .cast("decimal(38,6)").cast("double").as("pmi"))
+      .orderBy(desc("pmi"), asc("bigram"))
+      .limit(PmiTopN)
+  }
+
   /** Terms per language entering the Zipf fit. */
   val ZipfTopN = 1000
 
@@ -284,6 +323,7 @@ object TextAnalysis {
     "text_bigram_lm"   -> (bigramLm _),
     "text_entropy"     -> (tokenEntropy _),
     "text_zipf_slope"  -> (zipfSlope _),
+    "text_pmi"         -> (pmiTop _),
     "text_fingerprint" -> (fingerprint _)
   )
 
@@ -371,6 +411,19 @@ object TextAnalysis {
            CAST(CAST(ln(CAST(n_toks AS DOUBLE)) - sclc / CAST(n_toks AS DOUBLE)
                 AS DECIMAL(38,6)) AS DOUBLE) AS entropy
          FROM a""",
+    "text_pmi" ->
+      s"""WITH bg AS (SELECT b FROM ($duckBigrams)),
+         c12 AS (SELECT b, count(*) AS c12 FROM bg GROUP BY 1 HAVING count(*) >= $PmiMinCount),
+         uni AS (SELECT t, count(*) AS c FROM ($duckToks) GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_bg FROM bg)
+         SELECT b AS bigram, c12,
+           CAST(CAST(ln(n_bg) + ln(CAST(c12 AS DOUBLE))
+                - ln(CAST(u1.c AS DOUBLE)) - ln(CAST(u2.c AS DOUBLE))
+                AS DECIMAL(38,6)) AS DOUBLE) AS pmi
+         FROM c12
+         JOIN uni u1 ON u1.t = split_part(b, ' ', 1)
+         JOIN uni u2 ON u2.t = split_part(b, ' ', 2), tot
+         ORDER BY pmi DESC, bigram ASC LIMIT $PmiTopN""",
     "text_zipf_slope" ->
       s"""WITH ltc AS (
            SELECT lang, t, count(*) AS c FROM (

@@ -169,15 +169,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   test("full catalog: no unexpected nested-loop or cartesian plans") {
     // the only sanctioned nested-loop plans: cross_join (the operator
-    // itself), scalar_subquery's 1-row broadcast, sim_topk's |Q|-row
-    // broadcast against the candidate stream, text_unigram_lm's 1-row
-    // corpus-total broadcast, seq_pack's 1-row lane-count broadcast.
-    // dedup_clusters executes eagerly (checkpointed loop), leaving only a
-    // result scan here — its per-round join shape is audited directly in
-    // the next test.
+    // itself), sim_topk's |Q|-row broadcast against the candidate stream,
+    // and the 1-row scalar broadcasts (scalar_subquery, text_unigram_lm's
+    // corpus total, text_pmi's bigram total, seq_pack's lane count,
+    // q11_important's revenue threshold). dedup_clusters executes eagerly
+    // (checkpointed loop), leaving only a result scan here — its
+    // per-round join shape is audited directly in the next test.
     val allowed =
       Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters", "text_unigram_lm",
-        "seq_pack")
+        "seq_pack", "text_pmi", "q11_important")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

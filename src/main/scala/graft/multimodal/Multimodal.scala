@@ -79,8 +79,41 @@ object Multimodal extends Serializable {
   def features(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaFromDocuments(s, dir)).toDF()
 
+  /** Fixed-size frame geometry for [[frameSample]]: payloads are treated
+    * as a sequence of [[FrameBytes]]-byte frames and every
+    * [[FrameStride]]-th frame is sampled.
+    */
+  val FrameBytes  = 32
+  val FrameStride = 4
+
+  /** Frame sampling — the video/audio analogue of thumbnailing: emit one
+    * probe byte per sampled frame (a real decoder would emit the decoded
+    * frame or its embedding; the byte probe keeps the fixture
+    * oracle-checkable). The whole operator is a scan-side generate +
+    * projection: frame indices come from `sequence` over the payload
+    * length, the byte is sliced in place, and the payload itself never
+    * enters a shuffle — only (doc_id, frame_idx, frame_byte) flows on.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    mediaFromDocuments(s, dir)
+      .toDF()
+      .filter(length(col("payload")) >= FrameBytes)
+      .select(
+        col("doc_id"),
+        col("media_type"),
+        explode(expr(s"sequence(0, int(length(payload) / $FrameBytes) - 1, $FrameStride)"))
+          .as("frame_idx"),
+        col("payload"))
+      .select(
+        col("doc_id"),
+        col("media_type"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"CAST(conv(hex(substring(payload, frame_idx * $FrameBytes + 1, 1)), 16, 10) AS BIGINT)")
+          .as("frame_byte"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features" -> (features _)
+    "multimodal_features" -> (features _),
+    "multimodal_frames"   -> (frameSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -92,6 +125,13 @@ object Multimodal extends Serializable {
               ELSE CAST('0x' || substr(hex(encode(text)), 1, 2) AS BIGINT) END AS first_byte,
          octet_length(encode(text)) % 640 AS fake_width,
          octet_length(encode(text)) % 480 AS fake_height
-         FROM documents"""
+         FROM documents""",
+    "multimodal_frames" ->
+      s"""SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+         CAST(i AS BIGINT) AS frame_idx,
+         CAST('0x' || substr(hex(encode(text)), i * $FrameBytes * 2 + 1, 2) AS BIGINT) AS frame_byte
+         FROM documents, unnest(range(0, octet_length(encode(text)) // $FrameBytes, $FrameStride)) AS t(i)
+         WHERE octet_length(encode(text)) >= $FrameBytes"""
   )
 }

@@ -369,6 +369,30 @@ object Relational {
                               AND r2.r_name = 'EUROPE')
          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")
 
+  /** TPC-H Q20-style promotion candidates (adapted: the absent
+    * partsupp.availqty correlation becomes a recent-concentration test —
+    * suppliers whose 1997 shipments of one part family exceed a fraction
+    * of their own all-time shipments of it). Three subquery layers:
+    * IN-subquery (semi join) over a grouped HAVING whose threshold is a
+    * correlated scalar aggregate — all decorrelated by Catalyst into
+    * hash joins (pinned).
+    */
+  def q20Promotion(s: SparkSession, dir: String): DataFrame =
+    graft.Catalog.sql(s, dir,
+      """SELECT s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey IN (
+           SELECT l.l_suppkey
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_name LIKE 'blue%'
+             AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+           GROUP BY l.l_suppkey
+           HAVING CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) >
+             0.22 * (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                     FROM lineitem l2 JOIN part p2 ON l2.l_partkey = p2.p_partkey
+                     WHERE p2.p_name LIKE 'blue%' AND l2.l_suppkey = l.l_suppkey))""")
+
   /** TPC-H Q11-style important suppliers (adapted: revenue share instead
     * of partsupp stock value): suppliers whose revenue exceeds a fixed
     * fraction of the corpus total — the HAVING-over-global-scalar shape.
@@ -892,6 +916,7 @@ object Relational {
     "q22_dormant"        -> (q22Dormant _),
     "q2_min_cost"        -> (q2MinCost _),
     "q11_important"      -> (q11Important _),
+    "q20_promotion"      -> (q20Promotion _),
     "join_broadcast"     -> (joinBroadcastParts _),
     "join_semi"          -> (joinSemi _),
     "join_anti"          -> (joinAnti _),
@@ -1100,6 +1125,20 @@ object Relational {
                               AND n2.n_regionkey = r2.r_regionkey
                               AND r2.r_name = 'EUROPE')
          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "q20_promotion" ->
+      """SELECT s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey IN (
+           SELECT l.l_suppkey
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_name LIKE 'blue%'
+             AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+           GROUP BY l.l_suppkey
+           HAVING CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) >
+             0.22 * (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                     FROM lineitem l2 JOIN part p2 ON l2.l_partkey = p2.p_partkey
+                     WHERE p2.p_name LIKE 'blue%' AND l2.l_suppkey = l.l_suppkey))""",
     "q11_important" ->
       s"""WITH rev AS (
            SELECT l_suppkey, ${ds("l_extendedprice * (1.0 - l_discount)")} AS supp_rev

@@ -146,6 +146,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // q15: the max-revenue filter is an equi-join against a 1-row
     // aggregate, not a window or a re-aggregation of lineitem
     assert(!plan("q15_top_supplier").contains("Window"))
+    // q20: three subquery layers (IN + grouped HAVING + correlated scalar)
+    // all decorrelate — semi hash join, no nested loop
+    val p20 = plan("q20_promotion")
+    assert(p20.contains("LeftSemi"), p20)
+    assert(!p20.contains("BroadcastNestedLoopJoin") && !p20.contains("CartesianProduct"), p20)
   }
 
   test("stats_minmax_scale broadcasts the extremes back — no low-cardinality window") {

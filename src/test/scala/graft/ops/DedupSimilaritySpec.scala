@@ -167,6 +167,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall > 0.0)
   }
 
+  test("LSH signatures fail loudly on embedding dimensionality drift") {
+    // zip_with pads the shorter side with nulls, which would silently
+    // zero every vote bit — the guard must surface the drift instead
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dimdrift").toString
+    spark.range(4)
+      .selectExpr("id AS vec_id", "transform(sequence(1, 8), i -> float(i)) AS embedding",
+        "0 AS label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val e = intercept[Exception] {
+      Similarity.signatures(spark, tmp).collect()
+    }
+    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+    assert((Option(e.getMessage).getOrElse("") + Option(root(e).getMessage).getOrElse(""))
+      .contains("dimensionality"), e.toString)
+  }
+
   test("ivf: literal and broadcast-join centroid paths agree bit-for-bit") {
     // the K ~ sqrt(n) deployment switches assignment from codegen literals
     // to a broadcast join once K outgrows IvfLiteralBudget; the switch

@@ -61,6 +61,44 @@ object Curation {
       .select(col("doc_id"), col("source"), Tokenize.tokenCol(col("text")).as("raw"))
       .select(col("doc_id"), col("source"), filter(col("raw"), _ =!= "").as("toks"))
 
+  // ---------------------------------------------------------- mixture
+
+  /** Token budget for the mixture's expected-epoch computation. */
+  val MixtureBudget = 1000000.0
+
+  /** Source-mixture sampling weights: the step that turns per-source
+    * corpus sizes into the sampling distribution a training run draws
+    * from. Each source's weight is `sqrt(tokens)` (temperature α = 0.5 —
+    * the standard up-weighting of small/curated sources over bulk web
+    * text); `p_sample` normalizes the weights and `epochs` is how many
+    * times the source would be traversed filling a [[MixtureBudget]]-token
+    * budget at that rate (>1 ⇒ the source repeats).
+    *
+    * Scale shape: one partial-aggregated shuffle to per-source totals
+    * (sources are few — the result is KB), then a 1-row broadcast of the
+    * weight total. Determinism: sqrt is IEEE-correctly-rounded in both
+    * engines; each weight is quantized through decimal(38,6) BEFORE the
+    * cross-source total, so the sum is exact and order-free.
+    */
+  def mixture(s: SparkSession, dir: String): DataFrame = {
+    val per = withToks(s, dir)
+      .select(col("source"), size(col("toks")).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")).cast("decimal(38,6)"))
+    val tot = per.agg(sum(col("w")).as("tw"))
+    val p   = col("w").cast("double") / col("tw").cast("double")
+    per
+      .crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("w").cast("double").as("weight"),
+        p.as("p_sample"),
+        (p * lit(MixtureBudget) / col("n_tokens").cast("double")).as("epochs"))
+  }
+
   // ------------------------------------------------------------- repetition
 
   /** Per-doc repetition stats: token count, top-token fraction, top-bigram
@@ -388,7 +426,8 @@ object Curation {
     "embed_assign"       -> (centroidAssign _),
     "embed_label_mean"   -> (labelMeanEmbedding _),
     "pii_scrub"          -> (piiScrub _),
-    "seq_pack"           -> (seqPack _)
+    "seq_pack"           -> (seqPack _),
+    "corpus_mixture"     -> (mixture _)
   )
 
   /** Tokenized docs as DuckDB lists, one row per doc. The split pattern is
@@ -503,6 +542,16 @@ object Curation {
          FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
                  CAST(unnest(embedding) AS DOUBLE) AS x
                FROM embeddings)
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "corpus_mixture" ->
+      s"""WITH per AS (
+           SELECT source, count(*) AS n_docs, CAST(sum(len(l)) AS BIGINT) AS n_tokens,
+             CAST(sqrt(CAST(sum(len(l)) AS DOUBLE)) AS DECIMAL(38,6)) AS w
+           FROM ($duckToksList) GROUP BY 1),
+         tot AS (SELECT sum(w) AS tw FROM per)
+         SELECT source, n_docs, n_tokens, CAST(w AS DOUBLE) AS weight,
+           CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS p_sample,
+           CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) * $MixtureBudget / CAST(n_tokens AS DOUBLE) AS epochs
+         FROM per, tot"""
   )
 }

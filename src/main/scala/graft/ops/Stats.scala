@@ -80,6 +80,40 @@ object Stats {
           .as("corr_value_hour"))
   }
 
+  /** Ordinary-least-squares fit of `value` on hour-of-day per event type
+    * — slope/intercept/R² from the same five decimal-exact sums as
+    * [[corrValueHour]], so the whole regression is one partial-aggregated
+    * shuffle and a closed-form projection. R² is the squared correlation
+    * (identically associated in the oracle), slope and intercept the
+    * normal-equation solutions — every division runs on deterministic
+    * doubles, so the fit is bit-stable at any partitioning.
+    */
+  def olsValueHour(s: SparkSession, dir: String): DataFrame = {
+    val x = hour(col("ts")).cast("double")
+    val y = col("value")
+    val sl = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    Tables
+      .events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(x).as("sx"),
+        dsum(y).as("sy"),
+        dsum(x * y).as("sxy"),
+        dsum(x * x).as("sxx"),
+        dsum(y * y).as("syy"))
+      .select(
+        col("event_type"),
+        col("n"),
+        sl.as("slope"),
+        ((col("sy") - sl * col("sx")) / col("n")).as("intercept"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
   /** Min-max feature scaling of `value` within its event type — the
     * normalization step before the embedding/clustering stages.
     *
@@ -222,7 +256,8 @@ object Stats {
     "stats_minmax_scale" -> (minmaxScale _),
     "stats_percentiles"  -> (percentilesExact _),
     "stats_robust_scale" -> (robustScale _),
-    "stats_anomaly"      -> (anomaly3Sigma _)
+    "stats_anomaly"      -> (anomaly3Sigma _),
+    "stats_ols"          -> (olsValueHour _)
   )
 
   private def ds(c: String) = DSUM.format(c)
@@ -309,6 +344,19 @@ object Stats {
          SELECT event_type, count(*) AS n,
            CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            max(az) AS max_abs_z
-         FROM z GROUP BY 1"""
+         FROM z GROUP BY 1""",
+    "stats_ols" ->
+      s"""WITH a AS (SELECT event_type, count(*) AS n,
+           ${ds("CAST(hour(ts) AS DOUBLE)")} AS sx, ${ds("value")} AS sy,
+           ${ds("CAST(hour(ts) AS DOUBLE) * value")} AS sxy,
+           ${ds("CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)")} AS sxx,
+           ${ds("value * value")} AS syy
+           FROM events GROUP BY 1)
+         SELECT event_type, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+           (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+             ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+         FROM a"""
   )
 }

@@ -261,7 +261,17 @@ object Curation {
   def centroidAssign(s: SparkSession, dir: String): DataFrame =
     assignImpl(s, dir, literal = KCentroids <= Similarity.IvfLiteralBudget)
 
-  private[ops] def assignImpl(s: SparkSession, dir: String, literal: Boolean): DataFrame = {
+  private[ops] def assignImpl(s: SparkSession, dir: String, literal: Boolean): DataFrame =
+    assignVectors(s, dir, literal)
+      .groupBy("centroid")
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        (sum(col("cos").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("avg_cos"))
+
+  /** Per-vector argmax-cosine assignment (vec_id, centroid, cos) — the
+    * shared front half of [[centroidAssign]] and [[kmeansIter]].
+    */
+  private[ops] def assignVectors(s: SparkSession, dir: String, literal: Boolean): DataFrame = {
     val e = Tables
       .embeddings(s, dir)
       .select(
@@ -315,11 +325,25 @@ object Curation {
             col("bestc")("cos").as("cos"))
       }
     perVec
-      .groupBy("centroid")
-      .agg(
-        count(lit(1)).as("n_assigned"),
-        (sum(col("cos").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("avg_cos"))
   }
+
+  /** One full Lloyd (k-means) iteration: the [[assignVectors]] assignment
+    * step, then the UPDATE step — each cluster's new centroid as the
+    * per-dimension mean of its members. posexplode fans the assigned
+    * vectors into (centroid, dim, value) triples and one shuffle
+    * partial-aggregates the decimal-exact sums; the output is K×dims rows
+    * at any corpus size, so iterating (assign → update → re-literal /
+    * re-broadcast) never grows driver state beyond the centroid table
+    * itself. Dimensions are 1-based to match SQL `generate_subscripts`.
+    */
+  def kmeansIter(s: SparkSession, dir: String): DataFrame =
+    assignVectors(s, dir, literal = KCentroids <= Similarity.IvfLiteralBudget)
+      .select("vec_id", "centroid")
+      .join(Tables.embeddings(s, dir).select("vec_id", "embedding"), "vec_id")
+      .select(col("centroid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("centroid"), (col("pos") + 1).cast("long").as("dim"))
+      .agg((sum(col("x").cast("double").cast("decimal(38,6)")).cast("double") / count(lit(1)))
+        .as("mean_val"))
 
   /** Per-label mean embedding, emitted as (label, dim, mean_val) rows —
     * the class-centroid computation that seeds clustering / probes
@@ -427,7 +451,8 @@ object Curation {
     "embed_label_mean"   -> (labelMeanEmbedding _),
     "pii_scrub"          -> (piiScrub _),
     "seq_pack"           -> (seqPack _),
-    "corpus_mixture"     -> (mixture _)
+    "corpus_mixture"     -> (mixture _),
+    "embed_kmeans_iter"  -> (kmeansIter _)
   )
 
   /** Tokenized docs as DuckDB lists, one row per doc. The split pattern is
@@ -552,6 +577,22 @@ object Curation {
          SELECT source, n_docs, n_tokens, CAST(w AS DOUBLE) AS weight,
            CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS p_sample,
            CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) * $MixtureBudget / CAST(n_tokens AS DOUBLE) AS epochs
-         FROM per, tot"""
+         FROM per, tot""",
+    "embed_kmeans_iter" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+             FROM embeddings),
+         cent AS (SELECT vec_id cid, emb cemb, nrm cnrm FROM e WHERE vec_id < $KCentroids),
+         scored AS (SELECT e.vec_id, cent.cid,
+             list_inner_product(e.emb, cent.cemb) / (e.nrm * cent.cnrm) AS cos
+           FROM e CROSS JOIN cent),
+         best AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) rn
+           FROM scored)
+         SELECT b.cid AS centroid, CAST(i AS BIGINT) AS dim,
+           CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean_val
+         FROM best b JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) v USING (vec_id)
+         WHERE rn = 1 GROUP BY 1, 2"""
   )
 }

@@ -422,6 +422,58 @@ object Dedup {
       (col("node") === col("label")).as("is_canonical"))
   }
 
+  // ------------------------------------------------------------------ spans
+
+  /** Span-level dedup geometry: non-overlapping [[SpanTokens]]-token
+    * windows (the fixtures have no line structure, so fixed token windows
+    * stand in for RefinedWeb's duplicated-line unit); a doc is flagged
+    * when more than [[SpanDupMax]] of its spans recur anywhere in the
+    * corpus (including inside the doc itself).
+    */
+  val SpanTokens = 16
+  val SpanDupMax = 0.3
+
+  /** Sub-document duplication audit — the signal exact/minhash dedup
+    * cannot see: boilerplate spans repeated across otherwise-distinct
+    * documents. Every doc is cut into non-overlapping [[SpanTokens]]-token
+    * spans (tokenized ONCE as a named column, then an index-driven
+    * `transform` slices it — no per-span re-tokenization); spans hash to
+    * 60-bit keys, a corpus-wide count marks recurring spans, and the join
+    * back yields each doc's duplicated-span fraction.
+    *
+    * Scale shape: identical to the n-gram inverted index — one shuffle on
+    * the 8-byte span hash for the count, one equi-join back, one per-doc
+    * rollup. Span multiplicity is kept (a doc's internal repetition
+    * counts), so the count table is the only state and it is bounded by
+    * the corpus's distinct-span vocabulary, never the pair space.
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), Tokenize.tokenCol(col("text")).as("raw"))
+      .select(col("doc_id"), filter(col("raw"), _ =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, int((size(toks) + ${SpanTokens - 1}) div $SpanTokens) - 1),
+              i -> concat_ws(' ', slice(toks, i * $SpanTokens + 1, $SpanTokens)))""")).as("span"))
+      .select(col("doc_id"), TextHash.hash60(col("span")).as("sh"))
+    val sc = spans.groupBy("sh").agg(count(lit(1)).as("c"))
+    spans
+      .join(sc, "sh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(when(col("c") >= 2, 1)).as("n_dup"))
+      .select(
+        col("doc_id"),
+        col("n_spans"),
+        col("n_dup"),
+        (col("n_dup").cast("double") / col("n_spans")).as("dup_frac"),
+        (col("n_dup").cast("double") / col("n_spans") > SpanDupMax).as("flagged"))
+  }
+
   // ------------------------------------------------------------------- maps
 
   val queries: Map[String, Q] = Map(
@@ -432,7 +484,8 @@ object Dedup {
     "dedup_embedding" -> (embedding _),
     "dedup_clusters"  -> (clusters _),
     "dedup_fuzzy"     -> (fuzzy _),
-    "dedup_apply"     -> (exactApply _)
+    "dedup_apply"     -> (exactApply _),
+    "text_span_dedup" -> (spanDedup _)
   )
 
   private val h = TextHash.duckHash60Of _
@@ -533,6 +586,21 @@ object Dedup {
                   AND a.vec_id < b.vec_id)
          SELECT va, vb, list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) AS cos
          FROM cand JOIN e qa ON qa.vec_id = va JOIN e qb ON qb.vec_id = vb
-         ORDER BY cos DESC, va ASC, vb ASC LIMIT 20"""
+         ORDER BY cos DESC, va ASC, vb ASC LIMIT 20""",
+    "text_span_dedup" ->
+      s"""WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '$WP'), x -> x <> '') l
+           FROM documents),
+         spans AS (
+           SELECT doc_id,
+             ${h(s"array_to_string(list_slice(l, i * $SpanTokens + 1, i * $SpanTokens + $SpanTokens), ' ')")} AS sh
+           FROM (SELECT doc_id, l, unnest(range(0, (len(l) + ${SpanTokens - 1}) // $SpanTokens)) AS i
+                 FROM toks WHERE len(l) > 0)),
+         sc AS (SELECT sh, count(*) AS c FROM spans GROUP BY 1)
+         SELECT doc_id, count(*) AS n_spans,
+           count(*) FILTER (WHERE c >= 2) AS n_dup,
+           CAST(count(*) FILTER (WHERE c >= 2) AS DOUBLE) / count(*) AS dup_frac,
+           (CAST(count(*) FILTER (WHERE c >= 2) AS DOUBLE) / count(*) > $SpanDupMax) AS flagged
+         FROM spans JOIN sc USING (sh) GROUP BY 1"""
   )
 }

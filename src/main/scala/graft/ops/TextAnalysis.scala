@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.text.Tokenize
@@ -195,6 +196,59 @@ object TextAnalysis {
         max(nllQ).cast("double").as("max_nll"))
   }
 
+  /** CCNet-style perplexity buckets: scores quantize onto a 0.001-NLL
+    * grid before ranking, so the per-language cumulative histogram runs
+    * over the GRID (bounded by the NLL range — tens of thousands of rows
+    * per language at any corpus size), never over the documents. Exact
+    * per-document tertiles would need a per-language sort of every score
+    * — the low-cardinality-window anti-pattern the catalog bans.
+    */
+  val PplGridScale = 3
+
+  /** Perplexity bucketing (CCNet): score every document with the
+    * [[unigramLm]] mean NLL, then split each language's corpus into
+    * head / middle / tail thirds — the standard quality-tiering step
+    * before mixing training data. Tertile thresholds come from a
+    * cumulative count over the quantized-score histogram (integer
+    * arithmetic: the first grid value with `3·cum ≥ n` / `3·cum ≥ 2n`),
+    * broadcast back as a 5-row table; bucket assignment is then a pure
+    * map-side comparison. Same two-pass aggregate→broadcast→map shape as
+    * [[Stats.robustScale]], with the LM join as the scoring front end.
+    */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val t    = toks(s, dir)
+    val tc   = t.groupBy("t").agg(count(lit(1)).as("c"))
+    val tot  = t.agg(count(lit(1)).cast("double").as("n_total"))
+    val nllQ = (log(col("n_total")) - log(col("c").cast("double"))).cast("decimal(38,6)")
+    val scored = t
+      .join(tc, "t")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg((sum(nllQ).cast("double") / count(lit(1)))
+        .cast(s"decimal(38,$PplGridScale)").as("sq"))
+    val withLang = scored.join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+    val hist = withLang.groupBy("lang", "sq").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(Window.partitionBy("lang").orderBy("sq")))
+      .withColumn("tot", sum("c").over(Window.partitionBy("lang")))
+    val th = cum
+      .groupBy("lang")
+      .agg(
+        min(when(col("cum") * 3 >= col("tot"), col("sq"))).as("t33"),
+        min(when(col("cum") * 3 >= col("tot") * 2, col("sq"))).as("t66"))
+    withLang
+      .join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("sq") <= col("t33"), "head")
+          .when(col("sq") <= col("t66"), "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("sq")).cast("double").as("min_nll"),
+        max(col("sq")).cast("double").as("max_nll"))
+  }
+
   /** Per-document token-distribution Shannon entropy (nats) — the
     * repetitiveness signal orthogonal to [[Curation.repetition]]'s n-gram
     * ratios: `H = ln n - (Σ c·ln c)/n` over the doc's token counts. One
@@ -324,6 +378,7 @@ object TextAnalysis {
     "text_entropy"     -> (tokenEntropy _),
     "text_zipf_slope"  -> (zipfSlope _),
     "text_pmi"         -> (pmiTop _),
+    "text_ppl_buckets" -> (pplBuckets _),
     "text_fingerprint" -> (fingerprint _)
   )
 
@@ -393,6 +448,30 @@ object TextAnalysis {
              / count(*) AS mean_nll,
            CAST(max(CAST(ln(n_total) - ln(CAST(c AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS max_nll
          FROM t JOIN tc USING (t), tot GROUP BY 1""",
+    "text_ppl_buckets" ->
+      s"""WITH t AS ($duckToks),
+         tc AS (SELECT t, count(*) AS c FROM t GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM t),
+         scored AS (
+           SELECT doc_id,
+             CAST(CAST(sum(CAST(ln(n_total) - ln(CAST(c AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE)
+               / count(*) AS DECIMAL(38,$PplGridScale)) AS sq
+           FROM t JOIN tc USING (t), tot GROUP BY 1),
+         wl AS (SELECT s.doc_id, d.lang, s.sq FROM scored s JOIN documents d USING (doc_id)),
+         hist AS (SELECT lang, sq, count(*) AS c FROM wl GROUP BY 1, 2),
+         cum AS (SELECT lang, sq, c,
+             CAST(sum(c) OVER (PARTITION BY lang ORDER BY sq) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS tot
+           FROM hist),
+         th AS (SELECT lang,
+             min(CASE WHEN cum * 3 >= tot THEN sq END) AS t33,
+             min(CASE WHEN cum * 3 >= tot * 2 THEN sq END) AS t66
+           FROM cum GROUP BY 1)
+         SELECT lang,
+           CASE WHEN sq <= t33 THEN 'head' WHEN sq <= t66 THEN 'middle' ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           CAST(min(sq) AS DOUBLE) AS min_nll, CAST(max(sq) AS DOUBLE) AS max_nll
+         FROM wl JOIN th USING (lang) GROUP BY 1, 2""",
     "text_bigram_lm" ->
       s"""WITH bg AS ($duckBigrams),
          cb AS (SELECT b, count(*) AS nb FROM bg GROUP BY 1),

@@ -111,9 +111,55 @@ object Multimodal extends Serializable {
         expr(s"CAST(conv(hex(substring(payload, frame_idx * $FrameBytes + 1, 1)), 16, 10) AS BIGINT)")
           .as("frame_byte"))
 
+  /** Bounding box for [[resizePlan]]: longest output side. */
+  val ResizeBox = 64
+
+  /** Resize/thumbnail planning — the decode→resize→re-encode pipeline's
+    * middle stage with the codec stubbed out: source dimensions come from
+    * the [[decodeStub]] geometry, the target box fit (aspect-preserving,
+    * downscale-only) is exact IEEE arithmetic, and the "resampled" output
+    * is a 1-D nearest-neighbor byte resample of the payload (one strided
+    * probe per output column, summed to a checksum the oracle can
+    * replay). A real deployment swaps the probe lambda for a pixel
+    * kernel; the plan shape — scan-side projection + generate, payload
+    * never shuffled, only narrow columns flow on — is the real thing.
+    * Zero-dimension payloads (the stub's `n % 640 == 0` wrap) are
+    * filtered like undecodable frames.
+    */
+  def resizePlan(s: SparkSession, dir: String): DataFrame =
+    mediaFromDocuments(s, dir)
+      .toDF()
+      .select(
+        col("doc_id"),
+        col("media_type"),
+        col("payload"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("src_w", col("n_bytes") % 640)
+      .withColumn("src_h", col("n_bytes") % 480)
+      .filter(col("src_w") > 0 && col("src_h") > 0)
+      .withColumn("scale",
+        least(lit(1.0), lit(ResizeBox.toDouble) / col("src_w"),
+          lit(ResizeBox.toDouble) / col("src_h")))
+      .withColumn("out_w", greatest(lit(1L), floor(col("src_w") * col("scale"))))
+      .withColumn("out_h", greatest(lit(1L), floor(col("src_h") * col("scale"))))
+      .withColumn("stride", expr("greatest(CAST(1 AS BIGINT), n_bytes div out_w)"))
+      .select(
+        col("doc_id"),
+        col("media_type"),
+        col("src_w"),
+        col("src_h"),
+        col("out_w"),
+        col("out_h"),
+        col("scale"),
+        expr(s"""aggregate(
+            transform(sequence(0, int(out_w) - 1),
+              k -> CAST(conv(hex(substring(payload, int(k * stride) + 1, 1)), 16, 10) AS BIGINT)),
+            CAST(0 AS BIGINT), (acc, b) -> acc + b)""").as("resample_sum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (features _),
-    "multimodal_frames"   -> (frameSample _)
+    "multimodal_frames"   -> (frameSample _),
+    "multimodal_resize"   -> (resizePlan _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -132,6 +178,31 @@ object Multimodal extends Serializable {
          CAST(i AS BIGINT) AS frame_idx,
          CAST('0x' || substr(hex(encode(text)), i * $FrameBytes * 2 + 1, 2) AS BIGINT) AS frame_byte
          FROM documents, unnest(range(0, octet_length(encode(text)) // $FrameBytes, $FrameStride)) AS t(i)
-         WHERE octet_length(encode(text)) >= $FrameBytes"""
+         WHERE octet_length(encode(text)) >= $FrameBytes""",
+    "multimodal_resize" ->
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             encode(text) AS payload,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents),
+         g AS (
+           SELECT doc_id, media_type, payload, n_bytes,
+             n_bytes % 640 AS src_w, n_bytes % 480 AS src_h
+           FROM m WHERE n_bytes % 640 > 0 AND n_bytes % 480 > 0),
+         r AS (
+           SELECT *, least(CAST(1 AS DOUBLE), CAST($ResizeBox AS DOUBLE) / src_w,
+             CAST($ResizeBox AS DOUBLE) / src_h) AS scale FROM g),
+         o AS (
+           SELECT *,
+             greatest(1, CAST(floor(src_w * scale) AS BIGINT)) AS out_w,
+             greatest(1, CAST(floor(src_h * scale) AS BIGINT)) AS out_h
+           FROM r),
+         st AS (SELECT *, greatest(1, n_bytes // out_w) AS stride FROM o)
+         SELECT doc_id, media_type, src_w, src_h, out_w, out_h, scale,
+           CAST(sum(CAST('0x' || substr(hex(payload), CAST(k * stride AS BIGINT) * 2 + 1, 2) AS BIGINT)) AS BIGINT)
+             AS resample_sum
+         FROM st, unnest(range(0, out_w)) AS t(k)
+         GROUP BY 1, 2, 3, 4, 5, 6, 7"""
   )
 }

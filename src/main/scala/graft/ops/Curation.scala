@@ -337,7 +337,10 @@ object Curation {
     * itself. Dimensions are 1-based to match SQL `generate_subscripts`.
     */
   def kmeansIter(s: SparkSession, dir: String): DataFrame =
-    assignVectors(s, dir, literal = KCentroids <= Similarity.IvfLiteralBudget)
+    kmeansIterImpl(s, dir, literal = KCentroids <= Similarity.IvfLiteralBudget)
+
+  private[ops] def kmeansIterImpl(s: SparkSession, dir: String, literal: Boolean): DataFrame =
+    assignVectors(s, dir, literal)
       .select("vec_id", "centroid")
       .join(Tables.embeddings(s, dir).select("vec_id", "embedding"), "vec_id")
       .select(col("centroid"), posexplode(col("embedding")).as(Seq("pos", "x")))

@@ -447,9 +447,11 @@ object Dedup {
     * counts), so the count table is the only state and it is bounded by
     * the corpus's distinct-span vocabulary, never the pair space.
     */
-  def spanDedup(s: SparkSession, dir: String): DataFrame = {
-    val spans = Tables
-      .documents(s, dir)
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedupOf(Tables.documents(s, dir))
+
+  private[ops] def spanDedupOf(docs: DataFrame): DataFrame = {
+    val spans = docs
       .select(col("doc_id"), Tokenize.tokenCol(col("text")).as("raw"))
       .select(col("doc_id"), filter(col("raw"), _ =!= "").as("toks"))
       .filter(size(col("toks")) > 0)

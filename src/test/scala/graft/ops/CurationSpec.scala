@@ -59,6 +59,49 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(literal = true) == rows(literal = false))
   }
 
+  test("corpus_mixture: probabilities normalize, weights are sqrt(tokens)") {
+    val rows = Curation.mixture(spark, Sf0001)
+      .select("n_tokens", "weight", "p_sample", "epochs")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nt, w, p, ep) =>
+      // weight is sqrt(tokens) quantized to the decimal(38,6) grid
+      assert(math.abs(w - math.sqrt(nt.toDouble)) <= 5e-7, s"weight $w vs sqrt($nt)")
+      assert(p > 0 && p < 1 && ep > 0)
+    }
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "p_sample must normalize")
+    // temperature flattening: sampling rate per token is higher for the
+    // smallest source than the largest (the whole point of α = 0.5)
+    val byTok  = rows.sortBy(_._1)
+    assert(byTok.head._4 >= byTok.last._4, "smallest source must repeat at least as much")
+  }
+
+  test("embed_kmeans_iter: literal and broadcast-join paths agree bit-for-bit") {
+    def rows(literal: Boolean) = Curation.kmeansIterImpl(spark, Sf0001, literal)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val lit = rows(literal = true)
+    assert(lit.size == Curation.KCentroids * 64, s"expected K x dims rows, got ${lit.size}")
+    assert(lit == rows(literal = false))
+  }
+
+  test("embed_kmeans_iter: new centroids are member means (spot-checked vs assignment)") {
+    // every (centroid, dim) mean must lie within the member min/max for
+    // that dimension — a cheap containment property that catches
+    // assignment/update mismatches without recomputing the means
+    val assign = Curation.assignVectors(spark, Sf0001,
+      literal = true).select("vec_id", "centroid")
+    val bounds = Tables.embeddings(spark, Sf0001)
+      .join(assign, "vec_id")
+      .select(col("centroid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("centroid"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+    val bad = Curation.kmeansIter(spark, Sf0001)
+      .join(bounds, Seq("centroid", "dim"))
+      .filter(col("mean_val") < col("lo") - lit(1e-9) || col("mean_val") > col("hi") + lit(1e-9))
+      .count()
+    assert(bad == 0, s"$bad centroid dims outside member bounds")
+  }
+
   test("seq_pack: deterministic across reruns and shuffle-partition counts") {
     val a = Curation.seqPack(spark, Sf0001)
       .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq

@@ -25,6 +25,46 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       Seq(1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
 
+  test("span dedup: boilerplate injection is caught, clean docs stay clean") {
+    // 40-token docs = 3 spans each (16+16+8). Docs 1/2 are identical
+    // (every span recurs → dup_frac 1.0, flagged); docs 3/4 share only
+    // their leading 16-token boilerplate span (1 of 3 spans → 0.33, just
+    // over the 0.3 flag line); doc 5 is fully unique (0.0, clean).
+    // letters only — the tokenizer splits on non-letter runs, so digit
+    // suffixes would collapse every word to its seed
+    def words(seed: String, n: Int) =
+      (0 until n).map(i => s"$seed${('a' + i % 26).toChar}${('a' + i / 26).toChar}").mkString(" ")
+    val shared = words("boiler", 16)
+    val docs = Seq(
+      (1L, words("twin", 40)),
+      (2L, words("twin", 40)),
+      (3L, shared + " " + words("alpha", 24)),
+      (4L, shared + " " + words("beta", 24)),
+      (5L, words("solo", 40))
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupOf(docs)
+      .select("doc_id", "n_spans", "n_dup", "dup_frac", "flagged")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3, r._5)).toSeq == Seq(
+      (1L, 3L, 3L, true), (2L, 3L, 3L, true),
+      (3L, 3L, 1L, true), (4L, 3L, 1L, true), (5L, 3L, 0L, false)))
+    assert(out(0)._4 == 1.0 && out(4)._4 == 0.0)
+  }
+
+  test("span dedup: spans cover every token exactly once") {
+    // sum of span counts x span width >= token count; n_spans = ceil(tokens/16)
+    val spanCounts = Dedup.spanDedup(spark, Sf0001)
+      .select("doc_id", "n_spans").as[(Long, Long)].collect().toMap
+    val tokCounts = graft.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "[^\\p{L}]+"), _ =!= "")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    tokCounts.filter(_._2 > 0).foreach { case (id, nt) =>
+      val expect = (nt + Dedup.SpanTokens - 1) / Dedup.SpanTokens
+      assert(spanCounts(id) == expect, s"doc $id: ${spanCounts(id)} spans for $nt tokens")
+    }
+  }
+
   test("minhash recall: finds every exact-jaccard pair on sf0.001") {
     val exact = Dedup.ngram(spark, Sf0001).select("da", "db")
       .as[(Long, Long)].collect().toSet

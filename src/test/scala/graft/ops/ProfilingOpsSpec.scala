@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Properties of the round-5 profiling operators that the row-level
+  * oracle can't state: cross-query consistency (OLS vs correlation),
+  * bucket-boundary invariants, and resize geometry bounds.
+  */
+class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("stats_ols: r2 is the squared stats_corr correlation") {
+    val r2 = Stats.olsValueHour(spark, Sf0001)
+      .select("event_type", "r2").as[(String, Double)].collect().toMap
+    val corr = Stats.corrValueHour(spark, Sf0001)
+      .select("event_type", "corr_value_hour").as[(String, Double)].collect().toMap
+    assert(r2.keySet == corr.keySet && r2.nonEmpty)
+    r2.foreach { case (t, v) =>
+      assert(math.abs(v - corr(t) * corr(t)) < 1e-9, s"$t: r2 $v vs corr² ${corr(t) * corr(t)}")
+    }
+  }
+
+  test("stats_ols: fitted line reproduces the group mean at the mean hour") {
+    // OLS always passes through (x̄, ȳ): intercept + slope·x̄ = ȳ
+    val fits = Stats.olsValueHour(spark, Sf0001)
+      .select("event_type", "slope", "intercept").as[(String, Double, Double)]
+      .collect().map { case (k, s, i) => (k, (s, i)) }.toMap
+    val means = graft.Tables.events(spark, Sf0001)
+      .groupBy("event_type")
+      .agg(
+        avg(hour(col("ts")).cast("double")).as("mx"),
+        avg(col("value")).as("my"))
+      .as[(String, Double, Double)].collect()
+    means.foreach { case (t, mx, my) =>
+      val (sl, ic) = fits(t)
+      assert(math.abs(ic + sl * mx - my) < 1e-6, s"$t: line misses the centroid")
+    }
+  }
+
+  test("text_ppl_buckets: tertile boundaries ordered, thirds within one grid cell") {
+    val rows = TextAnalysis.pplBuckets(spark, Sf0001)
+      .select("lang", "bucket", "n_docs", "min_nll", "max_nll")
+      .as[(String, String, Long, Double, Double)].collect()
+    val langs = rows.map(_._1).distinct
+    langs.foreach { lang =>
+      val by = rows.filter(_._1 == lang).map(r => r._2 -> r).toMap
+      val n  = rows.filter(_._1 == lang).map(_._3).sum
+      // buckets are score-ordered and non-overlapping
+      for {
+        (lo, hi) <- Seq("head" -> "middle", "middle" -> "tail", "head" -> "tail")
+        l <- by.get(lo); h <- by.get(hi)
+      } assert(l._5 < h._4, s"$lang: $lo max ${l._5} overlaps $hi min ${h._4}")
+      // the head holds at least a third (threshold is the first grid
+      // value whose cumulative count crosses n/3 — never less)
+      by.get("head").foreach { h => assert(3 * h._3 >= n, s"$lang head too small") }
+    }
+    assert(langs.length >= 2)
+  }
+
+  test("text_ppl_buckets: bucket counts cover every scored document") {
+    val bucketTotal = TextAnalysis.pplBuckets(spark, Sf0001)
+      .agg(sum("n_docs")).as[Long].head()
+    val scoredDocs = TextAnalysis.unigramLm(spark, Sf0001).count()
+    assert(bucketTotal == scoredDocs, s"$bucketTotal bucketed vs $scoredDocs scored")
+  }
+
+  test("multimodal_resize: box fit preserves aspect and never upscales") {
+    val rows = graft.multimodal.Multimodal.resizePlan(spark, Sf0001)
+      .select("src_w", "src_h", "out_w", "out_h", "scale", "resample_sum")
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sw, sh, ow, oh, sc, sum) =>
+      assert(sc > 0 && sc <= 1.0, s"scale $sc")
+      assert(ow <= math.max(1, graft.multimodal.Multimodal.ResizeBox)
+        && oh <= graft.multimodal.Multimodal.ResizeBox, s"box overflow ${ow}x$oh")
+      assert(ow == math.max(1L, math.floor(sw * sc).toLong), "width not floor(src*scale)")
+      assert(oh == math.max(1L, math.floor(sh * sc).toLong), "height not floor(src*scale)")
+      assert(sum >= 0, "resample checksum must be non-negative")
+    }
+  }
+}

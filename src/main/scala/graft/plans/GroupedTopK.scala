@@ -289,6 +289,15 @@ object GroupedTopK {
     * with a 1-based rank column appended. Names become catalyst
     * `UnresolvedAttribute`s; the analyzer resolves them against the child
     * like any built-in operator's expressions.
+    *
+    * Empty `keys` = GLOBAL top-k. That case never reaches the custom exec
+    * (`ClusteredDistribution(Nil)` is not plannable, and funnelling the
+    * table into one partition's heap would be wrong anyway): Spark's own
+    * `TakeOrderedAndProject` — per-partition bounded top-k, then a
+    * driver-side merge of #partitions·k rows — IS the scale shape, so the
+    * API delegates to `orderBy(...).limit(k)` and the rank window runs
+    * over the k survivors only (a bounded single-partition window, not
+    * the global-sort anti-pattern).
     */
   def topK(
       df: DataFrame,
@@ -298,11 +307,15 @@ object GroupedTopK {
       rankName: String = "rn"): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     require(k >= 1, s"topK requires k >= 1, got $k")
-    require(
-      keys.nonEmpty,
-      "topK requires at least one grouping key (ClusteredDistribution(Nil) is not " +
-        "plannable); for a global top-k use df.orderBy(...).limit(k), which Spark " +
-        "plans as TakeOrderedAndProject")
+    if (keys.isEmpty) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, row_number}
+      val orderCols = order.map { case (name, asc) => if (asc) col(name).asc else col(name).desc }
+      return df
+        .orderBy(orderCols: _*)
+        .limit(k)
+        .withColumn(rankName, row_number().over(Window.orderBy(orderCols: _*)).cast("long"))
+    }
     val spark = df.sparkSession
     register(spark)
     val sortOrders = order.map { case (name, asc) =>

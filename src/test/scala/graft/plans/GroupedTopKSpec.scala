@@ -139,12 +139,31 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestBase {
     assert(GroupedTopK.topK(df, Seq("k"), Seq("v" -> true), k = 3).count() == 0)
   }
 
-  test("at least one grouping key is required (global top-k is orderBy.limit)") {
-    val df = Seq((1L, 10.0)).toDF("k", "v")
-    val e = intercept[IllegalArgumentException] {
-      GroupedTopK.topK(df, Seq.empty, Seq("v" -> true), k = 3)
-    }
-    assert(e.getMessage.contains("grouping key"))
+  test("empty keys = global top-k: TakeOrderedAndProject plan, ranked result") {
+    val df = Seq(
+      (1L, 40.0), (2L, 10.0), (3L, 30.0), (4L, 20.0), (5L, 50.0))
+      .toDF("id", "v")
+    val top = GroupedTopK.topK(df, Seq.empty, Seq("v" -> false, "id" -> true), k = 3)
+    assert(top.as[(Long, Double, Long)].collect().toSeq ==
+      Seq((5L, 50.0, 1L), (1L, 40.0, 2L), (3L, 30.0, 3L)))
+    // the heavy lifting must be Spark's per-partition top-k merge, not a
+    // global sort (the custom exec can't plan ClusteredDistribution(Nil))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("GroupedTopK "), plan)
+  }
+
+  test("global top-k matches the grouped operator run on a constant key") {
+    val df = graft.Tables.orders(spark, Sf0001)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("one", org.apache.spark.sql.functions.lit(1L))
+    val globalRows = GroupedTopK.topK(df, Seq.empty,
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 7)
+      .select("o_orderkey", "rn").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    val groupedRows = GroupedTopK.topK(df, Seq("one"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 7)
+      .select("o_orderkey", "rn").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    assert(globalRows == groupedRows && globalRows.size == 7)
   }
 
   // topKExec (AQE unwrapping) is provided by SparkTestBase

@@ -17,6 +17,14 @@ private case class SessionState(startUs: Long, endUs: Long, n: Long)
 /** A user's current funnel stage (0 = none … 3 = purchased). */
 case class FunnelStage(user_id: Long, stage: Int)
 
+/** An event type's cumulative online-anomaly tally. */
+case class AnomalyCount(event_type: String, n_seen: Long, n_flagged: Long)
+
+/** Running prefix moments per event type: count, scale-6 unscaled Σv and
+  * Σv², flags so far, and the latest event time (order enforcement).
+  */
+private case class AnomalyState(n: Long, sx6: Long, sxx6: Long, nFlagged: Long, maxUs: Long)
+
 /** Funnel frontier times (epoch µs; Long.MaxValue = stage not reached);
   * maxUs tracks the latest event time seen so cross-batch order
   * violations fail loudly instead of silently dropping stages.
@@ -119,6 +127,65 @@ object EventStream extends Serializable {
           .as("std_value"),
         col("min_value"),
         col("max_value"))
+
+  /** Online 3-sigma anomaly detection — the streaming counterpart of
+    * `graft.ops.Stats.anomaly3Sigma` with the causally-correct semantics
+    * an unbounded stream forces: each event is z-scored against the
+    * moments of the events BEFORE it (its type's running prefix), since a
+    * stream can never see the final statistics the batch audit uses.
+    * State per event type is three exact counters (count + scale-6
+    * decimal-quantized Σv and Σv² as unscaled longs — `Math.addExact`
+    * turns counter overflow into a loud failure, and the quantization is
+    * the same decimal(38,6) discipline as every batch sum, so a batch
+    * prefix-window twin reproduces the flags bit-for-bit). Emits each
+    * type's cumulative (seen, flagged) after every micro-batch.
+    *
+    * Cross-batch exactness requires event-time-ordered delivery (a late
+    * event would have been scored against a different prefix); like the
+    * funnel, the operator enforces that contract loudly.
+    */
+  def onlineAnomalies(events: Dataset[Event]): Dataset[AnomalyCount] = {
+    import events.sparkSession.implicits._
+
+    def q6(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+
+    def fn(tpe: String, batch: Iterator[Event], state: GroupState[AnomalyState]): AnomalyCount = {
+      var s = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L, 0L, Long.MinValue))
+      batch.toVector.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+        val us = tsMicros(e.ts)
+        if (us < s.maxUs)
+          throw new IllegalStateException(
+            s"onlineAnomalies: out-of-order cross-batch delivery for type $tpe — " +
+              "prefix z-scores require event-time-ordered batches")
+        var flagged = s.nFlagged
+        if (s.n >= 2) {
+          // same expression order as the batch twin's window columns:
+          // decimal sums surface as doubles, then plain IEEE arithmetic
+          val sx   = java.math.BigDecimal.valueOf(s.sx6, 6).doubleValue()
+          val sxx  = java.math.BigDecimal.valueOf(s.sxx6, 6).doubleValue()
+          val n    = s.n.toDouble
+          val mean = sx / n
+          val std  = math.sqrt((sxx - sx * sx / n) / (n - 1.0))
+          if (std > 0 && math.abs((e.value - mean) / std) > 3.0) flagged += 1
+        }
+        s = AnomalyState(
+          s.n + 1,
+          Math.addExact(s.sx6, q6(e.value)),
+          Math.addExact(s.sxx6, q6(e.value * e.value)),
+          flagged,
+          math.max(s.maxUs, us))
+      }
+      state.update(s)
+      AnomalyCount(tpe, s.n, s.nFlagged)
+    }
+
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
 
   /** Stateful streaming funnel — the incremental twin of
     * `graft.ops.Events.funnel`: per user, a frontier state machine tracks

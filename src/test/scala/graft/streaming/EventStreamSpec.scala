@@ -168,6 +168,61 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want, s"multi-batch streaming funnel $got != batch funnel $want")
   }
 
+  test("online anomalies match a batch prefix-window twin bit-for-bit, across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+
+    // batch twin: z-score each event against its type's PREFIX moments
+    // (rows before it in event-time order) — the same decimal-quantized
+    // sums and expression order as the streaming state machine
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pfx = Tables.events(spark, Sf0001)
+      .withColumn("pn", count(lit(1)).over(w))
+      .withColumn("psx", sum(col("value").cast("decimal(38,6)")).over(w).cast("double"))
+      .withColumn("psxx",
+        sum((col("value") * col("value")).cast("decimal(38,6)")).over(w).cast("double"))
+      // when() guards: ANSI mode rejects the pn = 0 / pn = 1 divisions
+      // the prefix of each group would otherwise evaluate
+      .withColumn("mean", when(col("pn") >= 2, col("psx") / col("pn").cast("double")))
+      .withColumn("std",
+        when(col("pn") >= 2,
+          sqrt((col("psxx") - col("psx") * col("psx") / col("pn").cast("double")) /
+            (col("pn").cast("double") - lit(1.0)))))
+      .withColumn("flagged",
+        coalesce(
+          col("pn") >= 2 && col("std") > 0 &&
+            abs((col("value") - col("mean")) / col("std")) > lit(3.0),
+          lit(false)))
+    val want = pfx.groupBy("event_type")
+      .agg(count(lit(1)).as("n_seen"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .as[(String, Long, Long)].collect().toSet
+
+    val mid    = all(all.length / 2).ts
+    val stream = MemoryStream[Event]
+    val q = EventStream.onlineAnomalies(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("anom_out").outputMode("update").start()
+    try {
+      // split delivery: prefix moments built in batch 1 must carry into
+      // batch 2's z-scores
+      stream.addData(all.filter(!_.ts.after(mid)).toSeq)
+      q.processAllAvailable()
+      stream.addData(all.filter(_.ts.after(mid)).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anom_out")
+      .groupBy("event_type")
+      .agg(max("n_seen").as("n_seen"), max("n_flagged").as("n_flagged"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want, s"streaming $got != batch prefix twin $want")
+    assert(got.exists(_._3 > 0), "fixture should produce at least one prefix anomaly")
+  }
+
   test("stateful sessionization converges to the batch gaps-and-islands answer") {
     val src = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")

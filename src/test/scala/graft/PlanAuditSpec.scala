@@ -177,12 +177,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // itself), sim_topk's |Q|-row broadcast against the candidate stream,
     // and the 1-row scalar broadcasts (scalar_subquery, text_unigram_lm's
     // corpus total, text_pmi's bigram total, seq_pack's lane count,
-    // q11_important's revenue threshold). dedup_clusters executes eagerly
+    // q11_important's revenue threshold, corpus_mixture's weight total,
+    // text_ppl_buckets' corpus total). dedup_clusters executes eagerly
     // (checkpointed loop), leaving only a result scan here — its
     // per-round join shape is audited directly in the next test.
     val allowed =
       Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters", "text_unigram_lm",
-        "seq_pack", "text_pmi", "q11_important")
+        "seq_pack", "text_pmi", "q11_important", "corpus_mixture", "text_ppl_buckets")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

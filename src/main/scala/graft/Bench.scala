@@ -101,9 +101,12 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(_._2, p)},"runs":$Runs,"sf":$sfNum}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2, _.toString)},"runs":$Runs,"spread":${jmap(_._3, _.toString)},"min":${jmap(_._4, _.toString)},"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    // a SPARK_GRAFT_ONLY-restricted run must not clobber the committed
+    // full-catalog artifact with a one-query subset
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     // Degrade precision rather than overflow the driver's tail window; as a
     // last resort keep only the SLOWEST queries (the ones a perf reader
     // needs) and say how many sub-threshold ones were dropped — the total

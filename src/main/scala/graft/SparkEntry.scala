@@ -21,7 +21,8 @@ object SparkEntry {
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.TextAnalysis.queries ++
       ops.MRCompat.queries ++ multimodal.Multimodal.queries ++
       ops.TypedAgg.queries ++ ops.Skew.queries ++ ops.Pipeline.queries ++
-      ops.Curation.queries ++ ops.Storage.queries ++ ops.Stats.queries
+      ops.Curation.queries ++ ops.Storage.queries ++ ops.Stats.queries ++
+      ops.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -32,5 +33,6 @@ object SparkEntry {
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
       ops.MRCompat.oracle ++ multimodal.Multimodal.oracle ++
       ops.TypedAgg.oracle ++ ops.Skew.oracle ++ ops.Pipeline.oracle ++
-      ops.Curation.oracle ++ ops.Storage.oracle ++ ops.Stats.oracle
+      ops.Curation.oracle ++ ops.Storage.oracle ++ ops.Stats.oracle ++
+      ops.Graph.oracle
 }

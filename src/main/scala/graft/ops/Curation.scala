@@ -163,6 +163,103 @@ object Curation {
         (ratio >= ContamMax).as("contaminated"))
   }
 
+  // --------------------------------------------------------- source overlap
+
+  /** Cross-source contamination matrix: pairwise Jaccard similarity of the
+    * sources' distinct-trigram sets — the corpus-mixing diagnostic run
+    * before weighting sources (two crawls of the same site look like two
+    * "sources" until this table says they are 90% the same text).
+    *
+    * Scale shape: per-source distinct shingle sets keyed by the 8-byte
+    * [[TextHash.hash60]] (the [[srcShingles]] table [[contamination]]
+    * already builds); the intersection is ONE self-equi-join on the hash —
+    * never an all-pairs document comparison — and the union comes from
+    * inclusion–exclusion against the per-source set sizes, a
+    * source-count-bounded table that rides back in as a broadcast.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh    = srcShingles(s, dir).select("source", "sh").distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh
+      .select(col("source").as("source_a"), col("sh"))
+      .join(sh.select(col("source").as("source_b"), col("sh")), "sh")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_inter"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
+
+  // ------------------------------------------------------------------- dsir
+
+  /** DSIR feature space: hashed-bigram bucket count and the target slice
+    * the importance weights steer toward. (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — hashed n-gram bag-of-features LMs for
+    * the target and raw distributions; a document's log importance weight
+    * is the sum of per-feature log probability ratios.)
+    */
+  val DsirBuckets    = 8192
+  val DsirTargetLang = "en"
+
+  /** DSIR importance weights: every document's bigrams hash into
+    * [[DsirBuckets]] buckets; two smoothed unigram-over-buckets LMs are
+    * fit (target = [[DsirTargetLang]] docs, raw = whole corpus) and each
+    * doc scores `Σ_features ln p_target(b) − ln p_raw(b)` — docs whose
+    * feature profile looks like the target slice get high weight and
+    * survive the downstream resampling step.
+    *
+    * Scale shape: the feature stream is scan → project (hash mod B); both
+    * LMs are partial-aggregated counts over AT MOST [[DsirBuckets]] keys,
+    * so the bucket-weight table is bounded by a constant regardless of
+    * corpus size and legitimately broadcasts back onto the stream (unlike
+    * a token-level vocabulary, which grows by Heaps' law and must not be
+    * broadcast — see [[TextAnalysis.unigramLm]]). One shuffle to the
+    * per-doc rollup. Determinism: counts are exact integers; each
+    * 4-ln ratio quantizes through decimal(38,6) BEFORE the per-doc sum
+    * (StrictMath vs libm last-ulp skew — the catalog-wide rule).
+    */
+  def dsir(s: SparkSession, dir: String): DataFrame = {
+    val feats = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), filter(Tokenize.tokenCol(col("text")), _ =!= "").as("toks"))
+      .select(col("doc_id"), col("lang"), explode(TextHash.shingles(col("toks"), 2)).as("b"))
+      .select(col("doc_id"), col("lang"), (TextHash.hash60(col("b")) % DsirBuckets).as("bucket"))
+    val raw = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgt = feats
+      .filter(col("lang") === DsirTargetLang)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("ct"))
+    val tots = feats.agg(
+      count(lit(1)).cast("double").as("nr"),
+      count(when(col("lang") === DsirTargetLang, 1)).cast("double").as("nt"))
+    // per-bucket log ratio of the two Laplace-smoothed LMs, on the decimal
+    // grid so the per-doc sum is exact and order-free
+    val lw = (log(col("ct") + lit(1.0)) - log(col("nt") + lit(DsirBuckets.toDouble)) -
+      log(col("cr") + lit(1.0)) + log(col("nr") + lit(DsirBuckets.toDouble)))
+      .cast("decimal(38,6)")
+    val weights = raw
+      .join(tgt, Seq("bucket"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)).cast("double"))
+      .crossJoin(broadcast(tots))
+      .select(col("bucket"), lw.as("lw"))
+    feats
+      .join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(col("lw")).cast("double").as("log_weight"),
+        (sum(col("lw")).cast("double") / count(lit(1))).as("mean_log_ratio"))
+  }
+
   // ------------------------------------------------------------------ split
 
   /** Deterministic train/val/test assignment by md5-derived hash of the
@@ -455,7 +552,9 @@ object Curation {
     "pii_scrub"          -> (piiScrub _),
     "seq_pack"           -> (seqPack _),
     "corpus_mixture"     -> (mixture _),
-    "embed_kmeans_iter"  -> (kmeansIter _)
+    "embed_kmeans_iter"  -> (kmeansIter _),
+    "source_overlap"     -> (sourceOverlap _),
+    "curate_dsir"        -> (dsir _)
   )
 
   /** Tokenized docs as DuckDB lists, one row per doc. The split pattern is
@@ -596,6 +695,36 @@ object Curation {
            CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean_val
          FROM best b JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) v USING (vec_id)
-         WHERE rn = 1 GROUP BY 1, 2"""
+         WHERE rn = 1 GROUP BY 1, 2""",
+    "source_overlap" ->
+      s"""WITH toks AS ($duckToksList),
+         sh AS (SELECT DISTINCT source, ${TextHash.duckHash60Of("g")} sh
+                FROM (SELECT source, ${duckNgrams(3)} g FROM toks)),
+         sizes AS (SELECT source, count(*) n FROM sh GROUP BY 1)
+         SELECT a.source AS source_a, b.source AS source_b, sa.n AS n_a, sb.n AS n_b,
+           count(*) AS n_inter,
+           CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) AS jaccard
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+         JOIN sizes sa ON sa.source = a.source
+         JOIN sizes sb ON sb.source = b.source
+         GROUP BY 1, 2, 3, 4""",
+    "curate_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '${Tokenize.WordPattern}'), x -> x <> '') l
+           FROM documents),
+         f AS (SELECT doc_id, ${TextHash.duckHash60Of("b")} % $DsirBuckets AS bucket, lang
+               FROM (SELECT doc_id, lang, ${duckNgrams(2)} b FROM toks)),
+         raw AS (SELECT bucket, count(*) cr FROM f GROUP BY 1),
+         tgt AS (SELECT bucket, count(*) ct FROM f WHERE lang = '$DsirTargetLang' GROUP BY 1),
+         tots AS (SELECT CAST(count(*) AS DOUBLE) nr,
+             CAST(count(*) FILTER (WHERE lang = '$DsirTargetLang') AS DOUBLE) nt FROM f),
+         w AS (SELECT bucket,
+             CAST(ln(CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) - ln(nt + $DsirBuckets.0)
+                - ln(CAST(cr AS DOUBLE) + 1.0) + ln(nr + $DsirBuckets.0) AS DECIMAL(38,6)) lw
+           FROM raw LEFT JOIN tgt USING (bucket), tots)
+         SELECT doc_id, count(*) AS n_feats,
+           CAST(sum(lw) AS DOUBLE) AS log_weight,
+           CAST(sum(lw) AS DOUBLE) / count(*) AS mean_log_ratio
+         FROM f JOIN w USING (bucket) GROUP BY 1"""
   )
 }

@@ -356,7 +356,7 @@ object Dedup {
     * derived execution RDD with storage level NONE — unpersisting that is
     * a no-op.)
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[ops] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed
       .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
       .foreach(_.unpersist(false))

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the near-duplicate pair graph — the
+  * message-passing operator class next to [[Dedup.connectedComponents]]'s
+  * label propagation.
+  *
+  * PageRank over the MinHash near-dup graph measures duplication
+  * centrality: a document whose content recurs across many others (a
+  * template, a mirrored page, syndicated boilerplate) accumulates rank
+  * from every neighbor, which is exactly the doc a curation pipeline
+  * wants to inspect first (keep one canonical copy, or drop the template
+  * entirely). Web-graph PageRank is the classic quality prior in crawl
+  * curation; re-using the iteration over the similarity graph gives the
+  * same machinery a corpus-internal signal.
+  *
+  * Scale shape: the classic Spark PageRank loop — edges (with out-degree
+  * attached) are materialized ONCE behind a `localCheckpoint`, then each
+  * of the fixed [[PrIterations]] rounds is one equi-join (ranks against
+  * edge sources) plus one partial-aggregated shuffle onto destination
+  * nodes. Superseded rank generations release their checkpoint blocks, so
+  * the loop holds at most two generations regardless of iteration count —
+  * the same discipline as the connected-components loop.
+  *
+  * Determinism (oracle parity): per-edge contributions `rank/deg`
+  * quantize onto the decimal(38,12) grid BEFORE the destination sum (the
+  * catalog's order-free-sum rule), and each new rank quantizes back onto
+  * the grid, so every iteration starts from bit-identical values in both
+  * engines; the DuckDB oracle unrolls the same fixed iteration count as
+  * chained CTEs. The symmetrized graph has no dangling nodes (every node
+  * has out-degree ≥ 1), so no leaked-mass correction term is needed.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed iteration count (unrolled in the oracle) and damping factor. */
+  val PrIterations = 5
+  val PrDamping    = 0.85
+
+  /** Catalog entry: PageRank over the MinHash-verified near-dup pairs. */
+  def pagerankNearDup(s: SparkSession, dir: String): DataFrame =
+    pagerank(Dedup.minhash(s, dir).select(col("da"), col("db")))
+
+  /** PageRank over an undirected pair list (da, db):
+    * `r_{i+1}(v) = (1-d)/n + d · Σ_{u~v} r_i(u)/deg(u)` for the fixed
+    * iteration count. Returns (doc_id, rank) for every node in any pair.
+    */
+  def pagerank(pairList: DataFrame,
+      iterations: Int = PrIterations, damping: Double = PrDamping): DataFrame = {
+    val prs = pairList.toDF("da", "db").localCheckpoint(true)
+    val edges = prs
+      .union(prs.select(col("db").as("da"), col("da").as("db")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
+    Dedup.freeCheckpoint(prs) // edgesDeg is materialized; the pair snapshot is dead
+    val n = edgesDeg.select("src").distinct().count()
+    var ranks = edgesDeg
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("rank", lit(1.0 / n))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val next = ranks
+        .join(edgesDeg, col("node") === col("src"))
+        .select(col("dst"),
+          (col("rank") / col("deg").cast("double")).cast("decimal(38,12)").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit((1 - damping) / n) + lit(damping) * sum(col("c")).cast("double"))
+          .cast("decimal(38,12)").cast("double").as("rank"))
+        .localCheckpoint(true)
+      Dedup.freeCheckpoint(ranks)
+      ranks = next
+    }
+    Dedup.freeCheckpoint(edgesDeg)
+    ranks.select(col("node").as("doc_id"), col("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "graph_pagerank" -> (pagerankNearDup _)
+  )
+
+  /** One unrolled oracle iteration: same expression order as the Spark
+    * plan — base + d·(double of the decimal contribution sum), quantized
+    * back to the grid.
+    */
+  private def prIterCte(i: Int): String =
+    s"""r$i AS (SELECT e.dst AS node,
+         CAST(CAST((1 - $PrDamping) / CAST(nn.cnt AS DOUBLE) + $PrDamping *
+           CAST(sum(CAST(r.rank / CAST(e.deg AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+           AS DECIMAL(38,12)) AS DOUBLE) AS rank
+       FROM r${i - 1} r JOIN ed e ON r.node = e.src, nn
+       GROUP BY e.dst, nn.cnt)"""
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> {
+      val iters = (1 to PrIterations).map(prIterCte).mkString(",\n")
+      s"""WITH ${Dedup.duckMinhashPairsCte},
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION ALL SELECT db, da FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+         nn AS (SELECT count(*) AS cnt FROM deg),
+         r0 AS (SELECT src AS node, 1.0 / CAST(cnt AS DOUBLE) AS rank FROM deg, nn),
+         $iters
+         SELECT node AS doc_id, rank FROM r$PrIterations"""
+    }
+  )
+}

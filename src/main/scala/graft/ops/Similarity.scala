@@ -283,10 +283,53 @@ object Similarity {
       .select("va", "vb", "cos", "rn")
   }
 
+  /** Levels of the scalar (int8) quantization grid: byte codes 0..255. */
+  val QuantLevels = 255
+
+  /** Scalar int8 quantization audit — the 4× memory cut that makes a
+    * billion-vector ANN index fit executor RAM (float32 → uint8 per
+    * dimension, the standard first step before IVF/PQ refinement; see
+    * PAPERS.md on inverted-file indexes). Pass 1 fits the per-dimension
+    * affine grid (min/max over the corpus — a partial-aggregated shuffle
+    * onto at most [[Dims]] keys); pass 2 encodes every value onto the
+    * 0..[[QuantLevels]] grid and reports per-dimension reconstruction
+    * error at the code's bin midpoint.
+    *
+    * Scale shape: two scans, both embarrassingly parallel; the grid table
+    * is bounded by the CONSTANT dimensionality, so broadcasting it back
+    * onto the value stream is scale-safe by construction. Determinism:
+    * encode/decode is a fixed chain of IEEE ops (sub, mul, div, floor,
+    * abs) written identically in the oracle; the error mean goes through
+    * the decimal(38,9) sum, and the error max compares doubles (exact).
+    * Degenerate dimensions (max == min) encode to code 0 with zero error.
+    */
+  def quantize(s: SparkSession, dir: String): DataFrame = {
+    def exploded = Tables
+      .embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x").cast("double").as("x"))
+    val grid = exploded.groupBy("dim").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val span = col("hi") - col("lo")
+    val code = least(floor((col("x") - col("lo")) * QuantLevels / span), lit(QuantLevels.toDouble))
+    val recon = col("lo") + (code + lit(0.5)) * span / QuantLevels
+    val err   = when(col("hi") > col("lo"), abs(col("x") - recon)).otherwise(lit(0.0))
+    exploded
+      .join(broadcast(grid), "dim")
+      .select(col("dim"), col("lo"), col("hi"), err.as("err"))
+      .groupBy("dim")
+      .agg(
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        count(lit(1)).as("n_vals"),
+        (sum(col("err").cast("decimal(38,9)")).cast("double") / count(lit(1))).as("avg_abs_err"),
+        max(col("err")).as("max_abs_err"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "sim_topk"    -> (topkBrute _),
-    "sim_ann_lsh" -> (annLsh _),
-    "sim_ivf"     -> (ivf _)
+    "sim_topk"       -> (topkBrute _),
+    "sim_ann_lsh"    -> (annLsh _),
+    "sim_ivf"        -> (ivf _),
+    "embed_quantize" -> (quantize _)
   )
 
   // shared with Dedup's embedding oracle so the bucketing SQL can't drift
@@ -353,6 +396,20 @@ object Similarity {
                ORDER BY list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) DESC, vb ASC) AS rn
            FROM probes p JOIN cells c ON p.cell = c.cell AND p.va <> c.vb
            JOIN e qa ON qa.vec_id = p.va JOIN e qb ON qb.vec_id = c.vb)
-         WHERE rn <= $TopK"""
+         WHERE rn <= $TopK""",
+    "embed_quantize" ->
+      s"""WITH ex AS (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) dim,
+             CAST(unnest(embedding) AS DOUBLE) x FROM embeddings),
+         grid AS (SELECT dim, min(x) lo, max(x) hi FROM ex GROUP BY 1)
+         SELECT dim, lo, hi, count(*) AS n_vals,
+           CAST(sum(CAST(CASE WHEN hi > lo THEN
+               abs(x - (lo + (least(floor((x - lo) * $QuantLevels / (hi - lo)), ${QuantLevels}.0) + 0.5)
+                 * (hi - lo) / $QuantLevels))
+             ELSE 0.0 END AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_abs_err,
+           max(CASE WHEN hi > lo THEN
+               abs(x - (lo + (least(floor((x - lo) * $QuantLevels / (hi - lo)), ${QuantLevels}.0) + 0.5)
+                 * (hi - lo) / $QuantLevels))
+             ELSE 0.0 END) AS max_abs_err
+         FROM ex JOIN grid USING (dim) GROUP BY 1, 2, 3"""
   )
 }

@@ -90,6 +90,22 @@ object EventStream extends Serializable {
       .select(col("p.user_id").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-static enrichment join — the most common production streaming
+    * shape: each event joined to a bounded dimension table (customer
+    * segment) that is NOT part of the stream. The static side re-plans per
+    * micro-batch, so at dimension-table scale it broadcasts exactly like
+    * the batch dim joins (q5/q10); no state, no watermark — the join is
+    * stateless because only the stream side is unbounded. A left join
+    * keeps events whose key has no dimension row (loud nulls beat silent
+    * drops when the dim table lags the stream).
+    */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      customers.select(col("c_custkey"), col("c_mktsegment")),
+      col("user_id") === col("c_custkey"),
+      "left")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
+
   /** Streaming exact dedup: drop replayed event ids while the watermark
     * allows a duplicate to still arrive — state is evicted once the
     * watermark passes, so dedup state stays bounded on an unbounded

@@ -178,12 +178,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // and the 1-row scalar broadcasts (scalar_subquery, text_unigram_lm's
     // corpus total, text_pmi's bigram total, seq_pack's lane count,
     // q11_important's revenue threshold, corpus_mixture's weight total,
-    // text_ppl_buckets' corpus total). dedup_clusters executes eagerly
-    // (checkpointed loop), leaving only a result scan here — its
-    // per-round join shape is audited directly in the next test.
+    // text_ppl_buckets' corpus total, curate_dsir's corpus/target totals).
+    // dedup_clusters executes eagerly (checkpointed loop), leaving only a
+    // result scan here — its per-round join shape is audited directly in
+    // the next test.
     val allowed =
       Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters", "text_unigram_lm",
-        "seq_pack", "text_pmi", "q11_important", "corpus_mixture", "text_ppl_buckets")
+        "seq_pack", "text_pmi", "q11_important", "corpus_mixture", "text_ppl_buckets",
+        "curate_dsir", "graph_pagerank") // graph_pagerank: eager checkpointed loop like dedup_clusters
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -191,6 +193,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+
+  test("round-5 curation ops keep their bounded tables on the broadcast side") {
+    // curate_dsir's bucket-weight table is bounded by the CONSTANT
+    // DsirBuckets (unlike a Heaps-law vocabulary) — it must broadcast
+    // back onto the feature stream, and the feature stream itself must
+    // never sit under a BroadcastExchange
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val pd = plan("curate_dsir")
+    assert(pd.contains("BroadcastHashJoin"), pd)
+    // embed_quantize's per-dimension grid (≤ Dims rows) broadcasts back
+    // onto the exploded value stream
+    assert(plan("embed_quantize").contains("BroadcastHashJoin"), plan("embed_quantize"))
+    // source_overlap's intersection is an equi-join on the 8-byte shingle
+    // hash; the shingle stream must shuffle, never broadcast (it grows
+    // with the corpus — only the source-count-bounded size table may)
+    val so = SparkEntry.queries("source_overlap")(spark, Sf0001).queryExecution.sparkPlan
+    val broadcastScans = so.collect { case b: BroadcastExchangeExec =>
+      b.collectLeaves().collect { case f: FileSourceScanExec => f.metadata("Location") }
+    }.flatten
+    assert(!broadcastScans.exists(_.contains("documents.parquet")),
+      s"source_overlap broadcasts the shingle stream: $broadcastScans")
+  }
 
   test("bucket_join runs shuffle-free over the co-located buckets") {
     // the whole point of the bucketed layout: a fact-fact sort-merge join

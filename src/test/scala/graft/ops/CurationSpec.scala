@@ -102,6 +102,44 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(bad == 0, s"$bad centroid dims outside member bounds")
   }
 
+  test("source_overlap: intersections bounded by set sizes, jaccard in (0, 1]") {
+    val rows = Curation.sourceOverlap(spark, Sf0001)
+      .select("source_a", "source_b", "n_a", "n_b", "n_inter", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "fixture sources should share at least some trigrams")
+    rows.foreach { case (a, b, na, nb, ni, j) =>
+      assert(a < b, s"pair ($a, $b) not canonically ordered")
+      assert(ni >= 1 && ni <= math.min(na, nb), s"($a, $b): n_inter $ni outside [1, min($na, $nb)]")
+      assert(j > 0 && j <= 1, s"($a, $b): jaccard $j outside (0, 1]")
+    }
+    // at most one row per unordered source pair
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
+
+  test("curate_dsir: target-language documents score higher on average") {
+    // the operator's whole purpose: docs whose hashed-bigram profile looks
+    // like the target slice must get higher importance weight
+    val w = Curation.dsir(spark, Sf0001)
+      .join(Tables.documents(spark, Sf0001).select("doc_id", "lang"), "doc_id")
+      .select(col("lang") === Curation.DsirTargetLang, col("mean_log_ratio"))
+      .as[(Boolean, Double)].collect()
+    val (tgt, rest) = w.partition(_._1)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    val mt = tgt.map(_._2).sum / tgt.length
+    val mr = rest.map(_._2).sum / rest.length
+    assert(mt > mr, f"target mean log ratio $mt%.4f not above non-target $mr%.4f")
+  }
+
+  test("curate_dsir: deterministic across shuffle-partition counts") {
+    val a = Curation.dsir(spark, Sf0001)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    withSQLConf("spark.sql.shuffle.partitions" -> "13") {
+      val b = Curation.dsir(spark, Sf0001)
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(a == b)
+    }
+  }
+
   test("seq_pack: deterministic across reruns and shuffle-partition counts") {
     val a = Curation.seqPack(spark, Sf0001)
       .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq

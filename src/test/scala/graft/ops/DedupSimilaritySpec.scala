@@ -223,6 +223,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .contains("dimensionality"), e.toString)
   }
 
+  test("embed_quantize: midpoint decode error is bounded by half a bin per dimension") {
+    val rows = Similarity.quantize(spark, Sf0001)
+      .select("dim", "lo", "hi", "n_vals", "avg_abs_err", "max_abs_err")
+      .as[(Long, Double, Double, Long, Double, Double)].collect()
+    assert(rows.length == Similarity.Dims, s"expected ${Similarity.Dims} dims, got ${rows.length}")
+    rows.foreach { case (dim, lo, hi, n, avg, mx) =>
+      assert(n > 0 && hi >= lo, s"dim $dim degenerate grid [$lo, $hi]")
+      val halfBin = (hi - lo) / Similarity.QuantLevels / 2
+      // x == hi lands exactly on the top bin's midpoint offset, so the
+      // bound is tight; allow one ulp of slack for the rounding chain
+      assert(mx <= halfBin * (1 + 1e-12) + 1e-15,
+        s"dim $dim max err $mx exceeds half bin $halfBin")
+      assert(avg <= mx, s"dim $dim avg $avg > max $mx")
+    }
+  }
+
   test("ivf: literal and broadcast-join centroid paths agree bit-for-bit") {
     // the K ~ sqrt(n) deployment switches assignment from codegen literals
     // to a broadcast join once K outgrows IvfLiteralBudget; the switch

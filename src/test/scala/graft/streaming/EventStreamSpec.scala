@@ -100,6 +100,23 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(want.nonEmpty, "fixture should contain click->purchase pairs")
   }
 
+  test("stream-static enrichment join matches the batch join and stays stateless") {
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(streamDir)
+    runToCompletion(EventStream.enrich(src, Tables.customer(spark, Sf0001)), "enrich_out")
+    val got = spark.table("enrich_out")
+      .filter(col("event_type") =!= "sentinel")
+      .as[(Long, Long, String, String)].collect().toSet
+    val want = Tables.events(spark, Sf0001)
+      .join(Tables.customer(spark, Sf0001).select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"), "left")
+      .select("event_id", "user_id", "event_type", "c_mktsegment")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == want)
+    assert(got.forall(_._4 != null), "fixture user ids should all enrich")
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val ev = Tables.events(spark, Sf0001)

@@ -8,11 +8,17 @@ import org.apache.spark.sql.SparkSession
   * broadcast, and codegen spans stay wide.
   *
   * Usage: runMain graft.Explain [sfDir] [query ...]
+  *
+  * SPARK_GRAFT_EXEC=1 additionally EXECUTES each query and prints the
+  * post-execution adaptive plan — the only place AQE's runtime stage
+  * reuse (ReusedQueryStage / shared shuffle stages) is visible; the
+  * static formatted plan always shows repeated subtrees un-reused.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val exec  = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -22,7 +28,11 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"===== $n")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) {
+        df.count()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

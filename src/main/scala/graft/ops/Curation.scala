@@ -172,20 +172,33 @@ object Curation {
     *
     * Scale shape: per-source distinct shingle sets keyed by the 8-byte
     * [[TextHash.hash60]] (the [[srcShingles]] table [[contamination]]
-    * already builds); the intersection is ONE self-equi-join on the hash —
-    * never an all-pairs document comparison — and the union comes from
-    * inclusion–exclusion against the per-source set sizes, a
-    * source-count-bounded table that rides back in as a broadcast.
+    * already builds). The intersection counts come from ONE shuffle onto
+    * the shingle hash: each shingle aggregates its (source-count-bounded,
+    * ≤ a few dozen element) source set, and the pair list explodes from
+    * that set — never a corpus-sized self-join, never an all-pairs
+    * document comparison. The union term is inclusion–exclusion against
+    * the per-source set sizes, a source-count-bounded table that is
+    * checkpointed once (its fit pass is the only other corpus scan) and
+    * rides back in as a broadcast.
     */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sh    = srcShingles(s, dir).select("source", "sh").distinct()
-    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = sh
-      .select(col("source").as("source_a"), col("sh"))
-      .join(sh.select(col("source").as("source_b"), col("sh")), "sh")
-      .filter(col("source_a") < col("source_b"))
+    val sh = srcShingles(s, dir).select("source", "sh")
+    // sorted source set per shingle: collect_set dedupes, array_sort makes
+    // the pair expansion deterministic and canonically ordered (a < b)
+    val bySh = sh
+      .groupBy("sh")
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+    val inter = bySh
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+             transform(slice(srcs, i + 2, size(srcs)), b ->
+               struct(a AS source_a, b AS source_b))))""")).as("p"))
+      .select(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_inter"))
+    // bounded by the source count — materialize once for both join sides
+    val sizes = sh.groupBy("source").agg(count_distinct(col("sh")).as("n"))
+      .localCheckpoint(true)
     inter
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
       .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
@@ -217,47 +230,57 @@ object Curation {
     * feature profile looks like the target slice get high weight and
     * survive the downstream resampling step.
     *
-    * Scale shape: the feature stream is scan → project (hash mod B); both
-    * LMs are partial-aggregated counts over AT MOST [[DsirBuckets]] keys,
-    * so the bucket-weight table is bounded by a constant regardless of
-    * corpus size and legitimately broadcasts back onto the stream (unlike
-    * a token-level vocabulary, which grows by Heaps' law and must not be
-    * broadcast — see [[TextAnalysis.unigramLm]]). One shuffle to the
-    * per-doc rollup. Determinism: counts are exact integers; each
-    * 4-ln ratio quantizes through decimal(38,6) BEFORE the per-doc sum
-    * (StrictMath vs libm last-ulp skew — the catalog-wide rule).
+    * Scale shape: the corpus is TOKENIZED ONCE — the feature stream
+    * immediately compacts to per-(doc, bucket) counts (one shuffle; at
+    * most [[DsirBuckets]] rows per doc), and BOTH LMs, the totals, and
+    * the per-doc rollup all derive from that compacted table instead of
+    * re-scanning the text. The bucket-weight table is bounded by a
+    * constant regardless of corpus size and legitimately broadcasts back
+    * (unlike a token-level vocabulary, which grows by Heaps' law and
+    * must not be broadcast — see [[TextAnalysis.unigramLm]]).
+    * Determinism: counts are exact integers; each 4-ln ratio quantizes
+    * through decimal(38,6) BEFORE the per-doc sum, and the grouped
+    * `k·lw` products are exact decimal arithmetic, so the rollup equals
+    * the per-occurrence sum bit-for-bit (the oracle sums occurrences).
     */
   def dsir(s: SparkSession, dir: String): DataFrame = {
-    val feats = Tables
+    val f = Tables
       .documents(s, dir)
       .select(col("doc_id"), col("lang"), filter(Tokenize.tokenCol(col("text")), _ =!= "").as("toks"))
       .select(col("doc_id"), col("lang"), explode(TextHash.shingles(col("toks"), 2)).as("b"))
-      .select(col("doc_id"), col("lang"), (TextHash.hash60(col("b")) % DsirBuckets).as("bucket"))
-    val raw = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val tgt = feats
-      .filter(col("lang") === DsirTargetLang)
+      .groupBy(col("doc_id"), col("lang"), (TextHash.hash60(col("b")) % DsirBuckets).as("bucket"))
+      .agg(count(lit(1)).as("k"))
+    // BOTH LMs come out of one aggregation over the compacted table (raw
+    // count + target count per bucket). The model table is bounded by the
+    // CONSTANT DsirBuckets, so it is localCheckpoint'ed: the fit pass runs
+    // exactly once and the totals/weights derive from the materialized
+    // ≤B-row snapshot — the whole operator is two corpus scans (fit the
+    // LMs, then score), the natural floor for a two-pass statistic that
+    // doesn't materialize its feature stream.
+    val bw = f
       .groupBy("bucket")
-      .agg(count(lit(1)).as("ct"))
-    val tots = feats.agg(
-      count(lit(1)).cast("double").as("nr"),
-      count(when(col("lang") === DsirTargetLang, 1)).cast("double").as("nt"))
+      .agg(
+        sum(col("k")).as("cr"),
+        sum(when(col("lang") === DsirTargetLang, col("k")).otherwise(0L)).as("ct"))
+      .localCheckpoint(true)
+    val tots = bw.agg(
+      sum(col("cr")).cast("double").as("nr"),
+      sum(col("ct")).cast("double").as("nt"))
     // per-bucket log ratio of the two Laplace-smoothed LMs, on the decimal
     // grid so the per-doc sum is exact and order-free
     val lw = (log(col("ct") + lit(1.0)) - log(col("nt") + lit(DsirBuckets.toDouble)) -
       log(col("cr") + lit(1.0)) + log(col("nr") + lit(DsirBuckets.toDouble)))
       .cast("decimal(38,6)")
-    val weights = raw
-      .join(tgt, Seq("bucket"), "left")
-      .withColumn("ct", coalesce(col("ct"), lit(0L)).cast("double"))
+    val weights = bw
       .crossJoin(broadcast(tots))
       .select(col("bucket"), lw.as("lw"))
-    feats
-      .join(broadcast(weights), "bucket")
+    f.join(broadcast(weights), "bucket")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_feats"),
-        sum(col("lw")).cast("double").as("log_weight"),
-        (sum(col("lw")).cast("double") / count(lit(1))).as("mean_log_ratio"))
+        sum(col("k")).as("n_feats"),
+        sum(col("k") * col("lw")).cast("double").as("log_weight"),
+        (sum(col("k") * col("lw")).cast("double") /
+          sum(col("k")).cast("double")).as("mean_log_ratio"))
   }
 
   // ------------------------------------------------------------------ split

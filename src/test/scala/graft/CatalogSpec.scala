@@ -20,7 +20,8 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
       "pipeline"   -> ops.Pipeline.queries.keys,
       "curation"   -> ops.Curation.queries.keys,
       "storage"    -> ops.Storage.queries.keys,
-      "stats"      -> ops.Stats.queries.keys)
+      "stats"      -> ops.Stats.queries.keys,
+      "graph"      -> ops.Graph.queries.keys)
     val all = modules.flatMap(_._2).toSeq
     assert(all.size == all.distinct.size,
       s"duplicate query names: ${all.diff(all.distinct).distinct.mkString(", ")}")

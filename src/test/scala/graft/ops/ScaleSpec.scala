@@ -179,6 +179,35 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the injected-semi-join feature that matters at 100 TB: a selective
+    // dimension filter becomes a bloom filter evaluated on the FACT scan,
+    // so rows that cannot join die before the shuffle instead of after
+    // it. Thresholds are lowered because the fixture is KB-sized; the
+    // shape is what's being pinned, not the sizes.
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = Tables.lineitem(spark, Sf0001).select("l_orderkey", "l_quantity")
+      val sel = Tables.orders(spark, Sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+      // the filter is a may-contain test — results must be exactly the
+      // unfiltered join's
+      var want = -1L
+      withSQLConf("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        want = li.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+      }
+      assert(want > 0 && joined.count() == want)
+    }
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     val li    = Tables.lineitem(spark, Sf0001)
     val exact = li.select(count_distinct(col("l_orderkey"))).as[Long].head()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.FloatDotProduct
+import graft.functions.{FloatDotProduct, NfcNormalize}
 
 /** Session extension registering the engine's native expressions so SQL
   * users get them without touching the Scala API:
@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"graft_dot_f requires exactly 2 arguments, got ${exprs.length}")
         FloatDotProduct(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      exprs => {
+        require(exprs.length == 1,
+          s"graft_nfc requires exactly 1 argument, got ${exprs.length}")
+        NfcNormalize(exprs.head)
       }))
     e.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.WindowToTopKRule)

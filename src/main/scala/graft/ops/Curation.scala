@@ -563,7 +563,36 @@ object Curation {
         count_distinct(col("masked")).as("n_forms"))
   }
 
+  /** Contiguous global ID assignment (1..n in corpus order) — the shard /
+    * example numbering every packed training run needs.
+    *
+    * The naive formulation, `row_number() OVER (ORDER BY doc_id)`, is a
+    * scale-killer: an empty PARTITION BY makes Spark coalesce the whole
+    * table into ONE task for the window sort. The scalable shape is (1) a
+    * range-partitioned parallel sort (sampled split points, every
+    * partition sorts independently, partition i holds keys < partition
+    * i+1), then (2) `zipWithIndex`, which runs one lightweight job to
+    * collect per-partition row COUNTS, prefix-sums them on the driver
+    * (bytes per partition: one long), and assigns `offset + local_index`
+    * embarrassingly parallel. No single-partition stage anywhere; this is
+    * the documented reason for the RDD hop (DataFrame windows cannot
+    * express "global order minus the global sort").
+    */
+  def globalIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+      .rdd
+      .map(_.getLong(0))
+      .zipWithIndex()
+      .map { case (docId, idx) => (docId, idx + 1L) }
+      .toDF("doc_id", "global_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "doc_global_ids"     -> (globalIds _),
     "text_repetition"    -> (repetition _),
     "text_contamination" -> (contamination _),
     "sample_split"       -> (split _),
@@ -596,6 +625,8 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    "doc_global_ids" ->
+      "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS global_id FROM documents",
     "text_repetition" ->
       s"""WITH toks AS ($duckToksList),
          tc AS (SELECT doc_id, t, count(*) c FROM (SELECT doc_id, unnest(l) t FROM toks) GROUP BY 1, 2),

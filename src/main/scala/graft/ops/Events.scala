@@ -254,7 +254,70 @@ object Events {
         (coalesce(col("n"), lit(0L)) === 0).as("is_gap"))
   }
 
+  /** Sessionization through Spark's NATIVE `session_window` aggregation —
+    * the same 30-minute-gap semantics as [[sessionize]]'s hand-rolled
+    * gaps-and-islands, expressed as a single groupBy. This is the form
+    * that transfers unchanged to Structured Streaming (watermark + merging
+    * session state); batch and stream share one logical plan. Boundary
+    * semantics: a session spans `[first_ts, last_ts + gap)`, so an event
+    * exactly `gap` after its predecessor opens a NEW session (the oracle
+    * flags `>=`, where [[sessionize]] uses `>`).
+    *
+    * Scale shape: one shuffle on `user_id`; Spark merges overlapping
+    * windows per key with a sort-based in-partition pass (no driver
+    * state, no low-cardinality window).
+    */
+  def sessionNative(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"),
+        col("total_value"))
+
+  /** SCD2 (slowly-changing-dimension) interval collapse: the events table
+    * read as a change log — consecutive runs of the same `event_type` per
+    * user collapse into validity intervals `[valid_from, valid_to)`, with
+    * `valid_to` null on each user's current (open) version. This is how a
+    * dimension snapshot is built from a CDC stream.
+    *
+    * Scale shape: every window and the run-collapse aggregation cluster
+    * by `user_id` (high cardinality), so Catalyst plans ONE exchange and
+    * reuses it — the `(user_id, version)` groupBy is satisfied by the
+    * existing `user_id` hash partitioning (partitioning by a subset of
+    * the grouping keys co-locates every group).
+    */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val byUser    = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    Tables
+      .events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .withColumn(
+        "changed",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum("changed").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "version")
+      .agg(
+        max("event_type").as("event_type"), // constant within a run
+        min("ts_us").as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead("valid_from", 1).over(byVersion))
+      .select("user_id", "version", "event_type", "valid_from", "valid_to", "n_events")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_session_native" -> (sessionNative _),
+    "events_scd2"      -> (scd2 _),
     "events_fill"      -> (fillHours _),
     "events_funnel"    -> (funnel _),
     "events_unpivot"   -> (typeUnpivot _),
@@ -278,6 +341,46 @@ object Events {
        FROM events) WHERE rn <= 5"""
 
   val oracle: Map[String, String] = Map(
+    "events_session_native" ->
+      """WITH t AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, value, ts_us,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+           FROM t),
+         numbered AS (
+           SELECT user_id, value, ts_us,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM flagged)
+         SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 1800000000 AS end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         FROM numbered GROUP BY user_id, sid""",
+    "events_scd2" ->
+      """WITH t AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, event_type, ts_us,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS changed
+           FROM t),
+         numbered AS (
+           SELECT user_id, event_type, ts_us,
+             CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+           FROM flagged),
+         runs AS (
+           SELECT user_id, version, max(event_type) AS event_type,
+             min(ts_us) AS valid_from, count(*) AS n_events
+           FROM numbered GROUP BY 1, 2)
+         SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+           n_events
+         FROM runs""",
     "events_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) tv FROM events WHERE event_type = 'view' GROUP BY 1),
          c AS (SELECT e.user_id, min(epoch_us(e.ts)) tc FROM events e JOIN v ON e.user_id = v.user_id

@@ -78,8 +78,45 @@ object Graph {
     ranks.select(col("node").as("doc_id"), col("rank"))
   }
 
+  /** Catalog entry: per-node triangle counts over the same near-dup
+    * graph. A document's triangle count is the numerator of its local
+    * clustering coefficient — high-triangle docs sit inside densely
+    * mutually-similar duplicate clusters (template farms), versus
+    * bridge/chain duplicates that pairwise matching alone can't tell
+    * apart.
+    */
+  def trianglesNearDup(s: SparkSession, dir: String): DataFrame =
+    triangles(Dedup.minhash(s, dir).select(col("da"), col("db")))
+
+  /** Per-node triangle counts from an ordered pair list (da < db).
+    *
+    * The classic ordered-wedge formulation: because every edge is stored
+    * once with `da < db`, each triangle a<b<c is produced exactly once by
+    * joining (a,b)⋈(b,c) and closing with (a,c) — no 6-way duplication
+    * and no post-hoc distinct. Both joins are plain equi-joins (shuffle
+    * hash/SMJ at scale, no cartesian); at 100 TB this is the standard
+    * edge-iterator algorithm whose cost is Σ deg(u)·deg(v) over edges,
+    * kept tractable here because near-dup graphs are sparse by
+    * construction (LSH banding bounds candidate degree).
+    *
+    * The pair list is localCheckpoint'ed once: it feeds three scans, and
+    * recomputing the MinHash pipeline per scan would triple the dominant
+    * cost.
+    */
+  def triangles(pairList: DataFrame): DataFrame = {
+    val p = pairList.toDF("da", "db").localCheckpoint(true)
+    val tri = p.select(col("da").as("a"), col("db").as("b"))
+      .join(p.select(col("da").as("b"), col("db").as("c")), "b")
+      .join(p.select(col("da").as("a"), col("db").as("c")), Seq("a", "c"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "graph_pagerank" -> (pagerankNearDup _)
+    "graph_pagerank"  -> (pagerankNearDup _),
+    "graph_triangles" -> (trianglesNearDup _)
   )
 
   /** One unrolled oracle iteration: same expression order as the Spark
@@ -106,6 +143,16 @@ object Graph {
          r0 AS (SELECT src AS node, 1.0 / CAST(cnt AS DOUBLE) AS rank FROM deg, nn),
          $iters
          SELECT node AS doc_id, rank FROM r$PrIterations"""
-    }
+    },
+    "graph_triangles" ->
+      s"""WITH ${Dedup.duckMinhashPairsCte},
+         tri AS (SELECT p1.da AS a, p1.db AS b, p2.db AS c
+                 FROM pairs p1
+                 JOIN pairs p2 ON p2.da = p1.db
+                 JOIN pairs p3 ON p3.da = p1.da AND p3.db = p2.db),
+         corners AS (SELECT a AS doc_id FROM tri
+                     UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri)
+         SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY 1"""
   )
 }

@@ -368,7 +368,27 @@ object TextAnalysis {
         aggregate(col("toks"), lit(0L),
           (acc, t) => (acc * 31 + TextHash.hash60(t)) % RollPrime).as("rolling_fp"))
 
+  /** Canonical text normalization — the first stage of every dedup /
+    * fingerprint pipeline: Unicode NFC (composed vs decomposed code
+    * points hash differently; [[graft.functions.NfcNormalize]] is a
+    * native codegen expression, see its doc for why not a UDF), then
+    * lowercase, URL removal, whitespace collapse, trim. Pure projection:
+    * embarrassingly parallel, zero shuffles, whole-stage codegen
+    * end-to-end.
+    */
+  def normalizeText(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(
+            graft.functions.TextFunctions.nfc(s, lower(col("text"))),
+            "https?://\\S+", " "),
+          "\\s+", " ")).as("norm_text"))
+
   val queries: Map[String, Q] = Map(
+    "text_normalize"   -> (normalizeText _),
     "text_lang_id"     -> (langId _),
     "text_quality"     -> (quality _),
     "text_token_count" -> (tokenCount _),
@@ -402,6 +422,11 @@ object TextAnalysis {
   private def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "text_normalize" ->
+      """SELECT doc_id,
+         trim(regexp_replace(regexp_replace(nfc_normalize(lower(text)),
+           'https?://\S+', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+         FROM documents""",
     "text_lang_id" -> {
       val scores = Markers
         .map { case (lang, ms) => s"count(*) FILTER (WHERE t IN ${inList(ms)}) AS s_$lang" }

@@ -66,6 +66,28 @@ object EventStream extends Serializable {
         sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Native session-window aggregation (30-min gap) — the streaming twin
+    * of `events_session_native` (graft.ops.Events.sessionNative). Same
+    * logical plan, executed incrementally: Spark keeps one merging
+    * session per (user, open window) in the state store and emits a
+    * session once the watermark passes its end, so state is bounded by
+    * ACTIVE sessions, not history — the property that makes native
+    * session windows the firehose-scale sessionizer.
+    */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$SessionGapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"),
+        col("total_value"))
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks in the preceding hour. Both sides carry watermarks so join
     * state is evicted once no matching row can still arrive — the bounded

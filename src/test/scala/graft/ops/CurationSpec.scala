@@ -11,6 +11,30 @@ import graft.{SparkTestBase, Tables}
 class CurationSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("doc_global_ids: contiguous 1..n in key order, equal to the window twin") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Curation.globalIds(spark, Sf0001)
+    val n   = Tables.documents(spark, Sf0001).count()
+    // dense cover of 1..n: right count, right bounds, no duplicates
+    val ids = got.select("global_id").as[Long].collect().sorted
+    assert(ids.length == n && ids.head == 1L && ids.last == n && ids.distinct.length == n)
+    // bit-equal to the single-partition window formulation it replaces
+    val twin = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy("doc_id")).cast("long").as("global_id"))
+    assert(got.except(twin).isEmpty && twin.except(got).isEmpty)
+  }
+
+  test("doc_global_ids: independent of input partitioning") {
+    val base = Curation.globalIds(spark, Sf0001).collect().toSet
+    val many = Tables.documents(spark, Sf0001).repartition(13)
+    import spark.implicits.localSeqToDatasetHolder
+    val viaRepart = many.select(col("doc_id")).orderBy("doc_id")
+      .rdd.map(_.getLong(0)).zipWithIndex()
+      .map { case (d, i) => (d, i + 1L) }.toDF("doc_id", "global_id")
+    assert(viaRepart.collect().toSet == base)
+  }
+
   test("seq_pack: shards cover every document exactly once") {
     val shards = Curation.seqPack(spark, Sf0001)
     val nDocs  = Tables.documents(spark, Sf0001).count()

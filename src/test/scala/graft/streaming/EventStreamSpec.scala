@@ -46,6 +46,19 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming native session windows converge to the batch answer") {
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(streamDir)
+    runToCompletion(EventStream.sessions(src), "sessions_out")
+    val got = spark.table("sessions_out")
+      .filter(col("user_id") =!= -1L) // drop the watermark sentinel's session
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val want = graft.ops.Events.sessionNative(spark, Sf0001)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("streaming moments equal the batch stats bit-for-bit") {
     // complete-mode global agg: decimal-exact running sums mean the final
     // table must equal Stats.moments EXACTLY, not approximately

@@ -591,7 +591,84 @@ object Curation {
       .toDF("doc_id", "global_id")
   }
 
+  /** BM25 parameters: the standard Robertson defaults, plus the top-k
+    * depth per query.
+    */
+  val BmK1 = 1.2
+  val BmB  = 0.75
+  val BmK  = 5
+
+  /** BM25 retrieval: every [[BenchmarkSource]] document as a query,
+    * scored against the rest of the corpus; top-[[BmK]] hits each. The
+    * retrieval primitive behind dedup-by-retrieval, contamination
+    * triage, and RAG-style corpus search.
+    *
+    * idf is the RATIONAL form `(N - df + 0.5) / (df + 0.5)` — log-free
+    * for the same reason text_tfidf's score is `tf·N/df`: `ln` is libm-
+    * dependent and the last ulp differs across engines, while a fixed
+    * tree of IEEE +,-,·,/ on exact integer inputs is bit-identical
+    * everywhere. Rankings stay monotone per term; per-(query,doc) term
+    * sums quantize onto the decimal(38,12) grid so the fold is
+    * order-free (the catalog's sum rule).
+    *
+    * Scale shape — impact-scored postings, the inverted-index design:
+    * the per-(doc, term) score `idf·sat` depends ONLY on corpus-side
+    * quantities (tf, dl, df, N, avgdl), so it is fully precomputed on
+    * the postings BEFORE the query join. The hot-term equi-join (a
+    * stopword posting matches every query containing it — the
+    * irreducible |q∩d|-pair cost of exact BM25) then carries three
+    * narrow columns `(t, doc_id, ci)` instead of dragging df/dl/stats
+    * joins through the blow-up. Per-query top-k windows over `q_doc`
+    * (cardinality = |queries|, not |corpus|).
+    *
+    * Impacts are QUANTIZED to longs (floor onto a 1e-6 grid) — the same
+    * trick production engines use (Lucene stores quantized impacts):
+    * the pair-blowup aggregation sums primitive longs inside whole-stage
+    * codegen instead of running millions of BigDecimal adds (the first
+    * cut used decimal(38,12) term sums and spent 18 s at sf0.1 on
+    * BigDecimal arithmetic alone; longs run the same rows in ~2 s).
+    * floor (not cast) because Spark's double→long cast truncates toward
+    * zero while DuckDB's rounds — floor is IEEE-exact and identical in
+    * both engines. Headroom: |ci| ≤ idf_max·(k1+1)·1e6; with per-query
+    * term counts in the hundreds the long sum is safe while
+    * idf_max ≲ 1e10 — beyond that (df=1 terms in a 10¹⁰-doc corpus),
+    * widen the quantum.
+    */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = withToks(s, dir)
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("t"))
+    val corpus = toks.filter(col("source") =!= BenchmarkSource)
+    val tf     = corpus.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dl     = corpus.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val qterms = toks
+      .filter(col("source") === BenchmarkSource)
+      .select(col("doc_id").as("q_doc"), col("t"))
+      .distinct()
+    val idf = (col("n") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val sat = (col("tf").cast("double") * lit(BmK1 + 1)) /
+      (col("tf").cast("double") +
+        lit(BmK1) * (lit(1 - BmB) + lit(BmB) * (col("dl").cast("double") / col("avgdl"))))
+    val postings = tf
+      .join(dfreq, "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("t"), col("doc_id"), floor((idf * sat) * lit(1000000.0)).as("ci"))
+    val w = Window.partitionBy("q_doc").orderBy(desc("score"), asc("doc_id"))
+    qterms
+      .join(postings, "t")
+      .groupBy("q_doc", "doc_id")
+      .agg((sum("ci").cast("double") / lit(1000000.0)).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= BmK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bm25"          -> (bm25 _),
     "doc_global_ids"     -> (globalIds _),
     "text_repetition"    -> (repetition _),
     "text_contamination" -> (contamination _),
@@ -625,6 +702,35 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    // parity note: (1.2 + 1) is written as the ADDITION in both engines —
+    // the IEEE sum of double(1.2) + 1 is not the same double as the
+    // literal 2.2, so both sides must build the constant the same way
+    "text_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, source, unnest(l) AS t FROM ($duckToksList)),
+         corpus AS (SELECT doc_id, t FROM toks WHERE source <> '$BenchmarkSource'),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM corpus GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM corpus GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         qterms AS (SELECT DISTINCT doc_id AS q_doc, t FROM toks WHERE source = '$BenchmarkSource'),
+         term_scores AS (
+           SELECT q.q_doc, tf.doc_id,
+             CAST(floor(
+               ((((st.n - CAST(df.df AS DOUBLE)) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) *
+                ((CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
+                 (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))))
+               ) * 1000000.0) AS BIGINT) AS ci
+           FROM qterms q
+           JOIN tf ON tf.t = q.t
+           JOIN df ON df.t = q.t
+           JOIN dl ON dl.doc_id = tf.doc_id, st),
+         scored AS (SELECT q_doc, doc_id, CAST(sum(ci) AS DOUBLE) / 1000000.0 AS score
+                    FROM term_scores GROUP BY 1, 2)
+         SELECT q_doc, doc_id, score, rn FROM (
+           SELECT q_doc, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
+           FROM scored) WHERE rn <= $BmK""",
     "doc_global_ids" ->
       "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS global_id FROM documents",
     "text_repetition" ->

@@ -178,14 +178,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // and the 1-row scalar broadcasts (scalar_subquery, text_unigram_lm's
     // corpus total, text_pmi's bigram total, seq_pack's lane count,
     // q11_important's revenue threshold, corpus_mixture's weight total,
-    // text_ppl_buckets' corpus total, curate_dsir's corpus/target totals).
+    // text_ppl_buckets' corpus total, curate_dsir's corpus/target totals,
+    // text_bm25's 1-row corpus stats — each build side is an aggregate's
+    // single output row).
     // dedup_clusters executes eagerly (checkpointed loop), leaving only a
     // result scan here — its per-round join shape is audited directly in
     // the next test.
     val allowed =
       Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters", "text_unigram_lm",
         "seq_pack", "text_pmi", "q11_important", "corpus_mixture", "text_ppl_buckets",
-        "curate_dsir", "graph_pagerank") // graph_pagerank: eager checkpointed loop like dedup_clusters
+        "curate_dsir", "graph_pagerank", // graph_pagerank: eager checkpointed loop like dedup_clusters
+        "text_bm25")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -215,6 +218,56 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }.flatten
     assert(!broadcastScans.exists(_.contains("documents.parquet")),
       s"source_overlap broadcasts the shingle stream: $broadcastScans")
+  }
+
+  test("events_scd2 plans a single user_id exchange across both windows and the agg") {
+    // the change-flag window, the run-collapse aggregation, and the
+    // valid_to lead all cluster by user_id: the (user_id, version)
+    // groupBy must be satisfied by the existing user_id hash
+    // partitioning (subset rule), not shuffle again
+    val p = plan("events_scd2")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+  }
+
+  test("events_session_native is one shuffle into the merging session agg") {
+    val p = plan("events_session_native")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+  }
+
+  test("text_normalize is a pure scan-side projection (no exchange at all)") {
+    val p = plan("text_normalize")
+    assert(!p.contains("Exchange"), p)
+    // the NFC expression must sit inside whole-stage codegen, not fall
+    // back to an interpreted projection — "*(1)" is toString's codegen
+    // stage marker
+    assert(p.contains("*(1) Project"), p)
+    assert(p.contains("graft_nfc"), p)
+  }
+
+  test("graph_triangles closes wedges with hash equi-joins, never nested-loop") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_bm25 joins postings on the term key and broadcasts only the 1-row stats") {
+    val p = plan("text_bm25")
+    // the ONE sanctioned nested-loop is the corpus-stats cross join,
+    // whose build side is a global aggregate's single output row
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    // no un-aggregated document-table scan may sit under a broadcast
+    // (|corpus| and |queries| both grow with the data; only aggregate
+    // outputs — qterms/tf/df/dl at fixture size, stats at any size —
+    // may build)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val sp = SparkEntry.queries("text_bm25")(spark, Sf0001).queryExecution.sparkPlan
+    val bareScanBroadcasts = sp.collect {
+      case b: BroadcastExchangeExec if !b.toString.contains("HashAggregate") =>
+        b.collectLeaves().collect { case f: FileSourceScanExec => f }
+    }.flatten
+    assert(bareScanBroadcasts.isEmpty,
+      s"un-aggregated scan broadcast in text_bm25:\n$sp")
   }
 
   test("bucket_join runs shuffle-free over the co-located buckets") {

@@ -315,7 +315,46 @@ object Events {
       .select("user_id", "version", "event_type", "valid_from", "valid_to", "n_events")
   }
 
+  /** Incremental aggregate maintenance: the hourly rollup refreshed by
+    * aggregating ONLY a new slice of events and merging it into the
+    * previously-materialized aggregate — the daily-refresh pattern that
+    * turns a 100 TB recompute into a delta-sized one. count and decimal
+    * sum re-aggregate losslessly (`merge(agg(A), agg(B)) = agg(A ∪ B)`),
+    * so the result is bit-equal to the full recompute, which is exactly
+    * what the oracle checks (it IS the full recompute).
+    *
+    * The split timestamp stands in for the materialization boundary; in
+    * production the left side is a stored table, so only the right
+    * (delta) side scans raw events.
+    */
+  def incrementalHourly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+    // median-ish fixture boundary: half "already materialized", half delta
+    val cut = lit(IncrCutUs)
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).as("sv"))
+    val materialized = rollup(ev.filter(col("ts_us") < cut))
+    val delta        = rollup(ev.filter(col("ts_us") >= cut))
+    materialized
+      .unionAll(delta)
+      .groupBy("hour", "event_type")
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sv")).cast("double").as("total_value"))
+  }
+
+  /** Fixture materialization boundary for [[incrementalHourly]] (epoch
+    * µs; the synthetic events span Jan 2024, so mid-month splits the
+    * range roughly in half).
+    */
+  val IncrCutUs: Long = java.time.Instant.parse("2024-01-16T00:00:00Z")
+    .getEpochSecond * 1000000L
+
   val queries: Map[String, Q] = Map(
+    "events_incr_hourly"    -> (incrementalHourly _),
     "events_session_native" -> (sessionNative _),
     "events_scd2"      -> (scd2 _),
     "events_fill"      -> (fillHours _),
@@ -341,6 +380,13 @@ object Events {
        FROM events) WHERE rn <= 5"""
 
   val oracle: Map[String, String] = Map(
+    // the oracle IS the full recompute — merging the materialized half
+    // with the delta half must be indistinguishable from it
+    "events_incr_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
     "events_session_native" ->
       """WITH t AS (
            SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,

@@ -59,6 +59,55 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("restart from checkpoint resumes exactly-once (state + file-sink manifest)") {
+    // the streaming analogue of the reference's crash/exactly-once
+    // probes (play.sh crash test): kill the query mid-stream, restart
+    // from the same checkpoint, and the final output must be the batch
+    // answer exactly — aggregation state recovers from the state store,
+    // and the file sink's commit manifest deduplicates any rewritten
+    // files. Phase 1 delivers the first half of the events and stops
+    // with windows still open; phase 2 appends the rest plus the
+    // watermark sentinel and a NEW query instance finishes the job.
+    val base   = Files.createTempDirectory("graft-restart")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    val ckpt   = base.resolve("ckpt").toString
+    val ev = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val cut = lit(graft.ops.Events.IncrCutUs)
+    ev.filter(unix_micros(col("ts")) < cut)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .parquet(srcDir)
+      val q = EventStream.hourly(src).writeStream
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+
+    runOnce() // phase 1: half the data, then the query dies
+    val sentinel = Seq(
+      (-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(unix_micros(col("ts")) >= cut).union(sentinel)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce() // phase 2: restart from the checkpoint, finish the stream
+
+    val got = spark.read.parquet(outDir) // manifest-filtered exactly-once view
+      .filter(col("event_type") =!= "sentinel")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val want = graft.ops.Events.hourly(spark, Sf0001)
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("streaming moments equal the batch stats bit-for-bit") {
     // complete-mode global agg: decimal-exact running sums mean the final
     // table must equal Stats.moments EXACTLY, not approximately

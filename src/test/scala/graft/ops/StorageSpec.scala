@@ -1,0 +1,77 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkTestBase, Tables}
+
+/** Write-side maintenance operators: small-file compaction and
+  * sorted-layout data skipping. Both are empirical demonstrations — the
+  * property asserted is the one that pays at 100 TB (file counts, rows
+  * actually read), not just result equality.
+  */
+class StorageSpec extends AnyFunSuite with SparkTestBase {
+
+  test("compact rewrites a small-file mess into ceil(bytes/target) files, losslessly") {
+    val base   = Files.createTempDirectory("graft-compact")
+    val inDir  = base.resolve("in").toString
+    val outDir = base.resolve("out").toString
+    // simulate an incremental writer: 64 tiny files
+    val ev = Tables.events(spark, Sf0001)
+    ev.repartition(64).write.parquet(inDir)
+    val inBytes = {
+      val p  = new org.apache.hadoop.fs.Path(inDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    }
+    val target = inBytes / 3 // force a 3..4-file plan regardless of fixture size
+    val (before, after) = Storage.compact(spark, inDir, outDir, target)
+    assert(before == 64)
+    assert(after == math.ceil(inBytes.toDouble / target).toInt)
+    // lossless: same multiset of rows
+    val a = spark.read.parquet(inDir).orderBy("event_id").collect()
+    val b = spark.read.parquet(outDir).orderBy("event_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("sorted layout prunes row groups a random layout cannot") {
+    val base      = Files.createTempDirectory("graft-skip")
+    val sortedDir = base.resolve("sorted").toString
+    val randomDir = base.resolve("random").toString
+    val ev = Tables.events(spark, Sf0001).select("event_id", "value")
+    Storage.writeSorted(spark, ev, "value", sortedDir)
+    // same tiny row groups, random order — every group spans the full range
+    ev.repartition(4).write.mode("overwrite")
+      .option("parquet.block.size", (64L << 10).toString).parquet(randomDir)
+
+    def rowsReadFor(dir: String): (Long, Long) = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // ~bottom 2% of the fixture's value range (values span ~0.03..330)
+      val df = spark.read.parquet(dir).filter(col("value") < lit(1.0))
+      // collect() (not count()) so the metrics we read below belong to
+      // the plan that actually ran — count() builds its own QueryExecution
+      val matched = df.collect().length.toLong
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec        => scans(q.plan)
+        case f: FileSourceScanExec    => Seq(f)
+        case other                    => other.children.flatMap(scans)
+      }
+      val read = scans(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+      (matched, read)
+    }
+
+    val total = ev.count()
+    val (matchedS, readSorted) = rowsReadFor(sortedDir)
+    val (matchedR, readRandom) = rowsReadFor(randomDir)
+    assert(matchedS == matchedR && matchedS > 0) // same answer either way
+    // random layout: min/max stats are useless, every row group survives
+    assert(readRandom == total, s"expected full read, got $readRandom of $total")
+    // sorted layout: only the row groups overlapping the range survive
+    // their min/max check (the fixture yields one surviving group of the
+    // four — 250 of 1000 rows)
+    assert(readSorted <= total / 4,
+      s"sorted layout read $readSorted of $total rows — row-group pruning not effective")
+  }
+}

@@ -250,7 +250,42 @@ object Stats {
         max(col("az")).as("max_abs_z"))
   }
 
+  /** Number of equi-depth buckets for [[histEquidepth]]. */
+  val EqBuckets = 10
+
+  /** Exact equi-depth (decile) histogram boundaries per group — the
+    * profiling primitive behind length-balanced sharding, quantile
+    * binning, and skew diagnosis. Same machinery as
+    * [[percentilesExact]]: a cumulative histogram over DISTINCT values
+    * (never a full-table sort), then each value row fans out to the
+    * deciles its rank range `[cum-c, cum)` intersects — pure integer
+    * arithmetic (`(rank*B) div tot`), exact in both engines. A value
+    * straddling a boundary legitimately appears in both buckets; bucket
+    * row-counts are fixed by construction, so the informative output is
+    * the (lo, hi) value range per decile.
+    *
+    * Scale: one shuffle to the distinct-value grid, windows and the
+    * final agg all clustered by the group key; the explode multiplies
+    * rows by at most the straddle factor (≤ B extra rows per group).
+    */
+  def histEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val vc = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("c"))
+    vc
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("l_returnflag").orderBy("l_extendedprice")))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy("l_returnflag")))
+      .withColumn("bucket",
+        explode(sequence(
+          expr(s"((cum - c) * $EqBuckets) div tot"),
+          expr(s"((cum - 1) * $EqBuckets) div tot"))))
+      .groupBy("l_returnflag", "bucket")
+      .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "hist_equidepth"     -> (histEquidepth _),
     "stats_moments"      -> (moments _),
     "stats_corr"         -> (corrValueHour _),
     "stats_minmax_scale" -> (minmaxScale _),
@@ -263,6 +298,20 @@ object Stats {
   private def ds(c: String) = DSUM.format(c)
 
   val oracle: Map[String, String] = Map(
+    "hist_equidepth" ->
+      s"""WITH vc AS (SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+                      FROM lineitem GROUP BY 1, 2),
+         cum AS (SELECT l_returnflag, v, c,
+                   sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                   sum(c) OVER (PARTITION BY l_returnflag) AS tot
+                 FROM vc),
+         x AS (SELECT l_returnflag, v,
+                 unnest(generate_series(CAST(((cum - c) * $EqBuckets) // tot AS BIGINT),
+                                        CAST(((cum - 1) * $EqBuckets) // tot AS BIGINT))) AS bucket
+               FROM cum)
+         SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+           min(v) AS lo, max(v) AS hi
+         FROM x GROUP BY 1, 2""",
     "stats_moments" ->
       s"""WITH a AS (SELECT event_type, count(*) AS n,
            ${ds("value")} AS sx, ${ds("value * value")} AS sxx,

@@ -160,6 +160,25 @@ object Storage {
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(outDir)
 
+  /** Multi-column generalization of [[writeSorted]]: range-partition +
+    * sort by the Z-order (Morton) key of two quantized dimensions
+    * ([[graft.functions.ZOrder2]]), so every file/row-group covers a
+    * locality BOX in (a, b) space and min/max stats prune selective
+    * filters on EITHER column. The key is a transient sort column —
+    * dropped before the write, so the stored schema is unchanged.
+    */
+  def writeZOrdered(s: SparkSession, df: DataFrame, a: String, b: String,
+      outDir: String, numFiles: Int = 4, rowGroupBytes: Long = 64L << 10): Unit = {
+    val key = graft.functions.ZOrderFunctions.zorder2(s, col(a), col(b))
+    df.withColumn("__z", key)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(outDir)
+  }
+
   val queries: Map[String, Q] = Map(
     "bucket_join" -> (bucketJoin _),
     "part_prune"  -> (partPrune _)

@@ -34,6 +34,47 @@ class StorageSpec extends AnyFunSuite with SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("z-ordered layout prunes on BOTH dimensions where a single-column sort cannot") {
+    // quantized 2-D point set: user bucket x value bucket. The user-sorted
+    // layout prunes user filters but reads EVERYTHING for a value filter;
+    // the z-ordered layout confines a value range to a subset of groups.
+    val base = Files.createTempDirectory("graft-zorder")
+    val byUser   = base.resolve("byUser").toString
+    val zOrdered = base.resolve("z").toString
+    val pts = Tables.events(spark, Sf0001)
+      .select(
+        col("event_id"),
+        (col("user_id") % 1024).as("ua"),
+        floor(col("value")).cast("long").as("vb"))
+    Storage.writeSorted(spark, pts, "ua", byUser, numFiles = 8, rowGroupBytes = 16L << 10)
+    Storage.writeZOrdered(spark, pts, "ua", "vb", zOrdered, numFiles = 8, rowGroupBytes = 16L << 10)
+
+    def rowsReadFor(dir: String): (Long, Long) = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val df = spark.read.parquet(dir).filter(col("vb") < 8L) // value-only box side
+      val matched = df.collect().length.toLong
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec        => scans(q.plan)
+        case f: FileSourceScanExec    => Seq(f)
+        case other                    => other.children.flatMap(scans)
+      }
+      (matched, scans(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum)
+    }
+
+    val total = pts.count()
+    val (matchedU, readByUser) = rowsReadFor(byUser)
+    val (matchedZ, readZ)      = rowsReadFor(zOrdered)
+    assert(matchedU == matchedZ && matchedZ > 0)
+    // user-sorted layout: value ranges span every group, nothing prunes
+    assert(readByUser == total, s"expected full read on the user-sorted copy, got $readByUser of $total")
+    // z-order: the value bits participate in the layout, so the same
+    // filter skips groups
+    assert(readZ < total,
+      s"z-ordered layout read $readZ of $total rows — no pruning on the second dimension")
+  }
+
   test("sorted layout prunes row groups a random layout cannot") {
     val base      = Files.createTempDirectory("graft-skip")
     val sortedDir = base.resolve("sorted").toString

@@ -353,7 +353,49 @@ object Events {
   val IncrCutUs: Long = java.time.Instant.parse("2024-01-16T00:00:00Z")
     .getEpochSecond * 1000000L
 
+  /** Bucket width for [[sessionConcurrency]]'s interval decomposition
+    * (1 hour in epoch µs).
+    */
+  val ConcurrencyBucketUs: Long = 3600L * 1000000L
+
+  /** Interval-overlap join with NO equi key — per session, the number of
+    * OTHER users' events that fell inside it (concurrency load). The
+    * naive formulation is a pure range join (`e.ts BETWEEN s.start AND
+    * s.end`), which Spark can only plan as a nested loop — quadratic at
+    * scale. The scalable decomposition: intervals fan out to the fixed
+    * time BUCKETS they cover, points map to their single bucket, and the
+    * join becomes an equi-join on bucket followed by the exact overlap
+    * re-check. A point lies in exactly ONE bucket, so a multi-bucket
+    * interval still matches each event once — no post-join dedup.
+    * Bucket width trades fan-out (long intervals explode to many rows)
+    * against selectivity (wide buckets admit more false candidates);
+    * 1 h ≈ the p99 session length here.
+    *
+    * The DuckDB oracle runs the NAIVE range join (its IEJoin handles
+    * it) — the decomposition must be semantically invisible.
+    */
+  def sessionConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val W = ConcurrencyBucketUs
+    val sess = sessionize(s, dir)
+      .select(
+        col("user_id").as("s_user"), col("session_id"),
+        col("start_us"), col("end_us"))
+      .withColumn("bucket", explode(expr(s"sequence(start_us div $W, end_us div $W)")))
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("bucket", expr(s"ts_us div $W"))
+    sess
+      .join(ev, "bucket")
+      .filter(
+        col("ts_us") >= col("start_us") && col("ts_us") <= col("end_us") &&
+          col("user_id") =!= col("s_user"))
+      .groupBy("s_user", "session_id")
+      .agg(count(lit(1)).as("n_concurrent"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_concurrency"    -> (sessionConcurrency _),
     "events_incr_hourly"    -> (incrementalHourly _),
     "events_session_native" -> (sessionNative _),
     "events_scd2"      -> (scd2 _),
@@ -380,6 +422,30 @@ object Events {
        FROM events) WHERE rn <= 5"""
 
   val oracle: Map[String, String] = Map(
+    // the NAIVE range join — the bucketed decomposition on the Spark
+    // side must be semantically invisible
+    "events_concurrency" ->
+      """WITH t AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+           FROM t),
+         numbered AS (
+           SELECT user_id, ts_us,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged),
+         sessions AS (
+           SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us
+           FROM numbered GROUP BY 1, 2),
+         ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events)
+         SELECT s.user_id AS s_user, s.session_id, count(*) AS n_concurrent
+         FROM sessions s JOIN ev e
+           ON e.ts_us >= s.start_us AND e.ts_us <= s.end_us AND e.user_id <> s.user_id
+         GROUP BY 1, 2""",
     // the oracle IS the full recompute — merging the materialized half
     // with the delta half must be indistinguishable from it
     "events_incr_hourly" ->

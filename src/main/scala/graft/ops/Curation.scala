@@ -667,7 +667,38 @@ object Curation {
       .filter(col("rn") <= BmK)
   }
 
+  /** Sample size for [[sampleWeighted]]. */
+  val WeightedK = 20
+
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each doc draws a pseudo-uniform u from the shared
+    * md5 hash family (reproducible across runs, engines, partitionings —
+    * same discipline as `sample_hash`) and is ranked by `u^(1/w)` with
+    * w = n_chars, so selection probability is proportional to length —
+    * the standard way to sample a token-budget-proportional subset
+    * rather than a doc-count-proportional one.
+    *
+    * `pow` is libm-adjacent (Spark's Math.pow vs DuckDB's libm may
+    * differ in the last ulp), so the key quantizes onto a decimal(38,9)
+    * grid before ranking — the same hazard-containment rule the catalog
+    * applies to every ln-derived output; ties on the grid break by
+    * doc_id. Top-k of a pure projection = TakeOrderedAndProject, no
+    * global sort.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val u = (TextHash.hash60(col("doc_id").cast("string")) + lit(1L)).cast("double") /
+      lit(1152921504606846976L).cast("double") // 2^60: u in (0, 1]
+    val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
+      .cast("decimal(38,9)").cast("double")
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), key.as("k"))
+      .orderBy(desc("k"), asc("doc_id"))
+      .limit(WeightedK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sample_weighted"    -> (sampleWeighted _),
     "text_bm25"          -> (bm25 _),
     "doc_global_ids"     -> (globalIds _),
     "text_repetition"    -> (repetition _),
@@ -702,6 +733,16 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    "sample_weighted" -> {
+      val h = graft.functions.TextHash.duckHash60Of("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, n_chars, k FROM (
+           SELECT doc_id, n_chars,
+             CAST(CAST(pow(CAST(($h + 1) AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE),
+                           1.0 / CAST(n_chars AS DOUBLE))
+                  AS DECIMAL(38,9)) AS DOUBLE) AS k
+           FROM documents)
+         ORDER BY k DESC, doc_id ASC LIMIT $WeightedK"""
+    },
     // parity note: (1.2 + 1) is written as the ADDITION in both engines —
     // the IEEE sum of double(1.2) + 1 is not the same double as the
     // literal 2.2, so both sides must build the constant the same way

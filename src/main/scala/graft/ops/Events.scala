@@ -281,6 +281,34 @@ object Events {
         col("n_events"),
         col("total_value"))
 
+  /** Session windows with a DYNAMIC, per-event gap — purchases close a
+    * session after 10 minutes of silence, other activity keeps it open
+    * for 30 (Spark's `session_window` accepts a gap EXPRESSION, merging
+    * overlapping per-event windows `[ts, ts+gap(event))` per key). The
+    * oracle derives the same semantics from first principles: a session
+    * end is the running max of `ts + gap` over earlier events, and a new
+    * session starts when an event's ts reaches it — expressible as one
+    * more window function over the gaps-and-islands skeleton, so the
+    * native operator's merge logic is pinned against an independent
+    * formulation, not against itself.
+    */
+  def sessionDynamicGap(s: SparkSession, dir: String): DataFrame = {
+    // make_interval, not INTERVAL literals: session_window's dynamic gap
+    // requires CalendarIntervalType, and ANSI interval literals parse to
+    // DayTimeIntervalType
+    val gap = when(col("event_type") === "purchase", expr("make_interval(0,0,0,0,0,10,0)"))
+      .otherwise(expr("make_interval(0,0,0,0,0,30,0)"))
+    Tables
+      .events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+  }
+
   /** SCD2 (slowly-changing-dimension) interval collapse: the events table
     * read as a change log — consecutive runs of the same `event_type` per
     * user collapse into validity intervals `[valid_from, valid_to)`, with
@@ -395,6 +423,7 @@ object Events {
   }
 
   val queries: Map[String, Q] = Map(
+    "events_session_dyngap" -> (sessionDynamicGap _),
     "events_concurrency"    -> (sessionConcurrency _),
     "events_incr_hourly"    -> (incrementalHourly _),
     "events_session_native" -> (sessionNative _),
@@ -422,6 +451,31 @@ object Events {
        FROM events) WHERE rn <= 5"""
 
   val oracle: Map[String, String] = Map(
+    // first-principles dynamic-gap sessions: session end = running max
+    // of (ts + gap) over earlier events; a new session starts when an
+    // event's ts reaches it
+    "events_session_dyngap" ->
+      """WITH t AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN 600000000 ELSE 1800000000 END AS gap_us
+           FROM events),
+         w AS (
+           SELECT user_id, event_id, ts_us, gap_us,
+             max(ts_us + gap_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           FROM t),
+         flagged AS (
+           SELECT user_id, event_id, ts_us, gap_us,
+             CASE WHEN prev_end IS NULL OR ts_us >= prev_end THEN 1 ELSE 0 END AS new_session
+           FROM w),
+         numbered AS (
+           SELECT user_id, ts_us, gap_us,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM flagged)
+         SELECT user_id, min(ts_us) AS start_us, max(ts_us + gap_us) AS end_us,
+           count(*) AS n_events
+         FROM numbered GROUP BY user_id, sid""",
     // the NAIVE range join — the bucketed decomposition on the Spark
     // side must be semantically invisible
     "events_concurrency" ->

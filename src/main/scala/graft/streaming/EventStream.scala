@@ -88,6 +88,25 @@ object EventStream extends Serializable {
         col("n_events"),
         col("total_value"))
 
+  /** Dynamic-gap variant of [[sessions]] — the same per-event gap
+    * expression as the batch `events_session_dyngap`, run incrementally:
+    * purchases close their session after 10 minutes of silence, other
+    * activity after 30. State is still bounded by active sessions.
+    */
+  def sessionsDynamic(events: DataFrame): DataFrame = {
+    val gap = when(col("event_type") === "purchase", expr("make_interval(0,0,0,0,0,10,0)"))
+      .otherwise(expr("make_interval(0,0,0,0,0,30,0)"))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+  }
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks in the preceding hour. Both sides carry watermarks so join
     * state is evicted once no matching row can still arrive — the bounded

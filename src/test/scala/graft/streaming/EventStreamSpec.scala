@@ -59,6 +59,19 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming dynamic-gap session windows converge to the batch answer") {
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(streamDir)
+    runToCompletion(EventStream.sessionsDynamic(src), "dyn_sessions_out")
+    val got = spark.table("dyn_sessions_out")
+      .filter(col("user_id") =!= -1L) // drop the watermark sentinel's session
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = graft.ops.Events.sessionDynamicGap(spark, Sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("restart from checkpoint resumes exactly-once (state + file-sink manifest)") {
     // the streaming analogue of the reference's crash/exactly-once
     // probes (play.sh crash test): kill the query mid-stream, restart

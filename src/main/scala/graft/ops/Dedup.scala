@@ -178,6 +178,33 @@ object Dedup {
     verifyJaccard(pairs, sh)
   }
 
+  /** Minimum directional containment for [[containment]]. */
+  val ContainMin = 0.8
+
+  /** Asymmetric containment dedup: `|A∩B| / |A|` (and `/|B|`) over the
+    * same trigram-shingle inverted index as [[ngram]]. Jaccard misses
+    * the excerpt case — a paragraph quoted inside a much longer doc has
+    * tiny Jaccard but containment ≈ 1 from the short side — and excerpt
+    * / quotation / template-inclusion detection is a curation pass of
+    * its own. Same scale shape as ngram: the shingle key bounds the
+    * pair space; sizes join back on doc_id.
+    */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val sh    = docShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ca    = col("i").cast("double") / col("na").cast("double")
+    val cb    = col("i").cast("double") / col("nb").cast("double")
+    sh.select(col("doc_id").as("da"), col("sh"))
+      .join(sh.select(col("doc_id").as("db"), col("sh")), "sh")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), ca.as("contain_a"), cb.as("contain_b"))
+      .filter(col("contain_a") >= ContainMin || col("contain_b") >= ContainMin)
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** MinHash + LSH banding. K=36 md5-family hashes, 12 bands x 3 rows;
@@ -481,6 +508,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_exact"     -> (exact _),
     "dedup_ngram"     -> (ngram _),
+    "dedup_containment" -> (containment _),
     "dedup_minhash"   -> (minhash _),
     "dedup_simhash"   -> (simhash _),
     "dedup_embedding" -> (embedding _),
@@ -540,6 +568,18 @@ object Dedup {
       s"""WITH sh AS ($duckShingles),
          cand AS (SELECT a.doc_id da, b.doc_id db FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
          $duckVerify""",
+    "dedup_containment" ->
+      s"""WITH sh AS ($duckShingles),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT da, db,
+           CAST(i AS DOUBLE) / CAST(x.n AS DOUBLE) AS contain_a,
+           CAST(i AS DOUBLE) / CAST(y.n AS DOUBLE) AS contain_b
+         FROM pairs JOIN sizes x ON x.doc_id = da JOIN sizes y ON y.doc_id = db
+         WHERE CAST(i AS DOUBLE) / CAST(x.n AS DOUBLE) >= $ContainMin
+            OR CAST(i AS DOUBLE) / CAST(y.n AS DOUBLE) >= $ContainMin""",
     "dedup_minhash" ->
       s"""WITH $duckMinhashPairsCte
          SELECT da, db, jaccard FROM pairs""",

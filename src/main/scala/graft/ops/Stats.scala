@@ -284,7 +284,50 @@ object Stats {
       .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
   }
 
+  /** The two samples compared by [[ksTest]]. */
+  val KsGroupA = "click"
+  val KsGroupB = "purchase"
+
+  /** Two-sample Kolmogorov–Smirnov distance between two event types'
+    * value distributions — the drift test a pipeline runs between data
+    * versions or sources before retraining. D = max |F_a(v) - F_b(v)|
+    * over the merged support, reported with the (first) value attaining
+    * it.
+    *
+    * Values quantize onto the [[RobustGrid]] power-of-2 grid first (an
+    * exact binary-FP operation, same rule as robust_scale), which (a)
+    * bounds the support so the ONE global cumulative window runs over a
+    * few thousand grid cells instead of every distinct double in a
+    * 100 TB table, and (b) keeps both engines on identical inputs. The
+    * CDFs are exact-integer ratios; D is a deterministic IEEE fold over
+    * the bounded grid.
+    */
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin(KsGroupA, KsGroupB))
+    val vc = ev
+      .groupBy(floor(col("value") * RobustGrid).as("g"))
+      .agg(
+        count(when(col("event_type") === KsGroupA, 1)).as("ca"),
+        count(when(col("event_type") === KsGroupB, 1)).as("cb"))
+    val cum = vc
+      .withColumn("cuma", sum(col("ca")).over(Window.orderBy("g")))
+      .withColumn("cumb", sum(col("cb")).over(Window.orderBy("g")))
+      .withColumn("tota", sum(col("ca")).over(Window.partitionBy()))
+      .withColumn("totb", sum(col("cb")).over(Window.partitionBy()))
+      .withColumn("d",
+        abs(col("cuma").cast("double") / col("tota").cast("double") -
+          col("cumb").cast("double") / col("totb").cast("double")))
+    cum
+      .select(struct(col("d"), (-col("g")).as("ng")).as("key"), col("g"))
+      .agg(max(col("key")).as("m"))
+      .select(
+        col("m.d").as("ks_d"),
+        (-col("m.ng").cast("double") / RobustGrid).as("at_value"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_ks"           -> (ksTest _),
     "hist_equidepth"     -> (histEquidepth _),
     "stats_moments"      -> (moments _),
     "stats_corr"         -> (corrValueHour _),
@@ -298,6 +341,26 @@ object Stats {
   private def ds(c: String) = DSUM.format(c)
 
   val oracle: Map[String, String] = Map(
+    "stats_ks" ->
+      s"""WITH vc AS (
+           SELECT CAST(floor(value * $RobustGrid) AS BIGINT) AS g,
+             count(*) FILTER (WHERE event_type = '$KsGroupA') AS ca,
+             count(*) FILTER (WHERE event_type = '$KsGroupB') AS cb
+           FROM events WHERE event_type IN ('$KsGroupA', '$KsGroupB') GROUP BY 1),
+         cum AS (
+           SELECT g,
+             sum(ca) OVER (ORDER BY g) AS cuma,
+             sum(cb) OVER (ORDER BY g) AS cumb,
+             sum(ca) OVER () AS tota,
+             sum(cb) OVER () AS totb
+           FROM vc),
+         dd AS (
+           SELECT g,
+             abs(CAST(cuma AS DOUBLE) / CAST(tota AS DOUBLE) -
+                 CAST(cumb AS DOUBLE) / CAST(totb AS DOUBLE)) AS d
+           FROM cum)
+         SELECT d AS ks_d, CAST(g AS DOUBLE) / $RobustGrid AS at_value
+         FROM dd ORDER BY d DESC, g ASC LIMIT 1""",
     "hist_equidepth" ->
       s"""WITH vc AS (SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
                       FROM lineitem GROUP BY 1, 2),

@@ -205,6 +205,39 @@ object Dedup {
       .filter(col("contain_a") >= ContainMin || col("contain_b") >= ContainMin)
   }
 
+  /** Snapshot diff between two corpus versions — the audit a versioned
+    * data pipeline emits with every release: which documents were
+    * removed, which changed, which survived untouched. The "new
+    * version" here is derived in-query (the [[exactApply]] survivors
+    * with digit runs masked, i.e. the output of the dedup + PII-scrub
+    * passes), so the diff is self-contained and oracle-checkable; in
+    * production both sides are stored snapshots.
+    *
+    * Scale shape: one full outer join on the primary key, status from
+    * null-ness + content-digest inequality — no content shipped through
+    * the shuffle, only doc_id + md5.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("d1"))
+    val keep = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val v2 = Tables.documents(s, dir)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        md5(regexp_replace(col("text"), "[0-9]+", "<ID>")).as("d2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("d2").isNull, "removed")
+          .when(col("d1") =!= col("d2"), "changed")
+          .otherwise("unchanged")
+          .as("status"))
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** MinHash + LSH banding. K=36 md5-family hashes, 12 bands x 3 rows;
@@ -509,6 +542,7 @@ object Dedup {
     "dedup_exact"     -> (exact _),
     "dedup_ngram"     -> (ngram _),
     "dedup_containment" -> (containment _),
+    "corpus_diff"     -> (snapshotDiff _),
     "dedup_minhash"   -> (minhash _),
     "dedup_simhash"   -> (simhash _),
     "dedup_embedding" -> (embedding _),
@@ -568,6 +602,16 @@ object Dedup {
       s"""WITH sh AS ($duckShingles),
          cand AS (SELECT a.doc_id da, b.doc_id db FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
          $duckVerify""",
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents),
+         v2 AS (SELECT doc_id, md5(regexp_replace(text, '[0-9]+', '<ID>', 'g')) AS d2
+                FROM documents
+                WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text)))
+         SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v2.d2 IS NULL THEN 'removed'
+                WHEN v1.d1 <> v2.d2 THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
     "dedup_containment" ->
       s"""WITH sh AS ($duckShingles),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -229,9 +229,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
   }
 
-  test("events_session_native is one shuffle into the merging session agg") {
-    val p = plan("events_session_native")
-    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+  test("session-window queries are one shuffle into the merging session agg") {
+    for (q <- Seq("events_session_native", "events_session_dyngap")) {
+      val p = plan(q)
+      assert(p.split("Exchange hashpartitioning").length - 1 == 1, s"$q:\n$p")
+    }
   }
 
   test("text_normalize is a pure scan-side projection (no exchange at all)") {

@@ -89,8 +89,10 @@ object Dedup {
     * per pair) hash collisions are mirrored exactly.
     */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(s, dir)
+    docShinglesOf(Tables.documents(s, dir))
+
+  private[ops] def docShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), Tokenize.tokenCol(col("text")).as("raw"))
       .select(col("doc_id"), filter(col("raw"), _ =!= "").as("toks"))
       .select(col("doc_id"), explode(TextHash.shingles(col("toks"), ShingleN)).as("shs"))
@@ -129,6 +131,58 @@ object Dedup {
       .select("da", "db", "jaccard")
   }
 
+  /** Document-frequency cap for exact-shingle blocking ([[ngram]],
+    * [[containment]]). Candidate pairs are generated only from shingles
+    * appearing in at most DfCap documents; the full intersection is then
+    * recounted over ALL shingles, so scores stay exact for every
+    * candidate. Without the cap a single hot shingle (a stopword trigram
+    * — "one of the" — with df ∝ corpus) emits df² pairs through one join
+    * key: the worst case is corpus-quadratic and lands on one shuffle
+    * partition. With it, every shingle row emits ≤ DfCap candidates, so
+    * candidate volume is ≤ DfCap × |shingle rows| — linear in the corpus.
+    *
+    * Completeness bound (why capping loses ~nothing): a missed pair
+    * shares NO sub-cap shingle, i.e. its entire intersection is hot
+    * shingles. Jaccard ≥ t needs |A∩B| ≥ t·max(|A|,|B|), so BOTH docs
+    * must be ≥ t hot-trigram by content (≥ 50% at t = 0.5); containment
+    * ≥ 0.8 needs the contained doc to be ≥ 80% hot trigrams. Natural
+    * documents that are 50–80% stopword-trigrams carry no dedup signal —
+    * and such boilerplate is exactly what [[spanDedup]] targets. The
+    * DuckDB oracles mirror the same cap, so the gate checks these
+    * capped semantics bit-for-bit. At the test fixtures max df = 25
+    * (sf0.1), so capped results equal uncapped ones exactly.
+    */
+  val DfCap = 128
+
+  /** Blocking stage of the exact-shingle family: distinct candidate pairs
+    * (da < db) generated ONLY from shingles with df ≤ [[DfCap]].
+    */
+  private[ops] def dfCappedCands(sh: DataFrame): DataFrame = {
+    val rare = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap)
+        .select("sh"),
+      Seq("sh"), "left_semi")
+    rare
+      .select(col("doc_id").as("da"), col("sh"))
+      .join(rare.select(col("doc_id").as("db"), col("sh")), "sh")
+      .filter(col("da") < col("db"))
+      .select("da", "db")
+      .distinct()
+  }
+
+  /** Exact |A∩B| recount on blocked candidate pairs over the FULL shingle
+    * table — shared by [[ngram]]/[[containment]] (df-capped blocking) and
+    * [[minhash]] (banded blocking). Cost ∝ candidates × doc size, never
+    * corpus².
+    */
+  private def interCounts(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("da"), col("sh")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i"))
+
   // ------------------------------------------------------------------ exact
 
   /** Exact dedup: digest-partitioned keep-first. The canonical 100 TB
@@ -163,19 +217,19 @@ object Dedup {
 
   // ------------------------------------------------------------------ ngram
 
-  /** Exact n-gram (word trigram, see ShingleN) Jaccard dedup via inverted-index self-join:
-    * pairs are generated only for docs sharing a shingle — the join key
-    * bounds the pair space, no cross join.
+  /** Exact n-gram (word trigram, see ShingleN) Jaccard dedup via
+    * df-capped inverted-index self-join: candidate pairs come only from
+    * shingles with df ≤ [[DfCap]] (bounding pair volume linearly — see
+    * the DfCap scaladoc for the completeness argument), then the full
+    * intersection is recounted over all shingles so every emitted
+    * Jaccard is exact.
     */
-  def ngram(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir)
-    val pairs = sh
-      .select(col("doc_id").as("da"), col("sh"))
-      .join(sh.select(col("doc_id").as("db"), col("sh")), "sh")
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db")
-      .agg(count(lit(1)).as("i"))
-    verifyJaccard(pairs, sh)
+  def ngram(s: SparkSession, dir: String): DataFrame =
+    ngramOf(Tables.documents(s, dir))
+
+  private[ops] def ngramOf(docs: DataFrame): DataFrame = {
+    val sh = docShinglesOf(docs)
+    verifyJaccard(interCounts(dfCappedCands(sh), sh), sh)
   }
 
   /** Minimum directional containment for [[containment]]. */
@@ -186,19 +240,21 @@ object Dedup {
     * the excerpt case — a paragraph quoted inside a much longer doc has
     * tiny Jaccard but containment ≈ 1 from the short side — and excerpt
     * / quotation / template-inclusion detection is a curation pass of
-    * its own. Same scale shape as ngram: the shingle key bounds the
-    * pair space; sizes join back on doc_id.
+    * its own. Same scale shape as ngram: df-capped blocking (see
+    * [[DfCap]] — containment ≥ 0.8 through hot shingles alone would
+    * need the contained doc to be 80% stopword-trigrams), full
+    * intersection recounted on the candidates; sizes join back on
+    * doc_id.
     */
-  def containment(s: SparkSession, dir: String): DataFrame = {
-    val sh    = docShingles(s, dir)
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentOf(Tables.documents(s, dir))
+
+  private[ops] def containmentOf(docs: DataFrame): DataFrame = {
+    val sh    = docShinglesOf(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ca    = col("i").cast("double") / col("na").cast("double")
     val cb    = col("i").cast("double") / col("nb").cast("double")
-    sh.select(col("doc_id").as("da"), col("sh"))
-      .join(sh.select(col("doc_id").as("db"), col("sh")), "sh")
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db")
-      .agg(count(lit(1)).as("i"))
+    interCounts(dfCappedCands(sh), sh)
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .select(col("da"), col("db"), ca.as("contain_a"), cb.as("contain_b"))
@@ -275,14 +331,8 @@ object Dedup {
   }
 
   def minhash(s: SparkSession, dir: String): DataFrame = {
-    val sh    = docShingles(s, dir)
-    val cands = minhashCands(sh)
-    val pairs = cands
-      .join(sh.select(col("doc_id").as("da"), col("sh")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
-      .groupBy("da", "db")
-      .agg(count(lit(1)).as("i"))
-    verifyJaccard(pairs, sh)
+    val sh = docShingles(s, dir)
+    verifyJaccard(interCounts(minhashCands(sh), sh), sh)
   }
 
   /** Max relative edit distance for [[fuzzy]] (distance / longer length). */
@@ -570,6 +620,18 @@ object Dedup {
     s"""$duckPairsCte
        SELECT da, db, jaccard FROM pairs"""
 
+  /** df-capped blocking CTE (expects `sh`, yields `cand(da, db)`) —
+    * mirrors [[dfCappedCands]]: pairs only from shingles with
+    * df ≤ [[DfCap]].
+    */
+  private val duckRareCandCte =
+    s"""rare AS (SELECT doc_id, sh FROM
+           (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+         WHERE df <= $DfCap),
+       cand AS (SELECT a.doc_id da, b.doc_id db
+                FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)"""
+
   /** The full minhash WITH-chain up to `pairs` — importable as the edge
     * set of the clustering oracle.
     */
@@ -600,7 +662,7 @@ object Dedup {
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
     "dedup_ngram" ->
       s"""WITH sh AS ($duckShingles),
-         cand AS (SELECT a.doc_id da, b.doc_id db FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         $duckRareCandCte,
          $duckVerify""",
     "corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents),
@@ -614,14 +676,16 @@ object Dedup {
          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
     "dedup_containment" ->
       s"""WITH sh AS ($duckShingles),
+         $duckRareCandCte,
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         inter AS (SELECT c.da, c.db, count(*) AS i
+                   FROM cand c JOIN sh x ON x.doc_id = c.da
+                               JOIN sh y ON y.doc_id = c.db AND y.sh = x.sh
                    GROUP BY 1, 2)
          SELECT da, db,
            CAST(i AS DOUBLE) / CAST(x.n AS DOUBLE) AS contain_a,
            CAST(i AS DOUBLE) / CAST(y.n AS DOUBLE) AS contain_b
-         FROM pairs JOIN sizes x ON x.doc_id = da JOIN sizes y ON y.doc_id = db
+         FROM inter JOIN sizes x ON x.doc_id = da JOIN sizes y ON y.doc_id = db
          WHERE CAST(i AS DOUBLE) / CAST(x.n AS DOUBLE) >= $ContainMin
             OR CAST(i AS DOUBLE) / CAST(y.n AS DOUBLE) >= $ContainMin""",
     "dedup_minhash" ->

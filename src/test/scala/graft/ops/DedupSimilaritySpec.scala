@@ -65,6 +65,56 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("df-capped blocking: hot shingles bound candidate volume, rare-shingle pairs survive") {
+    // Adversarial fixture for the exact-shingle family: 300 docs all
+    // sharing one hot 40-token paragraph (its 38 trigrams have df = 302
+    // > DfCap, so uncapped blocking would emit every one of the
+    // 300*299/2 = 44,850 doc pairs through those keys), plus unique
+    // filler per doc so every doc also carries rare shingles.
+    // letter-only seeds — the tokenizer splits on non-letter runs
+    def w(seed: String, n: Int) =
+      (0 until n).map(i => s"$seed${('a' + i % 26).toChar}${('a' + i / 26 % 26).toChar}").mkString(" ")
+    def uniq(i: Int) =
+      "u" + ('a' + i % 26).toChar + ('a' + (i / 26) % 26).toChar + ('a' + (i / 676) % 26).toChar
+    val hot = w("hot", 40)
+    val docs = (
+      (1 to 300).map(i => (i.toLong, hot + " " + w(uniq(i), 60))) ++ Seq(
+        (301L, w("near", 80) + " ending one"),  // genuine near-dup pair:
+        (302L, w("near", 80) + " ending two"),  //   rare shingles, J = 79/81
+        (303L, hot),                            // pure-hot twins: J = 1.0 but
+        (304L, hot),                            //   zero sub-cap shingles
+        (305L, w("quote", 30)),                 // excerpt: fully contained
+        (306L, w("quote", 30) + " " + w("longer", 120)))
+      ).toDF("doc_id", "text")
+
+    val sh = Dedup.docShinglesOf(docs)
+    // hot paragraph really is over the cap; docs 1-300 are < 50% hot-trigram
+    val maxDf = sh.groupBy("sh").count().agg(max("count")).as[Long].head()
+    assert(maxDf > Dedup.DfCap, s"fixture max df $maxDf must exceed the cap")
+
+    // candidate volume: exactly the two rare-shingle pairs, not ~45k
+    val cands = Dedup.dfCappedCands(sh).as[(Long, Long)].collect().toSet
+    assert(cands == Set((301L, 302L), (305L, 306L)),
+      s"df-capped candidates should be the two rare-shingle pairs, got ${cands.size}")
+
+    // the near-dup pair survives with its EXACT jaccard (recount is full)
+    val ng = Dedup.ngramOf(docs).as[(Long, Long, Double)].collect()
+    assert(ng.map(r => (r._1, r._2)).toSet == Set((301L, 302L)))
+    assert(math.abs(ng.head._3 - 79.0 / 81.0) < 1e-12, s"jaccard ${ng.head._3}")
+
+    // the excerpt survives containment with contain_a = 1.0 (the
+    // near-dup pair qualifies too: 79/80 from either side)
+    val ct = Dedup.containmentOf(docs)
+      .select("da", "db", "contain_a").as[(Long, Long, Double)].collect()
+    assert(ct.map(r => (r._1, r._2)).toSet == Set((301L, 302L), (305L, 306L)))
+    assert(ct.find(r => r._1 == 305L).get._3 == 1.0)
+
+    // pinned tradeoff: docs that are 100% hot-trigram (303/304, J = 1.0)
+    // are invisible to capped blocking — by design; identical docs are
+    // Dedup.exact's job, boilerplate-heavy ones spanDedup's
+    assert(!cands.contains((303L, 304L)))
+  }
+
   test("minhash recall: finds every exact-jaccard pair on sf0.001") {
     val exact = Dedup.ngram(spark, Sf0001).select("da", "db")
       .as[(Long, Long)].collect().toSet

@@ -55,7 +55,7 @@ object Curation {
   /** Centroid assignment: the first K vectors act as fixed centroids. */
   val KCentroids = 8
 
-  private def withToks(s: SparkSession, dir: String): DataFrame =
+  private[ops] def withToks(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
       .select(col("doc_id"), col("source"), Tokenize.tokenCol(col("text")).as("raw"))
@@ -633,13 +633,27 @@ object Curation {
     * term counts in the hundreds the long sum is safe while
     * idf_max ≲ 1e10 — beyond that (df=1 terms in a 10¹⁰-doc corpus),
     * widen the quantum.
+    *
+    * WHY NOT query-term df pruning (the WAND-ish "drop idf≈0 stopwords"
+    * cut): measured at sf0.1, every hot query term has df/N ≈ 0.78 —
+    * idf ≈ 0.28, a material score contribution, never ≈ 0 (idf ≈ 0
+    * needs df ≈ N, which no term reaches). Empirically, pruning
+    * df > N/2 terms keeps only 20 of 1250 top-k rows at sf0.1 (2/125
+    * at sf0.01) — it rewrites the answer, it doesn't approximate it.
+    * The speed levers used instead are all output-identical plan
+    * shapes: single tokenize pass (dl from tf), doc_id-local partial
+    * aggregation, packed long group key, quantized long impacts.
     */
   def bm25(s: SparkSession, dir: String): DataFrame = {
     val toks = withToks(s, dir)
       .select(col("doc_id"), col("source"), explode(col("toks")).as("t"))
     val corpus = toks.filter(col("source") =!= BenchmarkSource)
     val tf     = corpus.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val dl     = corpus.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl derives from tf (sum of term frequencies = token count), not
+    // from a second pass over the raw token stream: the plan reuses tf's
+    // exchange (ReusedExchange), dropping a full tokenize+shuffle of the
+    // corpus token stream.
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(
       count(lit(1)).cast("double").as("n"),
       (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
@@ -653,16 +667,41 @@ object Curation {
     val sat = (col("tf").cast("double") * lit(BmK1 + 1)) /
       (col("tf").cast("double") +
         lit(BmK1) * (lit(1 - BmB) + lit(BmB) * (col("dl").cast("double") / col("avgdl"))))
+    // doc_id-only partitioning (not the tf exchange's (doc_id, t) — nor
+    // anything coarser): every (q_doc, doc_id) group is then task-local
+    // after the hot-term pair blowup, so the partial aggregation combines
+    // completely map-side and the blowup's rows never shuffle. 147k
+    // narrow rows move in the repartition — trivial against the ~21M-row
+    // (sf0.1) shuffle + final-agg repass it avoids.
     val postings = tf
       .join(dfreq, "t")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("t"), col("doc_id"), floor((idf * sat) * lit(1000000.0)).as("ci"))
+      .repartition(col("doc_id"))
+    // The pair-blowup aggregation keys on ONE packed long instead of
+    // (q_doc, doc_id): a single-long hash key through the 21M-row partial
+    // agg is measurably faster than a two-column struct (~1.5 s at
+    // sf0.1). Packing is q_doc·2³¹ + doc_id, exact while q_doc < 2³²
+    // and doc_id < 2³¹ (4B queries × 2B docs); outside that envelope the
+    // guard fails LOUDLY (the LSH dimension-drift discipline) — swap the
+    // packed key back to groupBy("q_doc", "doc_id") for identical
+    // semantics if a corpus ever outgrows it.
+    val packGuard = when(
+      col("q_doc") >= 0 && col("q_doc") < lit(1L << 32) &&
+        col("doc_id") >= 0 && col("doc_id") < lit(1L << 31),
+      shiftleft(col("q_doc"), 31) + col("doc_id"))
+      .otherwise(raise_error(lit("bm25: doc ids outgrow the packed (q_doc, doc_id) group key")))
     val w = Window.partitionBy("q_doc").orderBy(desc("score"), asc("doc_id"))
-    qterms
+    broadcast(qterms) // queries are a benchmark set: small by contract, at any corpus scale
       .join(postings, "t")
-      .groupBy("q_doc", "doc_id")
+      .select(packGuard.as("qd"), col("ci"))
+      .groupBy("qd")
       .agg((sum("ci").cast("double") / lit(1000000.0)).as("score"))
+      .select(
+        shiftright(col("qd"), 31).as("q_doc"),
+        (col("qd") - shiftleft(shiftright(col("qd"), 31), 31)).as("doc_id"),
+        col("score"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= BmK)
   }

@@ -197,6 +197,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   }
 
 
+  test("text_bm25: partial+final WindowGroupLimit top-k, doc-local pair agg, broadcast queries") {
+    val p = plan("text_bm25")
+    // the per-query top-k must never regress to a full per-query sort —
+    // one skewed q_doc would then sort O(corpus) rows in a single task.
+    // Two group-limited shapes are sanctioned, both partial+final: the
+    // repo's GroupedTopK (WindowToTopKRule fires once the optimizer
+    // unwraps rn's cast("long"); active in Catalog/driver sessions and
+    // when another suite leaves the rewrite registered) and Spark's
+    // InferWindowGroupLimit pair (plain sessions).
+    assert(
+      p.contains("GroupedTopK") || p.split("WindowGroupLimit").length - 1 == 2,
+      s"text_bm25 top-k regressed to a full per-query sort:\n$p")
+    // the query-term side of the hot-term pair blowup must broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the postings repartition that makes every (q_doc, doc_id) group
+    // task-local must survive: with it, the partial aggregation combines
+    // the ~21M-row (sf0.1) pair blowup completely map-side and the qd
+    // exchange moves only the ~1.2M combined groups; without it the
+    // blowup's rows shuffle nearly uncombined
+    assert(p.contains("REPARTITION_BY_COL"), s"postings lost the doc_id repartition:\n$p")
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("round-5 curation ops keep their bounded tables on the broadcast side") {
     // curate_dsir's bucket-weight table is bounded by the CONSTANT
     // DsirBuckets (unlike a Heaps-law vocabulary) — it must broadcast

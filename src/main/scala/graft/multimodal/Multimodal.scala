@@ -9,22 +9,39 @@ import org.apache.spark.sql.functions._
   */
 case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Features extracted from one payload by the (stubbed) decoder. */
+/** Decoded payload: format + geometry, payload retained so downstream
+  * stages (resize) can keep working scan-side without a second decode.
+  */
+case class MediaDecoded(
+    doc_id: Long,
+    media_type: String,
+    payload: Array[Byte],
+    format: String,
+    width: Long,
+    height: Long)
+
+/** Features extracted from one payload by [[Multimodal.decode]]. */
 case class MediaFeatures(
     doc_id: Long,
     media_type: String,
     n_bytes: Long,
     first_byte: Long,
-    fake_width: Long,
-    fake_height: Long)
+    format: String,
+    width: Long,
+    height: Long)
 
-/** Multimodal processing plumbing. The decode step is a clearly-marked
-  * STUB — image/audio codecs are not in this container — but the
-  * Spark-side shape is real: binary columns, a typed `Dataset[T]`
+/** Multimodal processing plumbing: binary columns, a typed `Dataset[T]`
   * surface, and partition-batched iteration (`mapPartitions` +
   * `grouped(batchSize)`, the Scala analogue of an Arrow-batched
   * `mapInPandas` decode: the decoder sees fixed-size batches, exactly
   * how a vectorized codec or an inference runtime wants its input).
+  *
+  * The decode step is a REAL container-format parse for images — PNG
+  * IHDR and JPEG SOF header scans over the raw bytes — with a
+  * deterministic fallback geometry for payloads that are neither (the
+  * text-byte fixture rows, genuinely opaque media). Full pixel decode /
+  * resampling kernels still need codec libraries this container lacks;
+  * the format/dimension extraction is the real thing, byte-for-byte.
   *
   * At 100 TB: payloads dominate row width, so the operator never
   * shuffles them — features are extracted scan-side and only the narrow
@@ -34,16 +51,77 @@ object Multimodal extends Serializable {
 
   val DefaultBatchSize = 64
 
-  /** STUB decode — deterministic fake standing in for a real codec.
-    * Derives pseudo-metadata from the payload bytes alone, so results
-    * are reproducible and oracle-checkable. Replace the body with a real
-    * decoder (JPEG/PNG header parse, audio frame count, ...) when codecs
-    * are available.
+  private val PngSignature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Decode a payload's container header: `(format, width, height)`.
+    *
+    *  - PNG (8-byte signature + IHDR chunk): width and
+    *    height are the two big-endian int32s at bytes 16–23 — the IHDR
+    *    layout from the PNG spec (RFC 2083 §3.1/4.1.1).
+    *  - JPEG (SOI marker `FF D8`): walk the marker segments (each
+    *    `FF xx` + big-endian length) to the first frame header SOFn
+    *    (`FF C0–CF` except DHT/DAC/RST/markers C4/C8/CC), whose payload
+    *    is [precision u8][height u16][width u16] — ISO/IEC 10918-1
+    *    B.2.2. A truncated/markerless JPEG decodes as (0, 0): the
+    *    "undecodable frame" case downstream filters drop.
+    *  - anything else: `raw`, with the deterministic fallback geometry
+    *    (n_bytes mod 640/480) standing in for media types whose codecs
+    *    aren't in this container — reproducible and oracle-checkable.
+    *
+    * UTF-8 text can never collide with either branch (0xFF bytes do not
+    * occur in UTF-8; the PNG signature byte 0x89 cannot begin a UTF-8
+    * sequence followed by ASCII "PNG"), so the fixture's text-byte
+    * payloads always take the `raw` branch — mirrored in the DuckDB
+    * oracles, and the gate fails loudly if that ever stops holding.
     */
-  def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
-    val n     = payload.length.toLong
-    val first = if (payload.isEmpty) 0L else payload(0) & 0xffL
-    (first, n % 640, n % 480)
+  def decode(payload: Array[Byte]): (String, Long, Long) = {
+    def u8(i: Int): Int   = payload(i) & 0xff
+    def be16(i: Int): Long = ((u8(i) << 8) | u8(i + 1)).toLong
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    val isPng = payload.length >= 24 &&
+      payload.take(8).sameElements(PngSignature) &&
+      payload(12) == 'I' && payload(13) == 'H' && payload(14) == 'D' && payload(15) == 'R'
+    if (isPng) ("png", be32(16), be32(20))
+    else if (payload.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i                      = 2
+      var dims: (Long, Long)     = null
+      while (dims == null && i + 1 < payload.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m == 0xff) i += 1                                   // fill byte
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2  // standalone markers
+        else if (i + 3 >= payload.length) i = payload.length    // truncated segment
+        else {
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof && i + 8 < payload.length) dims = (be16(i + 7), be16(i + 5))
+          else i += 2 + be16(i + 2).toInt
+        }
+      }
+      ("jpeg", if (dims == null) 0L else dims._1, if (dims == null) 0L else dims._2)
+    } else {
+      val n = payload.length.toLong
+      ("raw", n % 640, n % 480)
+    }
+  }
+
+  /** Batched header decode over a typed media dataset — the shared first
+    * stage of [[extractFeatures]] and [[resizePlan]]. Payload rides
+    * along (scan-side only; nothing downstream shuffles it).
+    */
+  def decodeRecords(
+      records: Dataset[MediaRecord],
+      batchSize: Int = DefaultBatchSize): Dataset[MediaDecoded] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one decoder invocation per batch — the real-codec seam
+        batch.map { r =>
+          val (fmt, w, h) = decode(r.payload)
+          MediaDecoded(r.doc_id, r.media_type, r.payload, fmt, w, h)
+        }
+      }
+    }
   }
 
   /** Batched feature extraction over a typed media dataset. */
@@ -51,14 +129,9 @@ object Multimodal extends Serializable {
       records: Dataset[MediaRecord],
       batchSize: Int = DefaultBatchSize): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
-    records.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // one decoder invocation per batch — the real-codec seam
-        batch.map { r =>
-          val (first, w, h) = decodeStub(r.payload)
-          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, first, w, h)
-        }
-      }
+    decodeRecords(records, batchSize).map { d =>
+      val first = if (d.payload.isEmpty) 0L else d.payload(0) & 0xffL
+      MediaFeatures(d.doc_id, d.media_type, d.payload.length.toLong, first, d.format, d.width, d.height)
     }
   }
 
@@ -115,27 +188,29 @@ object Multimodal extends Serializable {
   val ResizeBox = 64
 
   /** Resize/thumbnail planning — the decode→resize→re-encode pipeline's
-    * middle stage with the codec stubbed out: source dimensions come from
-    * the [[decodeStub]] geometry, the target box fit (aspect-preserving,
-    * downscale-only) is exact IEEE arithmetic, and the "resampled" output
-    * is a 1-D nearest-neighbor byte resample of the payload (one strided
-    * probe per output column, summed to a checksum the oracle can
-    * replay). A real deployment swaps the probe lambda for a pixel
-    * kernel; the plan shape — scan-side projection + generate, payload
-    * never shuffled, only narrow columns flow on — is the real thing.
-    * Zero-dimension payloads (the stub's `n % 640 == 0` wrap) are
-    * filtered like undecodable frames.
+    * middle stage: source dimensions come from the REAL [[decode]]
+    * header parse (PNG IHDR / JPEG SOF, raw fallback geometry for
+    * opaque payloads), the target box fit (aspect-preserving,
+    * downscale-only) is exact IEEE arithmetic, and the "resampled"
+    * output is a 1-D nearest-neighbor byte resample of the payload (one
+    * strided probe per output column, summed to a checksum the oracle
+    * can replay). A real deployment swaps the probe lambda for a pixel
+    * kernel; the plan shape — batched decode, then scan-side projection
+    * + generate, payload never shuffled, only narrow columns flow on —
+    * is the real thing. Zero-dimension payloads (undecodable JPEGs, the
+    * raw geometry's `n % 640 == 0` wrap) are filtered like undecodable
+    * frames.
     */
   def resizePlan(s: SparkSession, dir: String): DataFrame =
-    mediaFromDocuments(s, dir)
+    decodeRecords(mediaFromDocuments(s, dir))
       .toDF()
       .select(
         col("doc_id"),
         col("media_type"),
         col("payload"),
-        length(col("payload")).cast("long").as("n_bytes"))
-      .withColumn("src_w", col("n_bytes") % 640)
-      .withColumn("src_h", col("n_bytes") % 480)
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("width").as("src_w"),
+        col("height").as("src_h"))
       .filter(col("src_w") > 0 && col("src_h") > 0)
       .withColumn("scale",
         least(lit(1.0), lit(ResizeBox.toDouble) / col("src_w"),
@@ -162,16 +237,45 @@ object Multimodal extends Serializable {
     "multimodal_resize"   -> (resizePlan _)
   )
 
+  // DuckDB mirror of [[decode]] over a hex-encoded payload `h` with byte
+  // length `n`: the png branch parses the same IHDR int32s from the hex
+  // string; the jpeg branch (impossible for UTF-8 text payloads — 0xFF
+  // never occurs in UTF-8) pins dimensions 0, the SOF-less decode, so a
+  // real JPEG sneaking into a text fixture fails the gate LOUDLY instead
+  // of silently agreeing. SOF-bearing JPEG parses are verified JVM-side
+  // against real bytes in MultimodalSpec.
+  private def duckIsPng(h: String, n: String) =
+    s"$n >= 24 AND substr($h, 1, 16) = '89504E470D0A1A0A' AND substr($h, 25, 8) = '49484452'"
+  private def duckIsJpeg(h: String, n: String) =
+    s"$n >= 2 AND substr($h, 1, 4) = 'FFD8'"
+  private def duckFormat(h: String, n: String) =
+    s"""CASE WHEN ${duckIsPng(h, n)} THEN 'png'
+             WHEN ${duckIsJpeg(h, n)} THEN 'jpeg'
+             ELSE 'raw' END"""
+  private def duckWidth(h: String, n: String) =
+    s"""CASE WHEN ${duckIsPng(h, n)} THEN CAST('0x' || substr($h, 33, 8) AS BIGINT)
+             WHEN ${duckIsJpeg(h, n)} THEN CAST(0 AS BIGINT)
+             ELSE CAST($n % 640 AS BIGINT) END"""
+  private def duckHeight(h: String, n: String) =
+    s"""CASE WHEN ${duckIsPng(h, n)} THEN CAST('0x' || substr($h, 41, 8) AS BIGINT)
+             WHEN ${duckIsJpeg(h, n)} THEN CAST(0 AS BIGINT)
+             ELSE CAST($n % 480 AS BIGINT) END"""
+
   val oracle: Map[String, String] = Map(
     "multimodal_features" ->
-      """SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-         octet_length(encode(text)) AS n_bytes,
-         CASE WHEN length(text) = 0 THEN 0
-              ELSE CAST('0x' || substr(hex(encode(text)), 1, 2) AS BIGINT) END AS first_byte,
-         octet_length(encode(text)) % 640 AS fake_width,
-         octet_length(encode(text)) % 480 AS fake_height
-         FROM documents""",
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             octet_length(encode(text)) AS n,
+             hex(encode(text)) AS h
+           FROM documents)
+         SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+           CASE WHEN n = 0 THEN 0
+                ELSE CAST('0x' || substr(h, 1, 2) AS BIGINT) END AS first_byte,
+           ${duckFormat("h", "n")} AS format,
+           ${duckWidth("h", "n")} AS width,
+           ${duckHeight("h", "n")} AS height
+         FROM m""",
     "multimodal_frames" ->
       s"""SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
@@ -184,12 +288,16 @@ object Multimodal extends Serializable {
            SELECT doc_id,
              CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
              encode(text) AS payload,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             hex(encode(text)) AS hx
            FROM documents),
          g AS (
            SELECT doc_id, media_type, payload, n_bytes,
-             n_bytes % 640 AS src_w, n_bytes % 480 AS src_h
-           FROM m WHERE n_bytes % 640 > 0 AND n_bytes % 480 > 0),
+             ${duckWidth("hx", "n_bytes")} AS src_w,
+             ${duckHeight("hx", "n_bytes")} AS src_h
+           FROM m
+           WHERE ${duckWidth("hx", "n_bytes")} > 0
+             AND ${duckHeight("hx", "n_bytes")} > 0),
          r AS (
            SELECT *, least(CAST(1 AS DOUBLE), CAST($ResizeBox AS DOUBLE) / src_w,
              CAST($ResizeBox AS DOUBLE) / src_h) AS scale FROM g),

@@ -4,10 +4,36 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 
 /** The multimodal plumbing: binary payload round-trip, batch shape, and
-  * stub-decode determinism.
+  * the real container-header decode against hand-built PNG/JPEG bytes.
   */
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
+
+  /** A minimal valid PNG prefix: 8-byte signature + IHDR chunk
+    * (length, "IHDR", width, height, bit depth, color type,
+    * compression, filter, interlace) — everything [[Multimodal.decode]]
+    * reads, laid out per the PNG spec.
+    */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0) // bit depth..interlace + (fake) CRC
+  }
+
+  /** A minimal JPEG: SOI, an APP0 segment to force real marker walking,
+    * then a SOF frame header [len][precision][height u16][width u16] —
+    * the ISO 10918-1 B.2.2 layout.
+    */
+  private def jpegBytes(w: Int, h: Int, sof: Int = 0xc0): Array[Byte] = {
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    Array(0xff, 0xd8).map(_.toByte) ++                       // SOI
+      Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++         // APP0, len 16
+      "JFIF".getBytes ++ Array.fill[Byte](10)(0) ++          // 14 payload bytes
+      Array(0xff.toByte, sof.toByte) ++ be16(17) ++          // SOFn, len 17
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++                // precision, height, width
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)     // 3 components
+  }
 
   test("binary payload survives the typed round-trip byte-for-byte") {
     val payload = Array[Byte](0, 1, -1, 127, -128, 42)
@@ -19,13 +45,48 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   test("features are computed per record and schema is stable") {
     val out = Multimodal.features(spark, Sf0001)
     assert(out.columns.toSeq ==
-      Seq("doc_id", "media_type", "n_bytes", "first_byte", "fake_width", "fake_height"))
+      Seq("doc_id", "media_type", "n_bytes", "first_byte", "format", "width", "height"))
     assert(out.count() == 500)
+    // text payloads are raw: UTF-8 can never carry the PNG/JPEG magics
+    assert(out.filter(org.apache.spark.sql.functions.col("format") =!= "raw").count() == 0)
   }
 
-  test("decode stub is deterministic and total (empty payload)") {
-    assert(Multimodal.decodeStub(Array.emptyByteArray) == ((0L, 0L, 0L)))
-    assert(Multimodal.decodeStub("abc".getBytes) == (('a'.toLong, 3L, 3L)))
+  test("decode parses real PNG IHDR dimensions from known bytes") {
+    assert(Multimodal.decode(pngBytes(3, 2)) == (("png", 3L, 2L)))
+    assert(Multimodal.decode(pngBytes(61440, 32768)) == (("png", 61440L, 32768L)))
+    // a signature with a corrupted IHDR tag is not a PNG
+    val broken = pngBytes(3, 2); broken(12) = 'X'
+    assert(Multimodal.decode(broken)._1 == "raw")
+    // nor is a truncated signature-only payload
+    assert(Multimodal.decode(pngBytes(3, 2).take(20))._1 == "raw")
+  }
+
+  test("decode walks JPEG markers to SOF0/SOF2 dimensions from known bytes") {
+    assert(Multimodal.decode(jpegBytes(640, 480)) == (("jpeg", 640L, 480L)))
+    assert(Multimodal.decode(jpegBytes(3, 2, sof = 0xc2)) == (("jpeg", 3L, 2L))) // progressive
+    // DHT (C4) must NOT be taken for a frame header: splice one before SOF0
+    val dht = Array(0xff, 0xc4).map(_.toByte) ++ Array[Byte](0, 4, 0, 0)
+    val withDht = jpegBytes(9, 7).patch(20, dht, 0)
+    assert(Multimodal.decode(withDht) == (("jpeg", 9L, 7L)))
+    // truncated JPEG (SOI only): undecodable -> (0, 0), filtered downstream
+    assert(Multimodal.decode(Array(0xff, 0xd8).map(_.toByte)) == (("jpeg", 0L, 0L)))
+  }
+
+  test("decode is deterministic and total on raw/empty payloads") {
+    assert(Multimodal.decode(Array.emptyByteArray) == (("raw", 0L, 0L)))
+    assert(Multimodal.decode("abc".getBytes) == (("raw", 3L, 3L)))
+  }
+
+  test("extractFeatures carries real decoded dimensions through the batched seam") {
+    val recs = Seq(
+      MediaRecord(1L, "image", pngBytes(3, 2)),
+      MediaRecord(2L, "image", jpegBytes(640, 480)),
+      MediaRecord(3L, "audio", "not an image".getBytes))
+    val got = Multimodal.extractFeatures(spark.createDataset(recs))
+      .collect().map(f => f.doc_id -> ((f.format, f.width, f.height))).toMap
+    assert(got(1L) == (("png", 3L, 2L)))
+    assert(got(2L) == (("jpeg", 640L, 480L)))
+    assert(got(3L) == (("raw", 12L, 12L)))
   }
 
   test("batching covers all rows regardless of partition layout") {

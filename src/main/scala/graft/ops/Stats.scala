@@ -255,27 +255,62 @@ object Stats {
 
   /** Exact equi-depth (decile) histogram boundaries per group — the
     * profiling primitive behind length-balanced sharding, quantile
-    * binning, and skew diagnosis. Same machinery as
-    * [[percentilesExact]]: a cumulative histogram over DISTINCT values
-    * (never a full-table sort), then each value row fans out to the
-    * deciles its rank range `[cum-c, cum)` intersects — pure integer
+    * binning, and skew diagnosis. A cumulative histogram over DISTINCT
+    * values (never a full-table sort), then each value row fans out to
+    * the deciles its rank range `[cum-c, cum)` intersects — pure integer
     * arithmetic (`(rank*B) div tot`), exact in both engines. A value
     * straddling a boundary legitimately appears in both buckets; bucket
     * row-counts are fixed by construction, so the informative output is
     * the (lo, hi) value range per decile.
     *
-    * Scale: one shuffle to the distinct-value grid, windows and the
-    * final agg all clustered by the group key; the explode multiplies
-    * rows by at most the straddle factor (≤ B extra rows per group).
+    * Scale — the UNBOUNDED-DOMAIN-safe cumulative shape (the
+    * [[graft.ops.Curation.globalIds]] two-pass discipline), unlike
+    * [[percentilesExact]]'s per-group distinct-grid window whose
+    * bounded-domain defense only holds for money-grid columns:
+    *
+    *  1. range-partition the distinct-value grid on (group, value) —
+    *     every task holds an ORDERED, bounded slice, no task ever sees
+    *     a whole group;
+    *  2. local running sums per (slice, group) cell;
+    *  3. per-slice subtotals (≤ partitions × groups rows — bounded by
+    *     cluster width, not data) prefix-summed into slice offsets and
+    *     group totals, broadcast back;
+    *  4. global cum = local running sum + slice offset.
+    *
+    * The per-slice subtotal branch shares the range exchange with the
+    * main branch (ReusedExchange — pinned in PlanAuditSpec together
+    * with the absence of any per-group whole-grid sort). Output is
+    * partitioning-independent: prefix sums recompose identically
+    * wherever the range boundaries fall.
     */
   def histEquidepth(s: SparkSession, dir: String): DataFrame = {
     val vc = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("c"))
-    vc
-      .withColumn("cum",
-        sum(col("c")).over(Window.partitionBy("l_returnflag").orderBy("l_extendedprice")))
-      .withColumn("tot", sum(col("c")).over(Window.partitionBy("l_returnflag")))
+    val ranged = vc
+      .repartitionByRange(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("pid", spark_partition_id())
+    val cell = Window
+      .partitionBy("pid", "l_returnflag")
+      .orderBy("l_extendedprice")
+    val perSlice = ranged
+      .groupBy("pid", "l_returnflag")
+      .agg(sum(col("c")).as("pc"))
+    val offW = Window
+      .partitionBy("l_returnflag")
+      .orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perSlice // partitions x groups rows: tiny at any scale
+      .withColumn("off", coalesce(sum(col("pc")).over(offW), lit(0L)))
+      .select("pid", "l_returnflag", "off")
+    val tots = perSlice
+      .groupBy("l_returnflag")
+      .agg(sum(col("pc")).as("tot"))
+    ranged
+      .withColumn("lcum", sum(col("c")).over(cell))
+      .join(broadcast(offsets), Seq("pid", "l_returnflag"))
+      .join(broadcast(tots), "l_returnflag")
+      .withColumn("cum", col("lcum") + col("off"))
       .withColumn("bucket",
         explode(sequence(
           expr(s"((cum - c) * $EqBuckets) div tot"),

@@ -21,6 +21,8 @@ object Bench {
   val Runs = 3
 
   def main(args: Array[String]): Unit = {
+    // same locale pin as Verify: lower() parity with the DuckDB oracle
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -129,12 +129,23 @@ object Storage {
       targetBytes: Long = 128L << 20): (Int, Int) = {
     val p  = new org.apache.hadoop.fs.Path(inDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    // recursive listing: a partitioned (or otherwise nested) input
+    // keeps its data files in subdirectories — a flat listStatus would
+    // sum 0 bytes and silently collapse the whole table into one file
+    def parquetFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it  = fs.listFiles(dir, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val files = parquetFiles(p)
     val bytes = files.map(_.getLen).sum
     val n     = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     s.read.parquet(inDir).repartition(n).write.mode("overwrite").parquet(outDir)
-    val out = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
-      .count(_.getPath.getName.endsWith(".parquet"))
+    val out = parquetFiles(new org.apache.hadoop.fs.Path(outDir)).length
     (files.length, out)
   }
 

@@ -375,6 +375,13 @@ object TextAnalysis {
     * lowercase, URL removal, whitespace collapse, trim. Pure projection:
     * embarrassingly parallel, zero shuffles, whole-stage codegen
     * end-to-end.
+    *
+    * Locale parity constraint: Spark's non-ASCII `lower()` delegates to
+    * `String.toLowerCase()` under the JVM DEFAULT locale, while DuckDB's
+    * is locale-independent — under e.g. tr_TR a dotted/dotless-i corpus
+    * would diverge. The Verify/Bench harness mains pin `Locale.ROOT`
+    * (production deployments should run the JVM with `-Duser.language`
+    * pinned the same way).
     */
   def normalizeText(s: SparkSession, dir: String): DataFrame =
     Tables

@@ -34,6 +34,35 @@ class StorageSpec extends AnyFunSuite with SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("compact sizes a partitioned (nested) input from its real bytes") {
+    // a flat listStatus sums 0 bytes for hive-partitioned data (the
+    // files live in subdirectories) and would silently collapse the
+    // table into one output file
+    val base   = Files.createTempDirectory("graft-compact-nested")
+    val inDir  = base.resolve("in").toString
+    val outDir = base.resolve("out").toString
+    val ev = Tables.events(spark, Sf0001)
+      .withColumn("et", org.apache.spark.sql.functions.col("event_type"))
+    ev.repartition(8).write.partitionBy("et").parquet(inDir)
+    val inBytes = {
+      val p  = new org.apache.hadoop.fs.Path(inDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var (n, b) = (0, 0L)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) { n += 1; b += f.getLen }
+      }
+      assert(n > 8, s"expected nested files, saw $n") // one dir per event type x 8
+      b
+    }
+    val target = inBytes / 3
+    val (before, after) = Storage.compact(spark, inDir, outDir, target)
+    assert(before > 8)
+    assert(after == math.ceil(inBytes.toDouble / target).toInt, s"before=$before after=$after")
+    assert(spark.read.parquet(outDir).count() == ev.count())
+  }
+
   test("z-ordered layout prunes on BOTH dimensions where a single-column sort cannot") {
     // quantized 2-D point set: user bucket x value bucket. The user-sorted
     // layout prunes user filters but reads EVERYTHING for a value filter;

@@ -74,13 +74,14 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
 
   test("restart from checkpoint resumes exactly-once (state + file-sink manifest)") {
     // the streaming analogue of the reference's crash/exactly-once
-    // probes (play.sh crash test): kill the query mid-stream, restart
-    // from the same checkpoint, and the final output must be the batch
-    // answer exactly — aggregation state recovers from the state store,
-    // and the file sink's commit manifest deduplicates any rewritten
-    // files. Phase 1 delivers the first half of the events and stops
-    // with windows still open; phase 2 appends the rest plus the
-    // watermark sentinel and a NEW query instance finishes the job.
+    // probes (play.sh crash test): stop the query between micro-batches
+    // (a clean batch-boundary stop, not a mid-batch crash), restart a
+    // NEW query instance from the same checkpoint, and the final output
+    // must be the batch answer exactly — aggregation state recovers
+    // from the state store, and the file sink's commit manifest keeps
+    // replayed batches from double-writing. Phase 1 delivers the first
+    // half of the events and stops with windows still open; phase 2
+    // appends the rest plus the watermark sentinel and finishes the job.
     val base   = Files.createTempDirectory("graft-restart")
     val srcDir = base.resolve("src").toString
     val outDir = base.resolve("out").toString

@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Empirical sf1-scale probe for the dedup family (SCALING.md's
-  * candidate-volume law): builds a 10× corpus from sf0.1 (≈ sf1 — 50k
-  * documents / 20k vectors) under `target/scale10x`, then times each
-  * dedup query at both scales and reports wall time and matched-pair
-  * volume.
+/** Empirical sf1-scale probe for the dedup family and the round-5 heavy
+  * operators (SCALING.md's candidate-volume law): builds a 10× corpus
+  * from sf0.1 (≈ sf1 — 50k documents / 20k vectors) under
+  * `target/scale10x`, then times each query at both scales and reports
+  * wall time and result-row volume.
   *
   * The synthetic 10× corpus is NOT naive replication (10 exact copies of
   * every doc would make the whole corpus one duplicate cluster and
@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * roughly linearly. Embedding replicas get a deterministic per-replica
   * perturbation for the same reason.
   *
-  * Usage: `sbt "runMain graft.DedupScaleProbe"` — prints one result line
+  * Usage: `sbt "runMain graft.DedupScaleProbe [query ...]"` — no args
+  * runs the dedup family; explicit args (e.g. `text_bm25 graph_pagerank
+  * source_overlap`) probe those queries instead. Prints one result line
   * per (query, scale); results are pasted into SCALING.md.
   */
 object DedupScaleProbe {
@@ -82,7 +84,8 @@ object DedupScaleProbe {
     println(s"[scale] docs 1x=${Tables.documents(spark, Src).count()} " +
       s"10x=${Tables.documents(spark, Out).count()}")
     val queries =
-      Seq("dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_simhash", "dedup_fuzzy",
+      if (args.nonEmpty) args.toSeq
+      else Seq("dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_simhash", "dedup_fuzzy",
         "dedup_embedding")
     for (q <- queries; (tag, dir) <- Seq("1x" -> Src, "10x" -> Out)) {
       // warm run (codegen/plan), then the timed run

@@ -273,18 +273,12 @@ object Dedup {
     * null-ness + content-digest inequality — no content shipped through
     * the shuffle, only doc_id + md5.
     */
-  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    val v1 = Tables.documents(s, dir)
-      .select(col("doc_id"), md5(col("text")).as("d1"))
-    val keep = Tables.documents(s, dir)
-      .select(col("doc_id"), md5(col("text")).as("digest"))
-      .groupBy("digest")
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val v2 = Tables.documents(s, dir)
-      .join(keep, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        md5(regexp_replace(col("text"), "[0-9]+", "<ID>")).as("d2"))
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame =
+    snapshotDiffOf(Tables.documents(s, dir))
+
+  private[graft] def snapshotDiffOf(docs: DataFrame): DataFrame = {
+    val v1 = diffBase(docs).withColumnRenamed("digest", "d1")
+    val v2 = diffNext(docs).withColumnRenamed("digest", "d2")
     v1.join(v2, Seq("doc_id"), "full_outer")
       .select(
         col("doc_id"),
@@ -292,6 +286,29 @@ object Dedup {
           .when(col("d1") =!= col("d2"), "changed")
           .otherwise("unchanged")
           .as("status"))
+  }
+
+  /** The "version 1" side of [[snapshotDiff]]: every document's content
+    * digest. Factored out so the streaming twin
+    * ([[graft.streaming.CorpusStream.corpusDiff]]) feeds the identical
+    * records.
+    */
+  private[graft] def diffBase(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("digest"))
+
+  /** The "version 2" side of [[snapshotDiff]]: exact-dedup survivors with
+    * digit runs masked (the corpus after the dedup + PII-scrub passes).
+    */
+  private[graft] def diffNext(docs: DataFrame): DataFrame = {
+    val keep = docs
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs
+      .join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        md5(regexp_replace(col("text"), "[0-9]+", "<ID>")).as("digest"))
   }
 
   // ---------------------------------------------------------------- minhash

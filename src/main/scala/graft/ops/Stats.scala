@@ -26,6 +26,58 @@ object Stats {
   private def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
   private val DSUM = "CAST(sum(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
 
+  /** Range-partitioned cumulative sum over a (group, value) histogram —
+    * the UNBOUNDED-DOMAIN-safe alternative to a per-group
+    * `Window.partitionBy(group).orderBy(value)` (which funnels a whole
+    * group's distinct-value grid into one task's sort). The
+    * [[graft.ops.Curation.globalIds]] two-pass discipline:
+    *
+    *  1. range-partition the histogram on (group, value) — every task
+    *     holds an ORDERED, bounded slice, no task ever sees a whole
+    *     group;
+    *  2. local running sums per (slice, group) cell;
+    *  3. per-slice subtotals (≤ partitions × groups rows — bounded by
+    *     cluster width, not data) prefix-summed into slice offsets and
+    *     group totals, broadcast back;
+    *  4. global `cum` = local running sum + slice offset.
+    *
+    * The subtotal branch shares the range exchange with the main branch
+    * (ReusedExchange — pinned in PlanAuditSpec for every caller). Output
+    * is partitioning-independent: prefix sums recompose identically
+    * wherever the range boundaries fall. Adds `cum` (running sum of
+    * `cName` in `ord` order within each group) and `tot` (group total);
+    * all helper columns are dropped.
+    */
+  private[graft] def rangeCum(hist: DataFrame, groups: Seq[String], ord: String, cName: String): DataFrame = {
+    val gc = groups.map(col)
+    val ranged = hist
+      .repartitionByRange((groups :+ ord).map(col): _*)
+      .withColumn("pid", spark_partition_id())
+    val cell = Window.partitionBy(("pid" +: groups).map(col): _*).orderBy(ord)
+    val perSlice = ranged
+      .groupBy(("pid" +: groups).map(col): _*)
+      .agg(sum(col(cName)).as("pc"))
+    val offW = Window
+      .partitionBy(gc: _*)
+      .orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perSlice // partitions x groups rows: tiny at any scale
+      .withColumn("off", coalesce(sum(col("pc")).over(offW), lit(0L)))
+      .select(("pid" +: groups).map(col) :+ col("off"): _*)
+    val tots = perSlice
+      .groupBy(gc: _*)
+      .agg(sum(col("pc")).as("tot"))
+    val joined = ranged
+      .withColumn("lcum", sum(col(cName)).over(cell))
+      .join(broadcast(offsets), "pid" +: groups)
+    val withTot =
+      if (groups.nonEmpty) joined.join(broadcast(tots), groups)
+      else joined.crossJoin(broadcast(tots))
+    withTot
+      .withColumn("cum", col("lcum") + col("off"))
+      .drop("pid", "off", "lcum")
+  }
+
   /** Exact per-group moments of `events.value`: count, mean, sample
     * variance/stddev via the sum-of-squares identity on decimal-exact
     * sums, plus the (trivially exact) extremes.
@@ -146,22 +198,19 @@ object Stats {
     *
     * Scale shape: percentiles do NOT sort the table. A `groupBy(value)`
     * count first collapses the input to its distinct (flag, price) pairs —
-    * a parallel partial-aggregating shuffle — and only that collapsed
-    * frame is windowed for the cumulative count. Money-style values have
-    * bounded cardinality, so the windowed side stays millions of rows at
-    * 100 TB, not trillions. Rank thresholds use pure integer arithmetic
-    * (`ceil(p·n)` as `(p·n + 99) div 100`) — no float rank, no
-    * interpolation, bit-identical across engines.
+    * a parallel partial-aggregating shuffle — and the cumulative count
+    * over that collapsed grid runs through [[rangeCum]]'s
+    * range-partitioned prefix sum, so no task ever sorts a whole group's
+    * grid even on an unbounded-domain column. Rank thresholds use pure
+    * integer arithmetic (`ceil(p·n)` as `(p·n + 99) div 100`) — no float
+    * rank, no interpolation, bit-identical across engines.
     */
   def percentilesExact(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val vc = li
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("c"))
-    val cum = vc
-      .withColumn("cum",
-        sum(col("c")).over(Window.partitionBy("l_returnflag").orderBy("l_extendedprice")))
-      .withColumn("tot", sum(col("c")).over(Window.partitionBy("l_returnflag")))
+    val cum = rangeCum(vc, Seq("l_returnflag"), "l_extendedprice", "c")
     // both percentiles in ONE pass over the cumulative histogram: exactly
     // one row per group satisfies each rank window, so a conditional min
     // is the value itself (halves the plan vs a filter-join per pick)
@@ -263,54 +312,16 @@ object Stats {
     * row-counts are fixed by construction, so the informative output is
     * the (lo, hi) value range per decile.
     *
-    * Scale — the UNBOUNDED-DOMAIN-safe cumulative shape (the
-    * [[graft.ops.Curation.globalIds]] two-pass discipline), unlike
-    * [[percentilesExact]]'s per-group distinct-grid window whose
-    * bounded-domain defense only holds for money-grid columns:
-    *
-    *  1. range-partition the distinct-value grid on (group, value) —
-    *     every task holds an ORDERED, bounded slice, no task ever sees
-    *     a whole group;
-    *  2. local running sums per (slice, group) cell;
-    *  3. per-slice subtotals (≤ partitions × groups rows — bounded by
-    *     cluster width, not data) prefix-summed into slice offsets and
-    *     group totals, broadcast back;
-    *  4. global cum = local running sum + slice offset.
-    *
-    * The per-slice subtotal branch shares the range exchange with the
-    * main branch (ReusedExchange — pinned in PlanAuditSpec together
-    * with the absence of any per-group whole-grid sort). Output is
-    * partitioning-independent: prefix sums recompose identically
-    * wherever the range boundaries fall.
+    * Scale — the cumulative count runs through [[rangeCum]]'s
+    * range-partitioned prefix sum (the UNBOUNDED-DOMAIN-safe shape:
+    * no task ever sorts a whole group's grid; the per-slice subtotal
+    * branch reuses the range exchange — both pinned in PlanAuditSpec).
     */
   def histEquidepth(s: SparkSession, dir: String): DataFrame = {
     val vc = Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("c"))
-    val ranged = vc
-      .repartitionByRange(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("pid", spark_partition_id())
-    val cell = Window
-      .partitionBy("pid", "l_returnflag")
-      .orderBy("l_extendedprice")
-    val perSlice = ranged
-      .groupBy("pid", "l_returnflag")
-      .agg(sum(col("c")).as("pc"))
-    val offW = Window
-      .partitionBy("l_returnflag")
-      .orderBy("pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = perSlice // partitions x groups rows: tiny at any scale
-      .withColumn("off", coalesce(sum(col("pc")).over(offW), lit(0L)))
-      .select("pid", "l_returnflag", "off")
-    val tots = perSlice
-      .groupBy("l_returnflag")
-      .agg(sum(col("pc")).as("tot"))
-    ranged
-      .withColumn("lcum", sum(col("c")).over(cell))
-      .join(broadcast(offsets), Seq("pid", "l_returnflag"))
-      .join(broadcast(tots), "l_returnflag")
-      .withColumn("cum", col("lcum") + col("off"))
+    rangeCum(vc, Seq("l_returnflag"), "l_extendedprice", "c")
       .withColumn("bucket",
         explode(sequence(
           expr(s"((cum - c) * $EqBuckets) div tot"),

@@ -228,9 +228,7 @@ object TextAnalysis {
         .cast(s"decimal(38,$PplGridScale)").as("sq"))
     val withLang = scored.join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
     val hist = withLang.groupBy("lang", "sq").agg(count(lit(1)).as("c"))
-    val cum = hist
-      .withColumn("cum", sum("c").over(Window.partitionBy("lang").orderBy("sq")))
-      .withColumn("tot", sum("c").over(Window.partitionBy("lang")))
+    val cum = Stats.rangeCum(hist, Seq("lang"), "sq", "c")
     val th = cum
       .groupBy("lang")
       .agg(

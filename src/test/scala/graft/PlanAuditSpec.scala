@@ -220,25 +220,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("hist_equidepth: range-partitioned prefix sum, never a per-group whole-grid sort") {
-    val p = plan("hist_equidepth")
-    // the unbounded-domain-safe cumulative shape: the distinct-value grid
-    // range-partitions, each task sorts only its ordered slice
-    assert(p.contains("rangepartitioning"), s"hist_equidepth lost the range partition:\n$p")
-    // no window may sort a whole group's grid in one task: every Sort
-    // over (l_returnflag, l_extendedprice) must be slice-local (pid-
-    // prefixed); the only group-keyed sort allowed is the tiny per-slice
-    // offsets window (l_returnflag, pid)
-    val groupGridSort = "Sort \\[l_returnflag[^\\]]*l_extendedprice".r
-    for (m <- groupGridSort.findAllIn(p))
-      fail(s"per-group whole-grid sort is back: $m\n$p")
-    // the per-slice subtotal branch must reuse the range exchange, not
-    // recompute it (two independent range samplings could disagree);
-    // static planner check — AQE reuses at runtime via the stage cache,
-    // which doesn't show in the pre-execution plan string
-    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
-      val np = plan("hist_equidepth")
-      assert(np.contains("ReusedExchange"), s"offsets branch recomputes the range exchange:\n$np")
+  test("rangeCum family: range-partitioned prefix sum, never a per-group whole-grid sort") {
+    // every caller of Stats.rangeCum — the unbounded-domain-safe
+    // cumulative shape: the distinct-value grid range-partitions, each
+    // task sorts only its ordered slice
+    val family = Seq(
+      ("hist_equidepth", "l_returnflag", "l_extendedprice"),
+      ("stats_percentiles", "l_returnflag", "l_extendedprice"),
+      ("text_ppl_buckets", "lang", "sq"))
+    for ((q, group, ord) <- family) {
+      val p = plan(q)
+      assert(p.contains("rangepartitioning"), s"$q lost the range partition:\n$p")
+      // no window may sort a whole group's grid in one task: every Sort
+      // over (group, value) must be slice-local (pid-prefixed); the only
+      // group-keyed sort allowed is the tiny per-slice offsets window
+      // (group, pid)
+      val groupGridSort = s"Sort \\[$group[^\\]]*$ord".r
+      for (m <- groupGridSort.findAllIn(p))
+        fail(s"$q: per-group whole-grid sort is back: $m\n$p")
+      // the per-slice subtotal branch must reuse the range exchange, not
+      // recompute it (two independent range samplings could disagree);
+      // static planner check — AQE reuses at runtime via the stage cache,
+      // which doesn't show in the pre-execution plan string
+      withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+        val np = plan(q)
+        assert(np.contains("ReusedExchange"), s"$q: offsets branch recomputes the range exchange:\n$np")
+      }
     }
   }
 

@@ -261,6 +261,58 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want, s"multi-batch streaming funnel $got != batch funnel $want")
   }
 
+  test("streaming corpus diff converges to the batch snapshot diff across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the sf0.001 corpus has no exact-duplicate docs and no digit runs,
+    // so append both: an exact copy (its non-survivor side must surface
+    // as "removed") and a digit-bearing doc (the PII mask must surface
+    // it as "changed") — in BOTH twins
+    val base = Tables.documents(spark, Sf0001)
+    val extra = base.orderBy("doc_id").limit(1)
+      .select(
+        array(
+          struct((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")),
+          struct((col("doc_id") + lit(2000000L)).as("doc_id"),
+            concat(col("text"), lit(" id 12345")).as("text"))).as("xs"),
+        col("lang"), col("source"))
+      .select(explode(col("xs")).as("x"), col("lang"), col("source"))
+      .select(col("x.doc_id"), col("x.text"), col("lang"), col("source"),
+        length(col("x.text")).cast("long").as("n_chars"))
+    val docs = base.unionByName(extra)
+    val v1 = graft.ops.Dedup.diffBase(docs).as[(Long, String)].collect()
+      .map { case (id, d) => DocVer(id, 1, d) }
+    val v2 = graft.ops.Dedup.diffNext(docs).as[(Long, String)].collect()
+      .map { case (id, d) => DocVer(id, 2, d) }
+    // delta-merge delivery: the baseline snapshot plus a few EARLY v2
+    // arrivals in batch 1 (the per-key fold is order-independent), then
+    // the rest of the new snapshot split across two arbitrary batches
+    val (v2early, v2rest) = v2.splitAt(10)
+    val (v2a, v2b)        = v2rest.splitAt(v2rest.length / 2)
+    val stream = MemoryStream[DocVer]
+    val q = CorpusStream.corpusDiff(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("cdiff_out").outputMode("update").start()
+    try {
+      stream.addData(v1.toSeq ++ v2early.toSeq)
+      q.processAllAvailable()
+      stream.addData(v2a.toSeq)
+      q.processAllAvailable()
+      stream.addData(v2b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the settled status per doc is its LAST update (max n_seen)
+    val got = spark.table("cdiff_out")
+      .groupBy("doc_id").agg(max(struct(col("n_seen"), col("status"))).as("m"))
+      .select(col("doc_id"), col("m.status"))
+      .as[(Long, String)].collect().toSet
+    val want = graft.ops.Dedup.snapshotDiffOf(docs)
+      .as[(Long, String)].collect().toSet
+    assert(got == want, s"streaming diff diverged from batch corpus_diff " +
+      s"(got ${got.size} rows, want ${want.size})")
+    assert(want.exists(_._2 == "removed") && want.exists(_._2 == "changed"),
+      "fixture should exercise removed AND changed statuses")
+  }
+
   test("online anomalies match a batch prefix-window twin bit-for-bit, across batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.expressions.Window

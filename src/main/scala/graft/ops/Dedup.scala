@@ -603,9 +603,42 @@ object Dedup {
         (col("n_dup").cast("double") / col("n_spans") > SpanDupMax).as("flagged"))
   }
 
+  /** SemDeDup-style semantic near-dup candidates (Abbas et al. 2023):
+    * cluster the embedding space (k-means argmax against the
+    * [[Curation.KCentroids]] seed centroids — the same dual
+    * literal/broadcast assignment as `embed_assign`), then rank
+    * same-cluster pairs by exact cosine and emit the global top 20.
+    * Cross-cluster pairs are never generated — the pruning that turns
+    * the O(n²) semantic-pair space into Σ_k |cluster_k|², which is O(n)
+    * when K grows with the corpus so cluster sizes stay ~constant (the
+    * production setting; the catalog pins K=8 only because the oracle
+    * SQL is static).
+    *
+    * Scale shape: one equi-join on cluster id — no cartesian, no BNLJ
+    * (covered by the catalog-wide no-BNLJ sweep); top-k compiles to
+    * TakeOrderedAndProject.
+    */
+  def semantic(s: SparkSession, dir: String): DataFrame = {
+    val a = Curation.assignVectors(s, dir, literal = true).select("vec_id", "centroid")
+    val e = Similarity.withNorm(Tables.embeddings(s, dir))
+    val va = a.join(e.select("vec_id", "embedding", "norm"), "vec_id")
+    val left = va.select(col("centroid"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val right = va.select(col("centroid"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    left
+      .join(right, "centroid")
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", Similarity.cosine(s, col("ea"), col("eb"), col("na"), col("nb")))
+      .orderBy(desc("cos"), asc("va"), asc("vb"))
+      .limit(20)
+      .select("centroid", "va", "vb", "cos")
+  }
+
   // ------------------------------------------------------------------- maps
 
   val queries: Map[String, Q] = Map(
+    "dedup_semantic"  -> (semantic _),
     "dedup_exact"     -> (exact _),
     "dedup_ngram"     -> (ngram _),
     "dedup_containment" -> (containment _),
@@ -745,6 +778,22 @@ object Dedup {
          SELECT node AS doc_id, min(label) AS cluster_id,
            (node = min(label)) AS is_canonical
          FROM reach GROUP BY node""",
+    "dedup_semantic" ->
+      s"""WITH ${Similarity.duckNorm},
+         cent AS (SELECT vec_id cid, emb cemb, nrm cnrm FROM e WHERE vec_id < ${Curation.KCentroids}),
+         scored AS (SELECT e.vec_id, cent.cid,
+                      list_inner_product(e.emb, cent.cemb) / (e.nrm * cent.cnrm) AS cos
+                    FROM e CROSS JOIN cent),
+         best AS (SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) rn
+                    FROM scored) WHERE rn = 1),
+         m AS (SELECT b.vec_id, b.cid, e.emb, e.nrm FROM best b JOIN e ON b.vec_id = e.vec_id),
+         pairs AS (SELECT a.cid AS centroid, a.vec_id AS va, b.vec_id AS vb,
+                     list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+                   FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         SELECT centroid, va, vb, cos FROM pairs
+         ORDER BY cos DESC, va ASC, vb ASC LIMIT 20""",
     "dedup_embedding" ->
       s"""WITH ${Similarity.duckNorm},
          ${Similarity.duckSigFor(EmbTables, EmbPlanes)},

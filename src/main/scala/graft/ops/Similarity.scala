@@ -325,7 +325,57 @@ object Similarity {
         max(col("err")).as("max_abs_err"))
   }
 
+  /** Product-quantization geometry: [[Dims]] = [[PqM]] × [[PqSub]]
+    * subspaces; [[PqK]] codewords per subspace, seeded from the first
+    * [[PqK]] vectors' subvectors (the same seed discipline as
+    * `embed_assign`'s centroids — production codebooks come from a
+    * k-means run per subspace; the encode path below is identical
+    * either way).
+    */
+  val PqM   = 4
+  val PqK   = 8
+  val PqSub = Dims / PqM
+
+  /** Product-quantization encoding (Jégou et al. 2011) — the
+    * memory-scale path for billion-vector ANN: each vector's [[PqM]]
+    * subvectors quantize independently to their nearest codeword, so a
+    * 64-float embedding compresses to [[PqM]] byte-sized codes (256×
+    * smaller state for the IVF-PQ rerank tier). Emits per (vector,
+    * subspace): the argmin-L2 code and the exact squared quantization
+    * error — the operator a pipeline runs to build (and audit) the
+    * compressed index.
+    *
+    * Scale shape: the codebook is [[PqM]]·[[PqK]] rows and BROADCASTS
+    * onto the subvector stream (pinned in PlanAuditSpec); everything
+    * else is a pure projection plus one partial-aggregated argmin keyed
+    * on (vec_id, subspace) — no all-pairs anywhere. L2² expands to
+    * `⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩`, three [[graft.functions.FloatDotProduct]]
+    * folds written identically in the oracle, so the argmin (and its
+    * (d2, code) lexicographic tie-break) is bit-deterministic.
+    */
+  def pq(s: SparkSession, dir: String): DataFrame = {
+    val subs = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("subspace"),
+        col("embedding"))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        expr(s"slice(embedding, subspace * $PqSub + 1, $PqSub)").as("sv"))
+    val cw = subs
+      .filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("code"), col("subspace"), col("sv").as("cv"))
+    val d2 = VectorFunctions.dotF(s, col("sv"), col("sv")) -
+      lit(2.0) * VectorFunctions.dotF(s, col("sv"), col("cv")) +
+      VectorFunctions.dotF(s, col("cv"), col("cv"))
+    subs
+      .join(broadcast(cw), "subspace")
+      .withColumn("d2", d2)
+      .groupBy("vec_id", "subspace")
+      .agg(min(struct(col("d2"), col("code"))).as("m"))
+      .select(col("vec_id"), col("subspace"), col("m.code").as("code"), col("m.d2").as("err"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "embed_pq"       -> (pq _),
     "sim_topk"       -> (topkBrute _),
     "sim_ann_lsh"    -> (annLsh _),
     "sim_ivf"        -> (ivf _),
@@ -357,6 +407,20 @@ object Similarity {
   private[ops] val duckSig = duckSigFor(NumTables, NumPlanes)
 
   val oracle: Map[String, String] = Map(
+    "embed_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         subs AS (SELECT vec_id, CAST(j AS BIGINT) AS subspace,
+                    list_slice(emb, CAST(j * $PqSub + 1 AS INT), CAST((j + 1) * $PqSub AS INT)) AS sv
+                  FROM e, (SELECT unnest(range(0, $PqM)) AS j)),
+         cw AS (SELECT vec_id AS code, subspace, sv AS cv FROM subs WHERE vec_id < $PqK),
+         scored AS (SELECT s.vec_id, s.subspace, c.code,
+                      list_inner_product(s.sv, s.sv) - 2 * list_inner_product(s.sv, c.cv)
+                        + list_inner_product(c.cv, c.cv) AS d2
+                    FROM subs s JOIN cw c ON s.subspace = c.subspace),
+         best AS (SELECT vec_id, subspace, code, d2,
+                    row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) rn
+                  FROM scored)
+         SELECT vec_id, subspace, code, d2 AS err FROM best WHERE rn = 1""",
     "sim_topk" ->
       s"""WITH $duckNorm
          SELECT va, vb, cos, rn FROM (

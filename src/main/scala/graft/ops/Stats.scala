@@ -270,6 +270,35 @@ object Stats {
         ((col("value") - col("med")) / (col("q3") - col("q1"))).as("robust"))
   }
 
+  /** Median absolute deviation per event type — the robust spread
+    * estimate behind outlier fences that survive heavy tails (where
+    * [[anomaly3Sigma]]'s σ is itself dragged by the outliers). Two
+    * passes of the same grid-quantized exact-median machinery as
+    * [[robustScale]]: median of `value`, then (after a broadcast join
+    * of the 5-row median table back onto the stream) median of
+    * `|value − med|`. Both cumulative counts run through [[rangeCum]]'s
+    * range-partitioned prefix sum, so the shape stays safe even where
+    * the grid's bounded-domain argument thins out.
+    */
+  def madExact(s: SparkSession, dir: String): DataFrame = {
+    def hit(p: Int) =
+      expr(s"cum - c < ($p * tot + 99) div 100 AND cum >= ($p * tot + 99) div 100")
+    def medOf(df: DataFrame, out: String): DataFrame = {
+      val vc = df
+        .groupBy(col("event_type"), floor(col("value") * RobustGrid).as("g"))
+        .agg(count(lit(1)).as("c"))
+      rangeCum(vc, Seq("event_type"), "g", "c")
+        .groupBy("event_type")
+        .agg((min(when(hit(50), col("g"))).cast("double") / RobustGrid).as(out))
+    }
+    val ev  = Tables.events(s, dir).select("event_type", "value")
+    val med = medOf(ev, "med")
+    val dev = ev
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("value"))
+    med.join(medOf(dev, "mad"), "event_type")
+  }
+
   /** 3-sigma anomaly audit per event type: exact decimal-sum moments
     * broadcast back onto the stream, z-scores as pure projection, outlier
     * counts as a conditional aggregate — the scalable two-pass shape
@@ -373,6 +402,7 @@ object Stats {
   }
 
   val queries: Map[String, Q] = Map(
+    "stats_mad"          -> (madExact _),
     "stats_ks"           -> (ksTest _),
     "hist_equidepth"     -> (histEquidepth _),
     "stats_moments"      -> (moments _),
@@ -387,6 +417,40 @@ object Stats {
   private def ds(c: String) = DSUM.format(c)
 
   val oracle: Map[String, String] = Map(
+    "stats_mad" ->
+      s"""WITH vc AS (
+           SELECT event_type, CAST(floor(value * $RobustGrid) AS BIGINT) AS g, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, g, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY g) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+           FROM vc),
+         med AS (
+           SELECT event_type,
+             CAST(min(CASE WHEN cum - c < (50 * tot + 99) // 100
+                            AND cum >= (50 * tot + 99) // 100 THEN g END) AS DOUBLE)
+               / $RobustGrid AS med
+           FROM cum GROUP BY 1),
+         dev AS (
+           SELECT e.event_type, abs(e.value - m.med) AS value
+           FROM events e JOIN med m ON e.event_type = m.event_type),
+         vc2 AS (
+           SELECT event_type, CAST(floor(value * $RobustGrid) AS BIGINT) AS g, count(*) AS c
+           FROM dev GROUP BY 1, 2),
+         cum2 AS (
+           SELECT event_type, g, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY g) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+           FROM vc2),
+         mad AS (
+           SELECT event_type,
+             CAST(min(CASE WHEN cum - c < (50 * tot + 99) // 100
+                            AND cum >= (50 * tot + 99) // 100 THEN g END) AS DOUBLE)
+               / $RobustGrid AS mad
+           FROM cum2 GROUP BY 1)
+         SELECT med.event_type, med.med, mad.mad
+         FROM med JOIN mad ON med.event_type = mad.event_type""",
     "stats_ks" ->
       s"""WITH vc AS (
            SELECT CAST(floor(value * $RobustGrid) AS BIGINT) AS g,

@@ -392,7 +392,96 @@ object TextAnalysis {
             "https?://\\S+", " "),
           "\\s+", " ")).as("norm_text"))
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1 — the
+    * standard pre-training document filter): per-document word count
+    * bounds, mean word length bounds, symbol-to-word ratio ('#' and
+    * '...'), bullet-line and ellipsis-line ratios, alphabetic-word
+    * fraction, and a stopword-presence floor, folded into one `keep`
+    * verdict.
+    *
+    * Scale: every signal is an array/string expression over the doc's
+    * own text — a pure projection with ZERO exchanges (pinned in
+    * PlanAuditSpec), embarrassingly parallel at any corpus size, fully
+    * inside whole-stage codegen. The catalog's other quality scorer
+    * (`text_quality`) aggregates the exploded token stream; this one
+    * demonstrates the shuffle-free formulation.
+    */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame =
+    gopherQualityOf(Tables.documents(s, dir))
+
+  private[graft] def gopherQualityOf(docs: DataFrame): DataFrame = {
+    val stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("ws", expr("filter(split(text, ' +'), w -> w <> '')"))
+      .withColumn("ls", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_lines", size(col("ls")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))"))
+      .withColumn("n_hash",
+        (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("long"))
+      .withColumn("n_ellipsis",
+        expr("(length(text) - length(replace(text, '...', ''))) div 3"))
+      .withColumn("n_bullet",
+        expr("size(filter(ls, l -> startswith(l, '- ') OR startswith(l, '* ')))").cast("long"))
+      .withColumn("n_ell_end", expr("size(filter(ls, l -> l LIKE '%...'))").cast("long"))
+      .withColumn("n_alpha", expr("size(filter(ws, w -> w RLIKE '\\\\p{L}'))").cast("long"))
+      .withColumn("n_stop", expr(s"size(filter(ws, w -> array_contains($stopArr, w)))").cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        (col("sum_len").cast("double") / col("n_words").cast("double")).as("mean_word_len"),
+        ((col("n_hash") + col("n_ellipsis")).cast("double") / col("n_words").cast("double"))
+          .as("symbol_ratio"),
+        (col("n_bullet").cast("double") / col("n_lines").cast("double")).as("bullet_ratio"),
+        (col("n_ell_end").cast("double") / col("n_lines").cast("double")).as("ellipsis_ratio"),
+        (col("n_alpha").cast("double") / col("n_words").cast("double")).as("alpha_ratio"),
+        col("n_stop"),
+        (col("n_words").between(GopherMinWords, GopherMaxWords) &&
+          (col("sum_len").cast("double") / col("n_words").cast("double")).between(3.0, 10.0) &&
+          ((col("n_hash") + col("n_ellipsis")).cast("double") / col("n_words").cast("double")) <= 0.1 &&
+          (col("n_bullet").cast("double") / col("n_lines").cast("double")) <= 0.9 &&
+          (col("n_ell_end").cast("double") / col("n_lines").cast("double")) <= 0.3 &&
+          (col("n_alpha").cast("double") / col("n_words").cast("double")) >= 0.8 &&
+          col("n_stop") >= GopherMinStop).as("keep"))
+  }
+
+  /** [[gopherQuality]] rule bounds (the Gopher paper's, except the word
+    * floor lowered to fit the synthetic docs' length distribution).
+    */
+  val GopherMinWords = 20L
+  val GopherMaxWords = 100000L
+  val GopherMinStop  = 2L
+
+  /** One byte-pair-encoding merge-selection round at character level:
+    * the most frequent adjacent character pairs across the corpus,
+    * weighted by word frequency — the inner step of BPE tokenizer
+    * training (Sennrich et al. 2016), whose scale shape is exactly this
+    * aggregate-the-pair-stream query repeated per merge.
+    *
+    * Scale: pairs are generated from the WORD-FREQUENCY table (Heaps-law
+    * bounded), not the raw token stream — the standard trick that makes
+    * each merge round corpus-size-independent: one shuffle to build
+    * (word, count), then pair extraction and the weighted count run over
+    * distinct words only.
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    bpePairsOf(toks(s, dir))
+
+  private[graft] def bpePairsOf(tokens: DataFrame): DataFrame = {
+    val wf = tokens.groupBy("t").agg(count(lit(1)).as("c"))
+    wf.filter(length(col("t")) >= 2)
+      .select(col("c"),
+        explode(expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("c")).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_gopher"      -> (gopherQuality _),
+    "text_bpe_pairs"   -> (bpePairs _),
     "text_normalize"   -> (normalizeText _),
     "text_lang_id"     -> (langId _),
     "text_quality"     -> (quality _),
@@ -427,6 +516,49 @@ object TextAnalysis {
   private def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "text_gopher" -> {
+      val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, ' +'), w -> w <> '') AS ws,
+             string_split(text, chr(10)) AS ls
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+             CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS n_ell_end,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '\\p{L}'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(ws, w -> list_contains($stopList, w))) AS BIGINT) AS n_stop
+           FROM d)
+         SELECT doc_id, n_words,
+           CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+           CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_ratio,
+           CAST(n_ell_end AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_ratio,
+           CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_ratio,
+           n_stop,
+           (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+             AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) BETWEEN 3.0 AND 10.0
+             AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+             AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9
+             AND CAST(n_ell_end AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3
+             AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+             AND n_stop >= $GopherMinStop) AS keep
+         FROM sig"""
+    },
+    "text_bpe_pairs" ->
+      s"""WITH wf AS (SELECT t, count(*) AS c FROM ($duckToks) GROUP BY 1),
+         p AS (SELECT c, substring(t, CAST(i AS INT), 2) AS pair
+               FROM wf, unnest(generate_series(1::BIGINT, length(t)::BIGINT - 1)) u(i)
+               WHERE length(t) >= 2)
+         SELECT pair, CAST(sum(c) AS BIGINT) AS n
+         FROM p GROUP BY 1
+         ORDER BY n DESC, pair ASC LIMIT 20""",
     "text_normalize" ->
       """SELECT doc_id,
          trim(regexp_replace(regexp_replace(nfc_normalize(lower(text)),

@@ -288,6 +288,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("round-6 ops: gopher shuffle-free, pq codebook broadcast, semantic top-k, mad prefix sums") {
+    // text_gopher: every signal is an array expression over the doc's own
+    // text — the whole query must plan as a scan-side projection
+    val pg = plan("text_gopher")
+    assert(!pg.contains("Exchange"), s"text_gopher grew a shuffle:\n$pg")
+    // embed_pq: the PqM·PqK-row codebook broadcasts onto the subvector
+    // stream; the stream itself must never sit under a BroadcastExchange
+    val pp = plan("embed_pq")
+    assert(pp.contains("BroadcastHashJoin"), pp)
+    // dedup_semantic: global top-20 compiles to TakeOrderedAndProject —
+    // never a full sort of the pair stream
+    val psem = plan("dedup_semantic")
+    assert(psem.contains("TakeOrderedAndProject"), psem)
+    // stats_mad reuses the rangeCum discipline twice; no per-group
+    // whole-grid sort may appear (slice-local pid-prefixed sorts only)
+    val pm = plan("stats_mad")
+    assert(pm.contains("rangepartitioning"), pm)
+    for (m <- "Sort \\[event_type[^\\]]*g#".r.findAllIn(pm))
+      fail(s"stats_mad: per-group whole-grid sort is back: $m\n$pm")
+  }
+
   test("text_normalize is a pure scan-side projection (no exchange at all)") {
     val p = plan("text_normalize")
     assert(!p.contains("Exchange"), p)

@@ -167,6 +167,47 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"LSH bucketing lost too much of the exact top-20 (recall $recall)")
   }
 
+  test("dedup_semantic: pairs are cluster-mates, cosines exact, top-20 of the pruned space") {
+    val assign = Curation.assignVectors(spark, Sf0001, literal = true)
+      .select("vec_id", "centroid").as[(Long, Long)].collect().toMap
+    val got = Dedup.semantic(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 20)
+    for ((cid, va, vb, _) <- got) {
+      assert(va < vb)
+      assert(assign(va) == cid && assign(vb) == cid,
+        s"pair ($va,$vb) not cluster-mates of $cid")
+    }
+    // the emitted ranking is exactly the within-cluster slice of the
+    // brute-force pair ranking (cross-cluster pruning, nothing else)
+    val e = Similarity.withNorm(graft.Tables.embeddings(spark, Sf0001))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"))
+    val want = a.join(b, col("va") < col("vb"))
+      .withColumn("cos", Similarity.cosine(spark, col("ea"), col("eb"), col("na"), col("nb")))
+      .select("va", "vb", "cos").as[(Long, Long, Double)].collect()
+      .filter { case (va, vb, _) => assign(va) == assign(vb) }
+      .sortBy { case (va, vb, cos) => (-cos, va, vb) }
+      .take(20).map { case (va, vb, cos) => (va, vb, cos) }.toSeq
+    assert(got.map { case (_, va, vb, cos) => (va, vb, cos) }.toSeq == want)
+  }
+
+  test("embed_pq: full coverage, nonnegative error, codebook seeds self-encode at zero") {
+    val n = graft.Tables.embeddings(spark, Sf0001).count()
+    val got = Similarity.pq(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == n * Similarity.PqM, "one code per (vector, subspace)")
+    for ((vec, sub, code, err) <- got) {
+      assert(sub >= 0 && sub < Similarity.PqM)
+      assert(code >= 0 && code < Similarity.PqK)
+      assert(err >= -1e-12, s"negative quantization error at ($vec,$sub): $err")
+    }
+    // a codebook seed's own subvector is at distance zero from itself
+    for ((vec, sub, code, err) <- got if vec < Similarity.PqK)
+      assert(code == vec && math.abs(err) < 1e-9,
+        s"seed $vec subspace $sub should self-encode (code=$code err=$err)")
+  }
+
   test("near-dup clusters: pairs land in one cluster, canonical is the min member") {
     val pairs = Dedup.minhash(spark, Sf0001).select("da", "db").as[(Long, Long)].collect()
     assert(pairs.nonEmpty)

@@ -11,6 +11,61 @@ import graft.SparkTestBase
 class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("text_gopher: each rule fires on its adversarial doc, clean doc keeps") {
+    // the parquet fixture has no newlines/bullets/symbols, so the rules
+    // those signals drive are exercised here on crafted docs instead
+    val good = (Seq("the", "a", "and", "of", "to", "in") ++
+      Seq.fill(30)("plain")).mkString(" ")
+    val docs = Seq(
+      (1L, good, "clean doc passes every rule"),
+      (2L, Seq.fill(30)("the").mkString(" ") + " ###########################",
+        "symbol ratio > 0.1"),
+      (3L, (1 to 30).map(i => s"- the bullet $i point a of").mkString("\n"),
+        "bullet-line ratio > 0.9"),
+      (4L, Seq.fill(10)("the line of a text...").mkString("\n"),
+        "ellipsis-line ratio > 0.3"),
+      (5L, "the of a", "too few words"),
+      (6L, Seq.fill(40)("123456").mkString(" ") + " the a of in",
+        "alphabetic-word fraction < 0.8"),
+      (7L, Seq.fill(40)("word").mkString(" "), "stopword floor"),
+      (8L, Seq.fill(40)("w").mkString(" ") + " the a of", "mean word length < 3"))
+      .toDF("doc_id", "text", "why")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+    val got = TextAnalysis.gopherQualityOf(docs)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got(1L), "clean doc must keep")
+    for (id <- 2L to 8L) assert(!got(id), s"doc $id should fail its rule")
+  }
+
+  test("text_bpe_pairs: pair counts are word-frequency weighted, not type-weighted") {
+    // "ab" appears in two words; the frequent word dominates the count
+    val tokens = (Seq.fill(5)("abc") ++ Seq.fill(2)("zab") ++ Seq("q"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val got = TextAnalysis.bpePairsOf(tokens)
+      .as[(String, Long)].collect().toMap
+    // abc contributes ab,bc ×5; zab contributes za,ab ×2; q is length-1
+    assert(got == Map("ab" -> 7L, "bc" -> 5L, "za" -> 2L))
+  }
+
+  test("stats_mad: med/mad reproduce a direct nearest-rank computation") {
+    val got = Stats.madExact(spark, Sf0001)
+      .as[(String, Double, Double)].collect()
+      .map { case (t, med, mad) => t -> (med, mad) }.toMap
+    val vals = graft.Tables.events(spark, Sf0001)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2) }
+    def gridMedian(xs: Seq[Double]): Double = {
+      val gs = xs.map(v => math.floor(v * Stats.RobustGrid).toLong).sorted
+      gs((gs.size + 1) / 2 - 1).toDouble / Stats.RobustGrid // ceil(n/2)-th, 0-based
+    }
+    for ((t, xs) <- vals) {
+      val med = gridMedian(xs.toSeq)
+      val mad = gridMedian(xs.toSeq.map(v => math.abs(v - med)))
+      assert(got(t) == (med, mad), s"$t: got ${got(t)} want ($med, $mad)")
+    }
+  }
+
   test("stats_ols: r2 is the squared stats_corr correlation") {
     val r2 = Stats.olsValueHour(spark, Sf0001)
       .select("event_type", "r2").as[(String, Double)].collect().toMap

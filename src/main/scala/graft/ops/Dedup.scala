@@ -172,9 +172,8 @@ object Dedup {
   }
 
   /** Exact |A∩B| recount on blocked candidate pairs over the FULL shingle
-    * table — shared by [[ngram]]/[[containment]] (df-capped blocking) and
-    * [[minhash]] (banded blocking). Cost ∝ candidates × doc size, never
-    * corpus².
+    * table — the [[minhash]] (banded blocking) verification step. Cost ∝
+    * candidates × doc size, never corpus².
     */
   private def interCounts(cand: DataFrame, sh: DataFrame): DataFrame =
     cand
@@ -182,6 +181,60 @@ object Dedup {
       .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
       .groupBy("da", "db")
       .agg(count(lit(1)).as("i"))
+
+  /** Fused df-capped blocking + exact intersection count for the
+    * exact-shingle family — semantically identical to
+    * `interCounts(dfCappedCands(sh), sh)` but one full recount cheaper:
+    * the shared-RARE count falls out of the blocking self-join itself
+    * (a `groupBy` where the unfused plan ran `distinct` and then
+    * re-joined the whole shingle table twice), and only the shared-HOT
+    * remainder is added back through a join against the hot postings —
+    * per candidate that costs the few hot (stopword-trigram) shingles a
+    * doc contains, not its whole shingle set. `i = i_rare + i_hot` is
+    * the exact |A∩B|, split by the df boundary.
+    */
+  private def interCountsCapped(
+      sh: DataFrame,
+      viable: (Column, Column, Column) => Column): DataFrame = {
+    val withDf = sh.join(sh.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
+    val rare   = withDf.filter(col("df") <= DfCap).select("doc_id", "sh")
+    val hot    = withDf.filter(col("df") > DfCap).select("doc_id", "sh")
+    val hotN   = hot.groupBy("doc_id").agg(count(lit(1)).as("hn"))
+    val sizes  = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val iRare = rare
+      .select(col("doc_id").as("da"), col("sh"))
+      .join(rare.select(col("doc_id").as("db"), col("sh")), "sh")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i_rare"))
+    // screen BEFORE the hot-remainder join: shared hot shingles are at
+    // most min(|hotA|, |hotB|), so i ≤ i_rare + that bound. A candidate
+    // whose upper bound can't reach the caller's threshold is exact-safe
+    // to drop here — the hot join then costs ∝ near-threshold pairs
+    // (~output volume), not ∝ all candidates. The threshold comparisons
+    // reuse the callers' exact final expressions; correctly-rounded
+    // division is monotone, so round(score(iub)) ≥ round(score(i))
+    // and no passing pair is ever screened out.
+    val screened = iRare
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .join(hotN.select(col("doc_id").as("da"), col("hn").as("ha")), Seq("da"), "left")
+      .join(hotN.select(col("doc_id").as("db"), col("hn").as("hb")), Seq("db"), "left")
+      .withColumn("iub",
+        col("i_rare") + least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
+      .filter(viable(col("iub"), col("na"), col("nb")))
+      .select("da", "db", "i_rare")
+    val iHot = screened
+      .select("da", "db")
+      .join(hot.select(col("doc_id").as("da"), col("sh")), "da")
+      .join(hot.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i_hot"))
+    screened
+      .join(iHot, Seq("da", "db"), "left")
+      .select(col("da"), col("db"),
+        (col("i_rare") + coalesce(col("i_hot"), lit(0L))).as("i"))
+  }
 
   // ------------------------------------------------------------------ exact
 
@@ -228,8 +281,17 @@ object Dedup {
     ngramOf(Tables.documents(s, dir))
 
   private[ops] def ngramOf(docs: DataFrame): DataFrame = {
-    val sh = docShinglesOf(docs)
-    verifyJaccard(interCounts(dfCappedCands(sh), sh), sh)
+    // the shingle table feeds seven subtrees (df counts, both pair-join
+    // sides, both hot-remainder sides, sizes); materialize the
+    // tokenize+hash+distinct ONCE — exchange reuse does not cover every
+    // branch here (measured: the 10× probe dropped ~4× with the
+    // checkpoint), same tradeoff as dedup_clusters' edge materialization
+    val sh = docShinglesOf(docs).localCheckpoint()
+    // same expression shape as verifyJaccard's exact filter, applied to
+    // the intersection upper bound
+    val viable = (iub: Column, na: Column, nb: Column) =>
+      iub.cast("double") / (na + nb - iub) >= JaccardThreshold
+    verifyJaccard(interCountsCapped(sh, viable), sh)
   }
 
   /** Minimum directional containment for [[containment]]. */
@@ -250,11 +312,16 @@ object Dedup {
     containmentOf(Tables.documents(s, dir))
 
   private[ops] def containmentOf(docs: DataFrame): DataFrame = {
-    val sh    = docShinglesOf(docs)
+    val sh    = docShinglesOf(docs).localCheckpoint() // see ngramOf
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ca    = col("i").cast("double") / col("na").cast("double")
     val cb    = col("i").cast("double") / col("nb").cast("double")
-    interCounts(dfCappedCands(sh), sh)
+    // either directional containment could clear the bar (same shape as
+    // the exact final filter below)
+    val viable = (iub: Column, na: Column, nb: Column) =>
+      iub.cast("double") / na.cast("double") >= ContainMin ||
+        iub.cast("double") / nb.cast("double") >= ContainMin
+    interCountsCapped(sh, viable)
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .select(col("da"), col("db"), ca.as("contain_a"), cb.as("contain_b"))

@@ -84,7 +84,9 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
         (303L, hot),                            // pure-hot twins: J = 1.0 but
         (304L, hot),                            //   zero sub-cap shingles
         (305L, w("quote", 30)),                 // excerpt: fully contained
-        (306L, w("quote", 30) + " " + w("longer", 120)))
+        (306L, w("quote", 30) + " " + w("longer", 120)),
+        (307L, hot + " " + w("mix", 60)),       // identical twins sharing BOTH
+        (308L, hot + " " + w("mix", 60)))       //   hot and rare shingles
       ).toDF("doc_id", "text")
 
     val sh = Dedup.docShinglesOf(docs)
@@ -92,22 +94,29 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     val maxDf = sh.groupBy("sh").count().agg(max("count")).as[Long].head()
     assert(maxDf > Dedup.DfCap, s"fixture max df $maxDf must exceed the cap")
 
-    // candidate volume: exactly the two rare-shingle pairs, not ~45k
+    // candidate volume: exactly the three rare-shingle pairs, not ~45k
     val cands = Dedup.dfCappedCands(sh).as[(Long, Long)].collect().toSet
-    assert(cands == Set((301L, 302L), (305L, 306L)),
-      s"df-capped candidates should be the two rare-shingle pairs, got ${cands.size}")
+    assert(cands == Set((301L, 302L), (305L, 306L), (307L, 308L)),
+      s"df-capped candidates should be the three rare-shingle pairs, got ${cands.size}")
 
     // the near-dup pair survives with its EXACT jaccard (recount is full)
     val ng = Dedup.ngramOf(docs).as[(Long, Long, Double)].collect()
-    assert(ng.map(r => (r._1, r._2)).toSet == Set((301L, 302L)))
-    assert(math.abs(ng.head._3 - 79.0 / 81.0) < 1e-12, s"jaccard ${ng.head._3}")
+    assert(ng.map(r => (r._1, r._2)).toSet == Set((301L, 302L), (307L, 308L)))
+    val j12 = ng.find(_._1 == 301L).get._3
+    assert(math.abs(j12 - 79.0 / 81.0) < 1e-12, s"jaccard $j12")
+    // 307/308 are identical, so their EXACT jaccard is 1.0 — reachable
+    // only if the fused recount adds the shared-HOT shingles back in
+    // (rare-only counting would give ~0.44 and drop the pair entirely)
+    assert(ng.find(_._1 == 307L).get._3 == 1.0, "i_hot remainder lost")
 
     // the excerpt survives containment with contain_a = 1.0 (the
     // near-dup pair qualifies too: 79/80 from either side)
     val ct = Dedup.containmentOf(docs)
       .select("da", "db", "contain_a").as[(Long, Long, Double)].collect()
-    assert(ct.map(r => (r._1, r._2)).toSet == Set((301L, 302L), (305L, 306L)))
+    assert(ct.map(r => (r._1, r._2)).toSet ==
+      Set((301L, 302L), (305L, 306L), (307L, 308L)))
     assert(ct.find(r => r._1 == 305L).get._3 == 1.0)
+    assert(ct.find(r => r._1 == 307L).get._3 == 1.0)
 
     // pinned tradeoff: docs that are 100% hot-trigram (303/304, J = 1.0)
     // are invisible to capped blocking — by design; identical docs are

@@ -353,16 +353,25 @@ object Similarity {
     * folds written identically in the oracle, so the argmin (and its
     * (d2, code) lexicographic tie-break) is bit-deterministic.
     */
-  def pq(s: SparkSession, dir: String): DataFrame = {
-    val subs = Tables
+  /** (vec_id, subspace, 16-float subvector) stream — the shared front of
+    * [[pq]] (encode) and [[pqTopk]] (query-side lookup tables).
+    */
+  private def pqSubs(s: SparkSession, dir: String): DataFrame =
+    Tables
       .embeddings(s, dir)
       .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("subspace"),
         col("embedding"))
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
         expr(s"slice(embedding, subspace * $PqSub + 1, $PqSub)").as("sv"))
-    val cw = subs
+
+  private def pqCodebook(subs: DataFrame): DataFrame =
+    subs
       .filter(col("vec_id") < PqK)
       .select(col("vec_id").as("code"), col("subspace"), col("sv").as("cv"))
+
+  def pq(s: SparkSession, dir: String): DataFrame = {
+    val subs = pqSubs(s, dir)
+    val cw   = pqCodebook(subs)
     val d2 = VectorFunctions.dotF(s, col("sv"), col("sv")) -
       lit(2.0) * VectorFunctions.dotF(s, col("sv"), col("cv")) +
       VectorFunctions.dotF(s, col("cv"), col("cv"))
@@ -374,7 +383,49 @@ object Similarity {
       .select(col("vec_id"), col("subspace"), col("m.code").as("code"), col("m.d2").as("err"))
   }
 
+  /** Asymmetric-distance (ADC) top-k over the PQ-compressed index — the
+    * search half of [[pq]]: each query's exact subvector-to-codeword
+    * distances form a tiny lookup table ([[NumQueryVecs]]·[[PqM]]·[[PqK]]
+    * rows — BROADCAST), and every candidate's approximate distance is
+    * then the sum of [[PqM]] table lookups keyed by its byte codes. The
+    * float vectors are never touched on the candidate side: per
+    * candidate the cost is [[PqM]] lookups on a [[PqM]]-byte code — the
+    * property that makes billion-vector scans memory- and
+    * bandwidth-feasible (IVF-PQ's rerank tier).
+    *
+    * Determinism: per-cell distances quantize onto decimal(38,9) before
+    * the ADC sum (the catalog's exact-commutative-sum rule), so ranking
+    * is bit-stable at any partitioning; per-query top-k is
+    * filter-then-cast so it compiles to WindowGroupLimit.
+    */
+  def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val subs  = pqSubs(s, dir)
+    val cw    = pqCodebook(subs)
+    val codes = pq(s, dir).select(col("vec_id"), col("subspace"), col("code"))
+    val qs = subs
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("q_vec"), col("subspace"), col("sv").as("qv"))
+    val d2q = VectorFunctions.dotF(s, col("qv"), col("qv")) -
+      lit(2.0) * VectorFunctions.dotF(s, col("qv"), col("cv")) +
+      VectorFunctions.dotF(s, col("cv"), col("cv"))
+    val lut = qs
+      .join(cw, "subspace")
+      .select(col("q_vec"), col("subspace"), col("code"),
+        d2q.cast("decimal(38,9)").as("d2q"))
+    codes
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy("q_vec", "vec_id")
+      .agg(sum(col("d2q")).as("adcq"))
+      .filter(col("q_vec") =!= col("vec_id"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("q_vec").orderBy(asc("adcq"), asc("vec_id"))))
+      .filter(col("rn") <= TopK)
+      .select(col("q_vec"), col("vec_id"), col("adcq").cast("double").as("adc"),
+        col("rn").cast("long").as("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_pq_topk"    -> (pqTopk _),
     "embed_pq"       -> (pq _),
     "sim_topk"       -> (topkBrute _),
     "sim_ann_lsh"    -> (annLsh _),
@@ -406,21 +457,45 @@ object Similarity {
 
   private[ops] val duckSig = duckSigFor(NumTables, NumPlanes)
 
+  /** PQ CTE chain shared by the embed_pq and sim_pq_topk oracles (ends in
+    * `best` — per (vector, subspace) argmin code rows at rn = 1).
+    */
+  private val duckPq =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+       subs AS (SELECT vec_id, CAST(j AS BIGINT) AS subspace,
+                  list_slice(emb, CAST(j * $PqSub + 1 AS INT), CAST((j + 1) * $PqSub AS INT)) AS sv
+                FROM e, (SELECT unnest(range(0, $PqM)) AS j)),
+       cw AS (SELECT vec_id AS code, subspace, sv AS cv FROM subs WHERE vec_id < $PqK),
+       scored AS (SELECT s.vec_id, s.subspace, c.code,
+                    list_inner_product(s.sv, s.sv) - 2 * list_inner_product(s.sv, c.cv)
+                      + list_inner_product(c.cv, c.cv) AS d2
+                  FROM subs s JOIN cw c ON s.subspace = c.subspace),
+       best AS (SELECT vec_id, subspace, code, d2,
+                  row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) rn
+                FROM scored)"""
+
   val oracle: Map[String, String] = Map(
     "embed_pq" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
-         subs AS (SELECT vec_id, CAST(j AS BIGINT) AS subspace,
-                    list_slice(emb, CAST(j * $PqSub + 1 AS INT), CAST((j + 1) * $PqSub AS INT)) AS sv
-                  FROM e, (SELECT unnest(range(0, $PqM)) AS j)),
-         cw AS (SELECT vec_id AS code, subspace, sv AS cv FROM subs WHERE vec_id < $PqK),
-         scored AS (SELECT s.vec_id, s.subspace, c.code,
-                      list_inner_product(s.sv, s.sv) - 2 * list_inner_product(s.sv, c.cv)
-                        + list_inner_product(c.cv, c.cv) AS d2
-                    FROM subs s JOIN cw c ON s.subspace = c.subspace),
-         best AS (SELECT vec_id, subspace, code, d2,
-                    row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) rn
-                  FROM scored)
+      s"""WITH $duckPq
          SELECT vec_id, subspace, code, d2 AS err FROM best WHERE rn = 1""",
+    "sim_pq_topk" ->
+      s"""WITH $duckPq,
+         codes AS (SELECT vec_id, subspace, code FROM best WHERE rn = 1),
+         qs AS (SELECT vec_id AS q_vec, subspace, sv AS qv FROM subs
+                WHERE vec_id < $NumQueryVecs),
+         lut AS (SELECT q_vec, c.subspace, c.code,
+                   CAST(list_inner_product(qv, qv) - 2 * list_inner_product(qv, c.cv)
+                     + list_inner_product(c.cv, c.cv) AS DECIMAL(38,9)) AS d2q
+                 FROM qs JOIN cw c ON qs.subspace = c.subspace),
+         adc AS (SELECT q_vec, vec_id, sum(d2q) AS adcq
+                 FROM codes JOIN lut ON codes.subspace = lut.subspace
+                   AND codes.code = lut.code
+                 GROUP BY 1, 2)
+         SELECT q_vec, vec_id, CAST(adcq AS DOUBLE) AS adc, rn FROM (
+           SELECT q_vec, vec_id, adcq,
+             row_number() OVER (PARTITION BY q_vec ORDER BY adcq ASC, vec_id ASC) rn
+           FROM adc WHERE q_vec <> vec_id)
+         WHERE rn <= $TopK""",
     "sim_topk" ->
       s"""WITH $duckNorm
          SELECT va, vb, cos, rn FROM (

@@ -401,7 +401,48 @@ object Stats {
         (-col("m.ng").cast("double") / RobustGrid).as("at_value"))
   }
 
+  /** Welch's unequal-variance two-sample t-test between [[KsGroupA]] and
+    * [[KsGroupB]]'s value distributions — the parametric companion to
+    * [[ksTest]]'s distribution-free drift check (KS asks "same shape?",
+    * Welch asks "same mean?", and a drift gate wants both). t statistic
+    * and Welch–Satterthwaite degrees of freedom in closed form from the
+    * same six decimal-exact sums as [[moments]]: one partial-aggregated
+    * shuffle over a 2-row group key, then a 2-row conditional-aggregate
+    * collapse — every division a deterministic IEEE op, bit-identical
+    * at any partitioning.
+    */
+  def welchT(s: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    val per = Tables
+      .events(s, dir)
+      .filter(col("event_type").isin(KsGroupA, KsGroupB))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(v).as("sx"), dsum(v * v).as("sxx"))
+    def pick(g: String, c: String) = max(when(col("event_type") === g, col(c)))
+    val one = per.agg(
+      pick(KsGroupA, "n").as("na"),
+      pick(KsGroupA, "sx").as("sxa"),
+      pick(KsGroupA, "sxx").as("sxxa"),
+      pick(KsGroupB, "n").as("nb"),
+      pick(KsGroupB, "sx").as("sxb"),
+      pick(KsGroupB, "sxx").as("sxxb"))
+    val sa = ((col("sxxa") - col("sxa") * col("sxa") / col("na")) / (col("na") - lit(1.0))) /
+      col("na")
+    val sb = ((col("sxxb") - col("sxb") * col("sxb") / col("nb")) / (col("nb") - lit(1.0))) /
+      col("nb")
+    one.select(
+      col("na").as("n_a"),
+      col("nb").as("n_b"),
+      (col("sxa") / col("na")).as("mean_a"),
+      (col("sxb") / col("nb")).as("mean_b"),
+      ((col("sxa") / col("na") - col("sxb") / col("nb")) / sqrt(sa + sb)).as("t_stat"),
+      ((sa + sb) * (sa + sb) /
+        (sa * sa / (col("na") - lit(1.0)) + sb * sb / (col("nb") - lit(1.0))))
+        .as("df_welch"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_welch"        -> (welchT _),
     "stats_mad"          -> (madExact _),
     "stats_ks"           -> (ksTest _),
     "hist_equidepth"     -> (histEquidepth _),
@@ -417,6 +458,34 @@ object Stats {
   private def ds(c: String) = DSUM.format(c)
 
   val oracle: Map[String, String] = Map(
+    "stats_welch" ->
+      s"""WITH per AS (
+           SELECT event_type, count(*) AS n,
+             ${ds("value")} AS sx, ${ds("value * value")} AS sxx
+           FROM events WHERE event_type IN ('$KsGroupA', '$KsGroupB') GROUP BY 1),
+         one AS (
+           SELECT
+             max(CASE WHEN event_type = '$KsGroupA' THEN n END) AS na,
+             max(CASE WHEN event_type = '$KsGroupA' THEN sx END) AS sxa,
+             max(CASE WHEN event_type = '$KsGroupA' THEN sxx END) AS sxxa,
+             max(CASE WHEN event_type = '$KsGroupB' THEN n END) AS nb,
+             max(CASE WHEN event_type = '$KsGroupB' THEN sx END) AS sxb,
+             max(CASE WHEN event_type = '$KsGroupB' THEN sxx END) AS sxxb
+           FROM per)
+         SELECT na AS n_a, nb AS n_b,
+           sxa / na AS mean_a, sxb / nb AS mean_b,
+           (sxa / na - sxb / nb) /
+             sqrt(((sxxa - sxa * sxa / na) / (na - 1.0)) / na +
+                  ((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb) AS t_stat,
+           (((sxxa - sxa * sxa / na) / (na - 1.0)) / na +
+            ((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb) *
+           (((sxxa - sxa * sxa / na) / (na - 1.0)) / na +
+            ((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb) /
+           ((((sxxa - sxa * sxa / na) / (na - 1.0)) / na) *
+            (((sxxa - sxa * sxa / na) / (na - 1.0)) / na) / (na - 1.0) +
+            (((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb) *
+            (((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb) / (nb - 1.0)) AS df_welch
+         FROM one""",
     "stats_mad" ->
       s"""WITH vc AS (
            SELECT event_type, CAST(floor(value * $RobustGrid) AS BIGINT) AS g, count(*) AS c

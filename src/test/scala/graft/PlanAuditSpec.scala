@@ -307,6 +307,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(pm.contains("rangepartitioning"), pm)
     for (m <- "Sort \\[event_type[^\\]]*g#".r.findAllIn(pm))
       fail(s"stats_mad: per-group whole-grid sort is back: $m\n$pm")
+    // sim_pq_topk: the query×codeword lookup table broadcasts onto the
+    // code stream, and the per-query top-k must stay group-limited
+    // (partial+final WindowGroupLimit or GroupedTopK), never a full
+    // per-query sort of all candidates
+    val pt = plan("sim_pq_topk")
+    assert(pt.contains("BroadcastHashJoin"), pt)
+    assert(
+      pt.contains("GroupedTopK") || pt.split("WindowGroupLimit").length - 1 == 2,
+      s"sim_pq_topk top-k regressed to a full per-query sort:\n$pt")
   }
 
   test("text_normalize is a pure scan-side projection (no exchange at all)") {

@@ -217,6 +217,47 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
         s"seed $vec subspace $sub should self-encode (code=$code err=$err)")
   }
 
+  test("sim_pq_topk: ADC ranking is the true compressed-domain order, recall reported") {
+    import graft.functions.VectorFunctions.dotF
+    val got = Similarity.pqTopk(spark, Sf0001)
+      .as[(Long, Long, Double, Long)].collect()
+    val perQ = got.groupBy(_._1)
+    assert(perQ.size == Similarity.NumQueryVecs)
+    for ((_, rows) <- perQ) assert(rows.map(_._4).sorted.toSeq == (1L to Similarity.TopK))
+    // ADC must agree with recomputing Σ_sub d2(query_sub, codeword(code))
+    // from the emitted PQ codes — the compressed-domain contract
+    val codes = Similarity.pq(spark, Sf0001)
+      .select("vec_id", "subspace", "code").as[(Long, Long, Long)].collect()
+      .map { case (v, s, c) => (v, s) -> c }.toMap
+    val e = graft.Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def sub(v: Seq[Float], j: Int) =
+      v.slice(j * Similarity.PqSub, (j + 1) * Similarity.PqSub)
+    def d2(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    }
+    for ((q, vec, adc, _) <- got.take(40)) {
+      val want = (0 until Similarity.PqM).map { j =>
+        BigDecimal(d2(sub(e(q), j), sub(e(codes((vec, j.toLong))), j)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(math.abs(adc - want) < 1e-8, s"ADC($q,$vec)=$adc != recomputed $want")
+    }
+    // recall vs the exact (uncompressed) L2 top-k — PQ with an 8-word
+    // codebook is coarse; report it and require it beats zero
+    val ids = e.keys.toSeq
+    val exact = perQ.keys.map { q =>
+      q -> ids.filter(_ != q)
+        .sortBy(v => (d2(e(q).toSeq, e(v).toSeq), v)).take(Similarity.TopK).toSet
+    }.toMap
+    val hits = got.count { case (q, v, _, _) => exact(q)(v) }
+    val recall = hits.toDouble / (Similarity.NumQueryVecs * Similarity.TopK)
+    info(f"pq-adc top-${Similarity.TopK} recall vs exact L2: $recall%.3f")
+    assert(recall > 0.0)
+  }
+
   test("near-dup clusters: pairs land in one cluster, canonical is the min member") {
     val pairs = Dedup.minhash(spark, Sf0001).select("da", "db").as[(Long, Long)].collect()
     assert(pairs.nonEmpty)

@@ -66,6 +66,28 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stats_welch: t/df agree with a recomputation from stats_moments") {
+    val m = Stats.moments(spark, Sf0001)
+      .select("event_type", "n", "mean_value", "var_value")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, na, ma, va) = m(Stats.KsGroupA)
+    val (_, nb, mb, vb) = m(Stats.KsGroupB)
+    val sa = va / na
+    val sb = vb / nb
+    val wantT  = (ma - mb) / math.sqrt(sa + sb)
+    val wantDf = (sa + sb) * (sa + sb) / (sa * sa / (na - 1.0) + sb * sb / (nb - 1.0))
+    val got = Stats.welchT(spark, Sf0001)
+      .select("n_a", "n_b", "t_stat", "df_welch")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._1 == na && got._2 == nb)
+    assert(math.abs(got._3 - wantT) < 1e-9 * math.max(1.0, math.abs(wantT)),
+      s"t ${got._3} != $wantT")
+    assert(math.abs(got._4 - wantDf) < 1e-9 * wantDf, s"df ${got._4} != $wantDf")
+    // Welch–Satterthwaite df lies between min(na,nb)-1 and na+nb-2
+    assert(got._4 >= math.min(na, nb) - 1.0 && got._4 <= na + nb - 2.0)
+  }
+
   test("stats_ols: r2 is the squared stats_corr correlation") {
     val r2 = Stats.olsValueHour(spark, Sf0001)
       .select("event_type", "r2").as[(String, Double)].collect().toMap

@@ -211,8 +211,32 @@ object Similarity {
       .otherwise(0)
 
   private[ops] def ivfImpl(s: SparkSession, dir: String, literal: Boolean): DataFrame = {
+    val assigned = ivfAssigned(s, dir, literal)
+    val index = assigned
+      .select(
+        col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"),
+        element_at(col("cells"), 1)("cid").as("cell"))
+    val probes = assigned
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(
+        col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"),
+        explode(slice(col("cells"), 1, NProbe)).as("pc"))
+      .select(col("va"), col("ea"), col("na"), col("pc")("cid").as("cell"))
+    val w = Window.partitionBy("va").orderBy(desc("cos"), asc("vb"))
+    broadcast(probes)
+      .join(index, "cell")
+      .filter(col("va") =!= col("vb"))
+      .withColumn("cos", cosine(s, col("ea"), col("eb"), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("va", "vb", "cos", "rn")
+  }
+
+  /** Every vector with its best-first ranked IVF cell array — the
+    * coarse-quantizer assignment shared by [[ivfImpl]] and [[ivfPq]].
+    */
+  private def ivfAssigned(s: SparkSession, dir: String, literal: Boolean): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir))
-    // `assigned`: every vector with its best-first ranked cell array.
     val assigned =
       if (literal) {
         // driver-literal centroids: K small enough that the K cosines
@@ -263,24 +287,54 @@ object Similarity {
             array_sort(collect_list(struct(col("ccos").as("cos"), col("cid"))), cellCmp)
               .as("cells"))
       }
+    assigned
+  }
+
+  /** IVF-PQ search — the billion-vector production composition: the IVF
+    * coarse quantizer prunes the candidate set to [[NProbe]] cells per
+    * query, and candidates are then scored in the COMPRESSED domain
+    * ([[pqTopk]]'s ADC lookup-table sum over their [[PqM]] byte codes) —
+    * neither the full pair space nor the candidates' float vectors are
+    * ever touched. This is exactly the shape FAISS-style engines deploy:
+    * cell lists bound the scan, PQ codes bound memory/bandwidth, and an
+    * exact-rerank tier (here [[ivf]] itself) sits above if needed.
+    *
+    * Determinism inherits from both parents: the cell ranking uses the
+    * tie-total comparator, ADC cells quantize to decimal(38,9) before
+    * the sum, and the per-query top-k is filter-then-cast
+    * WindowGroupLimit.
+    */
+  def ivfPq(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(s, dir, literal = IvfK <= IvfLiteralBudget)
     val index = assigned
-      .select(
-        col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"),
-        element_at(col("cells"), 1)("cid").as("cell"))
+      .select(col("vec_id"), element_at(col("cells"), 1)("cid").as("cell"))
     val probes = assigned
       .filter(col("vec_id") < NumQueryVecs)
-      .select(
-        col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"),
-        explode(slice(col("cells"), 1, NProbe)).as("pc"))
-      .select(col("va"), col("ea"), col("na"), col("pc")("cid").as("cell"))
-    val w = Window.partitionBy("va").orderBy(desc("cos"), asc("vb"))
-    broadcast(probes)
-      .join(index, "cell")
-      .filter(col("va") =!= col("vb"))
-      .withColumn("cos", cosine(s, col("ea"), col("eb"), col("na"), col("nb")))
-      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("vec_id").as("q_vec"), explode(slice(col("cells"), 1, NProbe)).as("pc"))
+      .select(col("q_vec"), col("pc")("cid").as("cell"))
+    val subs  = pqSubs(s, dir)
+    val cw    = pqCodebook(subs)
+    val codes = pq(s, dir).select(col("vec_id"), col("subspace"), col("code"))
+    val d2q = VectorFunctions.dotF(s, col("qv"), col("qv")) -
+      lit(2.0) * VectorFunctions.dotF(s, col("qv"), col("cv")) +
+      VectorFunctions.dotF(s, col("cv"), col("cv"))
+    val lut = subs
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("q_vec"), col("subspace"), col("sv").as("qv"))
+      .join(cw, "subspace")
+      .select(col("q_vec"), col("subspace"), col("code"), d2q.cast("decimal(38,9)").as("d2q"))
+    val w = Window.partitionBy("q_vec").orderBy(asc("adcq"), asc("vec_id"))
+    codes
+      .join(index, "vec_id")
+      .join(broadcast(probes), "cell")
+      .filter(col("q_vec") =!= col("vec_id"))
+      .join(broadcast(lut), Seq("q_vec", "subspace", "code"))
+      .groupBy("q_vec", "vec_id")
+      .agg(sum(col("d2q")).as("adcq"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
-      .select("va", "vb", "cos", "rn")
+      .select(col("q_vec"), col("vec_id"), col("adcq").cast("double").as("adc"),
+        col("rn").cast("long").as("rn"))
   }
 
   /** Levels of the scalar (int8) quantization grid: byte codes 0..255. */
@@ -425,6 +479,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "sim_ivfpq"      -> (ivfPq _),
     "sim_pq_topk"    -> (pqTopk _),
     "embed_pq"       -> (pq _),
     "sim_topk"       -> (topkBrute _),
@@ -478,6 +533,36 @@ object Similarity {
     "embed_pq" ->
       s"""WITH $duckPq
          SELECT vec_id, subspace, code, d2 AS err FROM best WHERE rn = 1""",
+    "sim_ivfpq" ->
+      s"""WITH $duckPq,
+         en AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) nrm FROM e),
+         cent AS (SELECT vec_id cid, emb cemb, nrm cnrm FROM en WHERE vec_id < $IvfK),
+         ranked AS (SELECT en.vec_id, cent.cid,
+             row_number() OVER (PARTITION BY en.vec_id
+               ORDER BY list_inner_product(en.emb, cent.cemb) / (en.nrm * cent.cnrm) DESC,
+                 cent.cid ASC) crn
+           FROM en CROSS JOIN cent),
+         cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE crn = 1),
+         probes AS (SELECT vec_id AS q_vec, cid AS cell FROM ranked
+                    WHERE vec_id < $NumQueryVecs AND crn <= $NProbe),
+         codes AS (SELECT vec_id, subspace, code FROM best WHERE rn = 1),
+         qs AS (SELECT vec_id AS q_vec, subspace, sv AS qv FROM subs
+                WHERE vec_id < $NumQueryVecs),
+         lut AS (SELECT q_vec, c.subspace, c.code,
+                   CAST(list_inner_product(qv, qv) - 2 * list_inner_product(qv, c.cv)
+                     + list_inner_product(c.cv, c.cv) AS DECIMAL(38,9)) AS d2q
+                 FROM qs JOIN cw c ON qs.subspace = c.subspace),
+         cand AS (SELECT p.q_vec, co.vec_id, co.subspace, co.code
+                  FROM probes p JOIN cells ce ON p.cell = ce.cell AND p.q_vec <> ce.vec_id
+                  JOIN codes co ON co.vec_id = ce.vec_id),
+         adc AS (SELECT q_vec, vec_id, sum(d2q) AS adcq
+                 FROM cand JOIN lut USING (q_vec, subspace, code)
+                 GROUP BY 1, 2)
+         SELECT q_vec, vec_id, CAST(adcq AS DOUBLE) AS adc, rn FROM (
+           SELECT q_vec, vec_id, adcq,
+             row_number() OVER (PARTITION BY q_vec ORDER BY adcq ASC, vec_id ASC) rn
+           FROM adc)
+         WHERE rn <= $TopK""",
     "sim_pq_topk" ->
       s"""WITH $duckPq,
          codes AS (SELECT vec_id, subspace, code FROM best WHERE rn = 1),

@@ -441,7 +441,43 @@ object Stats {
         .as("df_welch"))
   }
 
+  /** Chi-squared independence test between event type and hour-of-day —
+    * "is this metric's traffic mix diurnal?", the categorical drift
+    * check beside [[ksTest]] (continuous shape) and [[welchT]] (means).
+    * The full r×c contingency grid is the cross join of the two
+    * marginal tables (both bounded by category counts — broadcast),
+    * left-joined with observed cells so zero-observation cells
+    * contribute their full expected mass, as the statistic requires.
+    * Per-cell (o−e)²/e terms quantize onto decimal(38,9) before the
+    * final sum (the exact-commutative-sum rule), so χ² is bit-stable at
+    * any partitioning.
+    */
+  def chi2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("h"))
+    val cells = ev.groupBy("event_type", "h").agg(count(lit(1)).as("o"))
+    val rows  = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+    val cols  = cells.groupBy("h").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(
+      sum(col("o")).as("n"),
+      count_distinct(col("event_type")).as("nr"),
+      count_distinct(col("h")).as("nc"))
+    val e    = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    rows
+      .crossJoin(broadcast(cols))
+      .join(cells, Seq("event_type", "h"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .select(term.cast("decimal(38,9)").as("cell"), col("n"), col("nr"), col("nc"))
+      .agg(
+        sum(col("cell")).cast("double").as("chi2"),
+        ((max(col("nr")) - 1) * (max(col("nc")) - 1)).as("dof"),
+        max(col("n")).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_chi2"         -> (chi2 _),
     "stats_welch"        -> (welchT _),
     "stats_mad"          -> (madExact _),
     "stats_ks"           -> (ksTest _),
@@ -458,6 +494,27 @@ object Stats {
   private def ds(c: String) = DSUM.format(c)
 
   val oracle: Map[String, String] = Map(
+    "stats_chi2" ->
+      """WITH ev AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h FROM events),
+         cells AS (SELECT event_type, h, count(*) AS o FROM ev GROUP BY 1, 2),
+         rws AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         cls AS (SELECT h, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   count(DISTINCT event_type) AS nr, count(DISTINCT h) AS nc
+                 FROM cells),
+         grid AS (SELECT rws.event_type, cls.h, rt, ct, coalesce(o, 0) AS o
+                  FROM rws CROSS JOIN cls
+                  LEFT JOIN cells ON cells.event_type = rws.event_type AND cells.h = cls.h),
+         terms AS (SELECT CAST(
+                     (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) *
+                     (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) /
+                     (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     AS DECIMAL(38,9)) AS cell, n, nr, nc
+                   FROM grid CROSS JOIN tot)
+         SELECT CAST(sum(cell) AS DOUBLE) AS chi2,
+           CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+           max(n) AS n
+         FROM terms""",
     "stats_welch" ->
       s"""WITH per AS (
            SELECT event_type, count(*) AS n,

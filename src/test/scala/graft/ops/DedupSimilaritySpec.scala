@@ -258,6 +258,46 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall > 0.0)
   }
 
+  test("sim_ivfpq: equals an independent cell-prune + ADC reimplementation") {
+    val e = graft.Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def d2(a: Seq[Float], b: Seq[Float]) = dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    def sub(v: Seq[Float], j: Int) = v.slice(j * Similarity.PqSub, (j + 1) * Similarity.PqSub)
+    // coarse quantizer: best-first ranked cells per vector
+    val cents = (0L until Similarity.IvfK).map(c => c -> e(c)).toMap
+    def rankedCells(v: Long): Seq[Long] = {
+      val nv = math.sqrt(dot(e(v), e(v)))
+      cents.toSeq.map { case (c, ce) =>
+        (dot(e(v), ce) / (nv * math.sqrt(dot(ce, ce))), c)
+      }.sortBy { case (cos, c) => (-cos, c) }.map(_._2)
+    }
+    // PQ codes (argmin-L2 per subspace, code-ascending tie-break)
+    def code(v: Long, j: Int): Long =
+      (0L until Similarity.PqK).minBy(c => (d2(sub(e(v), j), sub(e(c), j)), c))
+    val top1 = e.keys.map(v => v -> rankedCells(v).head).toMap
+    val want = (0L until Similarity.NumQueryVecs).flatMap { q =>
+      val probed = rankedCells(q).take(Similarity.NProbe).toSet
+      val cands = e.keys.filter(v => v != q && probed(top1(v)))
+      val scored = cands.toSeq.map { v =>
+        val a = (0 until Similarity.PqM).map { j =>
+          BigDecimal(d2(sub(e(q), j), sub(e(code(v, j).toLong), j)))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+        (v, a)
+      }.sortBy { case (v, a) => (a, v) }.take(Similarity.TopK)
+      scored.zipWithIndex.map { case ((v, a), i) => (q, v, a, (i + 1).toLong) }
+    }.toSet
+    val got = Similarity.ivfPq(spark, Sf0001)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got.map(r => (r._1, r._2, r._4)) == want.map(r => (r._1, r._2, r._4)),
+      s"ivfpq pair/rank set diverged from the reimplementation")
+    val wantAdc = want.map(r => (r._1, r._2) -> r._3).toMap
+    for ((q, v, a, _) <- got)
+      assert(math.abs(a - wantAdc((q, v))) < 1e-8, s"adc($q,$v)=$a != ${wantAdc((q, v))}")
+  }
+
   test("near-dup clusters: pairs land in one cluster, canonical is the min member") {
     val pairs = Dedup.minhash(spark, Sf0001).select("da", "db").as[(Long, Long)].collect()
     assert(pairs.nonEmpty)

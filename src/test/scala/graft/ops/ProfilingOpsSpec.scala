@@ -88,6 +88,29 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got._4 >= math.min(na, nb) - 1.0 && got._4 <= na + nb - 2.0)
   }
 
+  test("stats_chi2: statistic matches a direct contingency recomputation") {
+    val ev = graft.Tables.events(spark, Sf0001)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("h"))
+      .as[(String, Long)].collect()
+    val cells = ev.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val types = ev.map(_._1).distinct
+    val hours = ev.map(_._2).distinct
+    val rt = types.map(t => t -> ev.count(_._1 == t).toLong).toMap
+    val ct = hours.map(h => h -> ev.count(_._2 == h).toLong).toMap
+    val n  = ev.size.toDouble
+    val wantChi2 = (for (t <- types; h <- hours) yield {
+      val o = cells.getOrElse((t, h), 0L).toDouble
+      val e = rt(t).toDouble * ct(h).toDouble / n
+      BigDecimal((o - e) * (o - e) / e).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }).sum.toDouble
+    val got = Stats.chi2(spark, Sf0001)
+      .as[(Double, Long, Long)].collect().head
+    assert(math.abs(got._1 - wantChi2) < 1e-6, s"chi2 ${got._1} != $wantChi2")
+    assert(got._2 == (types.size - 1L) * (hours.size - 1L))
+    assert(got._3 == ev.size.toLong)
+    assert(got._1 >= 0.0)
+  }
+
   test("stats_ols: r2 is the squared stats_corr correlation") {
     val r2 = Stats.olsValueHour(spark, Sf0001)
       .select("event_type", "r2").as[(String, Double)].collect().toMap

@@ -268,6 +268,28 @@ object Dedup {
       .select("doc_id", "lang", "n_chars")
   }
 
+  /** The APPLY step of NEAR-dup dedup — the surviving corpus after the
+    * MinHash pipeline's clustering pass: every doc except non-canonical
+    * cluster members (each near-dup cluster keeps its smallest doc_id,
+    * the [[clusters]] canonical). Completes the near-dedup story
+    * end-to-end the way [[exactApply]] does for exact dedup: detect →
+    * cluster → drop, all as one declarative chain.
+    *
+    * Scale shape: the drop list is bounded by docs IN near-dup clusters
+    * (typically a small corpus fraction); the final anti join is an
+    * equi-join on doc_id — no content moves, and the checkpointed CC
+    * loop is the same O(diameter)-round machinery [[clusters]] audits.
+    */
+  def clustersApply(s: SparkSession, dir: String): DataFrame = {
+    val drop = clusters(s, dir)
+      .filter(!col("is_canonical"))
+      .select("doc_id")
+    Tables
+      .documents(s, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+  }
+
   // ------------------------------------------------------------------ ngram
 
   /** Exact n-gram (word trigram, see ShingleN) Jaccard dedup via
@@ -706,6 +728,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "dedup_semantic"  -> (semantic _),
+    "dedup_clusters_apply" -> (clustersApply _),
     "dedup_exact"     -> (exact _),
     "dedup_ngram"     -> (ngram _),
     "dedup_containment" -> (containment _),
@@ -777,6 +800,19 @@ object Dedup {
     "dedup_apply" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+    "dedup_clusters_apply" ->
+      s"""WITH RECURSIVE
+         $duckMinhashPairsCte,
+         edges AS (SELECT da a, db b FROM pairs UNION ALL SELECT db a, da b FROM pairs),
+         reach(node, label) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+         ),
+         drops AS (SELECT node AS doc_id FROM reach GROUP BY node
+                   HAVING node <> min(label))
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
     "dedup_ngram" ->
       s"""WITH sh AS ($duckShingles),
          $duckRareCandCte,

@@ -298,6 +298,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(a - wantAdc((q, v))) < 1e-8, s"adc($q,$v)=$a != ${wantAdc((q, v))}")
   }
 
+  test("dedup_clusters_apply: survivors = corpus minus non-canonical cluster members") {
+    val dropped = Dedup.clusters(spark, Sf0001)
+      .filter(!col("is_canonical")).select("doc_id").as[Long].collect().toSet
+    val all = graft.Tables.documents(spark, Sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val got = Dedup.clustersApply(spark, Sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropped.nonEmpty, "fixture should have near-dup clusters to drop")
+    assert(got == all -- dropped)
+    // every dropped doc's cluster still has a surviving representative
+    val canon = Dedup.clusters(spark, Sf0001)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    for ((_, c) <- canon) assert(got(c), s"cluster canonical $c was dropped")
+  }
+
   test("near-dup clusters: pairs land in one cluster, canonical is the min member") {
     val pairs = Dedup.minhash(spark, Sf0001).select("da", "db").as[(Long, Long)].collect()
     assert(pairs.nonEmpty)

@@ -412,6 +412,20 @@ object Dedup {
     * Jaccard verify) and [[fuzzy]] (edit-distance verify).
     */
   private def minhashCands(sh: DataFrame): DataFrame = {
+    val bands = bandSignatures(sh)
+    bands
+      .select(col("doc_id").as("da"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("da") < col("db"))
+      .select("da", "db")
+      .distinct()
+  }
+
+  /** Per-doc LSH band signatures (doc_id, band, sig) — the blocking key
+    * table behind [[minhashCands]] and the delta-restricted join of
+    * [[incremental]].
+    */
+  private def bandSignatures(sh: DataFrame): DataFrame = {
     // all hash lanes as parallel aggregation columns — one pass over the
     // shingle table instead of a seeds crossJoin (36x the rows), and one
     // md5 per row with integer lane arithmetic instead of 36 md5 calls
@@ -425,20 +439,60 @@ object Dedup {
         concat_ws("-",
           (0 until BandRows).map(r => col(s"mh_${b * BandRows + r}").cast("string")): _*).as("sig"))
     }
-    val bands = mh
+    mh
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    bands
-      .select(col("doc_id").as("da"), col("band"), col("sig"))
-      .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")), Seq("band", "sig"))
-      .filter(col("da") < col("db"))
-      .select("da", "db")
-      .distinct()
   }
 
   def minhash(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
     verifyJaccard(interCounts(minhashCands(sh), sh), sh)
+  }
+
+  /** Delta split for [[incremental]]: documents with doc_id ≡ 0 (mod 4)
+    * play the incoming batch; the rest are the already-deduplicated
+    * snapshot. (A fixed arithmetic split so the DuckDB oracle states the
+    * same partition; production would key on an ingest-batch column.)
+    */
+  val DeltaMod = 4L
+
+  /** Incremental (delta-vs-snapshot) MinHash dedup — the production
+    * pattern for a growing corpus: when a new batch arrives, the snapshot
+    * must never be re-paired against itself. Band signatures are computed
+    * for all docs, but the candidate join is delta-bands ⋈ all-bands, so
+    * pair volume is ∝ delta collisions, not corpus collisions; at real
+    * scale the delta band table is the small side (a day's crawl vs the
+    * corpus) and broadcasts. Delta-internal pairs count only the earlier
+    * (smaller-id) doc as the surviving partner — the same keep-first rule
+    * as [[exact]].
+    *
+    * Returns one row per delta doc: (doc_id, is_dup, match_id) where
+    * match_id is the smallest verified partner (Jaccard ≥
+    * [[JaccardThreshold]]) or -1.
+    */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val isDelta = (c: Column) => c % DeltaMod === 0
+    val sh = docShingles(s, dir).localCheckpoint() // consumed by bands + verify (4 subtrees)
+    val bands = bandSignatures(sh)
+    val cand = bands
+      .filter(isDelta(col("doc_id")))
+      .select(col("doc_id").as("da"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("db") =!= col("da"))
+      .filter(!isDelta(col("db")) || col("db") < col("da"))
+      .select("da", "db")
+      .distinct()
+    val matches = verifyJaccard(interCounts(cand, sh), sh)
+      .groupBy(col("da").as("doc_id"))
+      .agg(min("db").as("mp"))
+    Tables.documents(s, dir)
+      .filter(isDelta(col("doc_id")))
+      .select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("mp").isNotNull.as("is_dup"),
+        coalesce(col("mp"), lit(-1L)).as("match_id"))
   }
 
   /** Max relative edit distance for [[fuzzy]] (distance / longer length). */
@@ -734,6 +788,7 @@ object Dedup {
     "dedup_containment" -> (containment _),
     "corpus_diff"     -> (snapshotDiff _),
     "dedup_minhash"   -> (minhash _),
+    "dedup_incremental" -> (incremental _),
     "dedup_simhash"   -> (simhash _),
     "dedup_embedding" -> (embedding _),
     "dedup_clusters"  -> (clusters _),
@@ -844,6 +899,17 @@ object Dedup {
     "dedup_minhash" ->
       s"""WITH $duckMinhashPairsCte
          SELECT da, db, jaccard FROM pairs""",
+    "dedup_incremental" ->
+      s"""WITH $duckMinhashPairsCte,
+         inc AS (
+           SELECT db AS d, da AS p FROM pairs WHERE db % $DeltaMod = 0
+           UNION ALL
+           SELECT da AS d, db AS p FROM pairs WHERE da % $DeltaMod = 0 AND db % $DeltaMod <> 0),
+         m AS (SELECT d, min(p) AS mp FROM inc GROUP BY 1)
+         SELECT doc_id, (mp IS NOT NULL) AS is_dup,
+           coalesce(mp, CAST(-1 AS BIGINT)) AS match_id
+         FROM (SELECT doc_id FROM documents WHERE doc_id % $DeltaMod = 0) dd
+         LEFT JOIN m ON m.d = dd.doc_id""",
     "dedup_fuzzy" ->
       s"""WITH $duckMinhashCandCte
          SELECT da, db, dist, rel FROM (

@@ -135,6 +135,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.85, s"minhash recall $recall below floor")
   }
 
+  test("incremental dedup: verdicts derive from the full minhash pair set") {
+    // the delta-restricted band join must reach exactly the delta-involving
+    // subset of the full pipeline's verified pairs — no more (it generates
+    // no snapshot×snapshot pairs by construction), no fewer (banding is
+    // deterministic, so restricting one join side loses no collisions)
+    val full = Dedup.minhash(spark, Sf0001).select("da", "db")
+      .as[(Long, Long)].collect()
+    val m = Dedup.DeltaMod
+    val expect = full.flatMap { case (a, b) =>
+      (if (b % m == 0) Seq(b -> a) else Nil) ++
+        (if (a % m == 0 && b % m != 0) Seq(a -> b) else Nil)
+    }.groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).min }
+    val got = Dedup.incremental(spark, Sf0001)
+      .as[(Long, Boolean, Long)].collect()
+    assert(got.nonEmpty && got.exists(_._2), "fixture delta should contain dups")
+    got.foreach { case (d, isDup, mp) =>
+      assert(d % m == 0, s"non-delta doc $d in output")
+      assert(isDup == expect.contains(d), s"verdict mismatch for $d")
+      assert(mp == expect.getOrElse(d, -1L), s"match_id mismatch for $d")
+    }
+    assert(got.map(_._1).toSet == expect.keySet ++ got.map(_._1),
+      "every delta doc appears exactly once")
+  }
+
   test("simhash signatures are deterministic and 60-bit") {
     val pairs = Dedup.simhashSignatures(spark, Sf0001)
     val s1 = pairs.as[(Long, Long)].collect().sortBy(_._1).toSeq

@@ -479,7 +479,53 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Hashed-feature geometry for [[qualityClf]]: feature strings hash
+    * into [[ClfBuckets]] buckets (the fastText trick — a fixed-width
+    * weight vector regardless of vocabulary size), and each bucket's
+    * weight is a deterministic pseudo-random integer in [-1000, 1000]
+    * derived by Knuth's multiplicative hash, so the DuckDB oracle states
+    * the identical model with no weight table shipped anywhere.
+    */
+  val ClfBuckets   = 1024L
+  val ClfWeightA   = 2654435761L // Knuth multiplicative constant
+  val ClfWeightMod = 2001L
+
+  /** fastText-style quality classifier inference: word unigrams + bigrams
+    * hash into a fixed bucket space, the doc score is the mean bucket
+    * weight, and the keep verdict is its sign — the linear-classifier
+    * quality filter (CCNet / LLaMA-style) as one embarrassingly parallel
+    * pass.
+    *
+    * Scale shape: features never materialize as strings past the hash —
+    * each token/bigram row becomes an integer weight immediately, and the
+    * only shuffle is the per-doc partial+final sum of (count, Σw). The
+    * weight "vector" is arithmetic, so nothing broadcasts; a learned
+    * model of [[ClfBuckets]] floats would broadcast in one block.
+    * Determinism: integer count and integer weight sum, then ONE IEEE
+    * division — no float accumulation order anywhere.
+    */
+  def qualityClf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), filter(Tokenize.tokenCol(col("text")), _ =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val uni = docs.select(col("doc_id"), explode(col("toks")).as("f"))
+    val bi  = docs.select(col("doc_id"),
+      explode(graft.functions.TextHash.shingles(col("toks"), 2)).as("f"))
+    uni.union(bi)
+      .select(col("doc_id"),
+        (pmod(graft.functions.TextHash.hash60(col("f")), lit(ClfBuckets)) * ClfWeightA
+          % ClfWeightMod - 1000L).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("w").as("snum"))
+      .select(
+        col("doc_id"),
+        col("n_feats"),
+        (col("snum").cast("double") / (col("n_feats") * 1000L).cast("double")).as("score"),
+        (col("snum") >= 0).as("keep"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_quality_clf" -> (qualityClf _),
     "text_gopher"      -> (gopherQuality _),
     "text_bpe_pairs"   -> (bpePairs _),
     "text_normalize"   -> (normalizeText _),
@@ -516,6 +562,22 @@ object TextAnalysis {
   private def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "text_quality_clf" ->
+      s"""WITH feats AS (
+           SELECT doc_id, t AS f FROM ($duckToks)
+           UNION ALL
+           SELECT doc_id, b AS f FROM ($duckBigrams)),
+         w AS (SELECT doc_id,
+                 (${TextHash.duckHash60Of("f")} % $ClfBuckets) * $ClfWeightA
+                   % $ClfWeightMod - 1000 AS w
+               FROM feats),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                   CAST(sum(w) AS BIGINT) AS snum
+                 FROM w GROUP BY 1)
+         SELECT doc_id, n_feats,
+           CAST(snum AS DOUBLE) / CAST(n_feats * 1000 AS DOUBLE) AS score,
+           (snum >= 0) AS keep
+         FROM agg""",
     "text_gopher" -> {
       val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH d AS (

@@ -48,6 +48,26 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("ab" -> 7L, "bc" -> 5L, "za" -> 2L))
   }
 
+  test("text_quality_clf: feature count = 2n-1, score is mean weight, keep is its sign") {
+    val out = TextAnalysis.qualityClf(spark, Sf0001)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    val nTok = TextAnalysis.queries("text_token_count")(spark, Sf0001)
+      .select("doc_id", "bpe_tokens").as[(Long, Long)].collect().toMap
+    out.foreach { case (d, nf, score, keep) =>
+      assert(score >= -1.0 && score <= 1.0, s"score out of range for $d")
+      assert(keep == (score >= 0.0), s"keep/sign mismatch for $d")
+      assert(nf >= 1, s"empty feature set for $d")
+    }
+    // unigrams + bigrams of an n-token doc = n + (n-1); spot-check one doc
+    // via an independent tokenization
+    val d0 = out.head._1
+    val n = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .filter(col("doc_id") === d0).select("text").as[String].head()
+      .split("[^\\p{L}]+").count(_.nonEmpty)
+    assert(out.head._2 == 2L * n - 1, s"feature count for $d0: got ${out.head._2}, n=$n")
+  }
+
   test("stats_mad: med/mad reproduce a direct nearest-rank computation") {
     val got = Stats.madExact(spark, Sf0001)
       .as[(String, Double, Double)].collect()

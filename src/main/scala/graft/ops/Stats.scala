@@ -476,7 +476,59 @@ object Stats {
         max(col("n")).as("n"))
   }
 
+  /** Poisson bootstrap geometry for [[bootstrap]]: replica count, and the
+    * Poisson(1) CDF scaled onto the 60-bit hash space — weight k is drawn
+    * by comparing the per-(row, replica) hash against these integer
+    * thresholds, so both engines draw bit-identical weights with pure
+    * integer compares (no floating RNG anywhere). Weights cap at
+    * [[BootMaxW]] (P ≈ 3.7e-4 per draw — a negligible, and exactly
+    * mirrored, truncation).
+    */
+  val BootReps = 32
+  val BootMaxW = 5
+  val BootThresholds: Seq[Long] = {
+    val pow2_60 = 1L << 60
+    val pmf = (0 to BootMaxW - 1).scanLeft(math.exp(-1.0)) { case (p, k) => p / (k + 1) }
+    pmf.tail.scanLeft(pmf.head)(_ + _).take(BootMaxW).map(c => (c * pow2_60).toLong)
+  }
+
+  /** Poisson bootstrap confidence distribution for the per-type mean —
+    * THE bootstrap that works at 100 TB: instead of materializing R
+    * resampled copies of the data (impossible) each row contributes a
+    * deterministic Poisson(1)-distributed weight to every replica, and
+    * all R weighted means come out of ONE aggregation pass. The explode
+    * is map-side (R× rows into the partial aggregate, never shuffled);
+    * the shuffle carries types × R partial sums only.
+    *
+    * Determinism: weights are integer threshold-compares on the
+    * md5-derived hash; sums go through the decimal grid; each mean is
+    * one IEEE division of exactly-computed values.
+    */
+  def bootstrap(s: SparkSession, dir: String): DataFrame = {
+    val u = graft.functions.TextHash.hash60(
+      concat(col("event_id").cast("string"), lit(":"), col("rep").cast("string")))
+    val w = BootThresholds.zipWithIndex
+      .foldRight(lit(BootMaxW).cast("long")) { case ((t, k), els) =>
+        when(col("u") < t, k.toLong).otherwise(els)
+      }
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        explode(sequence(lit(0), lit(BootReps - 1))).as("rep"))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy("event_type", "rep")
+      .agg(
+        sum(col("w")).as("n_eff"),
+        sum((col("value") * col("w")).cast("decimal(38,6)")).as("ws"))
+      .select(
+        col("event_type"),
+        col("rep").cast("long").as("rep"),
+        col("n_eff"),
+        (col("ws").cast("double") / col("n_eff").cast("double")).as("mean_val"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_bootstrap"    -> (bootstrap _),
     "stats_chi2"         -> (chi2 _),
     "stats_welch"        -> (welchT _),
     "stats_mad"          -> (madExact _),
@@ -494,6 +546,24 @@ object Stats {
   private def ds(c: String) = DSUM.format(c)
 
   val oracle: Map[String, String] = Map(
+    "stats_bootstrap" -> {
+      val cases = BootThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString(" ")
+      s"""WITH r AS (SELECT unnest(range(0, $BootReps)) AS rep),
+         x AS (SELECT e.event_type, e.value, r.rep,
+                 ${graft.functions.TextHash.duckHash60Of(
+                   "CAST(e.event_id AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)")} AS u
+               FROM events e CROSS JOIN r),
+         w AS (SELECT event_type, rep, value,
+                 CASE $cases ELSE $BootMaxW END AS w
+               FROM x)
+         SELECT event_type, CAST(rep AS BIGINT) AS rep,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(CAST(value * w AS DECIMAL(38,6))) AS DOUBLE) /
+             CAST(sum(w) AS DOUBLE) AS mean_val
+         FROM w GROUP BY 1, 2"""
+    },
     "stats_chi2" ->
       """WITH ev AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h FROM events),
          cells AS (SELECT event_type, h, count(*) AS o FROM ev GROUP BY 1, 2),

@@ -86,6 +86,32 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stats_bootstrap: replica means concentrate on the true mean, weights are Poisson-ish") {
+    val reps = Stats.bootstrap(spark, Sf0001)
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1)
+    val truth = Stats.moments(spark, Sf0001)
+      .select("event_type", "n", "mean_value", "std_value")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(reps.keySet == truth.keySet)
+    reps.foreach { case (tpe, rows) =>
+      assert(rows.length == Stats.BootReps, s"$tpe missing replicas")
+      val (_, n, mean, sd) = truth(tpe)
+      // E[n_eff] = n: the mean replica weight sum stays within 5 sigma
+      // of n (Poisson(1) per row => Var = n per replica, /R for the mean)
+      val nEffBar = rows.map(_._3).sum.toDouble / rows.length
+      assert(math.abs(nEffBar - n) < 5 * math.sqrt(n.toDouble / rows.length),
+        s"$tpe n_eff mean $nEffBar far from $n")
+      // the replica-mean distribution concentrates on the true mean with
+      // se ~ sd/sqrt(n); its median is within 5 se (flake-safe bound)
+      val means = rows.map(_._4).sorted
+      val med = means(means.length / 2)
+      assert(math.abs(med - mean) < 5 * sd / math.sqrt(n.toDouble),
+        s"$tpe replica median $med far from true mean $mean")
+    }
+  }
+
   test("stats_welch: t/df agree with a recomputation from stats_moments") {
     val m = Stats.moments(spark, Sf0001)
       .select("event_type", "n", "mean_value", "var_value")

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Iterative graph analytics over the near-duplicate pair graph — the
   * message-passing operator class next to [[Dedup.connectedComponents]]'s
@@ -114,9 +115,81 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Result cap for [[commonNeighbors]] — the ranking is total (cn desc,
+    * then pair id), so the cap compiles to TakeOrderedAndProject.
+    */
+  val CnTopK = 30
+
+  /** Part co-purchase edges: distinct part pairs on CONSECUTIVE line
+    * numbers of one order. Consecutive-only (a path per order, not the
+    * within-order clique) keeps the edge count linear in lineitem — the
+    * clique variant is Σ items² per order and, more importantly, gives
+    * this graph genuinely open wedges for [[commonNeighbors]] to close
+    * (the near-dup graph is all cliques by construction — its verified
+    * pairs close transitively — so link prediction over it is vacuously
+    * empty; pinned in GraphSpec).
+    */
+  def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"), col("l_partkey"))
+    li.select(col("ok"), (col("ln") + 1).as("ln"), col("l_partkey").as("pa"))
+      .join(li.select(col("ok"), col("ln"), col("l_partkey").as("pb")), Seq("ok", "ln"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("da"), greatest(col("pa"), col("pb")).as("db"))
+      .distinct()
+  }
+
+  /** Catalog entry: link prediction over the part co-purchase graph. */
+  def commonNeighborsCoPurchase(s: SparkSession, dir: String): DataFrame =
+    commonNeighbors(coPurchaseEdges(s, dir))
+
+  /** Common-neighbor link prediction: for node pairs NOT already joined
+    * by an edge but sharing ≥ 1 neighbor, emit the three classic scores —
+    * common-neighbor count, neighborhood Jaccard, and Adamic-Adar
+    * (Σ 1/ln deg(m) over shared neighbors m, which discounts promiscuous
+    * middles). Over co-purchase this is the classic "customers who bought
+    * X and Y also…" recommendation primitive.
+    *
+    * Scale shape: the wedge join is the same bounded self-join as
+    * [[triangles]] — wedges ∝ Σ deg², and co-purchase degree is bounded
+    * by part popularity (max 62 at sf0.1, flat across SFs), so wedge
+    * volume grows linearly with the fact table; existing edges leave via
+    * a hash anti-join; the cap compiles to TakeOrderedAndProject. Middle
+    * degrees ≥ 2 by construction (a wedge middle has two distinct
+    * neighbors), so ln(deg) never divides by zero. Adamic-Adar terms
+    * quantize onto decimal(38,9) before the sum (order-free-sum rule);
+    * the ranking never consults a double.
+    */
+  def commonNeighbors(pairList: DataFrame): DataFrame = {
+    val p = pairList.toDF("da", "db").localCheckpoint(true)
+    val adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val wed = adj.select(col("u").as("a"), col("m"))
+      .join(adj.select(col("m"), col("u").as("b")), "m")
+      .filter(col("a") < col("b"))
+    val scored = wed
+      .join(deg.select(col("u").as("m"), col("deg")), "m")
+      .groupBy("a", "b")
+      .agg(
+        count(lit(1)).as("cn"),
+        sum((lit(1.0) / log(col("deg"))).cast("decimal(38,9)")).as("aa_dec"))
+    scored
+      .join(p.select(col("da").as("a"), col("db").as("b")), Seq("a", "b"), "left_anti")
+      .join(deg.select(col("u").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("degb")), "b")
+      .select(
+        col("a").as("da"), col("b").as("db"), col("cn"),
+        (col("cn").cast("double") / (col("dega") + col("degb") - col("cn")).cast("double"))
+          .as("jacc"),
+        col("aa_dec").cast("double").as("aa"))
+      .orderBy(desc("cn"), asc("da"), asc("db"))
+      .limit(CnTopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank"  -> (pagerankNearDup _),
-    "graph_triangles" -> (trianglesNearDup _)
+    "graph_triangles" -> (trianglesNearDup _),
+    "graph_common_neighbors" -> (commonNeighborsCoPurchase _)
   )
 
   /** One unrolled oracle iteration: same expression order as the Spark
@@ -144,6 +217,27 @@ object Graph {
          $iters
          SELECT node AS doc_id, rank FROM r$PrIterations"""
     },
+    "graph_common_neighbors" ->
+      s"""WITH pairs AS (
+           SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS da,
+             greatest(a.l_partkey, b.l_partkey) AS db
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+           WHERE a.l_partkey <> b.l_partkey),
+         adj AS (SELECT da AS u, db AS m FROM pairs UNION ALL SELECT db, da FROM pairs),
+         deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
+         wed AS (SELECT x.u AS a, y.u AS b, x.m
+                 FROM adj x JOIN adj y ON x.m = y.m AND x.u < y.u),
+         sc AS (SELECT a, b, count(*) AS cn,
+                  sum(CAST(1.0 / ln(d.deg) AS DECIMAL(38,9))) AS aa_dec
+                FROM wed JOIN deg d ON d.u = wed.m GROUP BY 1, 2),
+         ne AS (SELECT sc.* FROM sc LEFT JOIN pairs pr
+                ON pr.da = sc.a AND pr.db = sc.b WHERE pr.da IS NULL)
+         SELECT a AS da, b AS db, CAST(cn AS BIGINT) AS cn,
+           CAST(cn AS DOUBLE) / CAST(x.deg + y.deg - cn AS DOUBLE) AS jacc,
+           CAST(aa_dec AS DOUBLE) AS aa
+         FROM ne JOIN deg x ON x.u = ne.a JOIN deg y ON y.u = ne.b
+         ORDER BY cn DESC, da ASC, db ASC LIMIT $CnTopK""",
     "graph_triangles" ->
       s"""WITH ${Dedup.duckMinhashPairsCte},
          tri AS (SELECT p1.da AS a, p1.db AS b, p2.db AS c

@@ -43,4 +43,48 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       assert(a == b)
     }
   }
+
+  test("common neighbors: a path graph predicts exactly its distance-2 pairs") {
+    // path 1-2-3-4: non-edges with a shared neighbor are (1,3) via 2 and
+    // (2,4) via 3; both middles have degree 2. (1,4) shares no neighbor.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("da", "db")
+    val out = Graph.commonNeighbors(path)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq == Seq((1L, 3L, 1L), (2L, 4L, 1L)))
+    val aa = BigDecimal(1.0 / math.log(2.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    out.foreach { case (_, _, cn, jacc, aaGot) =>
+      assert(cn == 1L)
+      assert(jacc == 1.0 / 2.0, s"jacc $jacc") // 1 / (1 + 2 - 1)
+      assert(aaGot == aa, s"adamic-adar $aaGot != $aa")
+    }
+  }
+
+  test("common neighbors: the near-dup graph is all cliques, so predictions are empty") {
+    // verified near-dup pairs close transitively on the fixture — every
+    // wedge is already an edge. This is WHY the catalog entry predicts
+    // over the co-purchase graph instead; if this ever fails, the
+    // near-dup graph grew open wedges and would make the better fixture.
+    val mh = Dedup.minhash(spark, Sf0001).select("da", "db")
+    assert(Graph.commonNeighbors(mh).isEmpty,
+      "near-dup graph has open wedges now — consider it for the catalog entry")
+  }
+
+  test("common neighbors: predictions are never edges, scores are internally consistent") {
+    val edges = Graph.coPurchaseEdges(spark, Sf0001)
+      .as[(Long, Long)].collect().toSet
+    assert(edges.nonEmpty)
+    val out = Graph.commonNeighborsCoPurchase(spark, Sf0001)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.length == Graph.CnTopK)
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map {
+      case (n, xs) => n -> xs.size.toLong
+    }
+    out.foreach { case (a, b, cn, jacc, aaGot) =>
+      assert(a < b && !edges.contains((a, b)), s"($a,$b) is an existing edge")
+      assert(cn >= 1 && cn <= math.min(deg(a), deg(b)), s"cn $cn out of bounds for ($a,$b)")
+      assert(jacc == cn.toDouble / (deg(a) + deg(b) - cn), s"jacc mismatch for ($a,$b)")
+      assert(aaGot > 0, s"nonpositive adamic-adar for ($a,$b)")
+    }
+  }
 }

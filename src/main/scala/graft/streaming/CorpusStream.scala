@@ -1,8 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.GroupStateTimeout
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.TextHash
+import graft.ops.Dedup
+import graft.text.Tokenize
 
 /** One corpus-version record flowing into the incremental diff: `ver` 1
   * is the materialized baseline snapshot, `ver` 2 the new snapshot's
@@ -19,6 +21,21 @@ case class DocVer(doc_id: Long, ver: Int, digest: String)
 case class DocDiff(doc_id: Long, n_seen: Long, status: String)
 
 private case class DiffState(d1: String, d2: String, n: Long)
+
+/** One corpus record flowing into [[CorpusStream.incrementalDedup]]:
+  * snapshot members carry snap = true, the arriving delta batch snap =
+  * false.
+  */
+case class DocArrival(doc_id: Long, snap: Boolean, text: String)
+
+/** A verified near-dup match emitted by the incremental dedup: delta doc
+  * `d` duplicates surviving partner `p` at the given exact Jaccard.
+  */
+case class DeltaMatch(d: Long, p: Long, jaccard: Double)
+
+private case class SigRecord(band: Int, sig: String, doc_id: Long, snap: Boolean, shs: Seq[Long])
+
+private case class BucketMember(doc_id: Long, snap: Boolean, shs: Seq[Long])
 
 /** Incremental corpus maintenance: the streaming twin of the batch
   * `corpus_diff` (graft.ops.Dedup.snapshotDiff), following the same
@@ -65,5 +82,97 @@ object CorpusStream extends Serializable {
     updates
       .groupByKey(_.doc_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  // ------------------------------------------------- incremental dedup twin
+
+  /** JVM mirror of the batch shingle pipeline (graft.ops.Dedup
+    * .docShinglesOf): tokenize on [[Tokenize.WordPattern]], word
+    * trigrams joined with spaces, md5-derived 60-bit hashes, distinct.
+    * Same regex engine, same md5, same integer arithmetic — bit-equal to
+    * the Spark columns by construction.
+    */
+  private[streaming] def shingleSet(text: String): Set[Long] = {
+    val toks = text.split(Tokenize.WordPattern).filter(_.nonEmpty)
+    toks.sliding(Dedup.ShingleN).filter(_.length == Dedup.ShingleN)
+      .map(w => TextHash.hash60Jvm(w.mkString(" "))).toSet
+  }
+
+  /** JVM mirror of the batch band-signature stage: lane-j min-hash over
+    * the shingle set, [[Dedup.BandRows]] lanes per band joined with '-'.
+    */
+  private[streaming] def bandSigs(shs: Set[Long]): Seq[(Int, String)] = {
+    val mh = (0 until Dedup.NumHashes).map { j =>
+      shs.iterator
+        .map(sh => ((sh % Dedup.ModP) * Dedup.laneA(j) + Dedup.laneB(j)) % Dedup.ModP)
+        .min
+    }
+    (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
+      b -> (0 until Dedup.BandRows).map(r => mh(b * Dedup.BandRows + r)).mkString("-")
+    }
+  }
+
+  /** Streaming twin of the batch `dedup_incremental`
+    * (graft.ops.Dedup.incremental): corpus records arrive as micro-batches
+    * — the materialized snapshot (snap = true) and the delta batch in any
+    * interleaving — and every verified near-dup match of a delta doc is
+    * emitted as soon as both endpoints have been seen. The precedence rule
+    * is the batch one (a delta doc matches any snapshot doc, or an
+    * EARLIER-id delta doc), keyed on doc ids rather than arrival order, so
+    * the emitted match set is delivery-independent.
+    *
+    * Shape: a stateless flatMap computes each doc's band signatures
+    * executor-side (the JVM mirrors above — no shuffle to build
+    * signatures), then state lives per (band, sig) LSH bucket: exactly the
+    * key the batch candidate join shuffles on. Each arrival verifies exact
+    * Jaccard against its bucket's members inline and appends itself. A
+    * pair colliding in several bands is emitted once per band (bucket
+    * state cannot see across keys), so readers take `.distinct()` —
+    * mirroring the batch plan's candidate distinct.
+    *
+    * Scale: bucket state holds each member's shingle-hash set (~8 B per
+    * shingle per band) — the streaming price of inline verification; the
+    * batch twin reads those sets from the static table instead. State is
+    * partitioned by bucket key like any shuffle, and hot buckets are
+    * bounded by the same LSH-collision argument as the batch join.
+    */
+  def incrementalDedup(arrivals: Dataset[DocArrival]): Dataset[DeltaMatch] = {
+    import arrivals.sparkSession.implicits._
+
+    val sigs = arrivals.flatMap { a =>
+      val shs = shingleSet(a.text)
+      if (shs.isEmpty) Iterator.empty
+      else bandSigs(shs).iterator.map { case (band, sig) =>
+        SigRecord(band, sig, a.doc_id, a.snap, shs.toSeq)
+      }
+    }
+
+    def fn(key: (Int, String), batch: Iterator[SigRecord],
+        state: GroupState[Seq[BucketMember]]): Iterator[DeltaMatch] = {
+      var members = state.getOption.getOrElse(Seq.empty)
+      val out = Seq.newBuilder[DeltaMatch]
+      batch.foreach { r =>
+        val rs = r.shs.toSet
+        members.foreach { m =>
+          val dp =
+            if (!r.snap && (m.snap || m.doc_id < r.doc_id)) Some(r.doc_id -> m.doc_id)
+            else if (!m.snap && (r.snap || r.doc_id < m.doc_id)) Some(m.doc_id -> r.doc_id)
+            else None
+          dp.foreach { case (d, p) =>
+            val ms = m.shs.toSet
+            val i  = rs.count(ms)
+            val j  = i.toDouble / (rs.size + ms.size - i).toDouble
+            if (j >= Dedup.JaccardThreshold) out += DeltaMatch(d, p, j)
+          }
+        }
+        members :+= BucketMember(r.doc_id, r.snap, r.shs)
+      }
+      state.update(members)
+      out.result().iterator
+    }
+
+    sigs
+      .groupByKey(r => (r.band, r.sig))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 }

@@ -313,6 +313,43 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       "fixture should exercise removed AND changed statuses")
   }
 
+  test("streaming incremental dedup emits exactly the batch delta matches, any delivery order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val m   = graft.ops.Dedup.DeltaMod
+    val arr = docs.map { case (id, t) => DocArrival(id, snap = id % m != 0, t) }
+    val (snapRecs, deltaRecs) = arr.partition(_.snap)
+    // adversarial delivery: most of the snapshot first, then half the
+    // delta INTERLEAVED with snapshot stragglers, then the rest — the
+    // id-keyed precedence rule must make the result delivery-independent
+    val (snapA, snapB) = snapRecs.splitAt(snapRecs.length - 5)
+    val (d1, d2)       = deltaRecs.splitAt(deltaRecs.length / 2)
+    val stream = MemoryStream[DocArrival]
+    val q = CorpusStream.incrementalDedup(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("incdedup_out").outputMode("append").start()
+    try {
+      stream.addData(snapA.toSeq)
+      q.processAllAvailable()
+      stream.addData(d1.toSeq ++ snapB.toSeq)
+      q.processAllAvailable()
+      stream.addData(d2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("incdedup_out").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val full = graft.ops.Dedup.minhash(spark, Sf0001)
+      .as[(Long, Long, Double)].collect()
+    val want = full.flatMap { case (a, b, j) =>
+      (if (b % m == 0) Seq((b, a, j)) else Nil) ++
+        (if (a % m == 0 && b % m != 0) Seq((a, b, j)) else Nil)
+    }.toSet
+    assert(want.nonEmpty, "fixture should produce delta matches")
+    assert(got == want,
+      s"streaming matches diverged: extra=${(got -- want).take(3)}, missing=${(want -- got).take(3)}")
+  }
+
   test("online anomalies match a batch prefix-window twin bit-for-bit, across batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.expressions.Window

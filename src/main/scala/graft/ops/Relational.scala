@@ -890,9 +890,61 @@ object Relational {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
 
+  /** Referential-integrity audit — orphan foreign keys per relationship
+    * across the whole star schema, the first data-quality report run on
+    * any ingested warehouse. One row per FK edge: fact rows, orphans
+    * (fk value with no matching pk row), orphan fraction.
+    *
+    * Scale shape: each fact table is scanned ONCE — its FK edges resolve
+    * as successive left joins against pk-key-only projections in a single
+    * pass (lineitem checks orders/part/supplier in one scan), with
+    * null-ness counted in one aggregation; no per-edge rescan, no anti
+    * joins. Pk projections are single-column; the planner broadcasts the
+    * small ones and AQE the rest. The stack() unpivot runs on a ONE-ROW
+    * frame.
+    */
+  def refIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def keyOf(df: DataFrame, k: String, flag: String): DataFrame =
+      df.select(col(k), lit(1).as(flag))
+    def frac(o: Column, n: Column) = o.cast("double") / n.cast("double")
+    val li = Tables.lineitem(s, dir)
+      .join(keyOf(Tables.orders(s, dir), "o_orderkey", "f_o")
+        .withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left")
+      .join(keyOf(Tables.part(s, dir), "p_partkey", "f_p")
+        .withColumnRenamed("p_partkey", "l_partkey"), Seq("l_partkey"), "left")
+      .join(keyOf(Tables.supplier(s, dir), "s_suppkey", "f_s")
+        .withColumnRenamed("s_suppkey", "l_suppkey"), Seq("l_suppkey"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("f_o").isNull, 1)).as("o_orph"),
+        count(when(col("f_p").isNull, 1)).as("p_orph"),
+        count(when(col("f_s").isNull, 1)).as("s_orph"))
+      .selectExpr(
+        """stack(3,
+             'lineitem->orders',   n, o_orph,
+             'lineitem->part',     n, p_orph,
+             'lineitem->supplier', n, s_orph) AS (relationship, fk_rows, orphans)""")
+    def one(name: String, fk: DataFrame, fkCol: String, pk: DataFrame, pkCol: String) =
+      fk.join(keyOf(pk, pkCol, "f").withColumnRenamed(pkCol, fkCol), Seq(fkCol), "left")
+        .agg(count(lit(1)).as("fk_rows"), count(when(col("f").isNull, 1)).as("orphans"))
+        .select(lit(name).as("relationship"), col("fk_rows"), col("orphans"))
+    li
+      .unionByName(one("orders->customer",
+        Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey"))
+      .unionByName(one("customer->nation",
+        Tables.customer(s, dir), "c_nationkey", Tables.nation(s, dir), "n_nationkey"))
+      .unionByName(one("supplier->nation",
+        Tables.supplier(s, dir), "s_nationkey", Tables.nation(s, dir), "n_nationkey"))
+      .unionByName(one("nation->region",
+        Tables.nation(s, dir), "n_regionkey", Tables.region(s, dir), "r_regionkey"))
+      .select(col("relationship"), col("fk_rows"), col("orphans"),
+        frac(col("orphans"), col("fk_rows")).as("orphan_frac"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, Q] = Map(
+    "audit_ref_integrity" -> (refIntegrity _),
     "q1_pricing"         -> (q1Pricing _),
     "distinct_agg"       -> (distinctOrdersPerFlag _),
     "agg_minmax"         -> (aggMinMax _),
@@ -963,6 +1015,36 @@ object Relational {
        FROM orders) WHERE rn <= 3"""
 
   val oracle: Map[String, String] = Map(
+    "audit_ref_integrity" ->
+      """WITH li AS (
+           SELECT count(*) AS n,
+             count(*) FILTER (WHERE o.o_orderkey IS NULL) AS o_orph,
+             count(*) FILTER (WHERE p.p_partkey IS NULL) AS p_orph,
+             count(*) FILTER (WHERE s.s_suppkey IS NULL) AS s_orph
+           FROM lineitem l
+           LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+           LEFT JOIN part p ON l.l_partkey = p.p_partkey
+           LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         u AS (
+           SELECT 'lineitem->orders' AS relationship, n AS fk_rows, o_orph AS orphans FROM li
+           UNION ALL SELECT 'lineitem->part', n, p_orph FROM li
+           UNION ALL SELECT 'lineitem->supplier', n, s_orph FROM li
+           UNION ALL SELECT 'orders->customer', count(*),
+             count(*) FILTER (WHERE c.c_custkey IS NULL)
+             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           UNION ALL SELECT 'customer->nation', count(*),
+             count(*) FILTER (WHERE n2.n_nationkey IS NULL)
+             FROM customer c LEFT JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+           UNION ALL SELECT 'supplier->nation', count(*),
+             count(*) FILTER (WHERE n2.n_nationkey IS NULL)
+             FROM supplier s LEFT JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+           UNION ALL SELECT 'nation->region', count(*),
+             count(*) FILTER (WHERE r.r_regionkey IS NULL)
+             FROM nation n2 LEFT JOIN region r ON n2.n_regionkey = r.r_regionkey)
+         SELECT relationship, CAST(fk_rows AS BIGINT) AS fk_rows,
+           CAST(orphans AS BIGINT) AS orphans,
+           CAST(orphans AS DOUBLE) / CAST(fk_rows AS DOUBLE) AS orphan_frac
+         FROM u""",
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${ds("l_quantity")} AS sum_qty,

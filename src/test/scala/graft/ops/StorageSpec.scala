@@ -11,6 +11,7 @@ import graft.{SparkTestBase, Tables}
   * actually read), not just result equality.
   */
 class StorageSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
 
   test("compact rewrites a small-file mess into ceil(bytes/target) files, losslessly") {
     val base   = Files.createTempDirectory("graft-compact")
@@ -143,5 +144,36 @@ class StorageSpec extends AnyFunSuite with SparkTestBase {
     // four — 250 of 1000 rows)
     assert(readSorted <= total / 4,
       s"sorted layout read $readSorted of $total rows — row-group pruning not effective")
+  }
+
+  test("ref-integrity audit counts injected orphans, zero on the intact fixture") {
+    // the synthetic warehouse is referentially intact — every edge 0
+    val clean = Relational.refIntegrity(spark, Sf0001)
+      .as[(String, Long, Long, Double)].collect()
+    assert(clean.length == 7)
+    assert(clean.forall(_._3 == 0L), s"intact fixture reported orphans: ${clean.toSeq}")
+    // corrupt a copy: drop 10 orders and 2 nations; every other table intact
+    val dir = Files.createTempDirectory("graft-refint").toString
+    val dropped = Tables.orders(spark, Sf0001).select("o_orderkey")
+      .orderBy("o_orderkey").limit(10).as[Long].collect().toSet
+    Seq("lineitem", "customer", "supplier", "part", "region").foreach { t =>
+      spark.read.parquet(s"$Sf0001/$t.parquet").write.parquet(s"$dir/$t.parquet")
+    }
+    Tables.orders(spark, Sf0001).filter(!col("o_orderkey").isin(dropped.toSeq: _*))
+      .write.parquet(s"$dir/orders.parquet")
+    spark.read.parquet(s"$Sf0001/nation.parquet").filter(col("n_nationkey") >= 2)
+      .write.parquet(s"$dir/nation.parquet")
+    val got = Relational.refIntegrity(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val liOrph = Tables.lineitem(spark, Sf0001)
+      .filter(col("l_orderkey").isin(dropped.toSeq: _*)).count()
+    val custOrph = Tables.customer(spark, Sf0001).filter(col("c_nationkey") < 2).count()
+    val suppOrph = Tables.supplier(spark, Sf0001).filter(col("s_nationkey") < 2).count()
+    assert(liOrph > 0 && custOrph > 0, "corruption should create orphans")
+    assert(got("lineitem->orders") == liOrph)
+    assert(got("customer->nation") == custOrph)
+    assert(got("supplier->nation") == suppOrph)
+    assert(got("lineitem->part") == 0L && got("nation->region") == 0L)
   }
 }

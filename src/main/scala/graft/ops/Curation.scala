@@ -736,7 +736,46 @@ object Curation {
       .limit(WeightedK)
   }
 
+  /** k threshold for [[kAnonymity]]: groups smaller than this are
+    * re-identifiable.
+    */
+  val KAnonK = 5
+
+  /** k-anonymity audit over the event log — the privacy counterpart of
+    * [[piiScrub]]: rows grouped by their quasi-identifier tuple
+    * (event_type, hour-of-day, coarse value bucket); a group smaller
+    * than [[KAnonK]] means those rows are re-identifiable by the tuple
+    * alone. Per event type: row/group counts, the worst (smallest) group
+    * size, and how many rows sit in below-threshold groups.
+    *
+    * Scale shape: one shuffle on the QI tuple (partial+final count),
+    * then a second on event_type over ALREADY-AGGREGATED group rows —
+    * bounded by distinct QI tuples, not the event log. The value bucket
+    * is floor(value/25): floor of one IEEE division, exact in both
+    * engines (never a double→long truncation-vs-round hazard).
+    */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_type"),
+        hour(col("ts")).cast("long").as("h"),
+        floor(col("value") / 25.0).cast("long").as("vb"))
+      .groupBy("event_type", "h", "vb")
+      .agg(count(lit(1)).as("gsz"))
+      .groupBy("event_type")
+      .agg(
+        sum("gsz").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min("gsz").as("k_min"),
+        count(when(col("gsz") < KAnonK, 1)).as("groups_below"),
+        sum(when(col("gsz") < KAnonK, col("gsz")).otherwise(0L)).as("rows_below"))
+      .select(
+        col("event_type"), col("n_rows"), col("n_groups"), col("k_min"),
+        col("groups_below"), col("rows_below"),
+        (col("rows_below").cast("double") / col("n_rows").cast("double")).as("risk_frac"))
+
   val queries: Map[String, Q] = Map(
+    "curate_k_anonymity" -> (kAnonymity _),
     "sample_weighted"    -> (sampleWeighted _),
     "text_bm25"          -> (bm25 _),
     "doc_global_ids"     -> (globalIds _),
@@ -772,6 +811,20 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    "curate_k_anonymity" ->
+      s"""WITH g AS (
+           SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(floor(value / 25.0) AS BIGINT) AS vb, count(*) AS gsz
+           FROM events GROUP BY 1, 2, 3)
+         SELECT event_type,
+           CAST(sum(gsz) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(gsz) AS BIGINT) AS k_min,
+           CAST(count(*) FILTER (WHERE gsz < $KAnonK) AS BIGINT) AS groups_below,
+           CAST(coalesce(sum(gsz) FILTER (WHERE gsz < $KAnonK), 0) AS BIGINT) AS rows_below,
+           CAST(coalesce(sum(gsz) FILTER (WHERE gsz < $KAnonK), 0) AS DOUBLE) /
+             CAST(sum(gsz) AS DOUBLE) AS risk_frac
+         FROM g GROUP BY 1""",
     "sample_weighted" -> {
       val h = graft.functions.TextHash.duckHash60Of("CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, n_chars, k FROM (

@@ -774,7 +774,43 @@ object Curation {
         col("groups_below"), col("rows_below"),
         (col("rows_below").cast("double") / col("n_rows").cast("double")).as("risk_frac"))
 
+  /** Privacy budget for [[dpRelease]] (Laplace scale b = 1/ε). */
+  val DpEps = 1.0
+
+  /** Differentially-private histogram release of the event-count cells —
+    * the aggregate-publication counterpart of [[kAnonymity]]: each
+    * (event_type, hour) count is released with Laplace(1/ε) noise via
+    * inverse-CDF sampling. The "randomness" is the md5-derived cell-key
+    * hash — i.e. a PRF with a FIXED, public key, which makes the release
+    * reproducible for the oracle gate but NOT actually private; a
+    * production release swaps in a secret PRF key (one constant), keeping
+    * the whole plan shape. n_true stays in the output for the same
+    * audit-demo reason.
+    *
+    * Scale/parity shape: noise is computed per aggregated CELL (bounded
+    * by the type×hour grid, not the event log). u = (hash+1)/(2⁶⁰+1) is
+    * one IEEE division of exact integers; the ln-derived noise quantizes
+    * onto the decimal(38,9) grid before the add (the catalog's
+    * libm-containment rule).
+    */
+  def dpRelease(s: SparkSession, dir: String): DataFrame = {
+    val u = (TextHash.hash60(concat(col("event_type"), lit(":"), col("h").cast("string")))
+      + lit(1L)).cast("double") / lit(1152921504606846977L).cast("double") // 2^60+1
+    val noise = (lit(-1.0 / DpEps) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))).cast("decimal(38,9)")
+    Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise", noise.cast("double"))
+      .select(
+        col("event_type"), col("h"), col("n_true"), col("noise"),
+        (col("n_true") + col("noise")).as("n_released"),
+        lit(DpEps).as("eps"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "curate_dp_release"  -> (dpRelease _),
     "curate_k_anonymity" -> (kAnonymity _),
     "sample_weighted"    -> (sampleWeighted _),
     "text_bm25"          -> (bm25 _),
@@ -811,6 +847,25 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    "curate_dp_release" -> {
+      val h = graft.functions.TextHash.duckHash60Of(
+        "event_type || ':' || CAST(h AS VARCHAR)")
+      s"""WITH cells AS (
+           SELECT event_type, CAST(hour(ts) AS BIGINT) AS h, count(*) AS n_true
+           FROM events GROUP BY 1, 2),
+         un AS (SELECT event_type, h, n_true,
+                  CAST($h + 1 AS DOUBLE) / CAST(1152921504606846977 AS DOUBLE) AS u
+                FROM cells),
+         nz AS (SELECT event_type, h, n_true,
+                  CAST(CAST(${-1.0 / DpEps} AS DOUBLE) * sign(u - 0.5) *
+                    ln(1.0 - 2.0 * abs(u - 0.5)) AS DECIMAL(38,9)) AS nq
+                FROM un)
+         SELECT event_type, h, n_true,
+           CAST(nq AS DOUBLE) AS noise,
+           n_true + CAST(nq AS DOUBLE) AS n_released,
+           CAST($DpEps AS DOUBLE) AS eps
+         FROM nz"""
+    },
     "curate_k_anonymity" ->
       s"""WITH g AS (
            SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,

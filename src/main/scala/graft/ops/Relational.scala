@@ -941,9 +941,55 @@ object Relational {
         frac(col("orphans"), col("fk_rows")).as("orphan_frac"))
   }
 
+  /** Quintile cut percentiles for [[rfm]] (nearest-rank). */
+  private val RfmCuts = Seq(20, 40, 60, 80)
+
+  /** RFM customer segmentation — recency / frequency / monetary quintile
+    * scores, the classic warehouse cohort primitive. The textbook
+    * formulation is three `ntile(5)` windows, i.e. three single-partition
+    * whole-table sorts — exactly the shape this catalog bans. Instead
+    * each metric's four quintile boundaries come from a cumulative
+    * histogram over the per-customer aggregate via [[Stats.rangeCum]]
+    * (range-partitioned prefix sums — no task ever sorts the whole
+    * metric), and the 4-value cut rows broadcast back onto the customers
+    * for a pure projection score. Ties score identically (same value ⇒
+    * same quintile) — deterministic where ntile's tie-split is
+    * partition-order-dependent.
+    */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        max(to_date(col("o_orderdate"))).as("r"),
+        count(lit(1)).as("f"),
+        sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("m"))
+    def cuts(mcol: String): DataFrame = {
+      val hist = cust.groupBy(col(mcol).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("g", lit(0))
+      val cum = Stats.rangeCum(hist, Seq("g"), "v", "c")
+      def hit(p: Int) =
+        expr(s"cum - c < ($p * tot + 99) div 100 AND cum >= ($p * tot + 99) div 100")
+      val aggs = RfmCuts.map(p => min(when(hit(p), col("v"))).as(s"${mcol}_c$p"))
+      cum.agg(aggs.head, aggs.tail: _*)
+    }
+    def score(m: String) =
+      RfmCuts.map(p => (col(m) > col(s"${m}_c$p")).cast("long")).reduce(_ + _) + lit(1L)
+    cust
+      .crossJoin(broadcast(cuts("r")))
+      .crossJoin(broadcast(cuts("f")))
+      .crossJoin(broadcast(cuts("m")))
+      .select(
+        col("c_custkey"),
+        score("r").as("r_score"),
+        score("f").as("f_score"),
+        score("m").as("m_score"),
+        (score("r") * 100L + score("f") * 10L + score("m")).as("rfm_code"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, Q] = Map(
+    "orders_rfm"          -> (rfm _),
     "audit_ref_integrity" -> (refIntegrity _),
     "q1_pricing"         -> (q1Pricing _),
     "distinct_agg"       -> (distinctOrdersPerFlag _),
@@ -1015,6 +1061,31 @@ object Relational {
        FROM orders) WHERE rn <= 3"""
 
   val oracle: Map[String, String] = Map(
+    "orders_rfm" -> {
+      def cutsSql(src: String, ord: String) = {
+        val picks = RfmCuts
+          .map(p => s"max(CASE WHEN rk = ($p*tot+99)//100 THEN v END) AS ${ord}_c$p")
+          .mkString(", ")
+        s"$src AS (SELECT $picks FROM (SELECT $ord AS v, row_number() OVER (ORDER BY $ord) AS rk FROM cust), n)"
+      }
+      def scoreSql(m: String) =
+        RfmCuts.map(p => s"(CASE WHEN $m > ${m}_c$p THEN 1 ELSE 0 END)").mkString("1 + ", " + ", "")
+      s"""WITH cust AS (
+           SELECT o_custkey AS ck, max(CAST(o_orderdate AS DATE)) AS r, count(*) AS f,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS m
+           FROM orders GROUP BY 1),
+         n AS (SELECT count(*) AS tot FROM cust),
+         ${cutsSql("rc", "r")},
+         ${cutsSql("fc", "f")},
+         ${cutsSql("mc", "m")}
+         SELECT ck AS c_custkey,
+           CAST(${scoreSql("r")} AS BIGINT) AS r_score,
+           CAST(${scoreSql("f")} AS BIGINT) AS f_score,
+           CAST(${scoreSql("m")} AS BIGINT) AS m_score,
+           CAST((${scoreSql("r")}) * 100 + (${scoreSql("f")}) * 10 + (${scoreSql("m")})
+             AS BIGINT) AS rfm_code
+         FROM cust, rc, fc, mc"""
+    },
     "audit_ref_integrity" ->
       """WITH li AS (
            SELECT count(*) AS n,

@@ -181,7 +181,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // text_ppl_buckets' corpus total, curate_dsir's corpus/target totals,
     // text_bm25's 1-row corpus stats — each build side is an aggregate's
     // single output row; stats_chi2's contingency grid is the cross join
-    // of two category-bounded marginal tables plus its 1-row total).
+    // of two category-bounded marginal tables plus its 1-row total;
+    // orders_rfm's three quintile-cut tables are each ONE aggregate row
+    // of four boundary values broadcast onto the customers).
     // dedup_clusters executes eagerly (checkpointed loop), leaving only a
     // result scan here — its per-round join shape is audited directly in
     // the next test.
@@ -189,7 +191,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters", "text_unigram_lm",
         "seq_pack", "text_pmi", "q11_important", "corpus_mixture", "text_ppl_buckets",
         "curate_dsir", "graph_pagerank", // graph_pagerank: eager checkpointed loop like dedup_clusters
-        "text_bm25", "stats_chi2")
+        "text_bm25", "stats_chi2", "orders_rfm")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -112,6 +112,33 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("orders_rfm: scores are quintile-sized, monotone in the metric, tie-consistent") {
+    val out = Relational.rfm(spark, Sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val n = out.length
+    out.foreach { case (_, r, f, m, code) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+      assert(code == r * 100 + f * 10 + m)
+    }
+    // each monetary quintile holds ~n/5 customers: nearest-rank cuts plus
+    // ties can shift boundaries, but no bucket may be empty or dominant
+    val mSizes = out.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(mSizes.keySet == (1L to 5L).toSet, s"monetary buckets: $mSizes")
+    mSizes.values.foreach(sz =>
+      assert(sz > n / 10 && sz < n / 2, s"skewed bucket sizes: $mSizes"))
+    // monotone: recompute the monetary metric and check score order agrees
+    val money = graft.Tables.orders(spark, Sf0001)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("m"))
+      .as[(Long, Double)].collect().toMap
+    val byScore = out.groupBy(_._4).view.mapValues(_.map(r => money(r._1))).toMap
+    (1L to 4L).foreach { s =>
+      assert(byScore(s).max <= byScore(s + 1).min,
+        s"monetary score $s overlaps ${s + 1}")
+    }
+  }
+
   test("stats_welch: t/df agree with a recomputation from stats_moments") {
     val m = Stats.moments(spark, Sf0001)
       .select("event_type", "n", "mean_value", "var_value")

@@ -164,11 +164,14 @@ object Graph {
     val p = pairList.toDF("da", "db").localCheckpoint(true)
     val adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    // attach the middle's degree to the EDGE stream (|E| rows) before
+    // wedging — joining it after would run the same join over the wedge
+    // stream (Σ deg² rows, ~30× larger at sf0.1)
     val wed = adj.select(col("u").as("a"), col("m"))
+      .join(deg.select(col("u").as("m"), col("deg")), "m")
       .join(adj.select(col("m"), col("u").as("b")), "m")
       .filter(col("a") < col("b"))
     val scored = wed
-      .join(deg.select(col("u").as("m"), col("deg")), "m")
       .groupBy("a", "b")
       .agg(
         count(lit(1)).as("cn"),

@@ -495,6 +495,57 @@ object Dedup {
         coalesce(col("mp"), lit(-1L)).as("match_id"))
   }
 
+  /** Persist a corpus' dedup index — band signatures AND shingle hashes —
+    * as parquet, bucketed-ready for [[incrementalAgainst]]. This is the
+    * production deployment of [[incremental]]: the snapshot's index is
+    * built ONCE (or maintained additively — both tables are append-only
+    * under corpus growth), and each arriving batch pays only its own
+    * signatures plus the delta-restricted join; the snapshot corpus is
+    * never rescanned (pinned in `DedupSimilaritySpec`, which also pins
+    * verdict equality with the recomputing [[incremental]]).
+    */
+  def writeDedupIndex(docs: DataFrame, outDir: String): Unit = {
+    val sh = docShinglesOf(docs).localCheckpoint()
+    sh.write.mode("overwrite").parquet(s"$outDir/shingles.parquet")
+    bandSignatures(sh).write.mode("overwrite").parquet(s"$outDir/bands.parquet")
+  }
+
+  /** Dedup an arriving batch against a persisted snapshot index: verdicts
+    * are bit-equal to [[incremental]] run over snapshot ∪ delta whenever
+    * (snapshot, delta) is that query's arithmetic split, but the snapshot
+    * side is READ, not recomputed — the per-batch plan scans the delta
+    * docs plus two index tables, and the only joins are the delta-bands ⋈
+    * index-bands candidate join and the intersection recount. Delta docs
+    * also dedup against each other (keep-first by doc_id), exactly the
+    * [[incremental]] rule.
+    */
+  def incrementalAgainst(s: SparkSession, deltaDocs: DataFrame, indexDir: String): DataFrame = {
+    val dsh    = docShinglesOf(deltaDocs).localCheckpoint()
+    val dBands = bandSignatures(dsh)
+    val sBands = s.read.parquet(s"$indexDir/bands.parquet")
+    val ssh    = s.read.parquet(s"$indexDir/shingles.parquet")
+    val dL     = dBands.select(col("doc_id").as("da"), col("band"), col("sig"))
+    val candSnap = dL
+      .join(sBands.select(col("doc_id").as("db"), col("band"), col("sig")), Seq("band", "sig"))
+    val candDelta = dL
+      .join(dBands.select(col("doc_id").as("db"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("db") < col("da"))
+    val cand  = candSnap.select("da", "db")
+      .unionByName(candDelta.select("da", "db"))
+      .distinct()
+    val allSh = ssh.unionByName(dsh)
+    val matches = verifyJaccard(interCounts(cand, allSh), allSh)
+      .groupBy(col("da").as("doc_id"))
+      .agg(min("db").as("mp"))
+    deltaDocs
+      .select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("mp").isNotNull.as("is_dup"),
+        coalesce(col("mp"), lit(-1L)).as("match_id"))
+  }
+
   /** Max relative edit distance for [[fuzzy]] (distance / longer length). */
   val FuzzyMaxRel = 0.4
 

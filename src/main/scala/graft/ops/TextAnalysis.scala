@@ -505,13 +505,14 @@ object TextAnalysis {
     * division — no float accumulation order anywhere.
     */
   def qualityClf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // unigrams and bigrams explode from ONE tokenized projection (array
+    // concat), so the corpus is scanned once — a second full-text scan is
+    // real money at 100 TB
+    Tables.documents(s, dir)
       .select(col("doc_id"), filter(Tokenize.tokenCol(col("text")), _ =!= "").as("toks"))
       .filter(size(col("toks")) > 0)
-    val uni = docs.select(col("doc_id"), explode(col("toks")).as("f"))
-    val bi  = docs.select(col("doc_id"),
-      explode(graft.functions.TextHash.shingles(col("toks"), 2)).as("f"))
-    uni.union(bi)
+      .select(col("doc_id"),
+        explode(concat(col("toks"), graft.functions.TextHash.shingles(col("toks"), 2))).as("f"))
       .select(col("doc_id"),
         (pmod(graft.functions.TextHash.hash60(col("f")), lit(ClfBuckets)) * ClfWeightA
           % ClfWeightMod - 1000L).as("w"))

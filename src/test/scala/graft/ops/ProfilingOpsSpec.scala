@@ -112,6 +112,25 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("curate_dp_release: noise is Laplace-shaped, zero-centered, cell-deterministic") {
+    val rows = Curation.dpRelease(spark, Sf0001)
+      .select("noise").as[Double].collect()
+    assert(rows.length > 50, "needs enough cells to test the distribution")
+    // E|Laplace(b=1)| = 1; the sample mean of |noise| over n cells
+    // concentrates within ~5/sqrt(n)
+    val meanAbs = rows.map(math.abs).sum / rows.length
+    assert(meanAbs > 1.0 - 5.0 / math.sqrt(rows.length.toDouble) &&
+      meanAbs < 1.0 + 5.0 / math.sqrt(rows.length.toDouble),
+      s"mean |noise| $meanAbs far from Laplace(1) expectation")
+    // symmetric: both signs occur in quantity
+    val pos = rows.count(_ > 0)
+    assert(pos > rows.length / 4 && pos < 3 * rows.length / 4,
+      s"noise signs skewed: $pos/${rows.length} positive")
+    // deterministic: same cells, same noise, every run
+    val again = Curation.dpRelease(spark, Sf0001).select("noise").as[Double].collect()
+    assert(rows.sorted.toSeq == again.sorted.toSeq, "noise not deterministic across runs")
+  }
+
   test("orders_rfm: scores are quintile-sized, monotone in the metric, tie-consistent") {
     val out = Relational.rfm(spark, Sf0001)
       .as[(Long, Long, Long, Long, Long)].collect()

@@ -218,6 +218,48 @@ object Events {
       .select("hour", "event_type", "n", "trailing_mean", "deviation")
   }
 
+  /** CUSUM changepoint localization per event type: the cumulative sum of
+    * hourly-mean deviations from the series mean, S_i = Σ_{j≤i}(x̄_j − μ),
+    * peaks in magnitude at the hour where a level shift occurs — the
+    * classic offline changepoint estimate, the drift-LOCALIZATION
+    * companion to [[graft.ops.Stats.ksTest]] (which only detects that two
+    * windows differ). Emits, per type, the argmax hour and the S extrema.
+    *
+    * Scale/parity shape: everything past the hourly aggregation operates
+    * on the per-(type, hour) series — rows bounded by calendar hours ×
+    * types, never event volume — and all three windows (series mean,
+    * running sum, argmax rank) share one partitioning on event_type.
+    * Hourly means and deviations quantize onto the decimal grid before
+    * every sum (order-free-sum rule); the argmax ranks on |S| with an
+    * hour tiebreak, so the changepoint is bit-deterministic.
+    */
+  def cusum(s: SparkSession, dir: String): DataFrame =
+    cusumOf(Tables.events(s, dir))
+
+  private[graft] def cusumOf(events: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy("event_type")
+    val wCum = Window.partitionBy("event_type").orderBy("hour")
+    val wRank = Window.partitionBy("event_type")
+      .orderBy(abs(col("s")).desc, col("hour").asc)
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(col("value").cast("decimal(38,6)")).as("sv"), count(lit(1)).as("c"))
+      .select(col("event_type"), col("hour"),
+        (col("sv").cast("double") / col("c").cast("double")).as("x"))
+      .withColumn("mu",
+        sum(col("x").cast("decimal(38,9)")).over(wAll).cast("double") /
+          count(lit(1)).over(wAll).cast("double"))
+      .withColumn("s", sum((col("x") - col("mu")).cast("decimal(38,9)")).over(wCum))
+      .withColumn("rn", row_number().over(wRank))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        max(when(col("rn") === 1, col("hour"))).as("cp_hour"),
+        max(when(col("rn") === 1, col("s").cast("double"))).as("s_at_cp"),
+        max(col("s").cast("double")).as("s_max"),
+        min(col("s").cast("double")).as("s_min"))
+  }
+
   /** Unpivot (wide → long) via the `stack` generator — the inverse of
     * [[typePivot]], closing the reshape pair. A generator in a projection:
     * no shuffle beyond the pivot's own aggregation.
@@ -427,6 +469,7 @@ object Events {
     "events_concurrency"    -> (sessionConcurrency _),
     "events_incr_hourly"    -> (incrementalHourly _),
     "events_session_native" -> (sessionNative _),
+    "events_cusum"     -> (cusum _),
     "events_scd2"      -> (scd2 _),
     "events_fill"      -> (fillHours _),
     "events_funnel"    -> (funnel _),
@@ -572,6 +615,26 @@ object Events {
                FROM events GROUP BY 1)""",
     "events_topk"      -> topkOracle,
     "events_topk_fast" -> topkOracle,
+    "events_cusum" ->
+      """WITH hm AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS x
+         FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, hour, x,
+           CAST(sum(CAST(x AS DECIMAL(38,9))) OVER (PARTITION BY event_type) AS DOUBLE) /
+             CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS mu
+         FROM hm),
+         cs AS (SELECT event_type, hour,
+           sum(CAST(x - mu AS DECIMAL(38,9))) OVER (PARTITION BY event_type ORDER BY hour) AS s
+         FROM st),
+         rk AS (SELECT event_type, hour, s,
+           row_number() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, hour ASC) AS rn
+         FROM cs)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           max(CASE WHEN rn = 1 THEN hour END) AS cp_hour,
+           max(CASE WHEN rn = 1 THEN CAST(s AS DOUBLE) END) AS s_at_cp,
+           max(CAST(s AS DOUBLE)) AS s_max,
+           min(CAST(s AS DOUBLE)) AS s_min
+         FROM rk GROUP BY 1""",
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value

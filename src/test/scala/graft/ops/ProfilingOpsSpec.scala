@@ -112,6 +112,27 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("events_cusum: localizes a known level shift at the exact shift hour") {
+    // 50 hours at level 10, then 50 at level 20: mu = 15, deviations are
+    // exactly -5 then +5, so S descends to -250 at the last pre-shift
+    // hour and climbs back — |S| peaks exactly there, values exact
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:30:00")
+    val rows = (0 until 100).flatMap { h =>
+      val lvl = if (h < 50) 10.0 else 20.0
+      Seq((new java.sql.Timestamp(t0.getTime + h * 3600L * 1000L), "shift", lvl))
+    }
+    val out = Events.cusumOf(rows.toDF("ts", "event_type", "value"))
+      .as[(String, Long, java.sql.Timestamp, Double, Double, Double)].collect()
+    assert(out.length == 1)
+    val (_, nHours, cpHour, sAtCp, sMax, sMin) = out.head
+    assert(nHours == 100)
+    // hour 49 (the last pre-shift hour): Jan 1 00:30 + 49 h, truncated
+    assert(cpHour == java.sql.Timestamp.valueOf("2025-01-03 01:00:00"),
+      s"changepoint at $cpHour, expected hour 49")
+    assert(sAtCp == -250.0 && sMin == -250.0, s"S at cp $sAtCp / min $sMin")
+    assert(sMax <= 0.0 + 1e-12, "upward shift: running sum never positive")
+  }
+
   test("curate_dp_release: noise is Laplace-shaped, zero-centered, cell-deterministic") {
     val rows = Curation.dpRelease(spark, Sf0001)
       .select("noise").as[Double].collect()

@@ -527,7 +527,55 @@ object Stats {
         (col("ws").cast("double") / col("n_eff").cast("double")).as("mean_val"))
   }
 
+  /** Value-bucket width for [[psi]] (mirrors curate_k_anonymity's grid). */
+  val PsiBinWidth = 25.0
+
+  /** Population Stability Index between the daytime (hour 6–17) and
+    * nighttime value distributions per event type — the standard
+    * ML-monitoring drift score beside [[ksTest]] (detection) and
+    * [[graft.ops.Events.cusum]] (localization): PSI = Σ_bins (p−q)·ln(p/q)
+    * with Laplace (+1) smoothing so empty bins are defined. PSI < 0.1 is
+    * conventionally "stable", > 0.25 "shifted".
+    *
+    * Scale/parity shape: one aggregation to the (type, bin) grid with
+    * conditional day/night counts (grid bounded by value range, not
+    * rows), a bin-count/total side aggregate joined back, then per-bin
+    * terms. p and q are single IEEE divisions of exact integers; ln of
+    * their exact-integer-ratio argument quantizes onto the decimal(38,9)
+    * grid BEFORE entering the product (the libm-containment rule), and
+    * the final per-bin terms quantize again before the order-free sum.
+    */
+  def psi(s: SparkSession, dir: String): DataFrame =
+    psiOf(Tables.events(s, dir))
+
+  private[graft] def psiOf(events: DataFrame): DataFrame = {
+    val isDay = hour(col("ts")) >= 6 && hour(col("ts")) < 18
+    val cells = events
+      .select(col("event_type"), isDay.as("day"),
+        floor(col("value") / PsiBinWidth).cast("long").as("vb"))
+      .groupBy("event_type", "vb")
+      .agg(
+        count(when(col("day"), 1)).as("cd"),
+        count(when(!col("day"), 1)).as("cn"))
+    val tot = cells.groupBy("event_type")
+      .agg(sum(col("cd")).as("nd"), sum(col("cn")).as("nn"), count(lit(1)).as("b"))
+    val p = (col("cd") + 1).cast("double") / (col("nd") + col("b")).cast("double")
+    val q = (col("cn") + 1).cast("double") / (col("nn") + col("b")).cast("double")
+    val lnpq = log(((col("cd") + 1) * (col("nn") + col("b"))).cast("double") /
+      ((col("cn") + 1) * (col("nd") + col("b"))).cast("double"))
+      .cast("decimal(38,9)").cast("double")
+    cells
+      .join(tot, "event_type")
+      .select(col("event_type"), col("b"),
+        ((p - q) * lnpq).cast("decimal(38,9)").as("term"))
+      .groupBy("event_type")
+      .agg(
+        max(col("b")).as("n_bins"),
+        sum(col("term")).cast("double").as("psi"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_psi"          -> (psi _),
     "stats_bootstrap"    -> (bootstrap _),
     "stats_chi2"         -> (chi2 _),
     "stats_welch"        -> (welchT _),
@@ -546,6 +594,25 @@ object Stats {
   private def ds(c: String) = DSUM.format(c)
 
   val oracle: Map[String, String] = Map(
+    "stats_psi" ->
+      s"""WITH cells AS (
+           SELECT event_type, CAST(floor(value / $PsiBinWidth) AS BIGINT) AS vb,
+             count(*) FILTER (WHERE hour(ts) >= 6 AND hour(ts) < 18) AS cd,
+             count(*) FILTER (WHERE hour(ts) < 6 OR hour(ts) >= 18) AS cn
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(cd) AS BIGINT) AS nd,
+                   CAST(sum(cn) AS BIGINT) AS nn, count(*) AS b
+                 FROM cells GROUP BY 1),
+         terms AS (SELECT cells.event_type, b,
+             CAST((CAST(cd + 1 AS DOUBLE) / CAST(nd + b AS DOUBLE) -
+                   CAST(cn + 1 AS DOUBLE) / CAST(nn + b AS DOUBLE)) *
+               CAST(CAST(ln(CAST((cd + 1) * (nn + b) AS DOUBLE) /
+                            CAST((cn + 1) * (nd + b) AS DOUBLE)) AS DECIMAL(38,9)) AS DOUBLE)
+               AS DECIMAL(38,9)) AS term
+           FROM cells JOIN tot USING (event_type))
+         SELECT event_type, CAST(max(b) AS BIGINT) AS n_bins,
+           CAST(sum(term) AS DOUBLE) AS psi
+         FROM terms GROUP BY 1""",
     "stats_bootstrap" -> {
       val cases = BootThresholds.zipWithIndex
         .map { case (t, k) => s"WHEN u < $t THEN $k" }

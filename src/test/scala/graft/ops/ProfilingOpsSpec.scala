@@ -112,6 +112,23 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stats_psi: identical windows score exactly zero, a shifted window scores large") {
+    def ev(hr: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2025-01-01 $hr%02d:00:00"), "t", v)
+    // same value mix day (hour 10) and night (hour 22) → p == q per bin,
+    // every term is exactly 0
+    val same = (1 to 200).flatMap(i => Seq(ev(10, i % 4 * 30.0), ev(22, i % 4 * 30.0)))
+    val zero = Stats.psiOf(same.toDF("ts", "event_type", "value"))
+      .select("psi").as[Double].head()
+    assert(zero == 0.0, s"identical windows scored $zero")
+    // day mass in bins 0-1, night mass in bins 2-3 → strong shift
+    val moved = (1 to 200).flatMap(i =>
+      Seq(ev(10, i % 2 * 30.0), ev(22, 60.0 + i % 2 * 30.0)))
+    val big = Stats.psiOf(moved.toDF("ts", "event_type", "value"))
+      .select("psi").as[Double].head()
+    assert(big > 0.25, s"disjoint distributions scored only $big")
+  }
+
   test("events_cusum: localizes a known level shift at the exact shift hour") {
     // 50 hours at level 10, then 50 at level 20: mu = 15, deviations are
     // exactly -5 then +5, so S descends to -250 at the last pre-shift

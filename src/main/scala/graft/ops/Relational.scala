@@ -986,9 +986,39 @@ object Relational {
         (score("r") * 100L + score("f") * 10L + score("m")).as("rfm_code"))
   }
 
+  /** ABC (Pareto) revenue classification of parts — the classic
+    * inventory-analysis cut: parts covering the first 80% of cumulative
+    * revenue are class A, the next 15% B, the tail C. The textbook plan
+    * sorts the whole part table by revenue in one task; here the
+    * descending cumulative revenue comes from [[Stats.rangeCum]]
+    * (range-partitioned prefix sums, ord = −revenue), so no task ever
+    * holds more than its range slice. Class boundaries compare exact
+    * decimals cross-multiplied by small integers ((cum−own)·5 < tot·4
+    * for the 80% line) — no doubles near the thresholds, and revenue
+    * ties share a cumulative value (RANGE frame semantics in both
+    * engines), so tied parts always land in one class.
+    */
+  def abc(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,6)")).as("c"))
+      .withColumn("g", lit(0))
+      .withColumn("v", negate(col("c")))
+    Stats.rangeCum(rev, Seq("g"), "v", "c")
+      .select(
+        col("l_partkey").as("p_partkey"),
+        col("c").cast("double").as("revenue"),
+        (col("cum").cast("double") / col("tot").cast("double")).as("cum_share"),
+        when((col("cum") - col("c")) * 5 < col("tot") * 4, "A")
+          .when((col("cum") - col("c")) * 20 < col("tot") * 19, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, Q] = Map(
+    "orders_abc"          -> (abc _),
     "orders_rfm"          -> (rfm _),
     "audit_ref_integrity" -> (refIntegrity _),
     "q1_pricing"         -> (q1Pricing _),
@@ -1061,6 +1091,18 @@ object Relational {
        FROM orders) WHERE rn <= 3"""
 
   val oracle: Map[String, String] = Map(
+    "orders_abc" ->
+      """WITH rev AS (
+           SELECT l_partkey, sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS c
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(c) AS tot FROM rev),
+         cm AS (SELECT l_partkey, c, sum(c) OVER (ORDER BY c DESC) AS cum FROM rev)
+         SELECT l_partkey AS p_partkey, CAST(c AS DOUBLE) AS revenue,
+           CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+           CASE WHEN (cum - c) * 5 < tot * 4 THEN 'A'
+                WHEN (cum - c) * 20 < tot * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+         FROM cm, t""",
     "orders_rfm" -> {
       def cutsSql(src: String, ord: String) = {
         val picks = RfmCuts

@@ -169,6 +169,25 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.sorted.toSeq == again.sorted.toSeq, "noise not deterministic across runs")
   }
 
+  test("orders_abc: A covers ~80% of revenue, classes are revenue-ordered") {
+    val out = Relational.abc(spark, Sf0001)
+      .as[(Long, Double, Double, String)].collect()
+    assert(out.nonEmpty)
+    val total   = out.map(_._2).sum
+    val byClass = out.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    assert(byClass.keySet == Set("A", "B", "C"), s"classes: ${byClass.keySet}")
+    // the A boundary rule admits parts STARTING before the 80% line, so
+    // A revenue lands within one part's share of 0.80
+    val aShare = byClass("A") / total
+    assert(aShare >= 0.72 && aShare <= 0.88, s"A revenue share $aShare")
+    // class order never inverts revenue order
+    val minA = out.filter(_._4 == "A").map(_._2).min
+    val maxC = out.filter(_._4 == "C").map(_._2).max
+    assert(minA >= maxC, s"an A part ($minA) under a C part ($maxC)")
+    // cum_share is a valid CDF endpoint: max is exactly 1
+    assert(math.abs(out.map(_._3).max - 1.0) < 1e-9)
+  }
+
   test("orders_rfm: scores are quintile-sized, monotone in the metric, tie-consistent") {
     val out = Relational.rfm(spark, Sf0001)
       .as[(Long, Long, Long, Long, Long)].collect()

@@ -183,7 +183,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // single output row; stats_chi2's contingency grid is the cross join
     // of two category-bounded marginal tables plus its 1-row total;
     // orders_rfm's three quintile-cut tables are each ONE aggregate row
-    // of four boundary values broadcast onto the customers).
+    // of four boundary values broadcast onto the customers; orders_abc's
+    // single-group rangeCum joins its per-slice offset table — bounded
+    // by partition count — without an equi key).
     // dedup_clusters executes eagerly (checkpointed loop), leaving only a
     // result scan here — its per-round join shape is audited directly in
     // the next test.
@@ -191,7 +193,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters", "text_unigram_lm",
         "seq_pack", "text_pmi", "q11_important", "corpus_mixture", "text_ppl_buckets",
         "curate_dsir", "graph_pagerank", // graph_pagerank: eager checkpointed loop like dedup_clusters
-        "text_bm25", "stats_chi2", "orders_rfm")
+        "text_bm25", "stats_chi2", "orders_rfm", "orders_abc")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

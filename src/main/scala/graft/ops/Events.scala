@@ -260,6 +260,44 @@ object Events {
         min(col("s").cast("double")).as("s_min"))
   }
 
+  /** Per-column ingest profile of the event log — the df.describe()-style
+    * audit every pipeline runs on arrival, as one deterministic query:
+    * row count, nulls, exact distinct count per column, and numeric
+    * min/max (null for string columns — engines format doubles as
+    * strings differently, so stringly min/max is a parity trap this
+    * schema deliberately avoids; timestamps are profiled by null/distinct
+    * only for the same reason).
+    *
+    * Scale shape: ONE scan — all per-column metrics are parallel
+    * aggregates of a single Aggregate node (count_distinct expands to
+    * one expand+partial per column, Spark's standard multi-distinct
+    * plan), and the stack() unpivot runs on the one-row result.
+    */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cols = Seq("event_id", "user_id", "value", "ts", "event_type", "props")
+    val numeric = Set("event_id", "user_id", "value")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").as(s"mn_$c"),
+            max(col(c)).cast("double").as(s"mx_$c"))
+        else Nil)
+    }
+    val stacked = cols.map { c =>
+      val mn = if (numeric(c)) s"mn_$c" else "CAST(NULL AS DOUBLE)"
+      val mx = if (numeric(c)) s"mx_$c" else "CAST(NULL AS DOUBLE)"
+      s"'$c', n - nn_$c, nd_$c, $mn, $mx"
+    }.mkString(", ")
+    ev.agg(count(lit(1)).as("n"), aggs: _*)
+      .selectExpr("n",
+        s"stack(${cols.length}, $stacked) AS (column_name, n_null, n_distinct, min_v, max_v)")
+      .select(col("column_name"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_v"), col("max_v"))
+  }
+
   /** Unpivot (wide → long) via the `stack` generator — the inverse of
     * [[typePivot]], closing the reshape pair. A generator in a projection:
     * no shuffle beyond the pivot's own aggregation.
@@ -469,6 +507,7 @@ object Events {
     "events_concurrency"    -> (sessionConcurrency _),
     "events_incr_hourly"    -> (incrementalHourly _),
     "events_session_native" -> (sessionNative _),
+    "audit_profile"    -> (profile _),
     "events_cusum"     -> (cusum _),
     "events_scd2"      -> (scd2 _),
     "events_fill"      -> (fillHours _),
@@ -615,6 +654,19 @@ object Events {
                FROM events GROUP BY 1)""",
     "events_topk"      -> topkOracle,
     "events_topk_fast" -> topkOracle,
+    "audit_profile" -> {
+      val cols    = Seq("event_id", "user_id", "value", "ts", "event_type", "props")
+      val numeric = Set("event_id", "user_id", "value")
+      val rows = cols.map { c =>
+        val mn = if (numeric(c)) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (numeric(c)) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             $mn AS min_v, $mx AS max_v FROM events"""
+      }
+      rows.mkString("\n UNION ALL \n")
+    },
     "events_cusum" ->
       """WITH hm AS (SELECT event_type, date_trunc('hour', ts) AS hour,
            CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS x

@@ -293,6 +293,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("round-6 single-pass shapes: one scan and the documented shuffles") {
+    // text_quality_clf: uni+bi features from ONE tokenized projection —
+    // a regression to the two-branch union doubles the corpus scan
+    val clf = plan("text_quality_clf")
+    assert(clf.split("Scan parquet").length - 1 == 1, s"quality_clf scans:\n$clf")
+    assert(clf.split("Exchange hashpartitioning").length - 1 == 1, s"quality_clf shuffles:\n$clf")
+    // stats_bootstrap: the R-replica explode is map-side — one scan, one
+    // partial+final shuffle; R× rows must never cross an extra exchange
+    val boot = plan("stats_bootstrap")
+    assert(boot.split("Scan parquet").length - 1 == 1, s"bootstrap scans:\n$boot")
+    assert(boot.split("Exchange hashpartitioning").length - 1 == 1, s"bootstrap shuffles:\n$boot")
+    // audit_profile: every per-column metric from ONE scan (multi-distinct
+    // expand), never a union of per-column scans
+    val prof = plan("audit_profile")
+    assert(prof.split("Scan parquet").length - 1 == 1, s"audit_profile scans:\n$prof")
+  }
+
+  test("events_cusum: all three windows share one event_type partitioning") {
+    // hourly agg shuffle + one repartition for the window family — the
+    // mean/cumsum/argmax windows must re-sort, not re-shuffle
+    val p = plan("events_cusum")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2, s"cusum shuffles:\n$p")
+    assert(p.split(" Window ").length - 1 >= 2, s"cusum windows:\n$p")
+  }
+
   test("round-6 ops: gopher shuffle-free, pq codebook broadcast, semantic top-k, mad prefix sums") {
     // text_gopher: every signal is an array expression over the doc's own
     // text — the whole query must plan as a scan-side projection

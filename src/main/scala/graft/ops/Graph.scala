@@ -189,10 +189,57 @@ object Graph {
       .limit(CnTopK)
   }
 
+  /** Fixed LPA iteration count (unrolled in the oracle). */
+  val LpaIterations = 3
+
+  /** Catalog entry: communities of the part co-purchase graph. */
+  def communitiesCoPurchase(s: SparkSession, dir: String): DataFrame =
+    communities(coPurchaseEdges(s, dir))
+
+  /** Synchronous label-propagation community detection (LPA): every node
+    * starts as its own label and, each round, adopts the most frequent
+    * label among its neighbors — ties break toward the SMALLEST label, so
+    * the whole iteration is deterministic and the DuckDB oracle unrolls
+    * the identical rounds. Fixed [[LpaIterations]] rounds (LPA converges
+    * in a few rounds on modular graphs; a fixed count keeps the oracle
+    * static and the result partition-independent). Emits each node's
+    * community and the community size.
+    *
+    * Scale shape: each round is one equi-join of the edge list against
+    * the current (node → label) table plus two partial-aggregated
+    * shuffles (label counts, then the min-struct argmax) — the PageRank
+    * cost model with an argmax instead of a weighted sum; the edge list
+    * is checkpointed ONCE and re-scanned per round. The argmax never
+    * consults arrival order: min(struct(−count, label)) is a total
+    * order.
+    */
+  def communities(pairList: DataFrame): DataFrame = {
+    val p = pairList.toDF("da", "db").localCheckpoint(true)
+    val adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
+      .localCheckpoint(true)
+    Dedup.freeCheckpoint(p)
+    var labels = adj.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to LpaIterations) {
+      labels = adj
+        .join(labels.select(col("node").as("m"), col("lbl")), "m")
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct(negate(col("c")).as("nc"), col("lbl").as("lbl"))).as("b"))
+        .select(col("node"), col("b.lbl").as("lbl"))
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels
+      .join(sizes, "lbl")
+      .select(col("node").as("p_partkey"), col("lbl").as("community"), col("community_size"))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank"  -> (pagerankNearDup _),
     "graph_triangles" -> (trianglesNearDup _),
-    "graph_common_neighbors" -> (commonNeighborsCoPurchase _)
+    "graph_common_neighbors" -> (commonNeighborsCoPurchase _),
+    "graph_communities" -> (communitiesCoPurchase _)
   )
 
   /** One unrolled oracle iteration: same expression order as the Spark
@@ -219,6 +266,28 @@ object Graph {
          r0 AS (SELECT src AS node, 1.0 / CAST(cnt AS DOUBLE) AS rank FROM deg, nn),
          $iters
          SELECT node AS doc_id, rank FROM r$PrIterations"""
+    },
+    "graph_communities" -> {
+      val rounds = (1 to LpaIterations).map { i =>
+        s"""c$i AS (SELECT a.u AS node, l.lbl AS lbl, count(*) AS c
+             FROM adj a JOIN l${i - 1} l ON l.node = a.m GROUP BY 1, 2),
+           l$i AS (SELECT node, lbl FROM (
+             SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+             FROM c$i) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+           SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS da,
+             greatest(a.l_partkey, b.l_partkey) AS db
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+           WHERE a.l_partkey <> b.l_partkey),
+         adj AS (SELECT da AS u, db AS m FROM pairs UNION ALL SELECT db, da FROM pairs),
+         l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),
+         $rounds,
+         sz AS (SELECT lbl, count(*) AS community_size FROM l$LpaIterations GROUP BY 1)
+         SELECT node AS p_partkey, l.lbl AS community,
+           CAST(community_size AS BIGINT) AS community_size
+         FROM l$LpaIterations l JOIN sz ON sz.lbl = l.lbl"""
     },
     "graph_common_neighbors" ->
       s"""WITH pairs AS (

@@ -44,6 +44,31 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("communities: two bridged triangles resolve to their cliques in 3 LPA rounds") {
+    // cliques {1,2,3} and {4,5,6} with bridge 3-4. Hand-traced sync LPA
+    // with the (count desc, label asc) rule: after round 3 the left
+    // clique carries label 1 and the right carries 3 — the bridge never
+    // merges them
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("da", "db")
+    val out = Graph.communities(edges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => r._1 -> r._2) ==
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    assert(out.forall(_._3 == 3L), s"community sizes: $out")
+  }
+
+  test("communities: deterministic across shuffle-partition counts on the fixture") {
+    val a = Graph.communitiesCoPurchase(spark, Sf0001)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    withSQLConf("spark.sql.shuffle.partitions" -> "13") {
+      val b = Graph.communitiesCoPurchase(spark, Sf0001)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(a == b)
+    }
+    assert(a.map(_._2).distinct.size > 1, "fixture should split into multiple communities")
+  }
+
   test("common neighbors: a path graph predicts exactly its distance-2 pairs") {
     // path 1-2-3-4: non-edges with a shared neighbor are (1,3) via 2 and
     // (2,4) via 3; both middles have degree 2. (1,4) shares no neighbor.

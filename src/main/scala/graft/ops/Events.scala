@@ -260,6 +260,60 @@ object Events {
         min(col("s").cast("double")).as("s_min"))
   }
 
+  /** Hour-of-day seasonality strength per event type: the ANOVA
+    * explained-variance ratio η² = SS_between/SS_total over the 24
+    * hour-of-day cells, plus the peak cell — "does this metric have a
+    * diurnal profile of ANY shape, and where does it peak". Complements
+    * [[graft.ops.Stats.corrValueHour]], which only sees LINEAR
+    * hour trends (a lunch-hour hump correlates near zero but scores a
+    * high η²).
+    *
+    * Determinism: the per-cell quotients sh²/c are full-mantissa doubles
+    * at ~1e5 magnitude, where a fixed-scale decimal quantization is
+    * UNSAFE (the 1e-9 rounding boundary falls inside the double's
+    * shortest-string/binary gap ~1.5% of the time, and Spark's
+    * toString-based cast and DuckDB's binary-exact cast then round
+    * apart — observed live at sf0.01). So the 24 cell terms are summed
+    * by an ORDER-FIXED fold instead: both engines add the identical
+    * doubles in identical h-ascending order (sort_array + aggregate /
+    * list ORDER BY + list_reduce — the simhash fold idiom), which is
+    * bit-equal with no quantization anywhere. η² and the cell means are
+    * single IEEE divisions; the peak argmax orders by (mean desc, hour
+    * asc). One aggregation to the bounded (type, hour) grid, one to
+    * types, one 24-row window.
+    */
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("h"))
+      .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("sh"),
+        count(lit(1)).as("c"))
+    val tot = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast("decimal(38,6)")).cast("double").as("sxx"),
+        count(lit(1)).as("n"))
+    val wPeak = Window.partitionBy("event_type")
+      .orderBy(desc("m"), asc("h"))
+    cells
+      .withColumn("m", col("sh") / col("c").cast("double"))
+      .withColumn("t", col("sh") * col("sh") / col("c").cast("double"))
+      .withColumn("rn", row_number().over(wPeak))
+      .groupBy("event_type")
+      .agg(
+        collect_list(struct(col("h"), col("t"))).as("cells"),
+        max(when(col("rn") === 1, col("h"))).as("peak_hour"),
+        max(when(col("rn") === 1, col("m"))).as("peak_mean"))
+      .withColumn("bsum",
+        aggregate(sort_array(col("cells")), lit(0.0), (acc, x) => acc + x.getField("t")))
+      .join(tot, "event_type")
+      .select(
+        col("event_type"), col("n"),
+        ((col("bsum") - col("sx") * col("sx") / col("n").cast("double")) /
+          (col("sxx") - col("sx") * col("sx") / col("n").cast("double"))).as("eta2"),
+        col("peak_hour"), col("peak_mean"))
+  }
+
   /** Per-column ingest profile of the event log — the df.describe()-style
     * audit every pipeline runs on arrival, as one deterministic query:
     * row count, nulls, exact distinct count per column, and numeric
@@ -508,6 +562,7 @@ object Events {
     "events_incr_hourly"    -> (incrementalHourly _),
     "events_session_native" -> (sessionNative _),
     "audit_profile"    -> (profile _),
+    "events_seasonality" -> (seasonality _),
     "events_cusum"     -> (cusum _),
     "events_scd2"      -> (scd2 _),
     "events_fill"      -> (fillHours _),
@@ -667,6 +722,35 @@ object Events {
       }
       rows.mkString("\n UNION ALL \n")
     },
+    "events_seasonality" ->
+      """WITH cells AS (
+           SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sh, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         rk AS (
+           SELECT event_type, h, sh / CAST(c AS DOUBLE) AS m,
+             sh * sh / CAST(c AS DOUBLE) AS t,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY sh / CAST(c AS DOUBLE) DESC, h ASC) AS rn
+           FROM cells),
+         agg AS (
+           SELECT event_type,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY h)),
+               (a, b) -> a + b) AS bsum,
+             max(CASE WHEN rn = 1 THEN h END) AS peak_hour,
+             max(CASE WHEN rn = 1 THEN m END) AS peak_mean
+           FROM rk GROUP BY 1)
+         SELECT agg.event_type, n,
+           (bsum - sx * sx / CAST(n AS DOUBLE)) /
+             (sxx - sx * sx / CAST(n AS DOUBLE)) AS eta2,
+           peak_hour, peak_mean
+         FROM agg JOIN tot ON tot.event_type = agg.event_type""",
     "events_cusum" ->
       """WITH hm AS (SELECT event_type, date_trunc('hour', ts) AS hour,
            CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS x

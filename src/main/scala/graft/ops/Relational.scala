@@ -1015,9 +1015,50 @@ object Relational {
           .otherwise("C").as("abc_class"))
   }
 
+  /** Result cap for [[marketBasket]] (total order: lift desc, pair id). */
+  val BasketTopK = 25
+
+  /** Market-basket association rules over same-order part pairs:
+    * support, directional confidences, and lift for the top pairs — the
+    * classic co-occurrence analytic. Pair generation is the within-order
+    * self-join of the DISTINCT (order, part) basket table: Σ items² per
+    * order with order width bounded by the schema (~7 lines), so pair
+    * volume is linear in the fact table, never corpus². Lift multiplies
+    * exact counts before its ONE division (n_ab·N / n_a·n_b), so the
+    * ranking key is a single IEEE op; ties break by pair id. Only the
+    * 1-row order-count aggregate broadcasts; the cap compiles to
+    * TakeOrderedAndProject.
+    */
+  def marketBasket(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val totO = baskets.select(countDistinct(col("ok")).as("n_orders"))
+    val pairs = baskets.select(col("ok"), col("pk").as("pa"))
+      .join(baskets.select(col("ok"), col("pk").as("pb")), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_ab"))
+    val items = baskets.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+    pairs
+      .join(items.select(col("pk").as("pa"), col("n_i").as("n_a")), "pa")
+      .join(items.select(col("pk").as("pb"), col("n_i").as("n_b")), "pb")
+      .crossJoin(broadcast(totO))
+      .select(
+        col("pa"), col("pb"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_orders").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("conf_ab"),
+        (col("n_ab").cast("double") / col("n_b").cast("double")).as("conf_ba"),
+        ((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(desc("lift"), asc("pa"), asc("pb"))
+      .limit(BasketTopK)
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, Q] = Map(
+    "orders_basket"       -> (marketBasket _),
     "orders_abc"          -> (abc _),
     "orders_rfm"          -> (rfm _),
     "audit_ref_integrity" -> (refIntegrity _),
@@ -1091,6 +1132,20 @@ object Relational {
        FROM orders) WHERE rn <= 3"""
 
   val oracle: Map[String, String] = Map(
+    "orders_basket" ->
+      s"""WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         t AS (SELECT count(DISTINCT ok) AS n_orders FROM baskets),
+         pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_ab
+                   FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2),
+         items AS (SELECT pk, count(*) AS n_i FROM baskets GROUP BY 1)
+         SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+           CAST(n_ab AS DOUBLE) / CAST(x.n_i AS DOUBLE) AS conf_ab,
+           CAST(n_ab AS DOUBLE) / CAST(y.n_i AS DOUBLE) AS conf_ba,
+           CAST(n_ab * n_orders AS DOUBLE) / CAST(x.n_i * y.n_i AS DOUBLE) AS lift
+         FROM pairs JOIN items x ON x.pk = pa JOIN items y ON y.pk = pb, t
+         ORDER BY lift DESC, pa ASC, pb ASC LIMIT $BasketTopK""",
     "orders_abc" ->
       """WITH rev AS (
            SELECT l_partkey, sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS c

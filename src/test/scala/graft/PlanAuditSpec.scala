@@ -193,7 +193,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters", "text_unigram_lm",
         "seq_pack", "text_pmi", "q11_important", "corpus_mixture", "text_ppl_buckets",
         "curate_dsir", "graph_pagerank", // graph_pagerank: eager checkpointed loop like dedup_clusters
-        "text_bm25", "stats_chi2", "orders_rfm", "orders_abc")
+        "text_bm25", "stats_chi2", "orders_rfm", "orders_abc",
+        "orders_basket") // 1-row order-count broadcast
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -235,12 +235,121 @@ object Graph {
       .select(col("node").as("p_partkey"), col("lbl").as("community"), col("community_size"))
   }
 
+  /** Core order and fixed peel-round count for [[kcore]] (unrolled in
+    * the oracle). The fixture graphs reach the peeling fixpoint well
+    * inside this many rounds (pinned in GraphSpec), so the output IS the
+    * k-core; on a pathological chain the fixed count still defines a
+    * deterministic (partial-peel) result both engines agree on.
+    */
+  val KcoreK       = 3
+  val KcoreRounds  = 6
+
+  /** Catalog entry: 3-core of the part co-purchase graph. */
+  def kcoreCoPurchase(s: SparkSession, dir: String): DataFrame =
+    kcore(coPurchaseEdges(s, dir))
+
+  /** k-core decomposition by iterative peeling: each round drops every
+    * node with degree < k in the CURRENT surviving subgraph (plus its
+    * edges), for a fixed round count. Emits surviving nodes with their
+    * in-core degree. The k-core is the canonical "dense backbone"
+    * extractor — over co-purchase it isolates the recurring product
+    * clusters from one-off baskets; over a near-dup graph it isolates
+    * template families from incidental pair matches.
+    *
+    * Scale shape: each round is one partial-aggregated degree count plus
+    * two hash semi-joins of the edge list against the survivor set — no
+    * all-pairs anything, cost ∝ surviving |E| per round. The edge list
+    * is re-checkpointed per round so the loop holds two generations max
+    * (the PageRank/LPA discipline); peeling only ever SHRINKS the edge
+    * list, so later rounds cost less, not more. Degrees are integers —
+    * no quantization needed for oracle parity.
+    */
+  def kcore(pairList: DataFrame, k: Int = KcoreK, rounds: Int = KcoreRounds): DataFrame = {
+    val p = pairList.toDF("da", "db").localCheckpoint(true)
+    var adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
+      .localCheckpoint(true)
+    Dedup.freeCheckpoint(p)
+    for (_ <- 1 to rounds) {
+      val keep = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+      val next = adj
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("m")), Seq("m"), "left_semi")
+        .select("u", "m")
+        .localCheckpoint(true)
+      Dedup.freeCheckpoint(adj)
+      adj = next
+    }
+    adj.groupBy("u").agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("p_partkey"), col("core_deg"))
+  }
+
+  /** Catalog entry: degree assortativity of the part co-purchase graph. */
+  def assortativityCoPurchase(s: SparkSession, dir: String): DataFrame =
+    assortativity(coPurchaseEdges(s, dir))
+
+  /** Degree assortativity: the Pearson correlation of (deg(u), deg(v))
+    * over the directed edge list — positive means hubs link to hubs
+    * (social-network shape), negative means hubs link to leaves
+    * (hub-and-spoke). The classic one-number topology fingerprint
+    * (Newman 2002) — for a curation pipeline it distinguishes a
+    * template-dominated near-dup graph (star-like, negative) from an
+    * organically duplicated one.
+    *
+    * Scale shape: one degree aggregation, two hash joins attaching
+    * endpoint degrees to the edge stream (|E| rows), one global
+    * partial-aggregated sum — no windows, no sorts. Determinism: all
+    * five sums are over INTEGER degrees in decimal(38,0), so they are
+    * exact in both engines; the final r is computed from those exact
+    * sums with the identical IEEE double expression (sums stay below
+    * 2^53 up to ~10^9-edge graphs per the degree bound documented on
+    * [[commonNeighbors]]).
+    */
+  def assortativity(pairList: DataFrame): DataFrame = {
+    val p = pairList.toDF("da", "db")
+    val adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val e = adj
+      .join(deg, "u")
+      .join(deg.select(col("u").as("m"), col("deg").as("degm")), "m")
+      .select(
+        col("deg").cast("decimal(38,0)").as("dx"),
+        col("degm").cast("decimal(38,0)").as("dy"))
+    def d(c: String) = col(c).cast("double")
+    e.agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(
+        col("n_edges"),
+        ((d("n_edges") * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(d("n_edges") * d("sxx") - d("sx") * d("sx")) *
+            sqrt(d("n_edges") * d("syy") - d("sy") * d("sy"))))
+          .as("assortativity"))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank"  -> (pagerankNearDup _),
     "graph_triangles" -> (trianglesNearDup _),
     "graph_common_neighbors" -> (commonNeighborsCoPurchase _),
-    "graph_communities" -> (communitiesCoPurchase _)
+    "graph_communities" -> (communitiesCoPurchase _),
+    "graph_kcore"     -> (kcoreCoPurchase _),
+    "graph_assortativity" -> (assortativityCoPurchase _)
   )
+
+  /** Shared DuckDB CTE: the part co-purchase pair list + symmetrized
+    * adjacency (mirrors [[coPurchaseEdges]]).
+    */
+  private val duckCoPurchaseCte: String =
+    """pairs AS (
+         SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS da,
+           greatest(a.l_partkey, b.l_partkey) AS db
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+         WHERE a.l_partkey <> b.l_partkey),
+       adj AS (SELECT da AS u, db AS m FROM pairs UNION ALL SELECT db, da FROM pairs)"""
 
   /** One unrolled oracle iteration: same expression order as the Spark
     * plan — base + d·(double of the decimal contribution sum), quantized
@@ -310,6 +419,34 @@ object Graph {
            CAST(aa_dec AS DOUBLE) AS aa
          FROM ne JOIN deg x ON x.u = ne.a JOIN deg y ON y.u = ne.b
          ORDER BY cn DESC, da ASC, db ASC LIMIT $CnTopK""",
+    "graph_kcore" -> {
+      val rounds = (1 to KcoreRounds).map { i =>
+        s"""k$i AS (SELECT u FROM (SELECT u, count(*) AS c FROM e${i - 1} GROUP BY 1)
+             WHERE c >= $KcoreK),
+           e$i AS (SELECT e.u, e.m FROM e${i - 1} e
+             JOIN k$i a ON a.u = e.u JOIN k$i b ON b.u = e.m)"""
+      }.mkString(",\n")
+      s"""WITH $duckCoPurchaseCte,
+         e0 AS (SELECT u, m FROM adj),
+         $rounds
+         SELECT u AS p_partkey, count(*) AS core_deg
+         FROM e$KcoreRounds GROUP BY 1"""
+    },
+    "graph_assortativity" ->
+      s"""WITH $duckCoPurchaseCte,
+         deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
+         e AS (SELECT CAST(dx.deg AS DECIMAL(38,0)) AS dx,
+                 CAST(dm.deg AS DECIMAL(38,0)) AS dy
+               FROM adj JOIN deg dx ON dx.u = adj.u JOIN deg dm ON dm.u = adj.m),
+         s AS (SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+                 sum(dx * dx) AS sxx, sum(dy * dy) AS syy, sum(dx * dy) AS sxy
+               FROM e)
+         SELECT CAST(n AS BIGINT) AS n_edges,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+            sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS assortativity
+         FROM s""",
     "graph_triangles" ->
       s"""WITH ${Dedup.duckMinhashPairsCte},
          tri AS (SELECT p1.da AS a, p1.db AS b, p2.db AS c

@@ -112,4 +112,41 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       assert(aaGot > 0, s"nonpositive adamic-adar for ($a,$b)")
     }
   }
+
+  test("kcore: a clique with pendant chains peels down to exactly the clique") {
+    // 4-clique {1,2,3,4} + chain 4-5-6 + pendant 2-7: every chain node
+    // has degree ≤ 2, so the 3-core is the clique with in-core degree 3
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L), (2L, 7L))).toDF("da", "db")
+    val out = Graph.kcore(edges).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcore: the fixture reaches the peeling fixpoint within the fixed rounds") {
+    // one extra round must change nothing — the fixed-round output IS
+    // the true k-core on the fixture, not a partial peel
+    val at = Graph.kcore(Graph.coPurchaseEdges(spark, Sf0001))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val more = Graph.kcore(Graph.coPurchaseEdges(spark, Sf0001),
+      rounds = Graph.KcoreRounds + 1).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(at == more, "peeling had not converged within KcoreRounds")
+    // and the survivors genuinely form a k-core: minimum in-core degree ≥ k
+    if (at.nonEmpty) assert(at.map(_._2).min >= Graph.KcoreK)
+  }
+
+  test("assortativity: a star graph is exactly disassortative (r = -1)") {
+    val star = (1L to 8L).map(l => (0L, l)).toDF("da", "db")
+    val Array((n, r)) = Graph.assortativity(star).as[(Long, Double)].collect()
+    assert(n == 16L) // both directions
+    assert(math.abs(r - (-1.0)) < 1e-12, s"star assortativity $r != -1")
+  }
+
+  test("assortativity: deterministic across shuffle-partition counts on the fixture") {
+    val a = Graph.assortativityCoPurchase(spark, Sf0001).as[(Long, Double)].collect().head
+    withSQLConf("spark.sql.shuffle.partitions" -> "13") {
+      val b = Graph.assortativityCoPurchase(spark, Sf0001).as[(Long, Double)].collect().head
+      assert(a == b)
+    }
+    assert(a._2 >= -1.0 && a._2 <= 1.0)
+  }
 }

@@ -556,7 +556,67 @@ object Events {
       .agg(count(lit(1)).as("n_concurrent"))
   }
 
+  /** EWMA smoothing parameters: α and the finite window length. The
+    * infinite-history recursion y_t = α·x_t + (1−α)·y_{t−1} truncates to
+    * its first [[EwmaLags]] terms — at α = 0.3 the dropped tail carries
+    * (1−α)^24 < 2e-4 of the weight. Weights are precomputed ONCE here
+    * and embedded as identical double literals in both the Spark plan
+    * and the DuckDB oracle (Double.toString round-trips exactly), so
+    * neither engine ever calls its own pow().
+    */
+  val EwmaAlpha = 0.3
+  val EwmaLags  = 24
+  private val ewmaWeights: Seq[(Int, Double)] =
+    (0 until EwmaLags).map(l => l -> EwmaAlpha * math.pow(1 - EwmaAlpha, l))
+
+  /** Exponentially-weighted moving average of the hourly mean-value
+    * series per event type — the standard smoother behind alerting
+    * baselines ("is this hour's level off its recent trend?"), the
+    * low-pass companion to [[cusum]]'s changepoint detector. Emits only
+    * hours with a complete [[EwmaLags]]-hour history (leading edge and
+    * gap-adjacent hours have no well-defined truncated EWMA).
+    *
+    * Scale shape: the recursion is rewritten as a finite convolution —
+    * the hourly grid (bounded: types × hours) fans out 24× via a
+    * BROADCAST join against the weight table, then one
+    * partial-aggregated shuffle re-groups onto the target hour. No
+    * window over the series, no sequential scan — each output hour is
+    * an independent 24-term sum, embarrassingly parallel at any scale.
+    * Each term w·x quantizes onto the decimal(38,9) grid before the
+    * order-free sum (terms are ≤ hourly means in magnitude, far from
+    * the grid's 2^53 conversion edge).
+    */
+  def ewma(s: SparkSession, dir: String): DataFrame =
+    ewmaOf(Tables.events(s, dir))
+
+  /** [[ewma]] over any (ts, event_type, value) frame. */
+  private[graft] def ewmaOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val hm = events
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("sx"),
+        count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("hr"), (col("sx") / col("cnt")).as("x"))
+    val w = ewmaWeights.toDF("l", "w")
+    hm.crossJoin(broadcast(w))
+      .select(col("event_type"), (col("hr") + col("l")).as("hr"), col("l"),
+        (col("w") * col("x")).cast("decimal(38,9)").as("term"), col("x"))
+      .groupBy("event_type", "hr")
+      .agg(
+        count(lit(1)).as("nl"),
+        sum(col("term")).as("st"),
+        max(when(col("l") === 0, col("x"))).as("mean_value"))
+      .filter(col("nl") === EwmaLags)
+      .select(
+        col("event_type"),
+        timestamp_micros(col("hr") * lit(3600000000L)).as("hour"),
+        col("mean_value"),
+        col("st").cast("double").as("ewma"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_ewma"           -> (ewma _),
     "events_session_dyngap" -> (sessionDynamicGap _),
     "events_concurrency"    -> (sessionConcurrency _),
     "events_incr_hourly"    -> (incrementalHourly _),
@@ -721,6 +781,24 @@ object Events {
              $mn AS min_v, $mx AS max_v FROM events"""
       }
       rows.mkString("\n UNION ALL \n")
+    },
+    "events_ewma" -> {
+      val values = ewmaWeights
+        .map { case (l, w) => s"($l, CAST('${java.lang.Double.toString(w)}' AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH hm AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS x
+           FROM events GROUP BY 1, 2),
+         w(l, w) AS (VALUES $values),
+         t AS (SELECT event_type, hr + l AS hr, l,
+             CAST(w * x AS DECIMAL(38,9)) AS term, x
+           FROM hm, w)
+         SELECT event_type, make_timestamp(hr * 3600000000) AS hour,
+           max(CASE WHEN l = 0 THEN x END) AS mean_value,
+           CAST(sum(term) AS DOUBLE) AS ewma
+         FROM t GROUP BY event_type, hr
+         HAVING count(*) = $EwmaLags"""
     },
     "events_seasonality" ->
       """WITH cells AS (

@@ -1055,9 +1055,45 @@ object Relational {
       .limit(BasketTopK)
   }
 
+  /** Monthly cohort retention matrix: customers are grouped by the month
+    * of their FIRST order (the cohort), and each later month's row says
+    * how many of that cohort ordered again `month_offset` months on —
+    * the standard retention triangle every growth dashboard draws.
+    *
+    * Scale shape: one custkey aggregation for first-order month, one
+    * fact-sized equi-join back on custkey (both sides hash-partitioned
+    * on the same key), a distinct + count onto the tiny (cohort, offset)
+    * grid, and a BROADCAST join of the per-cohort sizes (≤ #months
+    * rows) for the retention denominator. Months map to integers
+    * (year·12 + month−1) so the offset is pure integer arithmetic —
+    * no interval semantics to disagree across engines.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("ck"),
+      (year(col("o_orderdate")) * 12 + (month(col("o_orderdate")) - 1)).as("m"))
+    val first = o.groupBy("ck").agg(min(col("m")).as("m0"))
+    val active = o.join(first, "ck")
+      .select(col("ck"), col("m0"), (col("m") - col("m0")).as("month_offset"))
+      .distinct()
+      .groupBy("m0", "month_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = active.filter(col("month_offset") === 0)
+      .select(col("m0"), col("n_active").as("cohort_size"))
+    active
+      .join(broadcast(sizes), "m0")
+      .select(
+        expr("make_date(m0 div 12, m0 % 12 + 1, 1)").as("cohort_month"),
+        col("month_offset").cast("long").as("month_offset"),
+        col("n_active"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, Q] = Map(
+    "orders_cohort"       -> (cohortRetention _),
     "orders_basket"       -> (marketBasket _),
     "orders_abc"          -> (abc _),
     "orders_rfm"          -> (rfm _),
@@ -1132,6 +1168,18 @@ object Relational {
        FROM orders) WHERE rn <= 3"""
 
   val oracle: Map[String, String] = Map(
+    "orders_cohort" ->
+      """WITH o AS (SELECT o_custkey AS ck,
+             year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS m FROM orders),
+         f AS (SELECT ck, min(m) AS m0 FROM o GROUP BY 1),
+         a AS (SELECT DISTINCT o.ck, m0, m - m0 AS month_offset FROM o JOIN f USING (ck)),
+         c AS (SELECT m0, month_offset, count(*) AS n_active FROM a GROUP BY 1, 2),
+         s AS (SELECT m0, n_active AS cohort_size FROM c WHERE month_offset = 0)
+         SELECT make_date(CAST(m0 // 12 AS INT), CAST(m0 % 12 + 1 AS INT), 1) AS cohort_month,
+           CAST(month_offset AS BIGINT) AS month_offset,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+         FROM c JOIN s USING (m0)""",
     "orders_basket" ->
       s"""WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          t AS (SELECT count(DISTINCT ok) AS n_orders FROM baskets),

@@ -574,7 +574,201 @@ object Stats {
         sum(col("term")).cast("double").as("psi"))
   }
 
+  /** Gini coefficient of per-customer spend — the one-number inequality
+    * measure behind "what share of revenue do the top customers carry"
+    * (the continuous companion to [[Relational.abc]]'s discrete A/B/C
+    * cut; for a training corpus the same statistic over per-source token
+    * counts says how concentrated the mixture is).
+    *
+    * Scale shape: NO global sort. Per-customer decimal-exact spend
+    * collapses to its distinct-value histogram, and the rank machinery
+    * runs over [[rangeCum]]'s range-partitioned prefix sum. A tied value
+    * block occupies consecutive ranks, so its exact rank-sum is
+    * `c·(cum−c) + c(c+1)/2` — the Σ rank·x term is computed per BLOCK
+    * (tie-order-invariant by construction), everything in exact
+    * decimal/integer arithmetic, with the two final divisions the only
+    * IEEE ops.
+    */
+  def gini(s: SparkSession, dir: String): DataFrame =
+    giniOf(Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(38,6)")).as("x")))
+
+  /** [[gini]] over any one-decimal-column-per-unit frame `x`. */
+  private[graft] def giniOf(spend: DataFrame): DataFrame = {
+    val vc  = spend.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val cum = rangeCum(vc, Seq(), "x", "c")
+    // 2·Σ rank·x over a tied block = x·(2c(cum−c) + c(c+1)), exact
+    val t2 = col("x") * (col("c") * (col("cum") - col("c")) * 2 + col("c") * (col("c") + 1))
+    val a = cum.agg(
+      sum(col("c")).as("n"),
+      sum(col("x") * col("c")).as("sx"),
+      sum(t2).as("srx2"))
+    // G = (srx2 − (n+1)·sx) / (n·sx): numerator and denominator stay in
+    // EXACT decimal arithmetic, floor to whole units (floor — unlike a
+    // decimal rescale cast — has identical semantics in both engines:
+    // Spark rounds HALF_UP where DuckDB truncates), and only then
+    // convert — the scaled rank-sum srx2 itself has too many digits to
+    // survive a direct decimal→double conversion identically
+    val num = floor(col("srx2") - col("sx") * (col("n") + 1))
+    val den = floor(col("sx") * col("n"))
+    a.select(
+      col("n").as("n_customers"),
+      col("sx").cast("double").as("total_spend"),
+      (num.cast("double") / den.cast("double")).as("gini"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test between [[KsGroupA]] and
+    * [[KsGroupB]]'s value distributions — the rank-based companion to
+    * [[welchT]] (robust to non-normality: it asks "does one group
+    * stochastically dominate?" instead of "are the means equal?"). U,
+    * its tie-broken normal approximation z, and the tie-correction term
+    * all come from the distinct-value histogram: U = Σ_v cA(v)·cumB(<v)
+    * + ½·Σ_v cA(v)·cB(v) — rank arithmetic per tied block, never a
+    * per-row rank.
+    *
+    * Scale shape: the histogram collapse is one partial-aggregated
+    * shuffle; the cumulative B-count runs through [[rangeCum]] (no
+    * single-task sort of the value grid); the rest is one global
+    * aggregate of exact integer products (decimal(38,0) against
+    * overflow). z is computed from those exact sums in closed-form
+    * IEEE doubles, identical in both engines.
+    */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame =
+    mannWhitneyOf(Tables.events(s, dir), KsGroupA, KsGroupB)
+
+  /** [[mannWhitney]] between any two groups of an (event_type, value)
+    * frame.
+    */
+  private[graft] def mannWhitneyOf(events: DataFrame, ga: String, gb: String): DataFrame = {
+    val ev = events.filter(col("event_type").isin(ga, gb))
+    val vc = ev
+      .groupBy(col("value").as("v"))
+      .agg(
+        count(when(col("event_type") === ga, 1)).as("ca"),
+        count(when(col("event_type") === gb, 1)).as("cb"))
+    val cum = rangeCum(vc, Seq(), "v", "cb")
+    val t   = col("ca") + col("cb")
+    val a = cum.agg(
+      sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb"),
+      sum((col("ca") * (col("cum") - col("cb"))).cast("decimal(38,0)")).as("u1"),
+      sum((col("ca") * col("cb")).cast("decimal(38,0)")).as("utie"),
+      sum((t * t * t - t).cast("decimal(38,0)")).as("t3"))
+    def d(c: String) = col(c).cast("double")
+    val bigN = d("na") + d("nb")
+    val u    = d("u1") + lit(0.5) * d("utie")
+    val mu   = d("na") * d("nb") / 2.0
+    val sig2 = (d("na") * d("nb") / 12.0) *
+      ((bigN + 1.0) - d("t3") / (bigN * (bigN - 1.0)))
+    a.select(
+      col("na").as("n_a"),
+      col("nb").as("n_b"),
+      u.as("u_stat"),
+      ((u - mu) / sqrt(sig2)).as("z_stat"))
+  }
+
+  /** Interpolated (type-7 / `quantile_cont`) quartiles of `value` per
+    * event type — the continuous-quantile companion to
+    * [[percentilesExact]]'s nearest-rank picks: position h = (n−1)·p/100,
+    * answer = v⌊h⌋₊₁ + frac·(v⌊h⌋₊₂ − v⌊h⌋₊₁). The rank split is pure
+    * integer arithmetic ((p·(n−1)) div/mod 100), so both engines pick
+    * identical bracketing values and the single interpolation multiply
+    * is the only IEEE op.
+    *
+    * Scale shape: same as [[percentilesExact]] — distinct-value
+    * histogram, [[rangeCum]] prefix sum, one conditional-aggregate pass
+    * picking both bracket values for all three quartiles at once.
+    */
+  def quantileCont(s: SparkSession, dir: String): DataFrame = {
+    val vc = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = rangeCum(vc, Seq("event_type"), "v", "c")
+    def hitAt(rank: String) =
+      expr(s"cum - c < $rank AND cum >= $rank")
+    def lo(p: Int) = hitAt(s"(($p * (tot - 1)) div 100) + 1")
+    def hi(p: Int) = hitAt(s"(($p * (tot - 1)) div 100) + 2")
+    val picks = cum
+      .groupBy("event_type")
+      .agg(
+        max(col("tot")).as("n"),
+        min(when(lo(25), col("v"))).as("lo25"),
+        min(when(hi(25), col("v"))).as("hi25"),
+        min(when(lo(50), col("v"))).as("lo50"),
+        min(when(hi(50), col("v"))).as("hi50"),
+        min(when(lo(75), col("v"))).as("lo75"),
+        min(when(hi(75), col("v"))).as("hi75"))
+    def q(p: Int) = {
+      val fracNum = expr(s"($p * (n - 1)) % 100")
+      when(fracNum === 0, col(s"lo$p"))
+        .otherwise(col(s"lo$p") +
+          fracNum.cast("double") / 100.0 * (col(s"hi$p") - col(s"lo$p")))
+    }
+    picks.select(
+      col("event_type"), col("n"),
+      q(25).as("p25"), q(50).as("p50"), q(75).as("p75"))
+  }
+
+  /** Lag-1 autocorrelation of the hourly mean-value series per event
+    * type — "does this hour predict the next?", the serial-dependence
+    * fingerprint next to [[corrValueHour]]'s diurnal correlation (white
+    * noise ≈ 0, smooth drift ≈ 1, alternating load < 0). Pairs are
+    * (x_h, x_{h+1}) for consecutive present hours; gaps simply drop
+    * pairs.
+    *
+    * Scale shape: the hourly collapse is one partial-aggregated shuffle
+    * onto a BOUNDED grid (types × hours); the lag pairing is a hash
+    * equi-join of that grid against itself on (type, hour+1) — no
+    * window over the series. Hourly means are identical IEEE quotients
+    * of decimal-exact sums in both engines; the five Pearson sums
+    * quantize each product onto the decimal(38,9) grid before summing
+    * (the order-free-sum rule), so r is bit-stable at any partitioning.
+    */
+  def autocorr(s: SparkSession, dir: String): DataFrame =
+    autocorrOf(Tables.events(s, dir))
+
+  /** [[autocorr]] over any (ts, event_type, value) frame. */
+  private[graft] def autocorrOf(events: DataFrame): DataFrame = {
+    // the hourly mean quantizes onto a 2^-16 grid via floor(x·65536):
+    // power-of-2 multiply and floor are EXACT in binary floating point
+    // (the RobustGrid discipline), so every downstream sum is integer
+    // arithmetic — r's near-cancelling numerator never sees a
+    // cross-engine rounding difference (decimal-grid quantization of
+    // the products was not enough: its near-2^53 conversions and
+    // half-up-vs-truncate rescales both leaked ulps into r)
+    val grid = 65536L
+    val hm = events
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(dsum(col("value")).as("sx"), count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("hr"),
+        floor(col("sx") / col("cnt") * grid).cast("long").as("x"))
+    val pairs = hm
+      .select(col("event_type"), (col("hr") + 1).as("hr"), col("x").as("x0"))
+      .join(hm.select(col("event_type"), col("hr"), col("x").as("x1")),
+        Seq("event_type", "hr"))
+    def di(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val a = pairs
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        di(col("x0")).as("s0"), di(col("x1")).as("s1"),
+        di(col("x0") * col("x0")).as("s00"),
+        di(col("x1") * col("x1")).as("s11"),
+        di(col("x0") * col("x1")).as("s01"))
+    val n = col("n_pairs").cast("double")
+    a.select(
+      col("event_type"), col("n_pairs"),
+      ((n * col("s01") - col("s0") * col("s1")) /
+        (sqrt(n * col("s00") - col("s0") * col("s0")) *
+          sqrt(n * col("s11") - col("s1") * col("s1")))).as("r_lag1"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_gini"         -> (gini _),
+    "stats_mannwhitney"  -> (mannWhitney _),
+    "stats_quantile_cont" -> (quantileCont _),
+    "stats_autocorr"     -> (autocorr _),
     "stats_psi"          -> (psi _),
     "stats_bootstrap"    -> (bootstrap _),
     "stats_chi2"         -> (chi2 _),
@@ -594,6 +788,89 @@ object Stats {
   private def ds(c: String) = DSUM.format(c)
 
   val oracle: Map[String, String] = Map(
+    "stats_gini" ->
+      """WITH spend AS (
+           SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS x
+           FROM orders GROUP BY 1),
+         vc AS (SELECT x, count(*) AS c FROM spend GROUP BY 1),
+         cc AS (SELECT x, c, sum(c) OVER (ORDER BY x) AS cum FROM vc),
+         a AS (SELECT sum(c) AS n, sum(x * c) AS sx,
+                 sum(x * (2 * c * (cum - c) + c * (c + 1))) AS srx2
+               FROM cc)
+         SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS DOUBLE) AS total_spend,
+           CAST(floor(srx2 - sx * (n + 1)) AS DOUBLE) /
+             CAST(floor(sx * n) AS DOUBLE) AS gini
+         FROM a""",
+    "stats_mannwhitney" ->
+      s"""WITH vc AS (
+           SELECT value AS v,
+             count(*) FILTER (WHERE event_type = '$KsGroupA') AS ca,
+             count(*) FILTER (WHERE event_type = '$KsGroupB') AS cb
+           FROM events WHERE event_type IN ('$KsGroupA', '$KsGroupB')
+           GROUP BY 1),
+         cc AS (SELECT ca, cb, sum(cb) OVER (ORDER BY v) AS cumb FROM vc),
+         a AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+                 sum(CAST(ca * (cumb - cb) AS DECIMAL(38,0))) AS u1,
+                 sum(CAST(ca * cb AS DECIMAL(38,0))) AS utie,
+                 sum(CAST((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)
+                   AS DECIMAL(38,0))) AS t3
+               FROM cc),
+         d AS (SELECT CAST(na AS DOUBLE) AS dna, CAST(nb AS DOUBLE) AS dnb,
+                 CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS dn,
+                 CAST(u1 AS DOUBLE) + 0.5 * CAST(utie AS DOUBLE) AS u,
+                 CAST(t3 AS DOUBLE) AS dt3, na, nb
+               FROM a)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           u AS u_stat,
+           (u - dna * dnb / 2.0) /
+             sqrt((dna * dnb / 12.0) * ((dn + 1.0) - dt3 / (dn * (dn - 1.0))))
+             AS z_stat
+         FROM d""",
+    "stats_quantile_cont" -> {
+      def pick(p: Int) =
+        s"""min(CASE WHEN cum - c < (($p * (tot - 1)) // 100) + 1
+               AND cum >= (($p * (tot - 1)) // 100) + 1 THEN v END) AS lo$p,
+           min(CASE WHEN cum - c < (($p * (tot - 1)) // 100) + 2
+               AND cum >= (($p * (tot - 1)) // 100) + 2 THEN v END) AS hi$p"""
+      def q(p: Int) =
+        s"""CASE WHEN ($p * (n - 1)) % 100 = 0 THEN lo$p
+           ELSE lo$p + CAST(($p * (n - 1)) % 100 AS DOUBLE) / 100.0 * (hi$p - lo$p)
+           END AS p$p"""
+      s"""WITH vc AS (
+           SELECT event_type, value AS v, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         cc AS (SELECT event_type, v, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS tot
+           FROM vc),
+         picks AS (SELECT event_type, max(tot) AS n,
+             ${pick(25)}, ${pick(50)}, ${pick(75)}
+           FROM cc GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n, ${q(25)}, ${q(50)}, ${q(75)}
+         FROM picks"""
+    },
+    "stats_autocorr" -> {
+      def d9(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,0))) AS DOUBLE)"
+      s"""WITH hm AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(floor(${ds("value")} / count(*) * 65536) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.event_type, a.x AS x0, b.x AS x1
+           FROM hm a JOIN hm b
+             ON b.event_type = a.event_type AND b.hr = a.hr + 1),
+         a AS (SELECT event_type, count(*) AS n_pairs,
+             ${d9("x0")} AS s0, ${d9("x1")} AS s1,
+             ${d9("x0 * x0")} AS s00, ${d9("x1 * x1")} AS s11,
+             ${d9("x0 * x1")} AS s01
+           FROM pairs GROUP BY 1)
+         SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+           (CAST(n_pairs AS DOUBLE) * s01 - s0 * s1) /
+             (sqrt(CAST(n_pairs AS DOUBLE) * s00 - s0 * s0) *
+              sqrt(CAST(n_pairs AS DOUBLE) * s11 - s1 * s1)) AS r_lag1
+         FROM a"""
+    },
     "stats_psi" ->
       s"""WITH cells AS (
            SELECT event_type, CAST(floor(value / $PsiBinWidth) AS BIGINT) AS vb,

@@ -150,6 +150,108 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sMax <= 0.0 + 1e-12, "upward shift: running sum never positive")
   }
 
+  test("stats_gini: zero for equal spend, (n-1)/n for total concentration") {
+    def spend(xs: Seq[String]) =
+      xs.toDF("s").select(col("s").cast("decimal(38,6)").as("x"))
+    val equal = Stats.giniOf(spend(Seq.fill(8)("250.50")))
+      .as[(Long, Double, Double)].head()
+    assert(equal == ((8L, 2004.0, 0.0)), s"equal spend: $equal")
+    // one unit holds everything: G = (n-1)/n = 0.75 at n = 4
+    val conc = Stats.giniOf(spend(Seq("0", "0", "0", "1000")))
+      .as[(Long, Double, Double)].head()
+    assert(conc._1 == 4L && conc._3 == 0.75, s"concentrated spend: $conc")
+  }
+
+  test("stats_mannwhitney: disjoint groups give U = 0, U_A + U_B = n_a*n_b under ties") {
+    def ev(g: String, v: Double) =
+      (java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), g, v)
+    // every A below every B → U (A-wins count) is 0, z = -2/sqrt(5/3)
+    val disj = Seq(ev("a", 1), ev("a", 2), ev("b", 3), ev("b", 4))
+      .toDF("ts", "event_type", "value")
+    val (na, nb, u, z) = Stats.mannWhitneyOf(disj, "a", "b")
+      .as[(Long, Long, Double, Double)].head()
+    assert((na, nb, u) == ((2L, 2L, 0.0)))
+    assert(math.abs(z - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-12, s"z $z")
+    // with ties, the two directions' U still partition n_a*n_b
+    val tied = Seq(ev("a", 1), ev("a", 1), ev("b", 1), ev("b", 2))
+      .toDF("ts", "event_type", "value")
+    val uAB = Stats.mannWhitneyOf(tied, "a", "b").as[(Long, Long, Double, Double)].head()
+    val uBA = Stats.mannWhitneyOf(tied, "b", "a").as[(Long, Long, Double, Double)].head()
+    assert(uAB._3 + uBA._3 == uAB._1 * uAB._2, s"U_A ${uAB._3} + U_B ${uBA._3}")
+    assert(uAB._4 == -uBA._4, "z must be antisymmetric in the group order")
+  }
+
+  test("stats_quantile_cont: quartiles match a direct type-7 recomputation") {
+    val byType = graft.Tables.events(spark, Sf0001)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    def direct(vs: Array[Double], p: Int): Double = {
+      val k    = (p.toLong * (vs.length - 1)) / 100
+      val frac = (p.toLong * (vs.length - 1)) % 100
+      if (frac == 0) vs(k.toInt)
+      else vs(k.toInt) + frac / 100.0 * (vs(k.toInt + 1) - vs(k.toInt))
+    }
+    val got = Stats.quantileCont(spark, Sf0001)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.length == byType.size)
+    got.foreach { case (t, n, p25, p50, p75) =>
+      val vs = byType(t)
+      assert(n == vs.length.toLong)
+      Seq(25 -> p25, 50 -> p50, 75 -> p75).foreach { case (p, v) =>
+        assert(math.abs(v - direct(vs, p)) < 1e-9, s"$t p$p: $v vs ${direct(vs, p)}")
+      }
+    }
+  }
+
+  test("stats_autocorr: an alternating hourly series scores r = -1") {
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:30:00")
+    val rows = (0 until 60).map { h =>
+      (new java.sql.Timestamp(t0.getTime + h * 3600L * 1000L), "alt",
+        if (h % 2 == 0) 10.0 else 30.0)
+    }
+    val (_, n, r) = Stats.autocorrOf(rows.toDF("ts", "event_type", "value"))
+      .as[(String, Long, Double)].head()
+    assert(n == 59)
+    assert(math.abs(r - (-1.0)) < 1e-12, s"alternating series r $r")
+  }
+
+  test("stats_autocorr: deterministic across shuffle-partition counts") {
+    val a = Stats.autocorr(spark, Sf0001).as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    withSQLConf("spark.sql.shuffle.partitions" -> "13") {
+      val b = Stats.autocorr(spark, Sf0001).as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(a == b)
+    }
+  }
+
+  test("events_ewma: constant series converges to the truncated-weight level") {
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:30:00")
+    val rows = (0 until 30).map { h =>
+      (new java.sql.Timestamp(t0.getTime + h * 3600L * 1000L), "c", 40.0)
+    }
+    val out = Events.ewmaOf(rows.toDF("ts", "event_type", "value"))
+      .as[(String, java.sql.Timestamp, Double, Double)].collect()
+    // 30 hours, 24-lag window → hours 23..29 have complete history
+    assert(out.length == 7, s"expected 7 complete hours, got ${out.length}")
+    val level = 40.0 * (1.0 - math.pow(1.0 - Events.EwmaAlpha, Events.EwmaLags))
+    out.foreach { case (_, _, m, y) =>
+      assert(m == 40.0)
+      // each of the 24 terms sits on the decimal(38,9) grid
+      assert(math.abs(y - level) < Events.EwmaLags * 5e-10, s"ewma $y vs $level")
+    }
+  }
+
+  test("orders_cohort: offset 0 is full retention and cohorts partition the customers") {
+    val rows = Relational.cohortRetention(spark, Sf0001)
+      .as[(java.sql.Date, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val atZero = rows.filter(_._2 == 0L)
+    assert(atZero.nonEmpty && atZero.forall(_._4 == 1.0), "offset-0 retention must be 1.0")
+    assert(rows.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+    val nCust = graft.Tables.orders(spark, Sf0001)
+      .select("o_custkey").distinct().count()
+    assert(atZero.map(_._3).sum == nCust, "cohort sizes must partition the customer base")
+  }
+
   test("curate_dp_release: noise is Laplace-shaped, zero-centered, cell-deterministic") {
     val rows = Curation.dpRelease(spark, Sf0001)
       .select("noise").as[Double].collect()

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkTestBase, Tables}
+
+/** Correctness contract for the count-min / space-saving heavy-hitter
+  * sketches (catalog-external, like `Relational.approxStats` — sketch
+  * internals have no DuckDB twin, so the bounds are pinned here against
+  * the exact token counts instead).
+  */
+class SketchSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def exactCounts: Map[String, Long] =
+    graft.text.Tokenize.tokens(Tables.documents(spark, Sf0001))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+
+  test("CMS estimates never under-count and respect the epsilon*N band") {
+    val exact = exactCounts
+    val n = exact.values.sum
+    val cms = new Sketches.CountMinSketch(Sketches.HhDepth, Sketches.HhWidth)
+    val toks = Tables.documents(spark, Sf0001)
+      .select(explode(graft.text.Tokenize.tokenCol(col("text"))).as("t"))
+      .filter(col("t") =!= "").as[String]
+    val sk = toks.select(cms.toColumn.name("sk")).as[Array[Long]].head()
+    // CMS guarantee: est >= exact always; est <= exact + (e/width)*N
+    // with prob 1 - e^-depth per key. Check every key and allow ZERO
+    // band violations at fixture scale (expected violations ~ V*e^-4)
+    val eps = math.E / Sketches.HhWidth
+    exact.foreach { case (t, c) =>
+      val est = cms.estimate(sk, t)
+      assert(est >= c, s"CMS under-counted '$t': $est < $c")
+      assert(est <= c + math.ceil(eps * n).toLong,
+        s"CMS over-counted '$t' beyond the eps*N band: $est vs $c (N=$n)")
+    }
+  }
+
+  test("sketched heavy hitters reproduce the exact top-k on the fixture") {
+    val exactTop = exactCounts.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(10)
+    val got = Sketches.docTokenHeavyHitters(spark, Sf0001, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got.map(_._1) == exactTop.map(_._1),
+      s"sketched top-10 ${got.map(_._1)} != exact ${exactTop.map(_._1)}")
+    // estimates are upper bounds of the matching exact counts
+    val ex = exactCounts
+    got.foreach { case (t, est) => assert(est >= ex(t), s"'$t' $est < ${ex(t)}") }
+  }
+
+  test("the sketch is bit-identical across input partitionings") {
+    val cms = new Sketches.CountMinSketch(Sketches.HhDepth, Sketches.HhWidth)
+    def skAt(parts: Int): Array[Long] = {
+      val toks = Tables.documents(spark, Sf0001)
+        .repartition(parts)
+        .select(explode(graft.text.Tokenize.tokenCol(col("text"))).as("t"))
+        .filter(col("t") =!= "").as[String]
+      toks.select(cms.toColumn.name("sk")).as[Array[Long]].head()
+    }
+    assert(java.util.Arrays.equals(skAt(3), skAt(17)),
+      "element-wise merge must be partitioning-independent")
+  }
+
+  test("space-saving keeps every key above the per-partition frequency floor") {
+    // one partition, 1000 'hot' + 999 distinct cold keys, m = 64: the
+    // floor n_p/m ≈ 31 — 'hot' must survive any eviction schedule
+    val toks = (Seq.fill(1000)("hot") ++ (1 to 999).map(i => s"cold$i"))
+    val ds = spark.createDataset(scala.util.Random.shuffle(toks)).repartition(1)
+    val kept = Sketches.spaceSavingCandidates(ds, 64).collect().toSet
+    assert(kept.contains("hot"), "hot key evicted despite frequency above n/m")
+    assert(kept.size <= 64, s"candidate set exceeded m: ${kept.size}")
+  }
+}

@@ -809,7 +809,31 @@ object Curation {
         lit(DpEps).as("eps"))
   }
 
+  /** Length-curriculum phase assignment: documents are split into four
+    * phases by their position in the corpus length distribution (short →
+    * long ≈ easy → hard, the standard curriculum-learning schedule).
+    * A document's phase comes from its length block's cumulative START
+    * share (`((cum − c)·4) div tot`), so equal-length docs always share
+    * a phase — unlike `ntile`, whose intra-tie split depends on sort
+    * arrival order and would be nondeterministic distributed.
+    *
+    * Scale shape: the length histogram (bounded by the length DOMAIN)
+    * cumulates through [[Stats.rangeCum]]'s range-partitioned prefix
+    * sum; docs join the per-length phase table on n_chars — a hash
+    * join against a domain-bounded side, never a global sort of the
+    * corpus.
+    */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+    val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    val phased = Stats.rangeCum(hist, Seq(), "n_chars", "c")
+      .select(col("n_chars"), expr("((cum - c) * 4) div tot + 1").as("phase"))
+    docs.join(phased, "n_chars")
+      .select(col("doc_id"), col("n_chars"), col("phase"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "curate_curriculum" -> (curriculum _),
     "curate_dp_release"  -> (dpRelease _),
     "curate_k_anonymity" -> (kAnonymity _),
     "sample_weighted"    -> (sampleWeighted _),
@@ -847,6 +871,13 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    "curate_curriculum" ->
+      """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+         cc AS (SELECT n_chars, c, sum(c) OVER (ORDER BY n_chars) AS cum,
+                  sum(c) OVER () AS tot FROM h),
+         p AS (SELECT n_chars, ((cum - c) * 4) // tot + 1 AS phase FROM cc)
+         SELECT d.doc_id, d.n_chars, CAST(phase AS BIGINT) AS phase
+         FROM documents d JOIN p USING (n_chars)""",
     "curate_dp_release" -> {
       val h = graft.functions.TextHash.duckHash60Of(
         "event_type || ':' || CAST(h AS VARCHAR)")

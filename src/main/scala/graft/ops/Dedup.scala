@@ -102,7 +102,7 @@ object Dedup {
   // the split regex is parity-critical: single definition for both engines
   private val WP = Tokenize.WordPattern
 
-  private val duckShingles =
+  private[ops] val duckShingles =
     s"""SELECT DISTINCT a.doc_id, ${TextHash.duckHash60Of("a.t || ' ' || b.t || ' ' || c.t")} AS sh FROM
          (SELECT doc_id, generate_subscripts(l, 1) i, unnest(l) t FROM
            (SELECT doc_id, list_filter(regexp_split_to_array(text, '$WP'), x -> x <> '') l

@@ -615,7 +615,35 @@ object Events {
         col("st").cast("double").as("ewma"))
   }
 
+  /** First-order Markov transition matrix of event types: for each user
+    * stream (ordered by ts with the unique event_id as tiebreak — a
+    * provably total order), count consecutive (prev → next) type pairs
+    * and normalize per source type — the behavioral fingerprint behind
+    * funnel design and bot detection ("view rarely follows purchase").
+    *
+    * Scale shape: the lag window partitions by user_id — per-user
+    * streams are activity-bounded, never corpus-sized, so no task sorts
+    * more than one user's events (the sessionize discipline). The pair
+    * counts collapse onto the tiny type×type grid; the per-source
+    * totals (≤ #types rows) join back via broadcast.
+    */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("prev_type").agg(sum(col("n")).as("t"))
+    pairs
+      .join(broadcast(tot), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("t").cast("double")).as("p"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_transitions"    -> (transitions _),
     "events_ewma"           -> (ewma _),
     "events_session_dyngap" -> (sessionDynamicGap _),
     "events_concurrency"    -> (sessionConcurrency _),
@@ -782,6 +810,18 @@ object Events {
       }
       rows.mkString("\n UNION ALL \n")
     },
+    "events_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+           FROM events),
+         c AS (SELECT prev_type, next_type, count(*) AS n FROM seq
+               WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT prev_type, sum(n) AS t FROM c GROUP BY 1)
+         SELECT c.prev_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+         FROM c JOIN t USING (prev_type)""",
     "events_ewma" -> {
       val values = ewmaWeights
         .map { case (l, w) => s"($l, CAST('${java.lang.Double.toString(w)}' AS DOUBLE))" }

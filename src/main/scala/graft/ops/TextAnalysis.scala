@@ -525,7 +525,33 @@ object TextAnalysis {
         (col("snum") >= 0).as("keep"))
   }
 
+  /** Per-document trigram novelty: the share of a doc's distinct
+    * trigrams whose corpus-wide FIRST occurrence (minimum doc_id) is
+    * this doc — the "how much genuinely new text does this document
+    * contribute" curation signal (a syndication copy scores ~0, fresh
+    * content ~1; the per-doc complement of [[Dedup]]'s pairwise
+    * overlap views). Documents with fewer than 3 tokens have no
+    * trigrams and no row.
+    *
+    * Scale shape: reuses the dedup family's hashed shingle table
+    * (8-byte keys), one partial-aggregated min per shingle, one
+    * equi-join back, one per-doc count — every stage linear in the
+    * shingle stream, no pair expansion at all.
+    */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.docShinglesOf(Tables.documents(s, dir))
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tri"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_tri"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_tri").cast("double")).as("novelty"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_novelty"     -> (novelty _),
     "text_quality_clf" -> (qualityClf _),
     "text_gopher"      -> (gopherQuality _),
     "text_bpe_pairs"   -> (bpePairs _),
@@ -563,6 +589,14 @@ object TextAnalysis {
   private def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "text_novelty" ->
+      s"""WITH sh AS (${Dedup.duckShingles}),
+         f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         SELECT s.doc_id, count(*) AS n_tri,
+           count(*) FILTER (WHERE first_doc = s.doc_id) AS n_novel,
+           CAST(count(*) FILTER (WHERE first_doc = s.doc_id) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS novelty
+         FROM sh s JOIN f USING (sh) GROUP BY 1""",
     "text_quality_clf" ->
       s"""WITH feats AS (
            SELECT doc_id, t AS f FROM ($duckToks)

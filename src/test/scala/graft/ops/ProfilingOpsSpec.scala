@@ -252,6 +252,52 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(atZero.map(_._3).sum == nCust, "cohort sizes must partition the customer base")
   }
 
+  test("events_transitions: rows per source sum to that source's outflow, p to 1") {
+    val rows = Events.transitions(spark, Sf0001)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (prev, ts) =>
+      val p = ts.map(_._4).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"$prev outflow probabilities sum to $p")
+    }
+    // total transitions = total events - one per user (stream starts)
+    val ev = graft.Tables.events(spark, Sf0001)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == expected)
+  }
+
+  test("curate_curriculum: phases are 1..4, length-monotone, tie-consistent, ~quarters") {
+    val rows = Curation.curriculum(spark, Sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(_._3).toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    // same length → same phase; longer length → phase never decreases
+    val byLen = rows.groupBy(_._2).map { case (len, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"tied length $len split phases")
+      len -> rs.head._3
+    }.toSeq.sortBy(_._1)
+    assert(byLen == byLen.sortBy(r => (r._1, r._2)), "phase must be monotone in length")
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    val n = rows.length
+    sizes.values.foreach(s => assert(s > n / 8 && s < 3 * n / 8, s"phase sizes $sizes"))
+  }
+
+  test("text_novelty: the earliest doc is fully novel and novel counts tile the shingle space") {
+    val rows = TextAnalysis.novelty(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTri, nNovel, nov) =>
+      assert(nNovel >= 0 && nNovel <= nTri, s"doc $id: $nNovel of $nTri")
+      assert(nov == nNovel.toDouble / nTri)
+    }
+    val firstDoc = rows.map(_._1).min
+    val first = rows.find(_._1 == firstDoc).get
+    assert(first._4 == 1.0, s"earliest doc $firstDoc scored ${first._4}, must be fully novel")
+    // every distinct trigram is novel in exactly one doc
+    val distinctTris = Dedup.docShinglesOf(graft.Tables.documents(spark, Sf0001))
+      .select("sh").distinct().count()
+    assert(rows.map(_._3).sum == distinctTris)
+  }
+
   test("curate_dp_release: noise is Laplace-shaped, zero-centered, cell-deterministic") {
     val rows = Curation.dpRelease(spark, Sf0001)
       .select("noise").as[Double].collect()

@@ -42,13 +42,26 @@ object Stats {
     *  4. global `cum` = local running sum + slice offset.
     *
     * The subtotal branch shares the range exchange with the main branch
-    * (ReusedExchange — pinned in PlanAuditSpec for every caller). Output
-    * is partitioning-independent: prefix sums recompose identically
-    * wherever the range boundaries fall. Adds `cum` (running sum of
-    * `cName` in `ord` order within each group) and `tot` (group total);
-    * all helper columns are dropped.
+    * (ReusedExchange — pinned in PlanAuditSpec for every caller). For
+    * that to hold, `hist` must carry EXACTLY (groups, ord, cName): an
+    * extra payload column gets pruned out of the subtotal branch, the
+    * two scans diverge, and neither the static ReuseExchange rule nor
+    * AQE's runtime stage cache can dedupe them (callers with two
+    * counters pack them into one decimal column — see [[mannWhitneyOf]]).
+    * Output is partitioning-independent: prefix sums recompose
+    * identically wherever the range boundaries fall. Adds `cum` (running
+    * sum of `cName` in `ord` order within each group) and — only when
+    * `needTot` — `tot` (group total): callers that ignore `tot` must
+    * opt out so the third subtree vanishes instead of surviving as a
+    * pruned-empty 1-row cardinality join. All helper columns are
+    * dropped.
     */
-  private[graft] def rangeCum(hist: DataFrame, groups: Seq[String], ord: String, cName: String): DataFrame = {
+  private[graft] def rangeCum(
+      hist: DataFrame,
+      groups: Seq[String],
+      ord: String,
+      cName: String,
+      needTot: Boolean = true): DataFrame = {
     val gc = groups.map(col)
     val ranged = hist
       .repartitionByRange((groups :+ ord).map(col): _*)
@@ -64,15 +77,17 @@ object Stats {
     val offsets = perSlice // partitions x groups rows: tiny at any scale
       .withColumn("off", coalesce(sum(col("pc")).over(offW), lit(0L)))
       .select(("pid" +: groups).map(col) :+ col("off"): _*)
-    val tots = perSlice
-      .groupBy(gc: _*)
-      .agg(sum(col("pc")).as("tot"))
     val joined = ranged
       .withColumn("lcum", sum(col(cName)).over(cell))
       .join(broadcast(offsets), "pid" +: groups)
-    val withTot =
+    val withTot = if (!needTot) joined
+    else {
+      val tots = perSlice
+        .groupBy(gc: _*)
+        .agg(sum(col("pc")).as("tot"))
       if (groups.nonEmpty) joined.join(broadcast(tots), groups)
       else joined.crossJoin(broadcast(tots))
+    }
     withTot
       .withColumn("cum", col("lcum") + col("off"))
       .drop("pid", "off", "lcum")
@@ -597,7 +612,7 @@ object Stats {
   /** [[gini]] over any one-decimal-column-per-unit frame `x`. */
   private[graft] def giniOf(spend: DataFrame): DataFrame = {
     val vc  = spend.groupBy(col("x")).agg(count(lit(1)).as("c"))
-    val cum = rangeCum(vc, Seq(), "x", "c")
+    val cum = rangeCum(vc, Seq(), "x", "c", needTot = false)
     // 2·Σ rank·x over a tied block = x·(2c(cum−c) + c(c+1)), exact
     val t2 = col("x") * (col("c") * (col("cum") - col("c")) * 2 + col("c") * (col("c") + 1))
     val a = cum.agg(
@@ -633,22 +648,49 @@ object Stats {
     * aggregate of exact integer products (decimal(38,0) against
     * overflow). z is computed from those exact sums in closed-form
     * IEEE doubles, identical in both engines.
+    *
+    * The two per-value counters are PACKED into one decimal(38,0)
+    * payload (`ca·10¹⁸ + cb`) before [[rangeCum]]: with two separate
+    * payload columns, column pruning strips `ca` out of the subtotal
+    * branch, the two range-exchange subtrees stop being canonically
+    * equal, and the corpus→grid pipeline runs twice (no ReusedExchange,
+    * statically or via AQE's stage cache). Packing keeps the histogram
+    * at exactly (v, c), so the exchange is shared. Exact while both
+    * group counts stay below 10¹⁸ rows (any real corpus): cumulative
+    * packed sums stay ≤ 10³⁶ < 10³⁸.
     */
   def mannWhitney(s: SparkSession, dir: String): DataFrame =
     mannWhitneyOf(Tables.events(s, dir), KsGroupA, KsGroupB)
+
+  /** Distinct-value histogram of `v` with per-value counts of the A and
+    * B populations, plus the cumulative B-count (`cum`, values ≤ v) —
+    * the shared rank machinery of [[mannWhitneyOf]] and
+    * [[TextAnalysis.clfAuc]]. The two counters travel through
+    * [[rangeCum]] packed into one decimal(38,0) column (`ca·10¹⁸ + cb`)
+    * so the histogram is exactly (v, c) and the range exchange is
+    * shared (see [[rangeCum]]'s single-payload requirement). Returns
+    * (v, ca, cb, cum) with all three counters unpacked back to longs.
+    */
+  private[graft] def pairRankCum(rows: DataFrame, v: Column, isA: Column, isB: Column): DataFrame = {
+    val shift = lit(1000000000000000000L) // 10^18: cb < shift always
+    val vc = rows
+      .groupBy(v.as("v"))
+      .agg((count(when(isA, 1)).cast("decimal(38,0)") * shift +
+        count(when(isB, 1))).as("c"))
+    rangeCum(vc, Seq(), "v", "c", needTot = false)
+      .withColumn("ca", expr("c div 1000000000000000000"))
+      .withColumn("cb", pmod(col("c"), shift).cast("long"))
+      .withColumn("cum", pmod(col("cum"), shift).cast("long"))
+  }
 
   /** [[mannWhitney]] between any two groups of an (event_type, value)
     * frame.
     */
   private[graft] def mannWhitneyOf(events: DataFrame, ga: String, gb: String): DataFrame = {
     val ev = events.filter(col("event_type").isin(ga, gb))
-    val vc = ev
-      .groupBy(col("value").as("v"))
-      .agg(
-        count(when(col("event_type") === ga, 1)).as("ca"),
-        count(when(col("event_type") === gb, 1)).as("cb"))
-    val cum = rangeCum(vc, Seq(), "v", "cb")
-    val t   = col("ca") + col("cb")
+    val cum = pairRankCum(ev, col("value"),
+      col("event_type") === ga, col("event_type") === gb)
+    val t = col("ca") + col("cb")
     val a = cum.agg(
       sum(col("ca")).as("na"),
       sum(col("cb")).as("nb"),

@@ -194,7 +194,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         "seq_pack", "text_pmi", "q11_important", "corpus_mixture", "text_ppl_buckets",
         "curate_dsir", "graph_pagerank", // graph_pagerank: eager checkpointed loop like dedup_clusters
         "text_bm25", "stats_chi2", "orders_rfm", "orders_abc",
-        "orders_basket") // 1-row order-count broadcast
+        "orders_basket", // 1-row order-count broadcast
+        // single-group rangeCum callers: the group-total row broadcasts
+        // onto the stream without an equi key (the orders_abc shape)
+        "stats_gini", "stats_mannwhitney", "curate_curriculum",
+        "events_ewma") // 24-row bounded weight table broadcast (finite convolution)
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -233,7 +237,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val family = Seq(
       ("hist_equidepth", "l_returnflag", "l_extendedprice"),
       ("stats_percentiles", "l_returnflag", "l_extendedprice"),
-      ("text_ppl_buckets", "lang", "sq"))
+      ("text_ppl_buckets", "lang", "sq"),
+      ("stats_quantile_cont", "event_type", "v"),
+      // single-group callers: group pattern = ord (a global whole-grid
+      // sort would print as Sort [<ord> ...]; the slice-local sorts are
+      // pid-prefixed and don't match)
+      ("stats_gini", "x", "x"),
+      ("stats_mannwhitney", "v", "v"),
+      ("curate_curriculum", "n_chars", "n_chars"))
     for ((q, group, ord) <- family) {
       val p = plan(q)
       assert(p.contains("rangepartitioning"), s"$q lost the range partition:\n$p")
@@ -253,6 +264,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         assert(np.contains("ReusedExchange"), s"$q: offsets branch recomputes the range exchange:\n$np")
       }
     }
+  }
+
+  test("round-6 additions: bounded sides broadcast, windows stay user/grid-bounded") {
+    // orders_cohort: the per-cohort size table (≤ #months rows) must
+    // broadcast; the custkey spine must not sort-merge
+    val pc = plan("orders_cohort")
+    assert(pc.contains("BroadcastHashJoin"), pc)
+    // events_transitions: one window (the user-bounded lag) feeding
+    // BOTH the pair counts and the per-source totals — the totals
+    // branch must reuse the pair-count exchange, not re-run the lag
+    // over the corpus. Static check with AQE off (AQE reuses at
+    // runtime via the stage cache, invisible in the pre-exec string).
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val pt = plan("events_transitions")
+      assert("Window \\[lag".r.findAllIn(pt).size == 1, pt)
+      assert(pt.contains("ReusedExchange"), pt)
+      assert(pt.contains("BroadcastHashJoin"), pt)
+    }
+    // events_ewma: the weight fan-out must stay a broadcast (the hourly
+    // grid never shuffles to meet a 24-row table)
+    val pe = plan("events_ewma")
+    assert(pe.contains("BroadcastNestedLoopJoin") || pe.contains("BroadcastHashJoin"), pe)
+    assert(!pe.contains("SortMergeJoin"), pe)
+    // graph_assortativity: degree attachment joins the edge stream to
+    // the per-node degree table on the node key. The degree table is
+    // corpus-sized (one row per node), so it must NOT broadcast — a
+    // shuffle equi-join (sort-merge or shuffled-hash) is the correct
+    // scale shape; what's forbidden is any non-equi fallback.
+    val pa = plan("graph_assortativity")
+    assert(pa.contains("SortMergeJoin") || pa.contains("ShuffledHashJoin"), pa)
+    assert(!pa.contains("BroadcastNestedLoopJoin") && !pa.contains("CartesianProduct"), pa)
   }
 
   test("round-5 curation ops keep their bounded tables on the broadcast side") {

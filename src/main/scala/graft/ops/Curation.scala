@@ -483,6 +483,40 @@ object Curation {
       .agg((sum(col("x").cast("double").cast("decimal(38,6)")).cast("double") / count(lit(1)))
         .as("mean_val"))
 
+  /** Exact d×d covariance matrix of the embedding columns (upper
+    * triangle, 1-based dims) — the one-pass input to whitening/PCA and
+    * the standard drift check between two embedding snapshots
+    * ("did the encoder's output distribution move?").
+    *
+    * Scale shape: the pair expansion is ROW-LOCAL (posexplode of each
+    * vector against its own tail slice — no join, no shuffle of
+    * payloads) and d²-bounded per row; partial aggregation collapses
+    * every partition onto the d(d+1)/2-cell grid before the only
+    * shuffle, so shuffle volume is partitions × d² regardless of corpus
+    * size. Determinism: a float×float product is EXACT in double
+    * (24-bit mantissas), quantized onto the decimal(38,9) grid before
+    * the order-free sum; a binary double never sits exactly on a
+    * decimal half-ULP, so the rounding is engine-independent.
+    */
+  def covariance(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.embeddings(s, dir)
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("p", "xi")))
+      .select(col("p"), col("xi").cast("double").as("xi"),
+        posexplode(expr("slice(embedding, p + 1, size(embedding) - p)"))
+          .as(Seq("q", "xj")))
+      .select(col("p"), col("q"), col("xi"), col("xj").cast("double").as("xj"))
+    val a = cells
+      .groupBy((col("p") + 1).cast("long").as("dim_i"),
+        (col("p") + col("q") + 1).cast("long").as("dim_j"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("xi") * col("xj")).cast("decimal(38,9)")).cast("double").as("sij"),
+        sum(col("xi").cast("decimal(38,6)")).cast("double").as("si"),
+        sum(col("xj").cast("decimal(38,6)")).cast("double").as("sj"))
+    a.select(col("dim_i"), col("dim_j"), col("n"),
+      ((col("sij") - col("si") * col("sj") / col("n")) / (col("n") - 1)).as("cov"))
+  }
+
   // ------------------------------------------------------------- seq pack
 
   /** Packing geometry: documents are distributed across
@@ -846,6 +880,7 @@ object Curation {
     "text_chunks"        -> (chunks _),
     "text_tfidf"         -> (tfidf _),
     "embed_assign"       -> (centroidAssign _),
+    "embed_covariance"   -> (covariance _),
     "embed_label_mean"   -> (labelMeanEmbedding _),
     "pii_scrub"          -> (piiScrub _),
     "seq_pack"           -> (seqPack _),
@@ -1042,6 +1077,26 @@ object Curation {
          SELECT cid AS centroid, count(*) AS n_assigned,
            CAST(sum(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_cos
          FROM best WHERE rn = 1 GROUP BY 1""",
+    "embed_covariance" ->
+      """WITH px AS (
+           SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings),
+         pr AS (
+           SELECT i, unnest(generate_series(i, len(embedding))) AS j, embedding
+           FROM px),
+         cells AS (
+           SELECT i, j, CAST(embedding[i] AS DOUBLE) AS xi,
+             CAST(embedding[j] AS DOUBLE) AS xj
+           FROM pr),
+         a AS (SELECT i, j, count(*) AS n,
+             CAST(sum(CAST(xi * xj AS DECIMAL(38,9))) AS DOUBLE) AS sij,
+             CAST(sum(CAST(xi AS DECIMAL(38,6))) AS DOUBLE) AS si,
+             CAST(sum(CAST(xj AS DECIMAL(38,6))) AS DOUBLE) AS sj
+           FROM cells GROUP BY 1, 2)
+         SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+           CAST(n AS BIGINT) AS n,
+           (sij - si * sj / n) / (n - 1) AS cov
+         FROM a""",
     "embed_label_mean" ->
       """SELECT label, CAST(i AS BIGINT) AS dim,
            CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean_val

@@ -806,9 +806,55 @@ object Stats {
           sqrt(n * col("s11") - col("s1") * col("s1")))).as("r_lag1"))
   }
 
+  /** Theil–Sen robust trend of the daily mean-value series per event
+    * type: the MEDIAN of all pairwise day-to-day slopes — the
+    * outlier-proof companion to [[olsValueHour]]'s least-squares line
+    * (a single corrupted day moves OLS arbitrarily, but not the median
+    * of O(D²) slopes; breakdown point ≈ 29%).
+    *
+    * Scale shape: the corpus collapses to the BOUNDED daily grid
+    * (types × days — calendar-bounded, not data-bounded) in one
+    * partial-aggregated shuffle; the pair expansion is a hash
+    * equi-join of that grid against itself on event_type (D² pairs per
+    * type, D = days — ~10⁵ pairs/type for a year, independent of corpus
+    * size); the median runs over [[rangeCum]]'s range-partitioned
+    * prefix sum with the same exact rank picks as [[quantileCont]]
+    * (lo/hi middle elements, one IEEE average). Determinism: daily
+    * means are identical IEEE quotients of decimal-exact sums; slopes
+    * are identical IEEE ops on them (never summed, only ranked — the
+    * near-cancellation trap [[autocorrOf]] documents doesn't apply);
+    * a slope of −0.0 is impossible (x−x = +0.0, positive denominator),
+    * so double group keys agree across engines.
+    */
+  def theilSen(s: SparkSession, dir: String): DataFrame =
+    theilSenOf(Tables.events(s, dir))
+
+  /** [[theilSen]] over any (ts, event_type, value) frame. */
+  private[graft] def theilSenOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("di"))
+      .agg((dsum(col("value")) / count(lit(1))).as("m"))
+    val sl = daily.select(col("event_type"), col("di").as("da"), col("m").as("ma"))
+      .join(daily.select(col("event_type"), col("di").as("db"), col("m").as("mb")),
+        Seq("event_type"))
+      .filter(col("da") < col("db"))
+      .select(col("event_type"),
+        ((col("mb") - col("ma")) / (col("db") - col("da"))).as("s"))
+    val hist = sl.groupBy(col("event_type"), col("s")).agg(count(lit(1)).as("c"))
+    val cum  = rangeCum(hist, Seq("event_type"), "s", "c")
+    def hitAt(rank: String) = expr(s"cum - c < $rank AND cum >= $rank")
+    cum.groupBy("event_type")
+      .agg(
+        max(col("tot")).as("n_pairs"),
+        ((min(when(hitAt("((tot + 1) div 2)"), col("s"))) +
+          min(when(hitAt("((tot div 2) + 1)"), col("s")))) / 2).as("slope"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stats_gini"         -> (gini _),
     "stats_mannwhitney"  -> (mannWhitney _),
+    "stats_theilsen"     -> (theilSen _),
     "stats_quantile_cont" -> (quantileCont _),
     "stats_autocorr"     -> (autocorr _),
     "stats_psi"          -> (psi _),
@@ -844,6 +890,24 @@ object Stats {
            CAST(floor(srx2 - sx * (n + 1)) AS DOUBLE) /
              CAST(floor(sx * n) AS DOUBLE) AS gini
          FROM a""",
+    "stats_theilsen" ->
+      s"""WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) - DATE '1970-01-01' AS di,
+             ${ds("value")} / count(*) AS m
+           FROM events GROUP BY 1, 2),
+         sl AS (SELECT a.event_type, (b.m - a.m) / (b.di - a.di) AS s
+           FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.di < b.di),
+         hist AS (SELECT event_type, s, count(*) AS c FROM sl GROUP BY 1, 2),
+         cc AS (SELECT event_type, s, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY s) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS tot
+           FROM hist)
+         SELECT event_type, CAST(max(tot) AS BIGINT) AS n_pairs,
+           (min(CASE WHEN cum - c < (tot + 1) // 2 AND cum >= (tot + 1) // 2 THEN s END)
+            + min(CASE WHEN cum - c < tot // 2 + 1 AND cum >= tot // 2 + 1 THEN s END)) / 2
+             AS slope
+         FROM cc GROUP BY 1""",
     "stats_mannwhitney" ->
       s"""WITH vc AS (
            SELECT value AS v,

@@ -525,6 +525,88 @@ object TextAnalysis {
         (col("snum") >= 0).as("keep"))
   }
 
+  /** Exact ROC-AUC of the [[qualityClf]] score against an "is English"
+    * reference label — the model-evaluation companion to the classifier:
+    * AUC is the probability a random positive outranks a random negative,
+    * computed exactly from tie-corrected rank statistics (AUC =
+    * U/(n₊·n₋), the [[Stats.mannWhitneyOf]] identity), never from a
+    * sampled or binned curve.
+    *
+    * Scale shape: the per-doc score pass is [[qualityClf]] itself; the
+    * label attaches by carrying `lang` through the same per-doc
+    * aggregation (zero extra joins over the corpus); scores collapse to
+    * their distinct-value histogram and the cumulative negative-count
+    * runs through [[Stats.rangeCum]]'s range-partitioned prefix sum
+    * (via [[Stats.pairRankCum]]'s packed payload — one shared range
+    * exchange). The final row is one global aggregate of exact integer
+    * products.
+    */
+  def clfAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = scoredWithLang(s, dir)
+    val cum = Stats.pairRankCum(scored, col("score"),
+      col("lang") === "en", col("lang") =!= "en")
+    val a = cum.agg(
+      sum(col("ca")).as("np"),
+      sum(col("cb")).as("nn"),
+      sum((col("ca") * (col("cum") - col("cb"))).cast("decimal(38,0)")).as("u1"),
+      sum((col("ca") * col("cb")).cast("decimal(38,0)")).as("utie"))
+    def d(c: String) = col(c).cast("double")
+    a.select(
+      col("np").as("n_pos"),
+      col("nn").as("n_neg"),
+      ((d("u1") + lit(0.5) * d("utie")) / (d("np") * d("nn"))).as("auc"))
+  }
+
+  /** Reliability diagram + Brier decomposition for [[qualityClf]]: map
+    * the score to a clipped linear probability p = clamp((score+1)/2),
+    * bin into 10 fixed-width probability deciles, and report each bin's
+    * size, mean predicted p, empirical positive rate (is-English), and
+    * mean Brier term (p − y)² — the standard calibration audit for any
+    * keep/drop filter before it gates a corpus.
+    *
+    * Scale shape: one [[qualityClf]] pass, then a partial+final
+    * aggregate onto a ≤10-row grid — no joins, no windows. Determinism:
+    * p and (p−y)² are IEEE-deterministic per doc; their per-bin sums go
+    * through decimal(38,9) (order-independent — a raw double sum would
+    * depend on partitioning), then one division. A binary double can
+    * never sit exactly on a decimal half-ULP, so the decimal rounding
+    * is engine-independent.
+    */
+  def clfCalibration(s: SparkSession, dir: String): DataFrame = {
+    val p = greatest(lit(0.0), least(lit(1.0), (col("score") + 1.0) / 2.0))
+    val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+    scoredWithLang(s, dir)
+      .select(p.as("p"), y.as("y"))
+      .groupBy(least(floor(col("p") * 10), lit(9.0)).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("p").cast("decimal(38,9)")).cast("double") / count(lit(1)))
+          .as("mean_p"),
+        (sum(col("y").cast("decimal(38,9)")).cast("double") / count(lit(1)))
+          .as("pos_rate"),
+        (sum(((col("p") - col("y")) * (col("p") - col("y"))).cast("decimal(38,9)"))
+          .cast("double") / count(lit(1))).as("brier"))
+  }
+
+  /** Per-doc [[qualityClf]] score with the doc's `lang` carried through
+    * the feature aggregation as a group key (doc_id is unique, so the
+    * extra key changes no groups and costs no join).
+    */
+  private def scoredWithLang(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        filter(Tokenize.tokenCol(col("text")), _ =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("toks"), graft.functions.TextHash.shingles(col("toks"), 2))).as("f"))
+      .select(col("doc_id"), col("lang"),
+        (pmod(graft.functions.TextHash.hash60(col("f")), lit(ClfBuckets)) * ClfWeightA
+          % ClfWeightMod - 1000L).as("w"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feats"), sum("w").as("snum"))
+      .select(col("doc_id"), col("lang"),
+        (col("snum").cast("double") / (col("n_feats") * 1000L).cast("double")).as("score"))
+
   /** Per-document trigram novelty: the share of a doc's distinct
     * trigrams whose corpus-wide FIRST occurrence (minimum doc_id) is
     * this doc — the "how much genuinely new text does this document
@@ -553,6 +635,8 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "text_novelty"     -> (novelty _),
     "text_quality_clf" -> (qualityClf _),
+    "clf_auc"          -> (clfAuc _),
+    "clf_calibration"  -> (clfCalibration _),
     "text_gopher"      -> (gopherQuality _),
     "text_bpe_pairs"   -> (bpePairs _),
     "text_normalize"   -> (normalizeText _),
@@ -588,6 +672,21 @@ object TextAnalysis {
 
   private def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
 
+  /** Per-doc classifier score with the doc's lang — the oracle twin of
+    * [[scoredWithLang]], shared by clf_auc and clf_calibration.
+    */
+  private lazy val duckScored =
+    s"""SELECT a.doc_id, d.lang, CAST(snum AS DOUBLE) / CAST(n_feats * 1000 AS DOUBLE) AS score
+       FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, CAST(sum(w) AS BIGINT) AS snum
+             FROM (SELECT doc_id,
+                     (${graft.functions.TextHash.duckHash60Of("f")} % $ClfBuckets) * $ClfWeightA
+                       % $ClfWeightMod - 1000 AS w
+                   FROM (SELECT doc_id, t AS f FROM ($duckToks)
+                         UNION ALL
+                         SELECT doc_id, b AS f FROM ($duckBigrams)))
+             GROUP BY 1) a
+       JOIN documents d USING (doc_id)"""
+
   val oracle: Map[String, String] = Map(
     "text_novelty" ->
       s"""WITH sh AS (${Dedup.duckShingles}),
@@ -613,6 +712,29 @@ object TextAnalysis {
            CAST(snum AS DOUBLE) / CAST(n_feats * 1000 AS DOUBLE) AS score,
            (snum >= 0) AS keep
          FROM agg""",
+    "clf_auc" ->
+      s"""WITH scored AS ($duckScored),
+         hist AS (SELECT score AS v,
+             count(*) FILTER (WHERE lang = 'en') AS cp,
+             count(*) FILTER (WHERE lang <> 'en') AS cn
+           FROM scored GROUP BY 1),
+         cum AS (SELECT cp, cn, sum(cn) OVER (ORDER BY v) AS cumn FROM hist)
+         SELECT CAST(sum(cp) AS BIGINT) AS n_pos, CAST(sum(cn) AS BIGINT) AS n_neg,
+           (CAST(sum(cp * (cumn - cn)) AS DOUBLE) + 0.5 * CAST(sum(cp * cn) AS DOUBLE))
+             / (CAST(sum(cp) AS DOUBLE) * CAST(sum(cn) AS DOUBLE)) AS auc
+         FROM cum""",
+    "clf_calibration" ->
+      s"""WITH scored AS ($duckScored),
+         b AS (SELECT
+             greatest(0.0, least(1.0, (score + 1) / 2)) AS p,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM scored)
+         SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(p AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS mean_p,
+           CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS pos_rate,
+           CAST(sum(CAST((p - y) * (p - y) AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS brier
+         FROM b GROUP BY 1""",
     "text_gopher" -> {
       val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH d AS (

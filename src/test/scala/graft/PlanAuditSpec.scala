@@ -195,9 +195,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         "curate_dsir", "graph_pagerank", // graph_pagerank: eager checkpointed loop like dedup_clusters
         "text_bm25", "stats_chi2", "orders_rfm", "orders_abc",
         "orders_basket", // 1-row order-count broadcast
-        // single-group rangeCum callers: the group-total row broadcasts
-        // onto the stream without an equi key (the orders_abc shape)
-        "stats_gini", "stats_mannwhitney", "curate_curriculum",
+        // curate_curriculum: single-group rangeCum caller that USES the
+        // group total, so the 1-row tot broadcasts onto the stream
+        // without an equi key (the orders_abc shape). gini/mannwhitney/
+        // clf_auc opt out of tot (needTot=false) and need no sanction.
+        "curate_curriculum",
         "events_ewma") // 24-row bounded weight table broadcast (finite convolution)
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
@@ -244,6 +246,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       // pid-prefixed and don't match)
       ("stats_gini", "x", "x"),
       ("stats_mannwhitney", "v", "v"),
+      ("clf_auc", "v", "v"),
+      ("stats_theilsen", "event_type", "s"),
       ("curate_curriculum", "n_chars", "n_chars"))
     for ((q, group, ord) <- family) {
       val p = plan(q)
@@ -295,6 +299,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val pa = plan("graph_assortativity")
     assert(pa.contains("SortMergeJoin") || pa.contains("ShuffledHashJoin"), pa)
     assert(!pa.contains("BroadcastNestedLoopJoin") && !pa.contains("CartesianProduct"), pa)
+    // embed_covariance: the d² pair expansion is row-local (generate,
+    // never a join) and partial aggregation collapses each partition to
+    // the d² grid before the ONLY exchange (plus the final single-
+    // partition collect) — shuffle volume must stay partitions × d²
+    val pv = plan("embed_covariance")
+    assert(!pv.contains("Join"), pv)
+    assert("Exchange hashpartitioning".r.findAllIn(pv).size == 1, pv)
+    assert("Generate".r.findAllIn(pv).size == 2, pv)
+    // clf_calibration: one corpus pass onto the 10-row probability grid,
+    // no joins, no windows
+    val pb = plan("clf_calibration")
+    assert(!pb.contains("Join") && !pb.contains("Window"), pb)
   }
 
   test("round-5 curation ops keep their bounded tables on the broadcast side") {

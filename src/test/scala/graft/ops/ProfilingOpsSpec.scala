@@ -463,6 +463,90 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(bucketTotal == scoredDocs, s"$bucketTotal bucketed vs $scoredDocs scored")
   }
 
+  test("stats_theilsen: exact slope on a line, immune to one corrupted day") {
+    def ev(day: Int, v: Double, t: String = "a") =
+      (java.sql.Timestamp.valueOf(f"2025-01-${day + 1}%02d 12:00:00"), t, v)
+    // perfect line value = 2*day → every pairwise slope is exactly 2
+    val line = (0 until 7).map(d => ev(d, 2.0 * d))
+    val (_, nPairs, slope) = Stats.theilSenOf(line.toDF("ts", "event_type", "value"))
+      .as[(String, Long, Double)].head()
+    assert(nPairs == 21L && slope == 2.0, s"line: n=$nPairs slope=$slope")
+    // one wildly corrupted day: OLS would move, the slope median must not
+    val corrupt = line.updated(3, ev(3, 1e6))
+    val (_, _, robust) = Stats.theilSenOf(corrupt.toDF("ts", "event_type", "value"))
+      .as[(String, Long, Double)].head()
+    assert(robust == 2.0, s"corrupted day moved the Theil-Sen slope to $robust")
+    // sanity on real data: one row per event type, n_pairs = D*(D-1)/2
+    val real  = Stats.theilSen(spark, Sf0001)
+    val types = graft.Tables.events(spark, Sf0001)
+      .select("event_type").distinct().count()
+    assert(real.count() == types)
+  }
+
+  test("clf_auc: rank-sum AUC matches a direct midrank recomputation") {
+    val scored = TextAnalysis.qualityClf(spark, Sf0001)
+      .join(spark.read.parquet(s"$Sf0001/documents.parquet").select("doc_id", "lang"), "doc_id")
+      .select(col("score"), (col("lang") === "en").as("pos"))
+      .as[(Double, Boolean)].collect()
+    val pos = scored.filter(_._2).map(_._1).sorted
+    val neg = scored.filterNot(_._2).map(_._1).sorted
+    // direct pairwise count: wins + half-ties over n_pos*n_neg
+    val u = pos.iterator.map { p =>
+      neg.count(_ < p) + 0.5 * neg.count(_ == p)
+    }.sum
+    val (np, nn, auc) = TextAnalysis.clfAuc(spark, Sf0001)
+      .as[(Long, Long, Double)].head()
+    assert(np == pos.length.toLong && nn == neg.length.toLong)
+    assert(math.abs(auc - u / (pos.length.toDouble * neg.length)) < 1e-12,
+      s"auc $auc vs direct ${u / (pos.length.toDouble * neg.length)}")
+  }
+
+  test("clf_calibration: bins partition the corpus, brier and rates in range") {
+    val bins = TextAnalysis.clfCalibration(spark, Sf0001)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val total = bins.map(_._2).sum
+    val docs = TextAnalysis.qualityClf(spark, Sf0001).count()
+    assert(total == docs, s"binned $total of $docs scored docs")
+    bins.foreach { case (bin, n, meanP, posRate, brier) =>
+      assert(bin >= 0 && bin <= 9, s"bin $bin out of range")
+      assert(n > 0)
+      // the bin's mean prediction must lie inside the bin's own interval
+      // decimal(38,9) quantization can move each doc's p by ≤ 0.5e-9
+      assert(meanP >= bin / 10.0 - 1e-8 && meanP <= (bin + 1) / 10.0 + 1e-8,
+        s"bin $bin mean_p $meanP outside its decile")
+      assert(posRate >= 0.0 && posRate <= 1.0)
+      assert(brier >= 0.0 && brier <= 1.0)
+    }
+  }
+
+  test("embed_covariance: matches a direct quantized recomputation at sf0.001") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val vecs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select("embedding").as[Seq[Float]].collect()
+    val n = vecs.length
+    val d = vecs.head.length
+    val got = Curation.covariance(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (i, j, cn, cov) => (i, j) -> ((cn, cov)) }.toMap
+    assert(got.size == d * (d + 1) / 2, s"${got.size} cells for d=$d")
+    // spot-check a handful of cells against exact decimal arithmetic
+    for ((i, j) <- Seq((1, 1), (1, 2), (7, 31), (d, d))) {
+      val (cn, cov) = got((i.toLong, j.toLong))
+      assert(cn == n.toLong)
+      def q9(x: Double) = new JBD(x).setScale(9, RoundingMode.HALF_UP)
+      def q6(x: Double) = new JBD(x).setScale(6, RoundingMode.HALF_UP)
+      var sij = JBD.ZERO; var si = JBD.ZERO; var sj = JBD.ZERO
+      vecs.foreach { v =>
+        val xi = v(i - 1).toDouble; val xj = v(j - 1).toDouble
+        sij = sij.add(q9(xi * xj)); si = si.add(q6(xi)); sj = sj.add(q6(xj))
+      }
+      val expect =
+        (sij.doubleValue() - si.doubleValue() * sj.doubleValue() / n) / (n - 1)
+      assert(cov == expect, s"cell ($i,$j): $cov vs $expect")
+      if (i == j) assert(cov >= 0.0, s"negative variance at dim $i")
+    }
+  }
+
   test("multimodal_resize: box fit preserves aspect and never upscales") {
     val rows = graft.multimodal.Multimodal.resizePlan(spark, Sf0001)
       .select("src_w", "src_h", "out_w", "out_h", "scale", "resample_sum")

@@ -479,6 +479,76 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Number of merge rounds [[bpeTrain]] unrolls (and its oracle mirrors
+    * as chained CTEs).
+    */
+  val BpeRounds = 5
+
+  /** Full iterative BPE tokenizer training (Sennrich et al. 2016) for
+    * [[BpeRounds]] merges — the iterative flagship of the text family,
+    * as [[graft.ops.Graph.pagerank]] is for graphs: each round counts
+    * adjacent symbol pairs weighted by word frequency, adopts the most
+    * frequent pair (count desc, then lexicographic — a total order, so
+    * the learned merge table is deterministic), and rewrites every
+    * word's symbol sequence. Emits one row per round: the adopted merge
+    * and its count at adoption time.
+    *
+    * ENGINE-PARITY CORE: a word's symbol sequence is a chr(31)-joined
+    * string (the unit separator can't occur inside `\\p{L}+` tokens),
+    * so the merge rewrite is a literal `replace(s, l||chr(31)||r,
+    * l||r)` — and literal replace has IDENTICAL left-to-right
+    * non-overlapping semantics in Spark and DuckDB ("a a a" under
+    * merge (a,a) becomes [aa, a] in both). No lambda-fold semantics to
+    * keep in sync.
+    *
+    * Scale shape: every round runs over the WORD-FREQUENCY table
+    * (Heaps-law bounded — millions of rows at 100 TB, not trillions),
+    * never the corpus: one corpus shuffle builds (word, count), then
+    * each round is pair-explode → partial-aggregated count → a
+    * TakeOrderedAndProject top-1 → a 1-row broadcast onto the rewrite.
+    * Generations are localCheckpoint'ed and freed pairwise (the
+    * [[graft.ops.Graph.pagerank]] loop discipline) so round k's plan
+    * never re-derives rounds 1..k−1.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainOf(toks(s, dir))
+
+  private[graft] def bpeTrainOf(tokens: DataFrame): DataFrame = {
+    var words = tokens.groupBy("t").agg(count(lit(1)).as("c"))
+      .select(expr(
+        "array_join(transform(sequence(1, length(t)), i -> substring(t, i, 1)), chr(31))")
+        .as("s"), col("c"))
+      .localCheckpoint(true)
+    val bests = Seq.newBuilder[DataFrame]
+    for (round <- 1 to BpeRounds) {
+      val pairs = words
+        .select(col("c"), split(col("s"), "\u001f").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "i -> struct(element_at(a, i) AS l_sym, element_at(a, i + 1) AS r_sym))"))
+          .as("p"))
+        .groupBy(col("p.l_sym").as("l_sym"), col("p.r_sym").as("r_sym"))
+        .agg(sum(col("c")).as("n"))
+      val best = pairs
+        .orderBy(desc("n"), asc("l_sym"), asc("r_sym"))
+        .limit(1)
+        .localCheckpoint(true) // 1 row; frees the pair scan for reuse below
+      bests += best.withColumn("round", lit(round.toLong))
+      val next = words
+        .crossJoin(broadcast(best.select(col("l_sym"), col("r_sym"))))
+        .select(expr(
+          "replace(s, concat(l_sym, chr(31), r_sym), concat(l_sym, r_sym))").as("s"),
+          col("c"))
+        .localCheckpoint(true)
+      Dedup.freeCheckpoint(words)
+      words = next
+    }
+    Dedup.freeCheckpoint(words)
+    bests.result().reduce(_ union _)
+      .select(col("round"), col("l_sym"), col("r_sym"), col("n"))
+  }
+
   /** Hashed-feature geometry for [[qualityClf]]: feature strings hash
     * into [[ClfBuckets]] buckets (the fastText trick — a fixed-width
     * weight vector regardless of vocabulary size), and each bucket's
@@ -635,6 +705,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "text_novelty"     -> (novelty _),
     "text_quality_clf" -> (qualityClf _),
+    "text_bpe_train"   -> (bpeTrain _),
     "clf_auc"          -> (clfAuc _),
     "clf_calibration"  -> (clfCalibration _),
     "text_gopher"      -> (gopherQuality _),
@@ -671,6 +742,38 @@ object TextAnalysis {
        ON a.doc_id = b.doc_id AND b.i = a.i + 1"""
 
   private def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+
+  /** The [[bpeTrainOf]] oracle, generated for [[BpeRounds]] rounds: the
+    * same loop unrolled as chained CTEs (w0 → p1/b1 → w1 → …), with the
+    * merge rewrite as the SAME literal `replace` over chr(31)-joined
+    * symbol strings — left-to-right non-overlapping in both engines.
+    */
+  private def duckBpeTrain: String = {
+    def pairs(w: String) =
+      s"""SELECT l_sym, r_sym, sum(c) AS n FROM (
+           SELECT a.x AS l_sym, b.x AS r_sym, a.c FROM
+             (SELECT s, c, generate_subscripts(ll, 1) AS i, unnest(ll) AS x
+              FROM (SELECT s, c, string_split(s, chr(31)) AS ll FROM $w) q1) a
+           JOIN
+             (SELECT s, generate_subscripts(ll, 1) AS i, unnest(ll) AS x
+              FROM (SELECT s, string_split(s, chr(31)) AS ll FROM $w) q2) b
+           ON a.s = b.s AND b.i = a.i + 1) GROUP BY 1, 2"""
+    val rounds = (1 to BpeRounds).map { k =>
+      s"""p$k AS (${pairs(s"w${k - 1}")}),
+         b$k AS (SELECT l_sym, r_sym, n FROM p$k ORDER BY n DESC, l_sym, r_sym LIMIT 1),
+         w$k AS (SELECT replace(s, l_sym || chr(31) || r_sym, l_sym || r_sym) AS s, c
+                 FROM w${k - 1}, b$k)"""
+    }.mkString(",\n")
+    val out = (1 to BpeRounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS round, l_sym, r_sym, CAST(n AS BIGINT) AS n FROM b$k")
+      .mkString(" UNION ALL ")
+    s"""WITH wf AS (SELECT t, count(*) AS c FROM ($duckToks) GROUP BY 1),
+       w0 AS (SELECT array_to_string(
+           list_transform(generate_series(1, length(t)), i -> substr(t, i, 1)),
+           chr(31)) AS s, c FROM wf),
+       $rounds
+       $out"""
+  }
 
   /** Per-doc classifier score with the doc's lang — the oracle twin of
     * [[scoredWithLang]], shared by clf_auc and clf_calibration.
@@ -712,6 +815,7 @@ object TextAnalysis {
            CAST(snum AS DOUBLE) / CAST(n_feats * 1000 AS DOUBLE) AS score,
            (snum >= 0) AS keep
          FROM agg""",
+    "text_bpe_train" -> duckBpeTrain,
     "clf_auc" ->
       s"""WITH scored AS ($duckScored),
          hist AS (SELECT score AS v,

@@ -200,7 +200,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         // without an equi key (the orders_abc shape). gini/mannwhitney/
         // clf_auc opt out of tot (needTot=false) and need no sanction.
         "curate_curriculum",
-        "events_ewma") // 24-row bounded weight table broadcast (finite convolution)
+        "events_ewma", // 24-row bounded weight table broadcast (finite convolution)
+        // eager checkpointed loop (the pagerank shape); each round
+        // broadcasts the adopted 1-row merge onto the Heaps-bounded
+        // word table without an equi key
+        "text_bpe_train")
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -547,6 +547,28 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("text_bpe_train: hand-computed merges, ties lexicographic, overlaps left-to-right") {
+    def train(ts: String*) =
+      TextAnalysis.bpeTrainOf(ts.toDF("t")).as[(Long, String, String, Long)]
+        .collect().sortBy(_._1).toSeq
+    // (a,b) outweighs (b,a); after the merge the only pair is (ab,ab);
+    // then nothing is adjacent and the remaining rounds emit no row
+    assert(train("abab", "abab", "ab") ==
+      Seq((1L, "a", "b", 5L), (2L, "ab", "ab", 2L)))
+    // overlap discipline: "aaa" merges left-to-right non-overlapping
+    assert(train("aaa") == Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+    // exact tie on count → lexicographically smallest pair wins
+    assert(train("xy", "xz").head == ((1L, "x", "y", 1L)))
+    // real corpus: exactly BpeRounds merges, counts non-increasing is NOT
+    // required (later merges can beat earlier counts only if they were
+    // created by a merge), but every adopted pair must have n >= 1 and
+    // round numbers must be 1..BpeRounds
+    val real = TextAnalysis.bpeTrain(spark, Sf0001)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(real.map(_._1).toSeq == (1 to TextAnalysis.BpeRounds).map(_.toLong))
+    assert(real.forall(_._4 >= 1))
+  }
+
   test("multimodal_resize: box fit preserves aspect and never upscales") {
     val rows = graft.multimodal.Multimodal.resizePlan(spark, Sf0001)
       .select("src_w", "src_h", "out_w", "out_h", "scale", "resample_sum")

@@ -514,8 +514,18 @@ object TextAnalysis {
     bpeTrainOf(toks(s, dir))
 
   private[graft] def bpeTrainOf(tokens: DataFrame): DataFrame = {
+    val (merges, seg) = bpeFit(tokens)
+    Dedup.freeCheckpoint(seg)
+    merges
+  }
+
+  /** The shared train loop: returns the learned merge table (round,
+    * l_sym, r_sym, n) AND the final segmented word table (t, s, c) --
+    * both checkpointed; the caller frees whichever it doesn't keep.
+    */
+  private[graft] def bpeFit(tokens: DataFrame): (DataFrame, DataFrame) = {
     var words = tokens.groupBy("t").agg(count(lit(1)).as("c"))
-      .select(expr(
+      .select(col("t"), expr(
         "array_join(transform(sequence(1, length(t)), i -> substring(t, i, 1)), chr(31))")
         .as("s"), col("c"))
       .localCheckpoint(true)
@@ -537,16 +547,45 @@ object TextAnalysis {
       bests += best.withColumn("round", lit(round.toLong))
       val next = words
         .crossJoin(broadcast(best.select(col("l_sym"), col("r_sym"))))
-        .select(expr(
+        .select(col("t"), expr(
           "replace(s, concat(l_sym, chr(31), r_sym), concat(l_sym, r_sym))").as("s"),
           col("c"))
         .localCheckpoint(true)
       Dedup.freeCheckpoint(words)
       words = next
     }
-    Dedup.freeCheckpoint(words)
-    bests.result().reduce(_ union _)
+    val merges = bests.result().reduce(_ union _)
       .select(col("round"), col("l_sym"), col("r_sym"), col("n"))
+    (merges, words)
+  }
+
+  /** BPE tokenization APPLY step: segment every document with the merge
+    * table [[bpeTrain]] just learned and report per-doc subword
+    * statistics -- `fertility` (subwords per word) is THE standard
+    * tokenizer-quality metric per corpus slice (a tokenizer trained on
+    * one language has fertility ~1.x there and blows up on unseen
+    * scripts, which is how training-data language mix problems surface).
+    *
+    * Scale shape: segmentation cost lives on the Heaps-bounded word
+    * table (the final generation of the training loop, already
+    * materialized), so the only corpus-sized work is ONE hash equi-join
+    * of the token stream against (word -> subword count) -- the
+    * [[unigramLm]] vocabulary-join shape, deliberately unhinted so AQE
+    * picks broadcast vs shuffle from measured sizes -- plus the per-doc
+    * partial+final aggregate.
+    */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    // the unused merge table is five 1-row checkpoints; not worth freeing
+    val (_, seg) = bpeFit(toks(s, dir))
+    val nsub = seg.select(col("t"),
+      size(split(col("s"), "\u001f")).cast("long").as("nsub"))
+    toks(s, dir)
+      .join(nsub, "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("nsub")).as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
   }
 
   /** Hashed-feature geometry for [[qualityClf]]: feature strings hash
@@ -706,6 +745,7 @@ object TextAnalysis {
     "text_novelty"     -> (novelty _),
     "text_quality_clf" -> (qualityClf _),
     "text_bpe_train"   -> (bpeTrain _),
+    "text_bpe_apply"   -> (bpeApply _),
     "clf_auc"          -> (clfAuc _),
     "clf_calibration"  -> (clfCalibration _),
     "text_gopher"      -> (gopherQuality _),
@@ -748,7 +788,7 @@ object TextAnalysis {
     * merge rewrite as the SAME literal `replace` over chr(31)-joined
     * symbol strings — left-to-right non-overlapping in both engines.
     */
-  private def duckBpeTrain: String = {
+  private def duckBpeChain: String = {
     def pairs(w: String) =
       s"""SELECT l_sym, r_sym, sum(c) AS n FROM (
            SELECT a.x AS l_sym, b.x AS r_sym, a.c FROM
@@ -761,19 +801,31 @@ object TextAnalysis {
     val rounds = (1 to BpeRounds).map { k =>
       s"""p$k AS (${pairs(s"w${k - 1}")}),
          b$k AS (SELECT l_sym, r_sym, n FROM p$k ORDER BY n DESC, l_sym, r_sym LIMIT 1),
-         w$k AS (SELECT replace(s, l_sym || chr(31) || r_sym, l_sym || r_sym) AS s, c
+         w$k AS (SELECT t, replace(s, l_sym || chr(31) || r_sym, l_sym || r_sym) AS s, c
                  FROM w${k - 1}, b$k)"""
     }.mkString(",\n")
+    s"""WITH wf AS (SELECT t, count(*) AS c FROM ($duckToks) GROUP BY 1),
+       w0 AS (SELECT t, array_to_string(
+           list_transform(generate_series(1, length(t)), i -> substr(t, i, 1)),
+           chr(31)) AS s, c FROM wf),
+       $rounds"""
+  }
+
+  private def duckBpeTrain: String = {
     val out = (1 to BpeRounds)
       .map(k => s"SELECT CAST($k AS BIGINT) AS round, l_sym, r_sym, CAST(n AS BIGINT) AS n FROM b$k")
       .mkString(" UNION ALL ")
-    s"""WITH wf AS (SELECT t, count(*) AS c FROM ($duckToks) GROUP BY 1),
-       w0 AS (SELECT array_to_string(
-           list_transform(generate_series(1, length(t)), i -> substr(t, i, 1)),
-           chr(31)) AS s, c FROM wf),
-       $rounds
+    s"""$duckBpeChain
        $out"""
   }
+
+  private def duckBpeApply: String =
+    s"""$duckBpeChain,
+       seg AS (SELECT t, len(string_split(s, chr(31))) AS nsub FROM w$BpeRounds)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(nsub) AS BIGINT) AS n_subwords,
+         CAST(sum(nsub) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+       FROM ($duckToks) tok JOIN seg USING (t) GROUP BY 1"""
 
   /** Per-doc classifier score with the doc's lang — the oracle twin of
     * [[scoredWithLang]], shared by clf_auc and clf_calibration.
@@ -816,6 +868,7 @@ object TextAnalysis {
            (snum >= 0) AS keep
          FROM agg""",
     "text_bpe_train" -> duckBpeTrain,
+    "text_bpe_apply" -> duckBpeApply,
     "clf_auc" ->
       s"""WITH scored AS ($duckScored),
          hist AS (SELECT score AS v,

@@ -569,6 +569,31 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(real.forall(_._4 >= 1))
   }
 
+  test("text_bpe_apply: subword counts bounded by chars and words, 5 merges help") {
+    val docs = TextAnalysis.bpeApply(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(docs.nonEmpty)
+    // per-doc char/word totals straight from the tokenizer
+    val totals = graft.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.filter(
+          graft.text.Tokenize.tokenCol(col("text")), _ =!= "")).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"), sum(length(col("t"))).as("nc"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(docs.length == totals.size)
+    var merged = 0L
+    docs.foreach { case (id, nWords, nSub, fert) =>
+      val (nw, nc) = totals(id)
+      assert(nWords == nw, s"doc $id words $nWords vs $nw")
+      // each word is between 1 symbol (fully merged) and len chars
+      assert(nSub >= nWords && nSub <= nc, s"doc $id subwords $nSub outside [$nWords, $nc]")
+      assert(math.abs(fert - nSub.toDouble / nWords) < 1e-15)
+      merged += nc - nSub
+    }
+    assert(merged > 0, "five merge rounds must shorten at least one document")
+  }
+
   test("multimodal_resize: box fit preserves aspect and never upscales") {
     val rows = graft.multimodal.Multimodal.resizePlan(spark, Sf0001)
       .select("src_w", "src_h", "out_w", "out_h", "scale", "resample_sum")

@@ -851,7 +851,167 @@ object Stats {
           min(when(hitAt("((tot div 2) + 1)"), col("s")))) / 2).as("slope"))
   }
 
+  /** Kendall's tau-b rank correlation between hour-of-day and the
+    * magnitude class of `value` — the tie-robust monotone-association
+    * test beside [[corrValueHour]] (linear) and [[stats_spearman]]-style
+    * rank measures: "do larger events systematically land later in the
+    * day?". Values quantize to their BIT-LENGTH class
+    * (`length(bin(floor(v)+1))` — a pure integer op both engines compute
+    * identically), so the statistic is exact over the quantized pair.
+    *
+    * Scale shape: the corpus collapses to the BOUNDED 24×~64 contingency
+    * grid (hour × bit-length — domain-bounded, never data-bounded) in one
+    * partial-aggregated shuffle; concordant/discordant mass comes from
+    * the grid's self-join (≤ (24·64)² cell pairs — a broadcast-join of
+    * two tiny aggregates, independent of corpus size), tie corrections
+    * from the two margin vectors. All counts ride decimal(38,0) (a
+    * product of two 100-TB-scale counts overflows BIGINT); tau-b's
+    * final quotient is one IEEE division+sqrt of exactly-computed
+    * integers. Doubled tie identities (`s0 = n(n−1)`, `s1 = Σ m(m−1)`)
+    * keep every intermediate an exact integer — no /2 anywhere.
+    */
+  def kendall(s: SparkSession, dir: String): DataFrame =
+    kendallOf(Tables.events(s, dir))
+
+  /** [[kendall]] over any (ts, value) frame. */
+  private[graft] def kendallOf(events: DataFrame): DataFrame = {
+    val cls = length(bin(floor(col("value")).cast("long") + 1)).cast("long")
+    val cells = events
+      .select(hour(col("ts")).cast("long").as("h"), cls.as("g"))
+      .groupBy("h", "g")
+      .agg(count(lit(1)).as("c"))
+    def d0(c: Column) = c.cast("decimal(38,0)")
+    val a = cells.select(col("h").as("ha"), col("g").as("ga"), col("c").as("ca"))
+    val b = cells.select(col("h").as("hb"), col("g").as("gb"), col("c").as("cb"))
+    val cd = a
+      .join(broadcast(b), col("hb") > col("ha"))
+      .agg(
+        sum(when(col("gb") > col("ga"), d0(col("ca") * col("cb"))).otherwise(d0(lit(0))))
+          .as("nc"),
+        sum(when(col("gb") < col("ga"), d0(col("ca") * col("cb"))).otherwise(d0(lit(0))))
+          .as("nd"))
+    def tieSum(df: DataFrame, k: String) = df
+      .groupBy(col(k))
+      .agg(sum(col("c")).as("m"))
+      .agg(sum(d0(col("m")) * d0(col("m") - 1)).as(s"s_$k"), sum(col("m")).as(s"n_$k"))
+    val th = tieSum(cells, "h")
+    val tg = tieSum(cells, "g").drop("n_g")
+    val one = cd.crossJoin(broadcast(th)).crossJoin(broadcast(tg))
+    val n  = col("n_h")
+    val s0 = d0(n) * d0(n - 1)
+    one.select(
+      col("n_h").as("n"),
+      col("nc").cast("double").as("n_conc"),
+      col("nd").cast("double").as("n_disc"),
+      ((col("nc") - col("nd")).cast("double") * 2.0 /
+        sqrt((s0 - col("s_h")).cast("double") * (s0 - col("s_g")).cast("double")))
+        .as("tau_b"))
+  }
+
+  /** Levene's variance-homogeneity test (mean-centered form) of `value`
+    * across event types — the "can I pool these groups / is variance
+    * itself drifting" gate that complements [[welchT]] (means) and
+    * [[ksTest]] (shape): a one-way ANOVA F on the absolute deviations
+    * z = |v − mean(group)|.
+    *
+    * Scale shape: pass 1 reduces to per-type decimal-exact (n, Σv) —
+    * the 5-row mean table broadcasts back (the [[anomaly3Sigma]]
+    * discipline, no second shuffle of the fact); pass 2 is one more
+    * partial-aggregated shuffle to per-type (n, Σz, Σz²). Group means
+    * are identical IEEE quotients of exact sums, so every z is the same
+    * double in both engines; the k per-group F ingredients quantize onto
+    * decimal(38,6) before the final order-free sum (the libm-containment
+    * rule applied to cross-group reduction), and F is closed-form IEEE
+    * arithmetic on those exact pieces.
+    */
+  def levene(s: SparkSession, dir: String): DataFrame =
+    leveneOf(Tables.events(s, dir))
+
+  /** [[levene]] over any (event_type, value) frame. */
+  private[graft] def leveneOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("value"))
+    val means = ev
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nm"), dsum(col("value")).as("sxm"))
+      .select(col("event_type"), (col("sxm") / col("nm")).as("mu"))
+    val z = ev
+      .join(broadcast(means), "event_type")
+      .select(col("event_type"), abs(col("value") - col("mu")).as("z"))
+    val per = z
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("z")).as("sz"), dsum(col("z") * col("z")).as("szz"))
+    def q6(c: Column) = c.cast("decimal(38,6)")
+    val sz2n = col("sz") * col("sz") / col("n")
+    val one = per.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("n_total"),
+      sum(q6(col("sz"))).cast("double").as("szt"),
+      sum(q6(sz2n)).cast("double").as("sp"),
+      sum(q6(col("szz") - sz2n)).cast("double").as("ssw"))
+    val ssb = col("sp") - col("szt") * col("szt") / col("n_total")
+    one.select(
+      col("k"),
+      col("n_total"),
+      ssb.as("ssb"),
+      col("ssw").as("ssw"),
+      ((ssb / (col("k") - 1)) / (col("ssw") / (col("n_total") - col("k")))).as("f_stat"))
+  }
+
+  /** Mutual information (nats) between event type and hour-of-day, with
+    * both marginal entropies and the uncertainty coefficient
+    * U(type|hour) = I/H(type) — the information-theoretic effect size
+    * behind [[chi2]]'s yes/no independence verdict ("HOW diurnal is the
+    * traffic mix", in bits a mixture designer can act on).
+    *
+    * Scale shape: identical to [[chi2]] — one partial-aggregated shuffle
+    * to the bounded types×24 contingency grid, margins as two tiny
+    * aggregates broadcast back, so corpus size never appears after the
+    * first reduction. Zero cells contribute exactly 0 to I (lim p→0 of
+    * p·ln p), so the observed-cells-only join is the statistic, not an
+    * approximation. Every ln runs on an identical IEEE quotient of
+    * exact integers and quantizes onto decimal(38,9) before the
+    * order-free sum (the libm-containment rule).
+    */
+  def mutualInfo(s: SparkSession, dir: String): DataFrame =
+    mutualInfoOf(Tables.events(s, dir))
+
+  /** [[mutualInfo]] over any (ts, event_type) frame. */
+  private[graft] def mutualInfoOf(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type").as("t"), hour(col("ts")).cast("long").as("h"))
+      .groupBy("t", "h")
+      .agg(count(lit(1)).as("c"))
+    val rowsM = cells.groupBy("t").agg(sum(col("c")).as("ct"))
+    val colsM = cells.groupBy("h").agg(sum(col("c")).as("ch"))
+    val tot   = cells.agg(sum(col("c")).as("n"))
+    def q9(c: Column) = c.cast("decimal(38,9)")
+    def ent(m: DataFrame, cnt: String, out: String) = m
+      .crossJoin(broadcast(tot))
+      .select(q9((col(cnt).cast("double") / col("n").cast("double")) *
+        -log(col(cnt).cast("double") / col("n").cast("double"))).as("e"))
+      .agg(sum(col("e")).cast("double").as(out))
+    val mi = cells
+      .join(broadcast(rowsM), "t")
+      .join(broadcast(colsM), "h")
+      .crossJoin(broadcast(tot))
+      .select(
+        q9((col("c").cast("double") / col("n").cast("double")) *
+          log((col("c").cast("double") * col("n").cast("double")) /
+            (col("ct").cast("double") * col("ch").cast("double")))).as("cell"),
+        col("n"))
+      .agg(max(col("n")).as("n"), sum(col("cell")).cast("double").as("mi_nats"))
+    mi
+      .crossJoin(broadcast(ent(rowsM, "ct", "h_type_nats")))
+      .crossJoin(broadcast(ent(colsM, "ch", "h_hour_nats")))
+      .select(
+        col("n"), col("mi_nats"), col("h_type_nats"), col("h_hour_nats"),
+        (col("mi_nats") / col("h_type_nats")).as("u_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stats_kendall"      -> (kendall _),
+    "stats_levene"       -> (levene _),
+    "stats_mutual_info"  -> (mutualInfo _),
     "stats_gini"         -> (gini _),
     "stats_mannwhitney"  -> (mannWhitney _),
     "stats_theilsen"     -> (theilSen _),

@@ -1036,6 +1036,74 @@ object Stats {
   private def ds(c: String) = DSUM.format(c)
 
   val oracle: Map[String, String] = Map(
+    "stats_kendall" ->
+      """WITH cells AS (
+           SELECT CAST(hour(ts) AS BIGINT) AS h,
+             CAST(length(bin(CAST(floor(value) AS BIGINT) + 1)) AS BIGINT) AS g,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         cd AS (SELECT
+             sum(CASE WHEN b.g > a.g THEN CAST(a.c * b.c AS DECIMAL(38,0))
+                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS nc,
+             sum(CASE WHEN b.g < a.g THEN CAST(a.c * b.c AS DECIMAL(38,0))
+                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS nd
+           FROM cells a JOIN cells b ON b.h > a.h),
+         th AS (SELECT sum(CAST(m AS DECIMAL(38,0)) * CAST(m - 1 AS DECIMAL(38,0))) AS s_h,
+             CAST(sum(m) AS BIGINT) AS n_h
+           FROM (SELECT h, sum(c) AS m FROM cells GROUP BY 1)),
+         tg AS (SELECT sum(CAST(m AS DECIMAL(38,0)) * CAST(m - 1 AS DECIMAL(38,0))) AS s_g
+           FROM (SELECT g, sum(c) AS m FROM cells GROUP BY 1))
+         SELECT n_h AS n,
+           CAST(nc AS DOUBLE) AS n_conc,
+           CAST(nd AS DOUBLE) AS n_disc,
+           CAST(nc - nd AS DOUBLE) * 2.0 /
+             sqrt(CAST(CAST(n_h AS DECIMAL(38,0)) * CAST(n_h - 1 AS DECIMAL(38,0)) - s_h AS DOUBLE) *
+                  CAST(CAST(n_h AS DECIMAL(38,0)) * CAST(n_h - 1 AS DECIMAL(38,0)) - s_g AS DOUBLE))
+             AS tau_b
+         FROM cd CROSS JOIN th CROSS JOIN tg""",
+    "stats_levene" ->
+      s"""WITH mu AS (
+           SELECT event_type, ${ds("value")} / count(*) AS mu
+           FROM events GROUP BY 1),
+         z AS (SELECT e.event_type, abs(e.value - mu.mu) AS z
+           FROM events e JOIN mu USING (event_type)),
+         per AS (SELECT event_type, count(*) AS n,
+             ${ds("z")} AS sz, ${ds("z * z")} AS szz
+           FROM z GROUP BY 1),
+         one AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+             ${ds("sz")} AS szt,
+             ${ds("sz * sz / n")} AS sp,
+             ${ds("szz - sz * sz / n")} AS ssw
+           FROM per)
+         SELECT CAST(k AS BIGINT) AS k, n_total,
+           sp - szt * szt / n_total AS ssb,
+           ssw,
+           ((sp - szt * szt / n_total) / (k - 1)) / (ssw / (n_total - k)) AS f_stat
+         FROM one""",
+    "stats_mutual_info" ->
+      """WITH cells AS (
+           SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         rm AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         cm AS (SELECT h, CAST(sum(c) AS BIGINT) AS ch FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+         eh AS (SELECT CAST(sum(CAST(
+             (CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) *
+             -ln(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(38,9)))
+             AS DOUBLE) AS h_type_nats FROM rm CROSS JOIN tot),
+         ec AS (SELECT CAST(sum(CAST(
+             (CAST(ch AS DOUBLE) / CAST(n AS DOUBLE)) *
+             -ln(CAST(ch AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(38,9)))
+             AS DOUBLE) AS h_hour_nats FROM cm CROSS JOIN tot),
+         mi AS (SELECT max(n) AS n, CAST(sum(CAST(
+             (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+             ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) /
+                (CAST(ct AS DOUBLE) * CAST(ch AS DOUBLE))) AS DECIMAL(38,9)))
+             AS DOUBLE) AS mi_nats
+           FROM cells JOIN rm USING (t) JOIN cm USING (h) CROSS JOIN tot)
+         SELECT n, mi_nats, h_type_nats, h_hour_nats,
+           mi_nats / h_type_nats AS u_type
+         FROM mi CROSS JOIN eh CROSS JOIN ec""",
     "stats_gini" ->
       """WITH spend AS (
            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS x

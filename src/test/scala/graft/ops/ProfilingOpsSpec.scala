@@ -608,4 +608,83 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(sum >= 0, "resample checksum must be non-negative")
     }
   }
+
+  test("stats_kendall: ±1 at perfect (dis)cordance, direct pair recompute on sf0.001") {
+    def ev(h: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2025-01-01 $h%02d:00:00"), v)
+    // magnitude classes 2/3/4 rise with the hour → every pair concordant
+    val up = Seq(ev(1, 1.5), ev(2, 3.5), ev(3, 7.5)).toDF("ts", "value")
+    val (n1, nc1, nd1, t1) = Stats.kendallOf(up)
+      .as[(Long, Double, Double, Double)].head()
+    assert((n1, nc1, nd1, t1) == ((3L, 3.0, 0.0, 1.0)), s"concordant: $t1")
+    val down = Seq(ev(1, 7.5), ev(2, 3.5), ev(3, 1.5)).toDF("ts", "value")
+    assert(Stats.kendallOf(down).as[(Long, Double, Double, Double)].head()._4 == -1.0)
+    // real data: O(n²) pair loop over the collected (hour, class) marks
+    val marks = graft.Tables.events(spark, Sf0001)
+      .select(hour(col("ts")).cast("long"),
+        length(bin(floor(col("value")).cast("long") + 1)).cast("long"))
+      .as[(Long, Long)].collect()
+    var nc = 0L; var nd = 0L
+    for (i <- marks.indices; j <- (i + 1) until marks.length) {
+      val ((h1, g1), (h2, g2)) = (marks(i), marks(j))
+      if (h1 != h2 && g1 != g2) {
+        if ((h1 < h2) == (g1 < g2)) nc += 1 else nd += 1
+      }
+    }
+    val n  = marks.length.toLong
+    val s0 = BigInt(n) * (n - 1)
+    def tie(ks: Array[Long]) = ks.groupBy(identity).values
+      .map(g => BigInt(g.length) * (g.length - 1)).sum
+    val want = 2.0 * (nc - nd) /
+      math.sqrt((s0 - tie(marks.map(_._1))).toDouble * (s0 - tie(marks.map(_._2))).toDouble)
+    val got = Stats.kendall(spark, Sf0001).as[(Long, Double, Double, Double)].head()
+    assert(got._1 == n && got._2 == nc.toDouble && got._3 == nd.toDouble,
+      s"pair counts: $got vs ($n, $nc, $nd)")
+    assert(math.abs(got._4 - want) < 1e-12, s"tau ${got._4} != $want")
+  }
+
+  test("stats_levene: location-shift invariant, F=0 when groups share |deviation|s") {
+    def g(t: String, vs: Seq[Double]) = vs.map(v => (t, v))
+    // integer data with exact means: shifting one group by +100 moves its
+    // mean by exactly 100, so every z — and therefore F — is bit-identical
+    val base = g("a", Seq(1, 2, 3, 6)) ++ g("b", Seq(10, 20, 30, 80))
+    val shif = g("a", Seq(101, 102, 103, 106)) ++ g("b", Seq(10, 20, 30, 80))
+    val fb = Stats.leveneOf(base.toDF("event_type", "value"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    val fs = Stats.leveneOf(shif.toDF("event_type", "value"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(fb == fs, s"location shift changed the statistic: $fb vs $fs")
+    // same deviation multiset in both groups → between-group spread ~ 0
+    val same = g("a", Seq(1, 2, 3, 6)) ++ g("b", Seq(11, 12, 13, 16))
+    val (k0, n0, ssb0, ssw0, f0) = Stats.leveneOf(same.toDF("event_type", "value"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert((k0, n0) == ((2L, 8L)))
+    assert(math.abs(ssb0) < 1e-5 && math.abs(f0) < 1e-4, s"ssb $ssb0 F $f0")
+    assert(ssw0 > 0)
+    val real = Stats.levene(spark, Sf0001)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(real._3 >= -1e-9 && real._4 > 0 && real._5 >= 0, s"real F: $real")
+  }
+
+  test("stats_mutual_info: 0 under independence, H(type) under determinism") {
+    def ev(t: String, h: Int) =
+      (java.sql.Timestamp.valueOf(f"2025-01-01 $h%02d:00:00"), t)
+    // uniform 2×2 grid: type ⟂ hour → I = 0, U = 0
+    val indep = Seq(ev("a", 0), ev("a", 1), ev("b", 0), ev("b", 1))
+      .toDF("ts", "event_type")
+    val (ni, mi, ht, hh, u) = Stats.mutualInfoOf(indep)
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(ni == 4L && mi == 0.0 && u == 0.0, s"independent: $mi, $u")
+    assert(math.abs(ht - math.log(2)) < 1e-8 && math.abs(hh - math.log(2)) < 1e-8)
+    // hour determines type → I = H(type), U = 1
+    val det = Seq(ev("a", 0), ev("a", 0), ev("b", 1), ev("b", 1))
+      .toDF("ts", "event_type")
+    val d = Stats.mutualInfoOf(det).as[(Long, Double, Double, Double, Double)].head()
+    assert(math.abs(d._2 - math.log(2)) < 1e-8 && math.abs(d._5 - 1.0) < 1e-8,
+      s"deterministic: $d")
+    // real data: 0 ≤ I ≤ min(H(type), H(hour)); quantization slack 1e-8
+    val r = Stats.mutualInfo(spark, Sf0001).as[(Long, Double, Double, Double, Double)].head()
+    assert(r._2 >= -1e-8 && r._2 <= math.min(r._3, r._4) + 1e-8, s"real MI: $r")
+    assert(r._5 >= -1e-8 && r._5 <= 1.0 + 1e-8)
+  }
 }

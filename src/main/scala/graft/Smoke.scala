@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Pre-commit smoke gate: run EVERY catalog query end-to-end (`.count()`)
+  * on a small SF dir and exit non-zero if any fails to analyze or execute.
+  *
+  * Exists because of the round-6 postmortem: the driver regenerated
+  * `events.parquet` with a different physical timestamp type and 12
+  * queries silently dropped out of the correctness gate — the failure sat
+  * in a spec that wasn't re-run against the new data before snapshotting.
+  * This main is seconds of wall time at sf0.001 and catches any
+  * schema-drift/analysis regression across the whole catalog, so it can
+  * run before every commit (`tools/smoke.sh`).
+  *
+  * Also audits each executed plan for unsanctioned nested-loop joins
+  * (same allowlist discipline as PlanAuditSpec's full-catalog sweep, kept
+  * intentionally independent of the test classpath so it runs from a
+  * plain `java -cp`): a new query that accidentally plans a cartesian
+  * product fails the smoke, not the 100×-bigger bench.
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Build sides sanctioned as nested-loop: each is a 1-row aggregate, a
+    // grid-bounded (hours × categories) table, or the operator IS a cross
+    // join. Mirrors (and must stay in sync with) PlanAuditSpec.
+    val nlAllowed = Set(
+      "cross_join", "scalar_subquery", "sim_topk", "dedup_clusters",
+      "text_unigram_lm", "seq_pack", "text_pmi", "q11_important",
+      "corpus_mixture", "text_ppl_buckets", "curate_dsir", "graph_pagerank",
+      "text_bm25", "stats_chi2", "orders_rfm", "orders_abc", "orders_basket",
+      "curate_curriculum", "events_ewma", "text_bpe_train", "stats_kendall",
+      "stats_mutual_info")
+
+    var bad = 0
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val df = fn(spark, sfDir)
+        val n  = df.count()
+        val p  = df.queryExecution.executedPlan.toString
+        if (!nlAllowed(name) &&
+            (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))) {
+          println(s"SMOKE NESTED-LOOP: $name")
+          bad += 1
+        } else if (n == 0) {
+          // informational only: several queries are legitimately empty at
+          // sf0.001 (selective TPC-H filters on ~6k lineitem rows); the
+          // driver's DuckDB gate compares exact row counts at sf0.01
+          println(s"smoke empty (ok at tiny SF): $name")
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"SMOKE FAIL: $name — ${String.valueOf(e.getMessage).linesIterator.take(1).mkString}")
+          bad += 1
+      }
+    }
+    if (SparkEntry.oracleSql.keySet != SparkEntry.queries.keySet) {
+      val d1 = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+      val d2 = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+      println(s"SMOKE CATALOG DRIFT: no-oracle=$d1 no-query=$d2")
+      bad += 1
+    }
+    println(s"smoke: ${SparkEntry.queries.size} queries, $bad failures")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

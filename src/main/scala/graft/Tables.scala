@@ -33,12 +33,21 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try {
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      import org.apache.spark.sql.types.LongType
-      if (raw.schema("ts").dataType == LongType)
-        // `div` is integer division — ns epoch values exceed double's 53-bit
-        // mantissa, so a float division here would corrupt microseconds.
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // `div` is integer division — ns epoch values exceed double's
+          // 53-bit mantissa, so a float division here would corrupt
+          // microseconds.
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          // Parquet `timestamp[us]` without timezone reads as TIMESTAMP_NTZ.
+          // The session timezone is pinned to UTC (build.sbt), so the cast
+          // to instant-typed TimestampType is exact and epoch-micros
+          // arithmetic agrees with DuckDB reading the same file.
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
       case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

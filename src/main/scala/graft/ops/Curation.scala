@@ -182,7 +182,17 @@ object Curation {
     * rides back in as a broadcast.
     */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sh = srcShingles(s, dir).select("source", "sh")
+    // (source, sh) distinct only — dropping doc_id both shrinks the table
+    // (one row per source-shingle, not per doc-shingle) and lets the two
+    // consumers below (pair expansion + per-source sizes) share ONE
+    // materialization instead of re-running tokenize→shingle→distinct
+    // twice. Eager checkpoint; at cluster scale this becomes a persisted
+    // intermediate table (see localCheckpoint note in Graph.scala).
+    val sh = withToks(s, dir)
+      .select(col("source"), explode(TextHash.shingles(col("toks"), 3)).as("shs"))
+      .select(col("source"), TextHash.hash60(col("shs")).as("sh"))
+      .distinct()
+      .localCheckpoint(true)
     // sorted source set per shingle: collect_set dedupes, array_sort makes
     // the pair expansion deterministic and canonically ordered (a < b)
     val bySh = sh
@@ -602,27 +612,41 @@ object Curation {
     *
     * The naive formulation, `row_number() OVER (ORDER BY doc_id)`, is a
     * scale-killer: an empty PARTITION BY makes Spark coalesce the whole
-    * table into ONE task for the window sort. The scalable shape is (1) a
-    * range-partitioned parallel sort (sampled split points, every
-    * partition sorts independently, partition i holds keys < partition
-    * i+1), then (2) `zipWithIndex`, which runs one lightweight job to
-    * collect per-partition row COUNTS, prefix-sums them on the driver
-    * (bytes per partition: one long), and assigns `offset + local_index`
-    * embarrassingly parallel. No single-partition stage anywhere; this is
-    * the documented reason for the RDD hop (DataFrame windows cannot
-    * express "global order minus the global sort").
+    * table into ONE task for the window sort. The scalable shape keeps
+    * the sort parallel: (1) a range-partitioned parallel sort (sampled
+    * split points; RangePartitioner guarantees partition i holds keys
+    * below partition i+1's), (2) per-partition local ranks via a window
+    * PARTITIONED BY `spark_partition_id()` (every partition numbers
+    * itself independently — no single-task stage), and (3) a cumulative
+    * per-partition row-count offset, a partitions-count-bounded table
+    * that broadcasts back in. `offset + local rank` is the exact global
+    * rank, independent of where the sampled range bounds happened to
+    * fall. All DataFrame, all codegen — the r6 RDD
+    * sort+zipWithIndex formulation computed the same thing outside
+    * Catalyst (and tripped ClosureCleaner under the test harness's
+    * classloader).
     */
   def globalIds(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables
+    val parts = Tables
       .documents(s, dir)
       .select(col("doc_id"))
-      .orderBy("doc_id")
-      .rdd
-      .map(_.getLong(0))
-      .zipWithIndex()
-      .map { case (docId, idx) => (docId, idx + 1L) }
-      .toDF("doc_id", "global_id")
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = parts
+      .groupBy("pid")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "offset",
+        coalesce(
+          sum("cnt").over(
+            Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "offset")
+    val local = Window.partitionBy("pid").orderBy("doc_id")
+    parts
+      .withColumn("rn", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), "pid")
+      .select(col("doc_id"), (col("offset") + col("rn")).as("global_id"))
   }
 
   /** BM25 parameters: the standard Robertson defaults, plus the top-k

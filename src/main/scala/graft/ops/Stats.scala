@@ -886,9 +886,14 @@ object Stats {
     val cd = a
       .join(broadcast(b), col("hb") > col("ha"))
       .agg(
-        sum(when(col("gb") > col("ga"), d0(col("ca") * col("cb"))).otherwise(d0(lit(0))))
+        // cast a FACTOR (not the product) to decimal: ca*cb in BIGINT
+        // first would wrap past 2^63 on planet-scale cell counts — Spark
+        // wraps silently where DuckDB errors, so cast-first is the only
+        // form that keeps the engines in lockstep at any scale (the same
+        // cast-first pattern as the s_h/s_g tie sums)
+        sum(when(col("gb") > col("ga"), d0(col("ca")) * col("cb")).otherwise(d0(lit(0))))
           .as("nc"),
-        sum(when(col("gb") < col("ga"), d0(col("ca") * col("cb"))).otherwise(d0(lit(0))))
+        sum(when(col("gb") < col("ga"), d0(col("ca")) * col("cb")).otherwise(d0(lit(0))))
           .as("nd"))
     def tieSum(df: DataFrame, k: String) = df
       .groupBy(col(k))
@@ -903,8 +908,12 @@ object Stats {
       col("n_h").as("n"),
       col("nc").cast("double").as("n_conc"),
       col("nd").cast("double").as("n_disc"),
+      // all-ties corpus (every event in one hour, or one value class)
+      // zeroes the sqrt — NULL in both engines via nullif
       ((col("nc") - col("nd")).cast("double") * 2.0 /
-        sqrt((s0 - col("s_h")).cast("double") * (s0 - col("s_g")).cast("double")))
+        nullif(
+          sqrt((s0 - col("s_h")).cast("double") * (s0 - col("s_g")).cast("double")),
+          lit(0.0)))
         .as("tau_b"))
   }
 
@@ -954,7 +963,12 @@ object Stats {
       col("n_total"),
       ssb.as("ssb"),
       col("ssw").as("ssw"),
-      ((ssb / (col("k") - 1)) / (col("ssw") / (col("n_total") - col("k")))).as("f_stat"))
+      // degenerate-corpus guard (both engines): a single group (k=1) or
+      // ssw=0 zeroes a denominator — DuckDB yields NULL for x/0 while
+      // Spark doubles yield NaN/Inf, so nullif pins both engines to NULL
+      ((ssb / nullif((col("k") - lit(1)).cast("double"), lit(0.0))) /
+        nullif(col("ssw") / nullif((col("n_total") - col("k")).cast("double"), lit(0.0)),
+          lit(0.0))).as("f_stat"))
   }
 
   /** Mutual information (nats) between event type and hour-of-day, with
@@ -1005,7 +1019,9 @@ object Stats {
       .crossJoin(broadcast(ent(colsM, "ch", "h_hour_nats")))
       .select(
         col("n"), col("mi_nats"), col("h_type_nats"), col("h_hour_nats"),
-        (col("mi_nats") / col("h_type_nats")).as("u_type"))
+        // single-event-type corpus ⇒ h_type_nats = 0: NULL in both
+        // engines (DuckDB x/0 is NULL; Spark would say NaN) via nullif
+        (col("mi_nats") / nullif(col("h_type_nats"), lit(0.0))).as("u_type"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -1043,9 +1059,9 @@ object Stats {
              count(*) AS c
            FROM events GROUP BY 1, 2),
          cd AS (SELECT
-             sum(CASE WHEN b.g > a.g THEN CAST(a.c * b.c AS DECIMAL(38,0))
+             sum(CASE WHEN b.g > a.g THEN CAST(a.c AS DECIMAL(38,0)) * b.c
                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS nc,
-             sum(CASE WHEN b.g < a.g THEN CAST(a.c * b.c AS DECIMAL(38,0))
+             sum(CASE WHEN b.g < a.g THEN CAST(a.c AS DECIMAL(38,0)) * b.c
                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS nd
            FROM cells a JOIN cells b ON b.h > a.h),
          th AS (SELECT sum(CAST(m AS DECIMAL(38,0)) * CAST(m - 1 AS DECIMAL(38,0))) AS s_h,
@@ -1057,8 +1073,8 @@ object Stats {
            CAST(nc AS DOUBLE) AS n_conc,
            CAST(nd AS DOUBLE) AS n_disc,
            CAST(nc - nd AS DOUBLE) * 2.0 /
-             sqrt(CAST(CAST(n_h AS DECIMAL(38,0)) * CAST(n_h - 1 AS DECIMAL(38,0)) - s_h AS DOUBLE) *
-                  CAST(CAST(n_h AS DECIMAL(38,0)) * CAST(n_h - 1 AS DECIMAL(38,0)) - s_g AS DOUBLE))
+             nullif(sqrt(CAST(CAST(n_h AS DECIMAL(38,0)) * CAST(n_h - 1 AS DECIMAL(38,0)) - s_h AS DOUBLE) *
+                  CAST(CAST(n_h AS DECIMAL(38,0)) * CAST(n_h - 1 AS DECIMAL(38,0)) - s_g AS DOUBLE)), 0)
              AS tau_b
          FROM cd CROSS JOIN th CROSS JOIN tg""",
     "stats_levene" ->
@@ -1078,7 +1094,8 @@ object Stats {
          SELECT CAST(k AS BIGINT) AS k, n_total,
            sp - szt * szt / n_total AS ssb,
            ssw,
-           ((sp - szt * szt / n_total) / (k - 1)) / (ssw / (n_total - k)) AS f_stat
+           ((sp - szt * szt / n_total) / nullif(CAST(k - 1 AS DOUBLE), 0)) /
+             nullif(ssw / nullif(CAST(n_total - k AS DOUBLE), 0), 0) AS f_stat
          FROM one""",
     "stats_mutual_info" ->
       """WITH cells AS (
@@ -1102,7 +1119,7 @@ object Stats {
              AS DOUBLE) AS mi_nats
            FROM cells JOIN rm USING (t) JOIN cm USING (h) CROSS JOIN tot)
          SELECT n, mi_nats, h_type_nats, h_hour_nats,
-           mi_nats / h_type_nats AS u_type
+           mi_nats / nullif(h_type_nats, 0) AS u_type
          FROM mi CROSS JOIN eh CROSS JOIN ec""",
     "stats_gini" ->
       """WITH spend AS (

@@ -201,6 +201,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         // clf_auc opt out of tot (needTot=false) and need no sanction.
         "curate_curriculum",
         "events_ewma", // 24-row bounded weight table broadcast (finite convolution)
+        // hour-of-day grid: both sides of the hb>ha band join are
+        // ≤24-row hourly aggregates, plus 1-row tie-sum totals — every
+        // nested-loop build side is grid- or aggregate-bounded
+        "stats_kendall",
+        // type×hour contingency grid: cells/marginals/totals are all
+        // category- or grid-bounded aggregates (the stats_chi2 shape)
+        "stats_mutual_info",
         // eager checkpointed loop (the pagerank shape); each round
         // broadcasts the adopted 1-row merge onto the Heaps-bounded
         // word table without an equi key

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt
 import graft.Tables
 import graft.text.Tokenize
 import graft.functions.{TextHash, VectorFunctions}
@@ -192,7 +193,7 @@ object Curation {
       .select(col("source"), explode(TextHash.shingles(col("toks"), 3)).as("shs"))
       .select(col("source"), TextHash.hash60(col("shs")).as("sh"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Ckpt.apply)
     // sorted source set per shingle: collect_set dedupes, array_sort makes
     // the pair expansion deterministic and canonically ordered (a < b)
     val bySh = sh
@@ -208,7 +209,7 @@ object Curation {
       .agg(count(lit(1)).as("n_inter"))
     // bounded by the source count — materialize once for both join sides
     val sizes = sh.groupBy("source").agg(count_distinct(col("sh")).as("n"))
-      .localCheckpoint(true)
+      .transform(Ckpt.apply)
     inter
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
       .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
@@ -272,7 +273,7 @@ object Curation {
       .agg(
         sum(col("k")).as("cr"),
         sum(when(col("lang") === DsirTargetLang, col("k")).otherwise(0L)).as("ct"))
-      .localCheckpoint(true)
+      .transform(Ckpt.apply)
     val tots = bw.agg(
       sum(col("cr")).cast("double").as("nr"),
       sum(col("ct")).cast("double").as("nt"))

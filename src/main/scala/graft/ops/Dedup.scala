@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt
 import graft.Tables
 import graft.text.Tokenize
 import graft.functions.{TextHash, VectorFunctions}
@@ -308,7 +309,7 @@ object Dedup {
     // tokenize+hash+distinct ONCE — exchange reuse does not cover every
     // branch here (measured: the 10× probe dropped ~4× with the
     // checkpoint), same tradeoff as dedup_clusters' edge materialization
-    val sh = docShinglesOf(docs).localCheckpoint()
+    val sh = docShinglesOf(docs).transform(Ckpt.apply)
     // same expression shape as verifyJaccard's exact filter, applied to
     // the intersection upper bound
     val viable = (iub: Column, na: Column, nb: Column) =>
@@ -334,7 +335,7 @@ object Dedup {
     containmentOf(Tables.documents(s, dir))
 
   private[ops] def containmentOf(docs: DataFrame): DataFrame = {
-    val sh    = docShinglesOf(docs).localCheckpoint() // see ngramOf
+    val sh    = docShinglesOf(docs).transform(Ckpt.apply) // see ngramOf
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ca    = col("i").cast("double") / col("na").cast("double")
     val cb    = col("i").cast("double") / col("nb").cast("double")
@@ -472,7 +473,7 @@ object Dedup {
     */
   def incremental(s: SparkSession, dir: String): DataFrame = {
     val isDelta = (c: Column) => c % DeltaMod === 0
-    val sh = docShingles(s, dir).localCheckpoint() // consumed by bands + verify (4 subtrees)
+    val sh = docShingles(s, dir).transform(Ckpt.apply) // consumed by bands + verify (4 subtrees)
     val bands = bandSignatures(sh)
     val cand = bands
       .filter(isDelta(col("doc_id")))
@@ -505,7 +506,7 @@ object Dedup {
     * verdict equality with the recomputing [[incremental]]).
     */
   def writeDedupIndex(docs: DataFrame, outDir: String): Unit = {
-    val sh = docShinglesOf(docs).localCheckpoint()
+    val sh = docShinglesOf(docs).transform(Ckpt.apply)
     sh.write.mode("overwrite").parquet(s"$outDir/shingles.parquet")
     bandSignatures(sh).write.mode("overwrite").parquet(s"$outDir/bands.parquet")
   }
@@ -520,7 +521,7 @@ object Dedup {
     * [[incremental]] rule.
     */
   def incrementalAgainst(s: SparkSession, deltaDocs: DataFrame, indexDir: String): DataFrame = {
-    val dsh    = docShinglesOf(deltaDocs).localCheckpoint()
+    val dsh    = docShinglesOf(deltaDocs).transform(Ckpt.apply)
     val dBands = bandSignatures(dsh)
     val sBands = s.read.parquet(s"$indexDir/bands.parquet")
     val ssh    = s.read.parquet(s"$indexDir/shingles.parquet")
@@ -700,15 +701,15 @@ object Dedup {
     * (doc_id, cluster_id, is_canonical) for every node in any pair.
     */
   def connectedComponents(pairList: DataFrame): DataFrame = {
-    val prs = pairList.toDF("da", "db").localCheckpoint(true)
+    val prs = pairList.toDF("da", "db").transform(Ckpt.apply)
     val edges = prs
       .union(prs.select(col("db").as("da"), col("da").as("db")))
       .toDF("src", "dst")
-      .localCheckpoint(true)
+      .transform(Ckpt.apply)
     freeCheckpoint(prs) // edges is materialized; the pair snapshot is dead
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .transform(Ckpt.apply)
     // labels are monotonically non-increasing per node, so the exact
     // (decimal) label sum is a complete convergence witness: unchanged sum
     // ⟺ no label changed — one aggregation job per round instead of an
@@ -720,7 +721,7 @@ object Dedup {
     var rounds    = 0
     val MaxRounds = 50
     while (!converged && rounds < MaxRounds) {
-      val next    = propagateOnce(labels, edges).localCheckpoint(true)
+      val next    = propagateOnce(labels, edges).transform(Ckpt.apply)
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       // the superseded generation's checkpoint blocks are dead weight —

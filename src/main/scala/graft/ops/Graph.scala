@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Ckpt
 import graft.Tables
 
 /** Iterative graph analytics over the near-duplicate pair graph — the
@@ -50,19 +51,19 @@ object Graph {
     */
   def pagerank(pairList: DataFrame,
       iterations: Int = PrIterations, damping: Double = PrDamping): DataFrame = {
-    val prs = pairList.toDF("da", "db").localCheckpoint(true)
+    val prs = pairList.toDF("da", "db").transform(Ckpt.apply)
     val edges = prs
       .union(prs.select(col("db").as("da"), col("da").as("db")))
       .toDF("src", "dst")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
+    val edgesDeg = edges.join(deg, "src").transform(Ckpt.apply)
     Dedup.freeCheckpoint(prs) // edgesDeg is materialized; the pair snapshot is dead
     val n = edgesDeg.select("src").distinct().count()
     var ranks = edgesDeg
       .select(col("src").as("node"))
       .distinct()
       .withColumn("rank", lit(1.0 / n))
-      .localCheckpoint(true)
+      .transform(Ckpt.apply)
     for (_ <- 1 to iterations) {
       val next = ranks
         .join(edgesDeg, col("node") === col("src"))
@@ -71,7 +72,7 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg((lit((1 - damping) / n) + lit(damping) * sum(col("c")).cast("double"))
           .cast("decimal(38,12)").cast("double").as("rank"))
-        .localCheckpoint(true)
+        .transform(Ckpt.apply)
       Dedup.freeCheckpoint(ranks)
       ranks = next
     }
@@ -105,7 +106,7 @@ object Graph {
     * cost.
     */
   def triangles(pairList: DataFrame): DataFrame = {
-    val p = pairList.toDF("da", "db").localCheckpoint(true)
+    val p = pairList.toDF("da", "db").transform(Ckpt.apply)
     val tri = p.select(col("da").as("a"), col("db").as("b"))
       .join(p.select(col("da").as("b"), col("db").as("c")), "b")
       .join(p.select(col("da").as("a"), col("db").as("c")), Seq("a", "c"))
@@ -161,7 +162,7 @@ object Graph {
     * the ranking never consults a double.
     */
   def commonNeighbors(pairList: DataFrame): DataFrame = {
-    val p = pairList.toDF("da", "db").localCheckpoint(true)
+    val p = pairList.toDF("da", "db").transform(Ckpt.apply)
     val adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
     // attach the middle's degree to the EDGE stream (|E| rows) before
@@ -214,9 +215,9 @@ object Graph {
     * order.
     */
   def communities(pairList: DataFrame): DataFrame = {
-    val p = pairList.toDF("da", "db").localCheckpoint(true)
+    val p = pairList.toDF("da", "db").transform(Ckpt.apply)
     val adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
-      .localCheckpoint(true)
+      .transform(Ckpt.apply)
     Dedup.freeCheckpoint(p)
     var labels = adj.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
@@ -265,9 +266,9 @@ object Graph {
     * no quantization needed for oracle parity.
     */
   def kcore(pairList: DataFrame, k: Int = KcoreK, rounds: Int = KcoreRounds): DataFrame = {
-    val p = pairList.toDF("da", "db").localCheckpoint(true)
+    val p = pairList.toDF("da", "db").transform(Ckpt.apply)
     var adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
-      .localCheckpoint(true)
+      .transform(Ckpt.apply)
     Dedup.freeCheckpoint(p)
     for (_ <- 1 to rounds) {
       val keep = adj.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -276,7 +277,7 @@ object Graph {
         .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("m")), Seq("m"), "left_semi")
         .select("u", "m")
-        .localCheckpoint(true)
+        .transform(Ckpt.apply)
       Dedup.freeCheckpoint(adj)
       adj = next
     }

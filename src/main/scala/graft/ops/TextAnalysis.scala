@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt
 import graft.Tables
 import graft.text.Tokenize
 import graft.functions.TextHash
@@ -528,7 +529,7 @@ object TextAnalysis {
       .select(col("t"), expr(
         "array_join(transform(sequence(1, length(t)), i -> substring(t, i, 1)), chr(31))")
         .as("s"), col("c"))
-      .localCheckpoint(true)
+      .transform(Ckpt.apply)
     val bests = Seq.newBuilder[DataFrame]
     for (round <- 1 to BpeRounds) {
       val pairs = words
@@ -543,14 +544,14 @@ object TextAnalysis {
       val best = pairs
         .orderBy(desc("n"), asc("l_sym"), asc("r_sym"))
         .limit(1)
-        .localCheckpoint(true) // 1 row; frees the pair scan for reuse below
+        .transform(Ckpt.apply) // 1 row; frees the pair scan for reuse below
       bests += best.withColumn("round", lit(round.toLong))
       val next = words
         .crossJoin(broadcast(best.select(col("l_sym"), col("r_sym"))))
         .select(col("t"), expr(
           "replace(s, concat(l_sym, chr(31), r_sym), concat(l_sym, r_sym))").as("s"),
           col("c"))
-        .localCheckpoint(true)
+        .transform(Ckpt.apply)
       Dedup.freeCheckpoint(words)
       words = next
     }

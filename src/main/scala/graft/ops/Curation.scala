@@ -700,10 +700,14 @@ object Curation {
     * df > N/2 terms keeps only 20 of 1250 top-k rows at sf0.1 (2/125
     * at sf0.01) — it rewrites the answer, it doesn't approximate it.
     * The speed levers used instead are all output-identical plan
-    * shapes: single tokenize pass (dl from tf), doc_id-local partial
-    * aggregation, packed long group key, quantized long impacts.
+    * shapes: quantized long impacts, the codegen'd sorted-merge dense
+    * scorer ([[bm25]]), and the map-side-combined postings join
+    * ([[bm25Postings]]).
     */
-  def bm25(s: SparkSession, dir: String): DataFrame = {
+  /** Shared corpus side: quantized-long impact postings (t, doc_id, ci),
+    * plus the distinct (q_doc, t) query-term table.
+    */
+  private[graft] def bm25Parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val toks = withToks(s, dir)
       .select(col("doc_id"), col("source"), explode(col("toks")).as("t"))
     val corpus = toks.filter(col("source") =!= BenchmarkSource)
@@ -726,33 +730,110 @@ object Curation {
     val sat = (col("tf").cast("double") * lit(BmK1 + 1)) /
       (col("tf").cast("double") +
         lit(BmK1) * (lit(1 - BmB) + lit(BmB) * (col("dl").cast("double") / col("avgdl"))))
-    // doc_id-only partitioning (not the tf exchange's (doc_id, t) — nor
-    // anything coarser): every (q_doc, doc_id) group is then task-local
-    // after the hot-term pair blowup, so the partial aggregation combines
-    // completely map-side and the blowup's rows never shuffle. 147k
-    // narrow rows move in the repartition — trivial against the ~21M-row
-    // (sf0.1) shuffle + final-agg repass it avoids.
     val postings = tf
       .join(dfreq, "t")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("t"), col("doc_id"), floor((idf * sat) * lit(1000000.0)).as("ci"))
-      .repartition(col("doc_id"))
-    // The pair-blowup aggregation keys on ONE packed long instead of
-    // (q_doc, doc_id): a single-long hash key through the 21M-row partial
-    // agg is measurably faster than a two-column struct (~1.5 s at
-    // sf0.1). Packing is q_doc·2³¹ + doc_id, exact while q_doc < 2³²
-    // and doc_id < 2³¹ (4B queries × 2B docs); outside that envelope the
-    // guard fails LOUDLY (the LSH dimension-drift discipline) — swap the
-    // packed key back to groupBy("q_doc", "doc_id") for identical
-    // semantics if a corpus ever outgrows it.
+    (postings, qterms)
+  }
+
+  /** Per-query top-k through the bounded-heap [[graft.plans.GroupedTopK]]
+    * exec directly (not via the window-rewrite rule, so the shape holds
+    * in ANY session): Spark's InferWindowGroupLimit pair still fully
+    * SORTS the |Q|·|D| candidate rows inside each task before limiting —
+    * measured ~3 s of the old 8 s at sf0.1 — while the heap retains only
+    * k rows per query and shuffles #partitions·|Q|·k rows.
+    */
+  private def bm25TopK(scored: DataFrame): DataFrame =
+    graft.plans.GroupedTopK.topK(
+      scored, Seq("q_doc"), Seq("score" -> false, "doc_id" -> true), BmK)
+
+  /** Dense-regime scorer (the catalog query): the per-doc impact map and
+    * a BROADCAST of per-query term arrays, with each (q, d) score
+    * computed directly by a codegen'd `aggregate()` over the query's
+    * terms — ZERO pair-level shuffle. Chosen because this corpus is
+    * measurably dense: at sf0.1 every query shares ~17 terms with every
+    * doc, so the postings equi-join materializes ~21M pair rows whose
+    * 21M-row partial aggregation (into |Q|·|D| ≈ 1.2M groups — nearly
+    * every pair exists) dominated the old runtime. Here the same exact
+    * long sums happen map-side over |D| rows × |q̄| map lookups, and the
+    * only shuffled rows are the final per-query top-k candidates.
+    *
+    * Regime boundary, for a 100 TB corpus: this shape costs |Q|·|D|
+    * lookups and wins while queries overlap most docs (avg |q∩d| ≥ 1 —
+    * contamination triage, benchmark retrieval, anything stopword-laden);
+    * [[bm25Postings]] costs Σ_{t∈q} df(t) pair rows and wins for
+    * rare-term (needle) queries. Both are EXACT — identical quantized
+    * sums, same top-k (equality pinned by CurationSpec at two SFs) —
+    * so an engine can pick by a one-row density estimate without
+    * changing any answer. The no-overlap guard (`hit`) keeps zero-score
+    * (q, d) pairs out, matching the equi-join formulation which never
+    * materializes them.
+    */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val (postings, qterms) = bm25Parts(s, dir)
+    // parallel sorted arrays per doc: array_sort on struct(t, ci) orders
+    // by t (unique per doc from the tf grouping), then the two transforms
+    // split keys from values — per-doc work, off the pair hot path
+    val docArrs = postings
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("t"), col("ci")))).as("ents"))
+      .select(
+        col("doc_id"),
+        transform(col("ents"), e => e.getField("t")).as("dts"),
+        transform(col("ents"), e => e.getField("ci")).as("cis"))
+    val qArrs = qterms.groupBy("q_doc").agg(array_sort(collect_list(col("t"))).as("qts"))
+    val sci = graft.functions.SortedKeySumFunction
+      .sortedKeySum(s, col("dts"), col("cis"), col("qts"))
+    // the expansion stage outputs |Q|× its input rows, so partition count
+    // must follow COMPUTE, not input bytes: AQE's size-based coalescing
+    // sees a few MB of doc arrays, folds the stage to ONE task, and
+    // serializes the whole |Q|·|D| merge-scan (measured: 3.2 s of a 4.4 s
+    // run in one task). Round-robin with an explicit count is the one
+    // shuffle AQE may not coalesce and the optimizer may not elide (a
+    // doc_id repartition is dropped as redundant against the groupBy's
+    // own exchange, which IS coalescible); it moves only the |D|-row
+    // array table.
+    val scored = docArrs
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .crossJoin(broadcast(qArrs)) // queries are a benchmark set: small by contract
+      .select(col("q_doc"), col("doc_id"),
+        (sci.cast("double") / lit(1000000.0)).as("score"))
+    // NULL score = empty term intersection: such a pair never existed in
+    // the postings-join formulation, so it must not reach the output.
+    // Filtering AFTER the top-k (k·|Q| rows) rather than before keeps the
+    // merge-scan evaluated ONCE: a pre-join filter is pushed into the
+    // nested-loop join condition and re-evaluates the expression per pair.
+    // Ranks are unaffected — score DESC is NULLS LAST, so every real hit
+    // outranks every null and row numbers 1..m are identical either way.
+    bm25TopK(scored).filter(col("score").isNotNull)
+  }
+
+  /** Sparse-regime scorer: impact-scored postings equi-join on the term,
+    * pair rows combined map-side under a doc_id-local repartition with a
+    * packed-long group key. Cost is Σ_{t∈q} df(t) — far below |Q|·|D|
+    * when queries are rare-term. Kept as the second half of the exact
+    * dense/sparse pair (see [[bm25]]); CurationSpec pins bit-identical
+    * output between the two.
+    *
+    * The packed key is q_doc·2³¹ + doc_id, exact while q_doc < 2³² and
+    * doc_id < 2³¹; outside that envelope the guard fails LOUDLY (the
+    * LSH dimension-drift discipline) — swap back to
+    * groupBy("q_doc", "doc_id") for identical semantics beyond it.
+    */
+  private[graft] def bm25Postings(s: SparkSession, dir: String): DataFrame = {
+    val (postingsRaw, qterms) = bm25Parts(s, dir)
+    // doc_id-only partitioning: every (q_doc, doc_id) group is task-local
+    // after the pair blowup, so the partial aggregation combines
+    // completely map-side and the blowup's rows never shuffle.
+    val postings = postingsRaw.repartition(col("doc_id"))
     val packGuard = when(
       col("q_doc") >= 0 && col("q_doc") < lit(1L << 32) &&
         col("doc_id") >= 0 && col("doc_id") < lit(1L << 31),
       shiftleft(col("q_doc"), 31) + col("doc_id"))
       .otherwise(raise_error(lit("bm25: doc ids outgrow the packed (q_doc, doc_id) group key")))
-    val w = Window.partitionBy("q_doc").orderBy(desc("score"), asc("doc_id"))
-    broadcast(qterms) // queries are a benchmark set: small by contract, at any corpus scale
+    val scored = broadcast(qterms)
       .join(postings, "t")
       .select(packGuard.as("qd"), col("ci"))
       .groupBy("qd")
@@ -761,8 +842,7 @@ object Curation {
         shiftright(col("qd"), 31).as("q_doc"),
         (col("qd") - shiftleft(shiftright(col("qd"), 31), 31)).as("doc_id"),
         col("score"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= BmK)
+    bm25TopK(scored)
   }
 
   /** Sample size for [[sampleWeighted]]. */

@@ -12,6 +12,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, Sf0001).queryExecution.executedPlan.toString
 
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
   test("q1_pricing pushes the shipdate filter into the scan") {
     assert(plan("q1_pricing").contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
   }
@@ -220,7 +223,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   }
 
 
-  test("text_bm25: partial+final WindowGroupLimit top-k, doc-local pair agg, broadcast queries") {
+  test("text_bm25: partial+final WindowGroupLimit top-k, broadcast query maps, no pair shuffle") {
     val p = plan("text_bm25")
     // the per-query top-k must never regress to a full per-query sort —
     // one skewed q_doc would then sort O(corpus) rows in a single task.
@@ -232,15 +235,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(
       p.contains("GroupedTopK") || p.split("WindowGroupLimit").length - 1 == 2,
       s"text_bm25 top-k regressed to a full per-query sort:\n$p")
-    // the query-term side of the hot-term pair blowup must broadcast
+    // dense-regime scorer: the query term arrays must be the broadcast
+    // side of the |D|×|Q| expansion — a pair-level shuffle would mean
+    // the formulation regressed to shuffling scored pairs
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the (q,d) scores are computed in a projection over the per-doc
+    // impact maps: no aggregation may sit between the cross join and the
+    // top-k (the old formulation aggregated ~21M pair rows here)
+    val afterJoin = p.substring(0, p.indexOf("BroadcastNestedLoopJoin"))
+    assert(!afterJoin.contains("HashAggregate"),
+      s"pair-level aggregation reappeared above the broadcast expansion:\n$p")
+  }
+
+  test("text_bm25 postings twin: doc-local pair agg, broadcast query terms") {
+    val p = planOf(graft.ops.Curation.bm25Postings(spark, Sf0001))
+    // sparse-regime twin keeps the impact-postings shape: broadcast
+    // query-term equi-join + doc_id-local map-side pair aggregation
     assert(p.contains("BroadcastHashJoin"), p)
-    // the postings repartition that makes every (q_doc, doc_id) group
-    // task-local must survive: with it, the partial aggregation combines
-    // the ~21M-row (sf0.1) pair blowup completely map-side and the qd
-    // exchange moves only the ~1.2M combined groups; without it the
-    // blowup's rows shuffle nearly uncombined
     assert(p.contains("REPARTITION_BY_COL"), s"postings lost the doc_id repartition:\n$p")
     assert(p.contains("partial_sum"), p)
+    assert(
+      p.contains("GroupedTopK") || p.split("WindowGroupLimit").length - 1 == 2,
+      s"bm25Postings top-k regressed to a full per-query sort:\n$p")
   }
 
   test("rangeCum family: range-partitioned prefix sum, never a per-group whole-grid sort") {
@@ -433,12 +449,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("text_bm25 joins postings on the term key and broadcasts only the 1-row stats") {
+  test("text_bm25 broadcasts only aggregates: 1-row stats and per-query term arrays") {
     val p = plan("text_bm25")
-    // the ONE sanctioned nested-loop is the corpus-stats cross join,
-    // whose build side is a global aggregate's single output row
+    // the TWO sanctioned nested-loops: the corpus-stats cross join (build
+    // side = a global aggregate's single row) and the dense-scorer's
+    // query-array expansion (build side = the |Q|-row collect_list
+    // aggregate — benchmark-set-bounded at any corpus scale)
     assert(!p.contains("CartesianProduct"), p)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
     // no un-aggregated document-table scan may sit under a broadcast
     // (|corpus| and |queries| both grow with the data; only aggregate
     // outputs — qterms/tf/df/dl at fixture size, stats at any size —

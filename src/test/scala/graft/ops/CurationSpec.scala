@@ -173,4 +173,16 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       assert(a == b)
     }
   }
+
+  test("text_bm25: dense map-join scorer == sparse postings-join scorer, bit for bit") {
+    // the two regimes of the exact BM25 pair (see Curation.bm25 scaladoc)
+    // must be interchangeable: identical quantized-long sums, identical
+    // top-k under the same (score desc, doc_id asc) tiebreak
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val dense  = rows(Curation.bm25(spark, Sf0001))
+    val sparse = rows(Curation.bm25Postings(spark, Sf0001))
+    assert(dense.nonEmpty)
+    assert(dense == sparse)
+  }
 }

@@ -22,7 +22,7 @@ object SparkEntry {
       ops.MRCompat.queries ++ multimodal.Multimodal.queries ++
       ops.TypedAgg.queries ++ ops.Skew.queries ++ ops.Pipeline.queries ++
       ops.Curation.queries ++ ops.Storage.queries ++ ops.Stats.queries ++
-      ops.Graph.queries
+      ops.Graph.queries ++ ops.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -34,5 +34,5 @@ object SparkEntry {
       ops.MRCompat.oracle ++ multimodal.Multimodal.oracle ++
       ops.TypedAgg.oracle ++ ops.Skew.oracle ++ ops.Pipeline.oracle ++
       ops.Curation.oracle ++ ops.Storage.oracle ++ ops.Stats.oracle ++
-      ops.Graph.oracle
+      ops.Graph.oracle ++ ops.Sketches.oracle
 }

@@ -126,4 +126,53 @@ object Sketches {
       .as[String]
     heavyHitters(toks, k)
   }
+
+  /** Catalog depth for [[heavyHittersExact]]. */
+  val HhK = 20
+
+  /** Sketch-then-verify heavy hitters — the oracle-checkable member of
+    * this family: space-saving nominates ≤ P·M candidate tokens (the
+    * corpus-sized token stream never shuffles on its unbounded
+    * vocabulary), then ONE candidate-bounded rescore pass computes their
+    * EXACT counts (broadcast semi-join + map-side-combined count, so the
+    * shuffle is P·|candidates| partial rows) and the global top-k runs
+    * through TakeOrderedAndProject. Output equals the exact top-k
+    * whenever the candidate set covers it — the space-saving guarantee
+    * for any key above n_p/M in some partition, pinned empirically by
+    * `SketchSpec` and the DuckDB gate; the estimate-only variant
+    * ([[heavyHitters]]) stays out of the catalog because CMS
+    * over-estimates have no cross-engine twin. Candidate sets vary with
+    * partition layout, but the exact-rescored top-k is
+    * partitioning-independent as long as coverage holds.
+    */
+  def heavyHittersExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(graft.text.Tokenize.tokenCol(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    val cands = spaceSavingCandidates(toks.as[String], HhCandidatesPerPartition)
+      .distinct()
+      .toDF("t")
+    toks
+      .join(broadcast(cands), "t")
+      .groupBy("t")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("t"))
+      .limit(HhK)
+      .select(col("t").as("token"), col("cnt"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_heavy_hitters" -> (heavyHittersExact _)
+  )
+
+  private val tok =
+    "SELECT t AS token FROM (SELECT unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS t FROM documents) WHERE t <> ''"
+
+  val oracle: Map[String, String] = Map(
+    "sketch_heavy_hitters" ->
+      s"""SELECT token, cnt FROM (
+            SELECT token, count(*) AS cnt FROM ($tok) GROUP BY 1)
+          ORDER BY cnt DESC, token LIMIT $HhK"""
+  )
 }

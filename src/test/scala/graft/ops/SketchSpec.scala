@@ -71,4 +71,22 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.contains("hot"), "hot key evicted despite frequency above n/m")
     assert(kept.size <= 64, s"candidate set exceeded m: ${kept.size}")
   }
+
+  test("sketch_heavy_hitters: exact-rescored top-k == the all-exact twin, across partitionings") {
+    import org.apache.spark.sql.functions._
+    // the oracle-checkable catalog query: candidate generation varies
+    // with partition layout, but the exact-rescored top-k must not
+    val exact = graft.Tables.documents(spark, Sf0001)
+      .select(explode(graft.text.Tokenize.tokenCol(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("t")).limit(Sketches.HhK)
+      .select(col("t").as("token"), col("cnt"))
+      .collect().toSeq
+    val got = Sketches.heavyHittersExact(spark, Sf0001).collect().toSeq
+    assert(got == exact)
+    withSQLConf("spark.sql.shuffle.partitions" -> "13") {
+      assert(Sketches.heavyHittersExact(spark, Sf0001).collect().toSeq == exact)
+    }
+  }
 }

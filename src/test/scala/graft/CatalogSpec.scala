@@ -21,7 +21,8 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
       "curation"   -> ops.Curation.queries.keys,
       "storage"    -> ops.Storage.queries.keys,
       "stats"      -> ops.Stats.queries.keys,
-      "graph"      -> ops.Graph.queries.keys)
+      "graph"      -> ops.Graph.queries.keys,
+      "sketches"   -> ops.Sketches.queries.keys)
     val all = modules.flatMap(_._2).toSeq
     assert(all.size == all.distinct.size,
       s"duplicate query names: ${all.diff(all.distinct).distinct.mkString(", ")}")

@@ -708,23 +708,28 @@ object Curation {
     * plus the distinct (q_doc, t) query-term table.
     */
   private[graft] def bm25Parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val toks = withToks(s, dir)
+    // ONE tokenize + ONE (doc_id, t) shuffle serves BOTH sides: source is
+    // functionally dependent on doc_id, so carrying it through the term-
+    // frequency grouping changes nothing about the groups, and the corpus
+    // and query branches below are filters over the same aggregated
+    // exchange (ReusedExchange) instead of two scans of the text.
+    val tfAll = withToks(s, dir)
       .select(col("doc_id"), col("source"), explode(col("toks")).as("t"))
-    val corpus = toks.filter(col("source") =!= BenchmarkSource)
-    val tf     = corpus.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "source", "t")
+      .agg(count(lit(1)).as("tf"))
+    val tf = tfAll.filter(col("source") =!= BenchmarkSource).drop("source")
     // dl derives from tf (sum of term frequencies = token count), not
-    // from a second pass over the raw token stream: the plan reuses tf's
-    // exchange (ReusedExchange), dropping a full tokenize+shuffle of the
-    // corpus token stream.
+    // from a second pass over the raw token stream.
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(
       count(lit(1)).cast("double").as("n"),
       (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
-    val qterms = toks
+    // tfAll rows are already distinct per (doc, term) — the projection IS
+    // the distinct query-term table
+    val qterms = tfAll
       .filter(col("source") === BenchmarkSource)
       .select(col("doc_id").as("q_doc"), col("t"))
-      .distinct()
     val idf = (col("n") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val sat = (col("tf").cast("double") * lit(BmK1 + 1)) /

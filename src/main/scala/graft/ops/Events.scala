@@ -599,9 +599,16 @@ object Events {
         count(lit(1)).as("cnt"))
       .select(col("event_type"), col("hr"), (col("sx") / col("cnt")).as("x"))
     val w = ewmaWeights.toDF("l", "w")
+    // term quantization is floor-to-long on a 1e-9 grid, NOT a decimal
+    // cast: Spark's double→decimal rounds the SHORTEST-STRING value
+    // half-up while DuckDB rounds the BINARY double, so a term landing
+    // within an ulp of a half-boundary diverges by one grid step (two
+    // such rows appeared at sf0.1; sf0.01 missed the boundary by luck).
+    // floor is IEEE-exact on the identical w·x·1e9 product in both
+    // engines — the bm25 impact-quantization discipline.
     hm.crossJoin(broadcast(w))
       .select(col("event_type"), (col("hr") + col("l")).as("hr"), col("l"),
-        (col("w") * col("x")).cast("decimal(38,9)").as("term"), col("x"))
+        floor(col("w") * col("x") * lit(1e9)).as("term"), col("x"))
       .groupBy("event_type", "hr")
       .agg(
         count(lit(1)).as("nl"),
@@ -612,7 +619,7 @@ object Events {
         col("event_type"),
         timestamp_micros(col("hr") * lit(3600000000L)).as("hour"),
         col("mean_value"),
-        col("st").cast("double").as("ewma"))
+        (col("st").cast("double") / lit(1e9)).as("ewma"))
   }
 
   /** First-order Markov transition matrix of event types: for each user
@@ -832,11 +839,11 @@ object Events {
            FROM events GROUP BY 1, 2),
          w(l, w) AS (VALUES $values),
          t AS (SELECT event_type, hr + l AS hr, l,
-             CAST(w * x AS DECIMAL(38,9)) AS term, x
+             CAST(floor(w * x * 1000000000.0) AS BIGINT) AS term, x
            FROM hm, w)
          SELECT event_type, make_timestamp(hr * 3600000000) AS hour,
            max(CASE WHEN l = 0 THEN x END) AS mean_value,
-           CAST(sum(term) AS DOUBLE) AS ewma
+           CAST(sum(term) AS DOUBLE) / 1000000000.0 AS ewma
          FROM t GROUP BY event_type, hr
          HAVING count(*) = $EwmaLags"""
     },

@@ -235,8 +235,8 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     val level = 40.0 * (1.0 - math.pow(1.0 - Events.EwmaAlpha, Events.EwmaLags))
     out.foreach { case (_, _, m, y) =>
       assert(m == 40.0)
-      // each of the 24 terms sits on the decimal(38,9) grid
-      assert(math.abs(y - level) < Events.EwmaLags * 5e-10, s"ewma $y vs $level")
+      // each of the 24 terms floors onto the 1e-9 grid (error < 1e-9 each)
+      assert(math.abs(y - level) < Events.EwmaLags * 1e-9, s"ewma $y vs $level")
     }
   }
 

@@ -20,6 +20,22 @@ import org.apache.spark.sql.SparkSession
   * product fails the smoke, not the 100×-bigger bench.
   */
 object Smoke {
+
+  /** The ONLY sanctioned nested-loop plans in the catalog — each build
+    * side is a 1-row aggregate, a grid-bounded (hours × categories)
+    * table, or the operator IS a cross join. Single source of truth:
+    * both this smoke gate and PlanAuditSpec's full-catalog sweep audit
+    * against this set, so the two can never drift apart. Every addition
+    * needs a boundedness argument in the comment at the spec site.
+    */
+  val NestedLoopAllowed: Set[String] = Set(
+    "cross_join", "scalar_subquery", "sim_topk", "dedup_clusters",
+    "text_unigram_lm", "seq_pack", "text_pmi", "q11_important",
+    "corpus_mixture", "text_ppl_buckets", "curate_dsir", "graph_pagerank",
+    "text_bm25", "stats_chi2", "orders_rfm", "orders_abc", "orders_basket",
+    "curate_curriculum", "events_ewma", "text_bpe_train", "stats_kendall",
+    "stats_mutual_info")
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -32,16 +48,7 @@ object Smoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Build sides sanctioned as nested-loop: each is a 1-row aggregate, a
-    // grid-bounded (hours × categories) table, or the operator IS a cross
-    // join. Mirrors (and must stay in sync with) PlanAuditSpec.
-    val nlAllowed = Set(
-      "cross_join", "scalar_subquery", "sim_topk", "dedup_clusters",
-      "text_unigram_lm", "seq_pack", "text_pmi", "q11_important",
-      "corpus_mixture", "text_ppl_buckets", "curate_dsir", "graph_pagerank",
-      "text_bm25", "stats_chi2", "orders_rfm", "orders_abc", "orders_basket",
-      "curate_curriculum", "events_ewma", "text_bpe_train", "stats_kendall",
-      "stats_mutual_info")
+    val nlAllowed = Smoke.NestedLoopAllowed
 
     var bad = 0
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

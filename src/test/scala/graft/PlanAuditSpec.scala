@@ -192,29 +192,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // dedup_clusters executes eagerly (checkpointed loop), leaving only a
     // result scan here — its per-round join shape is audited directly in
     // the next test.
-    val allowed =
-      Set("cross_join", "scalar_subquery", "sim_topk", "dedup_clusters", "text_unigram_lm",
-        "seq_pack", "text_pmi", "q11_important", "corpus_mixture", "text_ppl_buckets",
-        "curate_dsir", "graph_pagerank", // graph_pagerank: eager checkpointed loop like dedup_clusters
-        "text_bm25", "stats_chi2", "orders_rfm", "orders_abc",
-        "orders_basket", // 1-row order-count broadcast
-        // curate_curriculum: single-group rangeCum caller that USES the
-        // group total, so the 1-row tot broadcasts onto the stream
-        // without an equi key (the orders_abc shape). gini/mannwhitney/
-        // clf_auc opt out of tot (needTot=false) and need no sanction.
-        "curate_curriculum",
-        "events_ewma", // 24-row bounded weight table broadcast (finite convolution)
-        // hour-of-day grid: both sides of the hb>ha band join are
-        // ≤24-row hourly aggregates, plus 1-row tie-sum totals — every
-        // nested-loop build side is grid- or aggregate-bounded
-        "stats_kendall",
-        // type×hour contingency grid: cells/marginals/totals are all
-        // category- or grid-bounded aggregates (the stats_chi2 shape)
-        "stats_mutual_info",
-        // eager checkpointed loop (the pagerank shape); each round
-        // broadcasts the adopted 1-row merge onto the Heaps-bounded
-        // word table without an equi key
-        "text_bpe_train")
+    // Per-query boundedness arguments, in the order of Smoke's set:
+    // graph_pagerank/dedup_clusters/text_bpe_train are eager
+    // checkpointed loops (only a result scan plans here; per-round join
+    // shapes are audited directly in their own tests); orders_basket's
+    // build is a 1-row order-count; curate_curriculum/orders_abc are
+    // single-group rangeCum callers whose 1-row total broadcasts without
+    // an equi key (gini/mannwhitney/clf_auc opt out of tot and need no
+    // sanction); events_ewma broadcasts the 24-row weight table (finite
+    // convolution); stats_kendall's hb>ha band join has ≤24-row hourly
+    // aggregates on both sides; stats_mutual_info's cells/marginals/
+    // totals are category- or grid-bounded (the stats_chi2 shape);
+    // orders_rfm's quintile cuts are 1-row boundary aggregates; the rest
+    // are 1-row scalar broadcasts or the cross-join operator itself.
+    // The set lives in Smoke.NestedLoopAllowed so the pre-commit smoke
+    // gate and this sweep can never drift apart.
+    val allowed = Smoke.NestedLoopAllowed
     for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1) if !allowed(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -215,10 +215,29 @@ object Graph {
     * order.
     */
   def communities(pairList: DataFrame): DataFrame = {
+    val adj    = symAdj(pairList)
+    val labels = lpaLabels(adj)
+    val sizes  = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels
+      .join(sizes, "lbl")
+      .select(col("node").as("p_partkey"), col("lbl").as("community"), col("community_size"))
+  }
+
+  /** Checkpointed symmetrized adjacency (u, m) from an ordered pair list —
+    * the shared first step of every co-purchase iteration.
+    */
+  private def symAdj(pairList: DataFrame): DataFrame = {
     val p = pairList.toDF("da", "db").transform(Ckpt.apply)
     val adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
       .transform(Ckpt.apply)
     Dedup.freeCheckpoint(p)
+    adj
+  }
+
+  /** The LPA rounds of [[communities]], exposed so [[modularity]] can
+    * score the same label assignment without re-stating the loop.
+    */
+  private def lpaLabels(adj: DataFrame): DataFrame = {
     var labels = adj.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to LpaIterations) {
@@ -230,10 +249,106 @@ object Graph {
         .agg(min(struct(negate(col("c")).as("nc"), col("lbl").as("lbl"))).as("b"))
         .select(col("node"), col("b.lbl").as("lbl"))
     }
-    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
     labels
-      .join(sizes, "lbl")
-      .select(col("node").as("p_partkey"), col("lbl").as("community"), col("community_size"))
+  }
+
+  /** Catalog entry: modularity of the LPA communities of the co-purchase
+    * graph.
+    */
+  def modularityCoPurchase(s: SparkSession, dir: String): DataFrame =
+    modularity(coPurchaseEdges(s, dir))
+
+  /** Newman modularity of the [[communities]] label assignment:
+    * `Q = Σ_c [ e_c/2m − (D_c/2m)² ]` where `e_c` counts DIRECTED
+    * within-community edges, `D_c` sums member degrees, and `2m` is the
+    * directed edge count — the standard one-number answer to "did LPA
+    * find real structure or noise" (Q ≈ 0 for random labels, > 0.3 for
+    * clearly modular graphs). Running it next to [[communities]] turns
+    * the community query from a labeling into a measured claim.
+    *
+    * Scale shape: the within-community count attaches the node→label map
+    * to BOTH endpoints of the edge stream (two |E|-row hash joins — the
+    * assortativity pattern) and partial-aggregates per label; degree sums
+    * are one more |E|-row aggregation. The label map is checkpointed once
+    * and feeds both consumers. Determinism: counts and degree sums are
+    * integers; each community's term is computed with the identical IEEE
+    * double expression, quantized onto the decimal(38,12) grid BEFORE the
+    * order-free final sum (the catalog rule).
+    */
+  def modularity(pairList: DataFrame): DataFrame = {
+    val adj    = symAdj(pairList)
+    val labels = lpaLabels(adj).transform(Ckpt.apply)
+    val m2     = adj.count().toDouble // directed edges = 2m; one scalar action
+    val within = adj
+      .join(labels.select(col("node").as("u"), col("lbl").as("lu")), "u")
+      .join(labels.select(col("node").as("m"), col("lbl").as("lm")), "m")
+      .filter(col("lu") === col("lm"))
+      .groupBy(col("lu").as("lbl"))
+      .agg(count(lit(1)).as("e_in"))
+    val degSum = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+      .join(labels.select(col("node").as("u"), col("lbl")), "u")
+      .groupBy("lbl")
+      .agg(sum(col("deg")).as("d_sum"))
+    val share = col("d_sum").cast("double") / lit(m2)
+    degSum
+      .join(within, Seq("lbl"), "left")
+      .select(
+        ((coalesce(col("e_in"), lit(0L)).cast("double") / lit(m2)) - share * share)
+          .cast("decimal(38,12)").as("t"))
+      .agg(
+        count(lit(1)).as("n_communities"),
+        sum(col("t")).cast("double").as("modularity"))
+  }
+
+  /** Seed predicate and fixed round count for [[bfs]] (unrolled in the
+    * oracle). Four rounds reaches the fixture graphs' periphery; on a
+    * longer-diameter graph the fixed count still defines a deterministic
+    * ≤-4-hop neighborhood both engines agree on.
+    */
+  val BfsSeedBrand = "Brand#11"
+  val BfsRounds    = 4
+
+  /** Catalog entry: hop distance from the Brand#11 parts in the
+    * co-purchase graph.
+    */
+  def bfsCoPurchase(s: SparkSession, dir: String): DataFrame =
+    bfs(coPurchaseEdges(s, dir),
+      Tables.part(s, dir).filter(col("p_brand") === BfsSeedBrand)
+        .select(col("p_partkey")))
+
+  /** Multi-source BFS: minimum hop distance from a seed set, fixed round
+    * count. Emits (node, dist) for every node within [[BfsRounds]] hops —
+    * the neighborhood-expansion primitive behind "what co-occurs within k
+    * hops of this product family" and, over a near-dup graph, "every doc
+    * transitively similar to a flagged set within k steps".
+    *
+    * Scale shape: the frontier-free formulation — each round joins the
+    * CURRENT distance table to the edge list and takes the grouped min of
+    * (old, neighbor+1) — is one |reached|-row equi-join plus one
+    * partial-aggregated shuffle per round, the PageRank cost model with
+    * min instead of a weighted sum. Distances are integers, so oracle
+    * parity needs no quantization; superseded generations release their
+    * checkpoint blocks (two live generations max).
+    */
+  def bfs(pairList: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    val adj = symAdj(pairList)
+    var dist = adj.select(col("u")).distinct()
+      .join(seeds.toDF("u"), Seq("u"), "left_semi")
+      .select(col("u").as("node"), lit(0L).as("dist"))
+      .transform(Ckpt.apply)
+    for (_ <- 1 to rounds) {
+      val next = dist.select(col("node").as("m"), col("dist"))
+        .join(adj, "m")
+        .select(col("u").as("node"), (col("dist") + 1).as("dist"))
+        .union(dist.select(col("node"), col("dist")))
+        .groupBy("node")
+        .agg(min(col("dist")).as("dist"))
+        .transform(Ckpt.apply)
+      Dedup.freeCheckpoint(dist)
+      dist = next
+    }
+    Dedup.freeCheckpoint(adj)
+    dist.select(col("node").as("p_partkey"), col("dist"))
   }
 
   /** Core order and fixed peel-round count for [[kcore]] (unrolled in
@@ -337,8 +452,22 @@ object Graph {
     "graph_common_neighbors" -> (commonNeighborsCoPurchase _),
     "graph_communities" -> (communitiesCoPurchase _),
     "graph_kcore"     -> (kcoreCoPurchase _),
-    "graph_assortativity" -> (assortativityCoPurchase _)
+    "graph_assortativity" -> (assortativityCoPurchase _),
+    "graph_modularity" -> (modularityCoPurchase _),
+    "graph_bfs"       -> (bfsCoPurchase _)
   )
+
+  /** The unrolled LPA label CTEs shared by the communities and modularity
+    * oracles: defines `l0..l\$LpaIterations` over an existing `adj`.
+    */
+  private val duckLpaCtes: String =
+    (1 to LpaIterations).map { i =>
+      s"""c$i AS (SELECT a.u AS node, l.lbl AS lbl, count(*) AS c
+           FROM adj a JOIN l${i - 1} l ON l.node = a.m GROUP BY 1, 2),
+         l$i AS (SELECT node, lbl FROM (
+           SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+           FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n")
 
   /** Shared DuckDB CTE: the part co-purchase pair list + symmetrized
     * adjacency (mirrors [[coPurchaseEdges]]).
@@ -377,27 +506,47 @@ object Graph {
          $iters
          SELECT node AS doc_id, rank FROM r$PrIterations"""
     },
-    "graph_communities" -> {
-      val rounds = (1 to LpaIterations).map { i =>
-        s"""c$i AS (SELECT a.u AS node, l.lbl AS lbl, count(*) AS c
-             FROM adj a JOIN l${i - 1} l ON l.node = a.m GROUP BY 1, 2),
-           l$i AS (SELECT node, lbl FROM (
-             SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
-             FROM c$i) WHERE rn = 1)"""
-      }.mkString(",\n")
-      s"""WITH pairs AS (
-           SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS da,
-             greatest(a.l_partkey, b.l_partkey) AS db
-           FROM lineitem a JOIN lineitem b
-             ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
-           WHERE a.l_partkey <> b.l_partkey),
-         adj AS (SELECT da AS u, db AS m FROM pairs UNION ALL SELECT db, da FROM pairs),
+    "graph_communities" ->
+      s"""WITH $duckCoPurchaseCte,
          l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),
-         $rounds,
+         $duckLpaCtes,
          sz AS (SELECT lbl, count(*) AS community_size FROM l$LpaIterations GROUP BY 1)
          SELECT node AS p_partkey, l.lbl AS community,
            CAST(community_size AS BIGINT) AS community_size
-         FROM l$LpaIterations l JOIN sz ON sz.lbl = l.lbl"""
+         FROM l$LpaIterations l JOIN sz ON sz.lbl = l.lbl""",
+    "graph_modularity" ->
+      s"""WITH $duckCoPurchaseCte,
+         l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),
+         $duckLpaCtes,
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM adj),
+         w AS (SELECT lu.lbl AS lbl, count(*) AS e_in
+               FROM adj JOIN l$LpaIterations lu ON lu.node = adj.u
+                        JOIN l$LpaIterations lm ON lm.node = adj.m
+               WHERE lu.lbl = lm.lbl GROUP BY 1),
+         ds AS (SELECT l.lbl AS lbl, sum(d.deg) AS d_sum
+                FROM (SELECT u, count(*) AS deg FROM adj GROUP BY 1) d
+                JOIN l$LpaIterations l ON l.node = d.u GROUP BY 1),
+         terms AS (SELECT CAST(
+             CAST(coalesce(w.e_in, 0) AS DOUBLE) / m2 -
+             (CAST(ds.d_sum AS DOUBLE) / m2) * (CAST(ds.d_sum AS DOUBLE) / m2)
+           AS DECIMAL(38,12)) AS t
+           FROM ds LEFT JOIN w ON w.lbl = ds.lbl, tot)
+         SELECT count(*) AS n_communities, CAST(sum(t) AS DOUBLE) AS modularity
+         FROM terms""",
+    "graph_bfs" -> {
+      val rounds = (1 to BfsRounds).map { i =>
+        s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+             SELECT a.u AS node, d.dist + 1 AS dist
+             FROM d${i - 1} d JOIN adj a ON a.m = d.node
+             UNION ALL SELECT node, dist FROM d${i - 1}) GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH $duckCoPurchaseCte,
+         nodes AS (SELECT DISTINCT u FROM adj),
+         seeds AS (SELECT p_partkey AS u FROM part WHERE p_brand = '$BfsSeedBrand'),
+         d0 AS (SELECT n.u AS node, CAST(0 AS BIGINT) AS dist
+                FROM nodes n JOIN seeds s ON s.u = n.u),
+         $rounds
+         SELECT node AS p_partkey, CAST(dist AS BIGINT) AS dist FROM d$BfsRounds"""
     },
     "graph_common_neighbors" ->
       s"""WITH pairs AS (

@@ -528,6 +528,64 @@ object Curation {
       ((col("sij") - col("si") * col("sj") / col("n")) / (col("n") - 1)).as("cov"))
   }
 
+  /** Fixed power-iteration count for [[pcaTop]] (unrolled in the oracle). */
+  val PcaIterations = 8
+
+  /** Top principal component of the embedding columns by power iteration
+    * over the [[covariance]] grid — the first step of whitening / PCA
+    * compression and the standard "one direction explains the drift"
+    * probe between encoder snapshots. Emits (dim, loading, eigval) where
+    * eigval is the Rayleigh quotient vᵀCv of the final iterate.
+    *
+    * Scale shape: the corpus is touched ONCE (the covariance one-pass,
+    * d²-bounded shuffle); every iteration after that operates on the
+    * d²-row matrix grid — one equi-join on the dim key plus one
+    * partial-aggregated sum, independent of corpus size — with the unit
+    * normalization applied via a crossJoin against a broadcast 1-row
+    * aggregate (the catalog's sanctioned bounded-build-side shape).
+    *
+    * Determinism: the covariance entries are already engine-identical
+    * doubles (decimal-exact sums); each matrix-vector term `c·x` and each
+    * squared norm term quantize onto the decimal(38,12) grid before
+    * their order-free sums, and the normalization division is one IEEE
+    * op — so all [[PcaIterations]] iterates are bit-identical in both
+    * engines and convergence is irrelevant to parity. The deterministic
+    * uniform start vector (1/√d) has nonzero overlap with the top
+    * eigenspace of a covariance matrix in practice; sign is pinned by
+    * the start vector, not by an arbitrary convention.
+    */
+  def pcaTop(s: SparkSession, dir: String): DataFrame = {
+    val cov = covariance(s, dir).transform(Ckpt.apply)
+    val fullM = cov.select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov").as("c"))
+      .union(cov.filter(col("dim_i") =!= col("dim_j"))
+        .select(col("dim_j").as("i"), col("dim_i").as("j"), col("cov").as("c")))
+      .transform(Ckpt.apply)
+    Dedup.freeCheckpoint(cov)
+    val d = fullM.select(col("i")).distinct().count()
+    def matVec(v: DataFrame): DataFrame = fullM
+      .join(v.select(col("i").as("j"), col("x")), "j")
+      .select(col("i"), (col("c") * col("x")).cast("decimal(38,12)").as("t"))
+      .groupBy("i")
+      .agg(sum(col("t")).cast("double").as("y"))
+    var v = fullM.select(col("i")).distinct()
+      .withColumn("x", lit(1.0 / math.sqrt(d.toDouble)))
+      .transform(Ckpt.apply)
+    for (_ <- 1 to PcaIterations) {
+      val y = matVec(v)
+      val nrm = y.agg(
+        sqrt(sum((col("y") * col("y")).cast("decimal(38,12)")).cast("double")).as("nrm"))
+      val next = y.crossJoin(broadcast(nrm))
+        .select(col("i"), (col("y") / col("nrm")).as("x"))
+        .transform(Ckpt.apply)
+      Dedup.freeCheckpoint(v)
+      v = next
+    }
+    val lam = matVec(v).join(v, "i")
+      .agg(sum((col("x") * col("y")).cast("decimal(38,12)")).cast("double").as("eigval"))
+    v.crossJoin(broadcast(lam))
+      .select(col("i").as("dim"), col("x").as("loading"), col("eigval"))
+  }
+
   // ------------------------------------------------------------- seq pack
 
   /** Packing geometry: documents are distributed across
@@ -991,6 +1049,7 @@ object Curation {
     "text_tfidf"         -> (tfidf _),
     "embed_assign"       -> (centroidAssign _),
     "embed_covariance"   -> (covariance _),
+    "embed_pca"          -> (pcaTop _),
     "embed_label_mean"   -> (labelMeanEmbedding _),
     "pii_scrub"          -> (piiScrub _),
     "seq_pack"           -> (seqPack _),
@@ -1014,6 +1073,31 @@ object Curation {
     val parts = (0 until n).map(k => s"l[i + $k]").mkString(" || ' ' || ")
     s"unnest(list_transform(range(1, len(l) - ${n - 2}), i -> $parts))"
   }
+
+  /** Shared DuckDB CTEs: the exact covariance grid (mirrors
+    * [[covariance]]), ending in a `cov(dim_i, dim_j, n, cov)` relation —
+    * consumed by both the embed_covariance and embed_pca oracles.
+    */
+  private val duckCovCtes: String =
+    """px AS (
+         SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+         FROM embeddings),
+       pr AS (
+         SELECT i, unnest(generate_series(i, len(embedding))) AS j, embedding
+         FROM px),
+       cells AS (
+         SELECT i, j, CAST(embedding[i] AS DOUBLE) AS xi,
+           CAST(embedding[j] AS DOUBLE) AS xj
+         FROM pr),
+       a AS (SELECT i, j, count(*) AS n,
+           CAST(sum(CAST(xi * xj AS DECIMAL(38,9))) AS DOUBLE) AS sij,
+           CAST(sum(CAST(xi AS DECIMAL(38,6))) AS DOUBLE) AS si,
+           CAST(sum(CAST(xj AS DECIMAL(38,6))) AS DOUBLE) AS sj
+         FROM cells GROUP BY 1, 2),
+       cov AS (SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+           CAST(n AS BIGINT) AS n,
+           (sij - si * sj / n) / (n - 1) AS cov
+         FROM a)"""
 
   val oracle: Map[String, String] = Map(
     "curate_curriculum" ->
@@ -1188,25 +1272,29 @@ object Curation {
            CAST(sum(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_cos
          FROM best WHERE rn = 1 GROUP BY 1""",
     "embed_covariance" ->
-      """WITH px AS (
-           SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
-           FROM embeddings),
-         pr AS (
-           SELECT i, unnest(generate_series(i, len(embedding))) AS j, embedding
-           FROM px),
-         cells AS (
-           SELECT i, j, CAST(embedding[i] AS DOUBLE) AS xi,
-             CAST(embedding[j] AS DOUBLE) AS xj
-           FROM pr),
-         a AS (SELECT i, j, count(*) AS n,
-             CAST(sum(CAST(xi * xj AS DECIMAL(38,9))) AS DOUBLE) AS sij,
-             CAST(sum(CAST(xi AS DECIMAL(38,6))) AS DOUBLE) AS si,
-             CAST(sum(CAST(xj AS DECIMAL(38,6))) AS DOUBLE) AS sj
-           FROM cells GROUP BY 1, 2)
-         SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
-           CAST(n AS BIGINT) AS n,
-           (sij - si * sj / n) / (n - 1) AS cov
-         FROM a""",
+      s"""WITH $duckCovCtes
+         SELECT dim_i, dim_j, n, cov FROM cov""",
+    "embed_pca" -> {
+      val iters = (1 to PcaIterations).map { k =>
+        s"""y$k AS (SELECT f.i, CAST(sum(CAST(f.c * v.x AS DECIMAL(38,12))) AS DOUBLE) AS y
+             FROM full_m f JOIN v${k - 1} v ON v.i = f.j GROUP BY 1),
+           n$k AS (SELECT sqrt(CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+             FROM y$k),
+           v$k AS (SELECT i, y / nrm AS x FROM y$k, n$k)"""
+      }.mkString(",\n")
+      s"""WITH $duckCovCtes,
+         full_m AS (SELECT dim_i AS i, dim_j AS j, cov AS c FROM cov
+                    UNION ALL SELECT dim_j, dim_i, cov FROM cov WHERE dim_i <> dim_j),
+         dd AS (SELECT count(DISTINCT i) AS d FROM full_m),
+         v0 AS (SELECT DISTINCT i, 1.0 / sqrt(CAST(d AS DOUBLE)) AS x FROM full_m, dd),
+         $iters,
+         yf AS (SELECT f.i, CAST(sum(CAST(f.c * v.x AS DECIMAL(38,12))) AS DOUBLE) AS y
+                FROM full_m f JOIN v$PcaIterations v ON v.i = f.j GROUP BY 1),
+         lam AS (SELECT CAST(sum(CAST(v.x * y.y AS DECIMAL(38,12))) AS DOUBLE) AS eigval
+                 FROM v$PcaIterations v JOIN yf y ON y.i = v.i)
+         SELECT v.i AS dim, v.x AS loading, eigval
+         FROM v$PcaIterations v, lam"""
+    },
     "embed_label_mean" ->
       """SELECT label, CAST(i AS BIGINT) AS dim,
            CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean_val

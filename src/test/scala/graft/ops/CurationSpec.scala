@@ -174,6 +174,45 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("embed_pca: unit norm, PSD eigenvalue, matches a JVM power iteration") {
+    val rows = Curation.pcaTop(spark, Sf0001)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val v      = rows.map(_._2)
+    val eigval = rows.head._3
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "loadings not unit norm")
+    assert(eigval >= -1e-9, s"covariance Rayleigh quotient negative: $eigval")
+    // independent reimplementation: collect the covariance grid and run
+    // the same number of plain-double power iterations JVM-side; the
+    // quantized distributed iterate must align with it (direction, not
+    // bits — the JVM twin skips the decimal grid on purpose)
+    val cov = Curation.covariance(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    val d = v.length
+    val c = Array.ofDim[Double](d, d)
+    cov.foreach { case (i, j, _, x) => c(i.toInt - 1)(j.toInt - 1) = x; c(j.toInt - 1)(i.toInt - 1) = x }
+    var w = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to Curation.PcaIterations) {
+      val y = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * w(j)).sum)
+      val n = math.sqrt(y.map(x => x * x).sum)
+      w = y.map(_ / n)
+    }
+    val cos = v.zip(w).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.9999, s"distributed vs JVM iterate cosine $cos")
+    val lamJvm = (0 until d).map(i => (0 until d).map(j => w(i) * c(i)(j) * w(j)).sum).sum
+    assert(math.abs(eigval - lamJvm) < 1e-6 * math.max(1.0, math.abs(lamJvm)),
+      s"eigval $eigval vs JVM $lamJvm")
+  }
+
+  test("embed_pca: deterministic across shuffle-partition counts") {
+    val a = Curation.pcaTop(spark, Sf0001)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    withSQLConf("spark.sql.shuffle.partitions" -> "13") {
+      val b = Curation.pcaTop(spark, Sf0001)
+        .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(a == b)
+    }
+  }
+
   test("text_bm25: dense map-join scorer == sparse postings-join scorer, bit for bit") {
     // the two regimes of the exact BM25 pair (see Curation.bm25 scaladoc)
     // must be interchangeable: identical quantized-long sums, identical

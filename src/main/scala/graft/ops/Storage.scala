@@ -190,9 +190,42 @@ object Storage {
       .parquet(outDir)
   }
 
+  /** Catalog entry: the documents table written out as JSONL (the corpus
+    * interchange sink), read back under its explicit schema, and reduced
+    * to a per-(lang, source) integrity summary — row counts, char sums,
+    * and a content signature (sum of per-doc [[graft.functions.TextHash
+    * .hash60]] over id + text in decimal(38,0), overflow-free at any
+    * corpus size). The DuckDB oracle computes the SAME summary from the
+    * original parquet, so a hash match proves the JSONL round trip is
+    * lossless — including multi-line, quoted, and non-ASCII text, which
+    * JSON escaping must carry through unchanged.
+    *
+    * The sink directory is a fixed per-sf temp location written in
+    * overwrite mode: repeated catalog runs (Bench runs each query 3x)
+    * rewrite in place rather than accumulating copies. The write is
+    * deliberately INSIDE the measured query — this catalog entry is the
+    * sink's benchmark as much as the source's.
+    */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val out  = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-jsonl-${tag(dir)}").toString
+    graft.sources.JsonSources.writeJsonl(docs, out)
+    graft.sources.JsonSources.readJsonl(s, out, docs.schema)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(graft.functions.TextHash.hash60(
+            concat(col("doc_id").cast("string"), lit("\u0001"),
+              coalesce(col("text"), lit(""))))
+          .cast("decimal(38,0)")).as("content_sig"))
+  }
+
   val queries: Map[String, Q] = Map(
     "bucket_join" -> (bucketJoin _),
-    "part_prune"  -> (partPrune _)
+    "part_prune"  -> (partPrune _),
+    "corpus_jsonl" -> (jsonlRoundtrip _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -205,6 +238,15 @@ object Storage {
       s"""SELECT o_orderpriority, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
          FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '$PruneMonth'
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // reads the ORIGINAL parquet — equality with the Spark side (which
+    // reads its own JSONL rewrite) is the round-trip losslessness proof
+    "corpus_jsonl" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         sum(CAST(${graft.functions.TextHash.duckHash60Of(
+           "CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text, '')")}
+           AS DECIMAL(38,0))) AS content_sig
+         FROM documents GROUP BY 1, 2"""
   )
 }

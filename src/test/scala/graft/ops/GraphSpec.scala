@@ -149,4 +149,52 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(a._2 >= -1.0 && a._2 <= 1.0)
   }
+
+  test("bfs: hand-traced distances on a path graph, unreached nodes absent") {
+    // path 1-2-3-4-5-6-7, seed {1}: dist(k) = k-1 up to the 4-round cap;
+    // node 6 (5 hops) and 7 are beyond the horizon and must not appear
+    val path  = (1L to 6L).map(k => (k, k + 1)).toDF("da", "db")
+    val seeds = Seq(Tuple1(1L)).toDF("u")
+    val got = Graph.bfs(path, seeds).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfs: multi-source takes the minimum over seeds") {
+    // path 1..7 seeded at both ends: distances fold toward the middle
+    val path  = (1L to 6L).map(k => (k, k + 1)).toDF("da", "db")
+    val seeds = Seq(Tuple1(1L), Tuple1(7L)).toDF("u")
+    val got = Graph.bfs(path, seeds).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 2L, 6L -> 1L, 7L -> 0L))
+  }
+
+  test("bfs: seeds outside the graph are ignored, inside-seed set nonempty on the fixture") {
+    val got = Graph.bfsCoPurchase(spark, Sf0001).as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.count(_._2 == 0L) > 0, "no zero-distance seed rows")
+    assert(got.forall(r => r._2 >= 0L && r._2 <= Graph.BfsRounds))
+  }
+
+  test("modularity: two disconnected cliques score higher than one mixed clique") {
+    // LPA resolves two disconnected triangles to two communities with no
+    // cross edges -> strongly positive Q; a single clique collapses to
+    // one community whose Q is exactly 0 (e_c = 2m, D_c = 2m)
+    val twoCliques = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("da", "db")
+    val Array((nc2, q2)) = Graph.modularity(twoCliques).as[(Long, Double)].collect()
+    assert(nc2 == 2L, s"expected 2 communities, got $nc2")
+    assert(math.abs(q2 - 0.5) < 1e-9, s"two-clique modularity $q2 != 0.5")
+    val oneClique = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("da", "db")
+    val Array((nc1, q1)) = Graph.modularity(oneClique).as[(Long, Double)].collect()
+    assert(nc1 == 1L && math.abs(q1) < 1e-12, s"one-clique ($nc1, $q1)")
+  }
+
+  test("modularity: deterministic across shuffle-partition counts on the fixture") {
+    val a = Graph.modularityCoPurchase(spark, Sf0001).as[(Long, Double)].collect().head
+    withSQLConf("spark.sql.shuffle.partitions" -> "13") {
+      val b = Graph.modularityCoPurchase(spark, Sf0001).as[(Long, Double)].collect().head
+      assert(a == b)
+    }
+    assert(a._2 >= -1.0 && a._2 <= 1.0)
+  }
 }

@@ -211,8 +211,18 @@ object Storage {
     val out  = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft-jsonl-${tag(dir)}").toString
     graft.sources.JsonSources.writeJsonl(docs, out)
-    graft.sources.JsonSources.readJsonl(s, out, docs.schema)
-      .groupBy("lang", "source")
+    corpusSummary(graft.sources.JsonSources.readJsonl(s, out, docs.schema))
+  }
+
+  /** The per-(lang, source) integrity summary shared by the batch
+    * round-trip and its streaming-ingestion twin
+    * ([[graft.streaming.CorpusStream.ingestProfile]]): counts, char
+    * sums, and an order-free decimal content signature. Works unchanged
+    * as a streaming aggregation -- every term is an incremental
+    * commutative sum.
+    */
+  def corpusSummary(docs: DataFrame): DataFrame =
+    docs.groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
@@ -220,7 +230,6 @@ object Storage {
             concat(col("doc_id").cast("string"), lit("\u0001"),
               coalesce(col("text"), lit(""))))
           .cast("decimal(38,0)")).as("content_sig"))
-  }
 
   val queries: Map[String, Q] = Map(
     "bucket_join" -> (bucketJoin _),

@@ -175,4 +175,22 @@ object CorpusStream extends Serializable {
       .groupByKey(r => (r.band, r.sig))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** Streaming twin of the batch `corpus_jsonl` summary: documents
+    * arriving as JSONL drops (the production ingestion path — a crawler
+    * or vendor delivers files into a landing directory, `readStream
+    * .schema(...).json(dir)` picks each one up exactly once) fold into
+    * the same per-(lang, source) integrity summary the batch round-trip
+    * computes. Complete-mode output: the summary table is
+    * groups-bounded (langs × sources), so re-emitting it per
+    * micro-batch is O(groups), not O(corpus).
+    *
+    * The aggregation is [[graft.ops.Storage.corpusSummary]] verbatim —
+    * counts and order-free decimal sums are exactly the shapes
+    * Structured Streaming can maintain incrementally, which is WHY the
+    * catalog's integrity signature was designed as a commutative sum
+    * rather than an ordered digest.
+    */
+  def ingestProfile(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.ops.Storage.corpusSummary(docs)
 }

@@ -190,6 +190,28 @@ object Storage {
       .parquet(outDir)
   }
 
+  /** Bloom-filtered layout — the pruning technique for the case the
+    * other two can't touch: POINT lookups on a high-cardinality column
+    * whose values are scattered (id in an append-ordered log, digest in
+    * a dedup index). Sorting ([[writeSorted]]) would buy min/max pruning
+    * but costs a global shuffle per maintained column; a bloom filter is
+    * per-row-group metadata the writer computes for free in one pass,
+    * and an equality predicate then skips every row group whose filter
+    * rules the value out — no layout change, composable with any
+    * partitioning, multiple columns at once. `ndv` sizes the filter
+    * (parquet allocates bits for the expected distinct count; undersizing
+    * raises the false-positive rate, which costs extra reads, never
+    * wrong answers). StorageSpec demonstrates the skip empirically
+    * against an identical copy without the filter.
+    */
+  def writeBloomFiltered(df: DataFrame, column: String, ndv: Long,
+      outDir: String, rowGroupBytes: Long = 64L << 10): Unit =
+    df.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$column", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$column", ndv.toString)
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(outDir)
+
   /** Catalog entry: the documents table written out as JSONL (the corpus
     * interchange sink), read back under its explicit schema, and reduced
     * to a per-(lang, source) integrity summary — row counts, char sums,

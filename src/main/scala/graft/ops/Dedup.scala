@@ -30,6 +30,12 @@ import graft.functions.{TextHash, VectorFunctions}
   *    irreproducibility.
   *  - Every double division is a single IEEE op on exactly-computed
   *    integers, so results are partition- and engine-independent.
+  *
+  * API shape: each `(SparkSession, dir)` catalog entry is a thin binding
+  * of a generic DataFrame-in form over the fixture tables — library
+  * users call the `*Of(docs)` forms directly with any frame exposing
+  * `doc_id LONG, text STRING` (plus `lang`/`source` where the scaladoc
+  * says so); nothing in the operators reads the fixture layout.
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
@@ -92,7 +98,7 @@ object Dedup {
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     docShinglesOf(Tables.documents(s, dir))
 
-  private[ops] def docShinglesOf(docs: DataFrame): DataFrame =
+  def docShinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), Tokenize.tokenCol(col("text")).as("raw"))
       .select(col("doc_id"), filter(col("raw"), _ =!= "").as("toks"))
@@ -303,7 +309,7 @@ object Dedup {
   def ngram(s: SparkSession, dir: String): DataFrame =
     ngramOf(Tables.documents(s, dir))
 
-  private[ops] def ngramOf(docs: DataFrame): DataFrame = {
+  def ngramOf(docs: DataFrame): DataFrame = {
     // the shingle table feeds seven subtrees (df counts, both pair-join
     // sides, both hot-remainder sides, sizes); materialize the
     // tokenize+hash+distinct ONCE — exchange reuse does not cover every
@@ -334,7 +340,7 @@ object Dedup {
   def containment(s: SparkSession, dir: String): DataFrame =
     containmentOf(Tables.documents(s, dir))
 
-  private[ops] def containmentOf(docs: DataFrame): DataFrame = {
+  def containmentOf(docs: DataFrame): DataFrame = {
     val sh    = docShinglesOf(docs).transform(Ckpt.apply) // see ngramOf
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ca    = col("i").cast("double") / col("na").cast("double")
@@ -366,7 +372,7 @@ object Dedup {
   def snapshotDiff(s: SparkSession, dir: String): DataFrame =
     snapshotDiffOf(Tables.documents(s, dir))
 
-  private[graft] def snapshotDiffOf(docs: DataFrame): DataFrame = {
+  def snapshotDiffOf(docs: DataFrame): DataFrame = {
     val v1 = diffBase(docs).withColumnRenamed("digest", "d1")
     val v2 = diffNext(docs).withColumnRenamed("digest", "d2")
     v1.join(v2, Seq("doc_id"), "full_outer")
@@ -772,7 +778,7 @@ object Dedup {
   def spanDedup(s: SparkSession, dir: String): DataFrame =
     spanDedupOf(Tables.documents(s, dir))
 
-  private[ops] def spanDedupOf(docs: DataFrame): DataFrame = {
+  def spanDedupOf(docs: DataFrame): DataFrame = {
     val spans = docs
       .select(col("doc_id"), Tokenize.tokenCol(col("text")).as("raw"))
       .select(col("doc_id"), filter(col("raw"), _ =!= "").as("toks"))

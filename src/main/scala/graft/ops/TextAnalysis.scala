@@ -410,7 +410,7 @@ object TextAnalysis {
   def gopherQuality(s: SparkSession, dir: String): DataFrame =
     gopherQualityOf(Tables.documents(s, dir))
 
-  private[graft] def gopherQualityOf(docs: DataFrame): DataFrame = {
+  def gopherQualityOf(docs: DataFrame): DataFrame = {
     val stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
     docs
       .withColumn("ws", expr("filter(split(text, ' +'), w -> w <> '')"))
@@ -469,7 +469,7 @@ object TextAnalysis {
   def bpePairs(s: SparkSession, dir: String): DataFrame =
     bpePairsOf(toks(s, dir))
 
-  private[graft] def bpePairsOf(tokens: DataFrame): DataFrame = {
+  def bpePairsOf(tokens: DataFrame): DataFrame = {
     val wf = tokens.groupBy("t").agg(count(lit(1)).as("c"))
     wf.filter(length(col("t")) >= 2)
       .select(col("c"),
@@ -514,7 +514,7 @@ object TextAnalysis {
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrainOf(toks(s, dir))
 
-  private[graft] def bpeTrainOf(tokens: DataFrame): DataFrame = {
+  def bpeTrainOf(tokens: DataFrame): DataFrame = {
     val (merges, seg) = bpeFit(tokens)
     Dedup.freeCheckpoint(seg)
     merges

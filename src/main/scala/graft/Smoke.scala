@@ -34,10 +34,7 @@ object Smoke {
     "corpus_mixture", "text_ppl_buckets", "curate_dsir", "graph_pagerank",
     "text_bm25", "stats_chi2", "orders_rfm", "orders_abc", "orders_basket",
     "curate_curriculum", "events_ewma", "text_bpe_train", "stats_kendall",
-    "stats_mutual_info",
-    // embed_pca: per-iteration unit normalization crossJoins a broadcast
-    // 1-row norm aggregate onto the d-row iterate (d = embedding dims)
-    "embed_pca")
+    "stats_mutual_info")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

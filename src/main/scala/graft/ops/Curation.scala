@@ -505,9 +505,14 @@ object Curation {
     * every partition onto the d(d+1)/2-cell grid before the only
     * shuffle, so shuffle volume is partitions × d² regardless of corpus
     * size. Determinism: a float×float product is EXACT in double
-    * (24-bit mantissas), quantized onto the decimal(38,9) grid before
-    * the order-free sum; a binary double never sits exactly on a
-    * decimal half-ULP, so the rounding is engine-independent.
+    * (24-bit mantissas), quantized onto a LONG grid — `floor(x·10⁹)` —
+    * before the order-free integer sum. floor of a double is the same
+    * IEEE operation in both engines (no tie-breaking rule to agree on),
+    * and the long-grid sum stays inside whole-stage codegen where a
+    * decimal(38,_) sum would fall to BigDecimal per term — measured 13.8
+    * → ~1 s at sf0.1 across the 125M quantized terms. Overflow bound:
+    * |Σ| ≤ n·max|xi·xj|·10⁹, so with |x| ≲ 1 the grid holds to ~9 B
+    * vectors per cell; re-quantize through decimal(38,0) past that.
     */
   def covariance(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.embeddings(s, dir)
@@ -521,11 +526,14 @@ object Curation {
         (col("p") + col("q") + 1).cast("long").as("dim_j"))
       .agg(
         count(lit(1)).as("n"),
-        sum((col("xi") * col("xj")).cast("decimal(38,9)")).cast("double").as("sij"),
-        sum(col("xi").cast("decimal(38,6)")).cast("double").as("si"),
-        sum(col("xj").cast("decimal(38,6)")).cast("double").as("sj"))
+        sum(floor(col("xi") * col("xj") * lit(1e9))).as("sij9"),
+        sum(floor(col("xi") * lit(1e6))).as("si6"),
+        sum(floor(col("xj") * lit(1e6))).as("sj6"))
     a.select(col("dim_i"), col("dim_j"), col("n"),
-      ((col("sij") - col("si") * col("sj") / col("n")) / (col("n") - 1)).as("cov"))
+      (((col("sij9").cast("double") / lit(1e9)) -
+        (col("si6").cast("double") / lit(1e6)) *
+          (col("sj6").cast("double") / lit(1e6)) / col("n")) /
+        (col("n") - 1)).as("cov"))
   }
 
   /** Fixed power-iteration count for [[pcaTop]] (unrolled in the oracle). */
@@ -538,11 +546,11 @@ object Curation {
     * eigval is the Rayleigh quotient vᵀCv of the final iterate.
     *
     * Scale shape: the corpus is touched ONCE (the covariance one-pass,
-    * d²-bounded shuffle); every iteration after that operates on the
-    * d²-row matrix grid — one equi-join on the dim key plus one
-    * partial-aggregated sum, independent of corpus size — with the unit
-    * normalization applied via a crossJoin against a broadcast 1-row
-    * aggregate (the catalog's sanctioned bounded-build-side shape).
+    * d²-bounded shuffle); everything after operates on the d²-cell grid,
+    * which is dims-bounded — independent of corpus size — so the
+    * iteration runs driver-side on the collected grid (the K-bounded
+    * collect pattern), with [[pcaTopDistributed]] as the bit-equal
+    * all-joins twin for a d too large to collect.
     *
     * Determinism: the covariance entries are already engine-identical
     * doubles (decimal-exact sums); each matrix-vector term `c·x` and each
@@ -555,6 +563,51 @@ object Curation {
     * the start vector, not by an arbitrary convention.
     */
   def pcaTop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // one corpus pass; the result grid is dims-bounded (d(d+1)/2 cells),
+    // so pulling it to the driver is a K-bounded collect — the k-means
+    // centroid pattern, NOT a corpus collect. The iteration itself is
+    // O(d²·T) scalar work: running it driver-side replaces ~3 tiny
+    // scheduled jobs per round with arithmetic that bit-mirrors the
+    // engines' semantics (quantizeGrid == Spark's double→decimal(38,12)
+    // cast: shortest-decimal reading, HALF_UP); the distributed twin
+    // [[pcaTopDistributed]] is spec-pinned bit-equal for the (cluster-
+    // scale-d) regime where even d² stays distributed.
+    val cells = covariance(s, dir)
+      .select(col("dim_i"), col("dim_j"), col("cov"))
+      .as[(Long, Long, Double)].collect()
+    val d = cells.iterator.map(_._2).max.toInt
+    val c = Array.ofDim[Double](d, d)
+    cells.foreach { case (i, j, x) =>
+      c(i.toInt - 1)(j.toInt - 1) = x
+      c(j.toInt - 1)(i.toInt - 1) = x
+    }
+    def quantizeGrid(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    def decSum(xs: Iterator[Double]): Double =
+      xs.map(quantizeGrid).foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+    def matVec(x: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => decSum((0 until d).iterator.map(j => c(i)(j) * x(j))))
+    var x = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to PcaIterations) {
+      val y   = matVec(x)
+      val nrm = math.sqrt(decSum(y.iterator.map(v => v * v)))
+      x = y.map(_ / nrm)
+    }
+    val yf  = matVec(x)
+    val lam = decSum(x.iterator.zip(yf.iterator).map { case (a, b) => a * b })
+    s.createDataFrame((1 to d).map(i => (i.toLong, x(i - 1), lam)))
+      .toDF("dim", "loading", "eigval")
+  }
+
+  /** The fully distributed twin of [[pcaTop]] — every iteration is one
+    * equi-join on the dim key plus a partial-aggregated decimal sum over
+    * the d²-row grid, normalization via crossJoin against a broadcast
+    * 1-row aggregate. Bit-equal to the driver-side iterate (spec-pinned);
+    * the shape to switch to if d² itself outgrows one machine.
+    */
+  def pcaTopDistributed(s: SparkSession, dir: String): DataFrame = {
     val cov = covariance(s, dir).transform(Ckpt.apply)
     val fullM = cov.select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov").as("c"))
       .union(cov.filter(col("dim_i") =!= col("dim_j"))
@@ -1090,13 +1143,14 @@ object Curation {
            CAST(embedding[j] AS DOUBLE) AS xj
          FROM pr),
        a AS (SELECT i, j, count(*) AS n,
-           CAST(sum(CAST(xi * xj AS DECIMAL(38,9))) AS DOUBLE) AS sij,
-           CAST(sum(CAST(xi AS DECIMAL(38,6))) AS DOUBLE) AS si,
-           CAST(sum(CAST(xj AS DECIMAL(38,6))) AS DOUBLE) AS sj
+           CAST(sum(CAST(floor(xi * xj * 1e9) AS BIGINT)) AS BIGINT) AS sij9,
+           CAST(sum(CAST(floor(xi * 1e6) AS BIGINT)) AS BIGINT) AS si6,
+           CAST(sum(CAST(floor(xj * 1e6) AS BIGINT)) AS BIGINT) AS sj6
          FROM cells GROUP BY 1, 2),
        cov AS (SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
            CAST(n AS BIGINT) AS n,
-           (sij - si * sj / n) / (n - 1) AS cov
+           ((CAST(sij9 AS DOUBLE) / 1e9) -
+            (CAST(si6 AS DOUBLE) / 1e6) * (CAST(sj6 AS DOUBLE) / 1e6) / n) / (n - 1) AS cov
          FROM a)"""
 
   val oracle: Map[String, String] = Map(

@@ -179,7 +179,9 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
     val v      = rows.map(_._2)
     val eigval = rows.head._3
-    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "loadings not unit norm")
+    // the iterate quantizes matrix-vector terms onto the decimal(38,12)
+    // grid, so the final normalization is unit only to ~d·1e-9
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6, "loadings not unit norm")
     assert(eigval >= -1e-9, s"covariance Rayleigh quotient negative: $eigval")
     // independent reimplementation: collect the covariance grid and run
     // the same number of plain-double power iterations JVM-side; the
@@ -201,6 +203,17 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val lamJvm = (0 until d).map(i => (0 until d).map(j => w(i) * c(i)(j) * w(j)).sum).sum
     assert(math.abs(eigval - lamJvm) < 1e-6 * math.max(1.0, math.abs(lamJvm)),
       s"eigval $eigval vs JVM $lamJvm")
+  }
+
+  test("embed_pca: driver-side iterate == distributed twin, bit for bit") {
+    // the catalog path collects the dims-bounded grid and mirrors the
+    // engines' double->decimal(38,12) semantics in BigDecimal; the
+    // all-joins twin must agree on every bit or the mirror is wrong
+    val a = Curation.pcaTop(spark, Sf0001)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val b = Curation.pcaTopDistributed(spark, Sf0001)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
   }
 
   test("embed_pca: deterministic across shuffle-partition counts") {

@@ -520,7 +520,6 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("embed_covariance: matches a direct quantized recomputation at sf0.001") {
-    import java.math.{BigDecimal => JBD, RoundingMode}
     val vecs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
       .select("embedding").as[Seq[Float]].collect()
     val n = vecs.length
@@ -529,21 +528,22 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, Double)].collect()
       .map { case (i, j, cn, cov) => (i, j) -> ((cn, cov)) }.toMap
     assert(got.size == d * (d + 1) / 2, s"${got.size} cells for d=$d")
-    // spot-check a handful of cells against exact decimal arithmetic
+    // spot-check a handful of cells against the exact long-grid sums
+    // (floor quantization at 1e-9 / 1e-6 — the engine's order-free rule)
     for ((i, j) <- Seq((1, 1), (1, 2), (7, 31), (d, d))) {
       val (cn, cov) = got((i.toLong, j.toLong))
       assert(cn == n.toLong)
-      def q9(x: Double) = new JBD(x).setScale(9, RoundingMode.HALF_UP)
-      def q6(x: Double) = new JBD(x).setScale(6, RoundingMode.HALF_UP)
-      var sij = JBD.ZERO; var si = JBD.ZERO; var sj = JBD.ZERO
+      var sij9 = 0L; var si6 = 0L; var sj6 = 0L
       vecs.foreach { v =>
         val xi = v(i - 1).toDouble; val xj = v(j - 1).toDouble
-        sij = sij.add(q9(xi * xj)); si = si.add(q6(xi)); sj = sj.add(q6(xj))
+        sij9 += math.floor(xi * xj * 1e9).toLong
+        si6  += math.floor(xi * 1e6).toLong
+        sj6  += math.floor(xj * 1e6).toLong
       }
       val expect =
-        (sij.doubleValue() - si.doubleValue() * sj.doubleValue() / n) / (n - 1)
+        ((sij9.toDouble / 1e9) - (si6.toDouble / 1e6) * (sj6.toDouble / 1e6) / n) / (n - 1)
       assert(cov == expect, s"cell ($i,$j): $cov vs $expect")
-      if (i == j) assert(cov >= 0.0, s"negative variance at dim $i")
+      if (i == j) assert(cov >= -1e-9, s"negative variance at dim $i")
     }
   }
 

@@ -162,8 +162,98 @@ object Sketches {
       .select(col("t").as("token"), col("cnt"))
   }
 
+  // ------------------------------------------------- bracketed quantiles
+
+  /** Quantile targets (percent) and the GK sketch accuracy for
+    * [[quantilesBracketed]]. `QAccuracy` is Spark's `percentile_approx`
+    * accuracy knob: the merged Greenwald–Khanna summary guarantees rank
+    * error ≤ n/QAccuracy, so a ±3/QAccuracy percentage bracket around
+    * each target always contains the exact nearest-rank value.
+    */
+  val QTargets  = Seq(50, 90, 99)
+  val QAccuracy = 10000
+  val QSlack    = 3.0 / QAccuracy
+
+  /** Sketch-then-verify EXACT quantiles over an unbounded-domain double —
+    * the quantile member of the sketch-then-verify family next to
+    * [[heavyHittersExact]]. `Stats.percentilesExact` is already exact
+    * without a table sort, but its distinct-value grid is row-count-sized
+    * for a continuous measure, so the whole corpus still crosses one
+    * range exchange. Here the corpus never enters an exchange at all:
+    *
+    *  1. SKETCH — one scan folds each (group) slice into a fixed-size GK
+    *     summary (`percentile_approx`, partial-aggregated), which brackets
+    *     each target rank with values `lo ≤ v_r ≤ hi` (rank error
+    *     ≤ n/[[QAccuracy]] < the ±3n/[[QAccuracy]] slack by construction);
+    *  2. VERIFY — one more scan counts `#{x < lo}` exactly (5-row
+    *     partial agg) and collapses ONLY the in-bracket rows — a
+    *     ≤ 6·n/[[QAccuracy]] fraction of the data — to their distinct-value
+    *     grid; the exact in-bracket rank `r − #{x < lo}` is then selected
+    *     through `Stats.rangeCum`'s range-partitioned prefix sum.
+    *
+    * The output is the EXACT nearest-rank quantile — bit-equal to the
+    * DuckDB full-sort answer and partitioning-independent: the sketch's
+    * (layout-dependent) brackets only ever widen or narrow the slice the
+    * exact selection runs over, never the selected value. `SketchSpec`
+    * pins equality with a brute-force exact twin and layout independence.
+    */
+  def quantilesBracketed(events: DataFrame): DataFrame = {
+    val percentages = QTargets.flatMap { p =>
+      Seq(math.max(0.0, p / 100.0 - QSlack), math.min(1.0, p / 100.0 + QSlack))
+    }
+    // the sketch aggregate runs first (its own pass); the exact verify
+    // scan then references the broadcast bracket values
+    val sk = events
+      .groupBy("event_type")
+      .agg(percentile_approx(
+        col("value"), array(percentages.map(lit): _*), lit(QAccuracy)).as("bk"))
+    val withB = events.join(broadcast(sk), "event_type")
+    val belows = withB
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        QTargets.zipWithIndex.map { case (p, i) =>
+          sum(when(col("value") < element_at(col("bk"), 2 * i + 1), 1L)
+            .otherwise(0L)).as(s"b$p")
+        }: _*)
+    val tagged = withB
+      .select(
+        col("event_type"),
+        col("value"),
+        explode(filter(
+          array(QTargets.zipWithIndex.map { case (p, i) =>
+            when(
+              col("value") >= element_at(col("bk"), 2 * i + 1) &&
+                col("value") <= element_at(col("bk"), 2 * i + 2),
+              lit(p))
+          }: _*),
+          x => x.isNotNull)).as("pct"))
+    val grid = tagged
+      .groupBy(col("event_type"), col("pct"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Stats.rangeCum(grid, Seq("event_type", "pct"), "value", "c",
+      needTot = false)
+    val ranks = belows.select(
+      col("event_type") +:
+        QTargets.map(p =>
+          (expr(s"($p * n + 99) div 100") - col(s"b$p")).as(s"k$p")): _*)
+    cum
+      .join(broadcast(ranks), "event_type")
+      .groupBy("event_type", "pct")
+      .agg(min(QTargets.map { p =>
+        when(col("pct") === p &&
+          col("cum") - col("c") < col(s"k$p") && col("cum") >= col(s"k$p"),
+          col("value"))
+      }.reduce(coalesce(_, _))).as("value_at"))
+  }
+
+  /** Catalog entry: bracketed exact quantiles of `events.value`. */
+  def quantilesEvents(s: SparkSession, dir: String): DataFrame =
+    quantilesBracketed(Tables.events(s, dir).select(col("event_type"), col("value")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sketch_heavy_hitters" -> (heavyHittersExact _)
+    "sketch_heavy_hitters" -> (heavyHittersExact _),
+    "sketch_quantiles"     -> (quantilesEvents _)
   )
 
   private val tok =
@@ -173,6 +263,20 @@ object Sketches {
     "sketch_heavy_hitters" ->
       s"""SELECT token, cnt FROM (
             SELECT token, count(*) AS cnt FROM ($tok) GROUP BY 1)
-          ORDER BY cnt DESC, token LIMIT $HhK"""
+          ORDER BY cnt DESC, token LIMIT $HhK""",
+    // full-sort exact nearest-rank quantiles — the Spark side reaches the
+    // same values through the sketch bracket + exact in-bracket selection
+    "sketch_quantiles" ->
+      s"""WITH vc AS (
+            SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2),
+          cum AS (
+            SELECT event_type, value, c,
+              CAST(sum(c) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cum,
+              CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+            FROM vc),
+          p AS (SELECT unnest([${QTargets.mkString(", ")}]) AS pct)
+          SELECT event_type, pct, value AS value_at
+          FROM cum, p
+          WHERE cum - c < (pct * tot + 99) // 100 AND cum >= (pct * tot + 99) // 100"""
   )
 }

@@ -89,4 +89,48 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
       assert(Sketches.heavyHittersExact(spark, Sf0001).collect().toSeq == exact)
     }
   }
+
+  test("sketch_quantiles: bracketed selection == brute-force exact nearest-rank, across layouts") {
+    import org.apache.spark.sql.functions._
+    // brute-force exact nearest-rank quantiles, computed independently of
+    // the bracket machinery (driver-side full sort per type)
+    val rows = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val exact = rows.groupBy(_._1).flatMap { case (t, xs) =>
+      val sorted = xs.map(_._2).sorted
+      Sketches.QTargets.map { p =>
+        val r = (p * sorted.length + 99) / 100 // ceil(p*n/100), 1-based
+        (t, p, sorted(r - 1))
+      }
+    }.toSet
+    def got: Set[(String, Int, Double)] =
+      Sketches.quantilesEvents(spark, Sf0001)
+        .as[(String, Int, Double)].collect().toSet
+    assert(got == exact, s"bracketed != brute: ${got.diff(exact)}")
+    // the sketch's brackets move with layout; the exact selection must not
+    withSQLConf("spark.sql.shuffle.partitions" -> "13") {
+      assert(got == exact)
+    }
+  }
+
+  test("sketch_quantiles: bracket covers the target rank on an adversarial duplicate-heavy column") {
+    import org.apache.spark.sql.functions._
+    // 90% of mass on one value (the p50/p90 answer IS the hot value, and
+    // the below-count must exclude none of its duplicates), plus a long
+    // unique tail — exercises the lo == answer duplicate edge
+    val vals = Seq.fill(9000)(42.0) ++ (1 to 1000).map(i => 100.0 + i)
+    val df = spark.createDataset(vals).toDF("value")
+      .withColumn("event_type", lit("hot"))
+      .repartition(7)
+    val out = Sketches.quantilesBracketed(df)
+      .as[(String, Int, Double)].collect()
+      .map { case (t, p, v) => ((t, p), v) }.toMap
+    val sorted = vals.sorted
+    Sketches.QTargets.foreach { p =>
+      val r = (p * sorted.length + 99) / 100
+      assert(out(("hot", p)) == sorted(r - 1),
+        s"p$p: ${out(("hot", p))} != ${sorted(r - 1)}")
+    }
+  }
 }

@@ -236,6 +236,21 @@ object Storage {
     corpusSummary(graft.sources.JsonSources.readJsonl(s, out, docs.schema))
   }
 
+  /** CSV twin of [[jsonlRoundtrip]]: write the documents table through the
+    * line-splittable escaped-CSV sink, read it back with the explicit
+    * schema, and emit the same per-(lang, source) integrity summary. The
+    * oracle reads the ORIGINAL parquet, so a hash match proves the CSV
+    * round trip lossless on real corpus text (the adversarial-string edge
+    * cases live in `CsvSourcesSpec`).
+    */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val out  = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-csv-${tag(dir)}").toString
+    graft.sources.CsvSources.writeCsv(docs, out)
+    corpusSummary(graft.sources.CsvSources.readCsv(s, out, docs.schema))
+  }
+
   /** The per-(lang, source) integrity summary shared by the batch
     * round-trip and its streaming-ingestion twin
     * ([[graft.streaming.CorpusStream.ingestProfile]]): counts, char
@@ -256,7 +271,8 @@ object Storage {
   val queries: Map[String, Q] = Map(
     "bucket_join" -> (bucketJoin _),
     "part_prune"  -> (partPrune _),
-    "corpus_jsonl" -> (jsonlRoundtrip _)
+    "corpus_jsonl" -> (jsonlRoundtrip _),
+    "corpus_csv"   -> (csvRoundtrip _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -273,6 +289,16 @@ object Storage {
     // reads the ORIGINAL parquet — equality with the Spark side (which
     // reads its own JSONL rewrite) is the round-trip losslessness proof
     "corpus_jsonl" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         sum(CAST(${graft.functions.TextHash.duckHash60Of(
+           "CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text, '')")}
+           AS DECIMAL(38,0))) AS content_sig
+         FROM documents GROUP BY 1, 2""",
+    // identical oracle shape: reads the ORIGINAL parquet, so equality with
+    // the Spark side (which reads its own escaped-CSV rewrite) proves the
+    // CSV round trip lossless
+    "corpus_csv" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          sum(CAST(${graft.functions.TextHash.duckHash60Of(

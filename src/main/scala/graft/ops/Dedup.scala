@@ -804,6 +804,82 @@ object Dedup {
         (col("n_dup").cast("double") / col("n_spans") > SpanDupMax).as("flagged"))
   }
 
+  /** Sliding-window size for [[repeatedSpans]] (one token step, unlike
+    * [[spanDedup]]'s disjoint blocks — boundary-straddling repeats are
+    * caught too).
+    */
+  val RepSpanTokens = 16
+
+  /** Maximal cross-document repeated spans — the k-gram approximation of
+    * ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", which removes any ≥50-token substring
+    * shared between documents via a corpus-wide suffix array). A global
+    * suffix array needs a total order over 100 TB of text; at k-gram
+    * granularity the same signal decomposes into pure dataflow:
+    * every [[RepSpanTokens]]-token SLIDING shingle hashes to a key, a
+    * distinct-doc count marks shingles seen in ≥2 documents, and each
+    * doc's surviving shingle positions merge into maximal intervals
+    * (gaps-and-islands: fixed-length intervals sorted by start, break
+    * when the gap exceeds the window). Output per doc: the maximal
+    * repeated spans, their token coverage, and the covered fraction —
+    * the rows a span-removal pass would cut.
+    *
+    * Differs from [[spanDedup]] in both unit and semantics: sliding (not
+    * disjoint) windows, cross-document only (within-doc repetition is
+    * `text_repetition`'s job), and contiguous runs merged to MAXIMAL
+    * spans rather than counted per block.
+    *
+    * Scale shape: one shuffle on the 8-byte shingle hash (distinct-doc
+    * count), one equi-join back, then a per-doc window — partitioned on
+    * doc_id, so the sort is bounded by a single document's shingle count,
+    * never the corpus. No pair table, no suffix array, no cartesian.
+    */
+  def repeatedSpans(s: SparkSession, dir: String): DataFrame =
+    repeatedSpansOf(Tables.documents(s, dir))
+
+  def repeatedSpansOf(docs: DataFrame): DataFrame = {
+    val K = RepSpanTokens
+    val toks = docs
+      .select(col("doc_id"), Tokenize.tokenCol(col("text")).as("raw"))
+      .select(col("doc_id"), filter(col("raw"), _ =!= "").as("toks"))
+      .filter(size(col("toks")) >= K)
+    val sh = toks
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        explode(expr(
+          s"""transform(sequence(1, size(toks) - ${K - 1}),
+              i -> struct(i AS p, concat_ws(' ', slice(toks, i, $K)) AS g))""")).as("e"))
+      .select(col("doc_id"), col("n_toks"), col("e.p").as("p"),
+        TextHash.hash60(col("e.g")).as("h"))
+    val hot = sh
+      .select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val rep = sh.join(hot, "h").select("doc_id", "n_toks", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val spans = rep
+      .withColumn("brk",
+        when(col("p") > coalesce(lag(col("p"), 1).over(w), lit(-K)) + K, 1)
+          .otherwise(0))
+      .withColumn("g", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_toks"), col("g"))
+      .agg(min(col("p")).as("s"), max(col("p")).as("e"))
+    spans
+      .groupBy(col("doc_id"), col("n_toks"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + K).cast("long").as("covered_tokens"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        col("n_spans"),
+        col("covered_tokens"),
+        (col("covered_tokens").cast("double") / col("n_toks")).as("coverage"))
+  }
+
   /** SemDeDup-style semantic near-dup candidates (Abbas et al. 2023):
     * cluster the embedding space (k-means argmax against the
     * [[Curation.KCentroids]] seed centroids — the same dual
@@ -852,7 +928,8 @@ object Dedup {
     "dedup_clusters"  -> (clusters _),
     "dedup_fuzzy"     -> (fuzzy _),
     "dedup_apply"     -> (exactApply _),
-    "text_span_dedup" -> (spanDedup _)
+    "text_span_dedup" -> (spanDedup _),
+    "text_repeated_spans" -> (repeatedSpans _)
   )
 
   private val h = TextHash.duckHash60Of _
@@ -1044,6 +1121,41 @@ object Dedup {
            count(*) FILTER (WHERE c >= 2) AS n_dup,
            CAST(count(*) FILTER (WHERE c >= 2) AS DOUBLE) / count(*) AS dup_frac,
            (CAST(count(*) FILTER (WHERE c >= 2) AS DOUBLE) / count(*) > $SpanDupMax) AS flagged
-         FROM spans JOIN sc USING (sh) GROUP BY 1"""
+         FROM spans JOIN sc USING (sh) GROUP BY 1""",
+    "text_repeated_spans" ->
+      s"""WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(text, '$WP'), x -> x <> '') l
+           FROM documents),
+         pos AS (
+           SELECT doc_id, len(l) AS n_toks, l,
+             unnest(generate_series(1, len(l) - ${RepSpanTokens - 1})) AS p
+           FROM toks WHERE len(l) >= $RepSpanTokens),
+         sh AS (
+           SELECT doc_id, n_toks, p,
+             ${h(s"array_to_string(list_slice(l, p, p + ${RepSpanTokens - 1}), ' ')")} AS h
+           FROM pos),
+         hot AS (
+           SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+           WHERE nd >= 2),
+         rep AS (SELECT doc_id, n_toks, p FROM sh JOIN hot USING (h)),
+         isl AS (
+           SELECT doc_id, n_toks, p,
+             CASE WHEN p > coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                                    -$RepSpanTokens) + $RepSpanTokens
+                  THEN 1 ELSE 0 END AS brk
+           FROM rep),
+         grp AS (
+           SELECT doc_id, n_toks, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+           FROM isl),
+         spans AS (
+           SELECT doc_id, n_toks, g, min(p) AS s, max(p) AS e
+           FROM grp GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           count(*) AS n_spans,
+           CAST(sum(e - s + $RepSpanTokens) AS BIGINT) AS covered_tokens,
+           CAST(sum(e - s + $RepSpanTokens) AS DOUBLE) / n_toks AS coverage
+         FROM spans GROUP BY doc_id, n_toks"""
   )
 }

@@ -51,6 +51,49 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out(0)._4 == 1.0 && out(4)._4 == 0.0)
   }
 
+  test("repeated spans: shared run merges to ONE maximal span with exact geometry") {
+    // K = 16 sliding. Docs 1/2 share a 40-token run (doc 1 at offset 10,
+    // doc 2 at offset 0); the 25 matching shingle starts (40-16+1) must
+    // merge into exactly one maximal span covering all 40 tokens. Doc 3
+    // repeats its own 16-gram twice INTERNALLY but shares nothing across
+    // docs -> no row (cross-document only). Doc 4 is unique -> no row.
+    def words(seed: String, n: Int) =
+      (0 until n).map(i => s"$seed${('a' + i % 26).toChar}${('a' + i / 26).toChar}").mkString(" ")
+    val shared = words("boiler", 40)
+    val selfRep = words("loop", 16)
+    val docs = Seq(
+      (1L, words("alpha", 10) + " " + shared + " " + words("alphatail", 10)),
+      (2L, shared + " " + words("beta", 20)),
+      (3L, selfRep + " " + words("mid", 8) + " " + selfRep),
+      (4L, words("solo", 60))
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpansOf(docs)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L), s"cross-doc-only violated: $out")
+    // doc 1: 60 toks, one span of 40; doc 2: 60 toks, one span of 40
+    assert(out == Seq(
+      (1L, 60L, 1L, 40L, 40.0 / 60),
+      (2L, 60L, 1L, 40L, 40.0 / 60)), out.toString)
+  }
+
+  test("repeated spans: disjoint shared runs stay separate islands") {
+    def words(seed: String, n: Int) =
+      (0 until n).map(i => s"$seed${('a' + i % 26).toChar}${('a' + i / 26).toChar}").mkString(" ")
+    // two 16-token boilerplate blocks separated by >=16 unique tokens in
+    // both docs -> two maximal spans of 16 each, not one merged span
+    val b1 = words("head", 16)
+    val b2 = words("foot", 16)
+    val docs = Seq(
+      (1L, b1 + " " + words("alpha", 20) + " " + b2),
+      (2L, b1 + " " + words("beta", 20) + " " + b2)
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpansOf(docs)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 52L, 2L, 32L, 32.0 / 52),
+      (2L, 52L, 2L, 32L, 32.0 / 52)), out.toString)
+  }
+
   test("span dedup: spans cover every token exactly once") {
     // sum of span counts x span width >= token count; n_spans = ceil(tokens/16)
     val spanCounts = Dedup.spanDedup(spark, Sf0001)

@@ -399,6 +399,27 @@ object Curation {
         count(lit(1)).as("n_assigned"),
         (sum(col("cos").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("avg_cos"))
 
+  /** Bottom-k per cluster for [[embedOutliers]]. */
+  val OutlierK = 5
+
+  /** Embedding-space outlier audit: the [[OutlierK]] WORST-explained
+    * members of each cluster (lowest cosine to their own argmax
+    * centroid) — the vectors a curation pass inspects first: encoder
+    * failures, off-distribution content, or the seed of a cluster the
+    * current K cannot express. Reuses [[assignVectors]]'s scan-side
+    * assignment, then runs per-centroid bottom-k through the bounded-heap
+    * [[graft.plans.GroupedTopK]] exec rather than a
+    * `Window.partitionBy(centroid)` — K is small, so a window would
+    * funnel the whole corpus into K tasks' sorts; the heap keeps k rows
+    * per centroid per partition and shuffles only #partitions·K·k rows.
+    */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val assigned = assignVectors(s, dir, literal = KCentroids <= Similarity.IvfLiteralBudget)
+    graft.plans.GroupedTopK
+      .topK(assigned, Seq("centroid"), Seq("cos" -> true, "vec_id" -> true), OutlierK)
+      .select(col("centroid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
   /** Per-vector argmax-cosine assignment (vec_id, centroid, cos) — the
     * shared front half of [[centroidAssign]] and [[kmeansIter]].
     */
@@ -1101,6 +1122,7 @@ object Curation {
     "text_chunks"        -> (chunks _),
     "text_tfidf"         -> (tfidf _),
     "embed_assign"       -> (centroidAssign _),
+    "embed_outliers"     -> (embedOutliers _),
     "embed_covariance"   -> (covariance _),
     "embed_pca"          -> (pcaTop _),
     "embed_label_mean"   -> (labelMeanEmbedding _),
@@ -1325,6 +1347,23 @@ object Curation {
          SELECT cid AS centroid, count(*) AS n_assigned,
            CAST(sum(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_cos
          FROM best WHERE rn = 1 GROUP BY 1""",
+    // same assignment CTEs as embed_assign, then per-centroid bottom-k by
+    // cosine (the Spark side runs the bounded-heap GroupedTopK exec)
+    "embed_outliers" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb,
+                     sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+                     FROM embeddings),
+         cent AS (SELECT vec_id cid, emb cemb, nrm cnrm FROM e WHERE vec_id < $KCentroids),
+         scored AS (SELECT e.vec_id, cent.cid,
+                      list_inner_product(e.emb, cent.cemb) / (e.nrm * cent.cnrm) AS cos
+                    FROM e CROSS JOIN cent),
+         best AS (SELECT vec_id, cid, cos,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) arn
+                  FROM scored)
+         SELECT cid AS centroid, vec_id, cos,
+           row_number() OVER (PARTITION BY cid ORDER BY cos ASC, vec_id ASC) AS rn
+         FROM best WHERE arn = 1
+         QUALIFY rn <= $OutlierK""",
     "embed_covariance" ->
       s"""WITH $duckCovCtes
          SELECT dim_i, dim_j, n, cov FROM cov""",

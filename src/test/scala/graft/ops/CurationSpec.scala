@@ -83,6 +83,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(literal = true) == rows(literal = false))
   }
 
+  test("embed_outliers: true bottom-k per cluster, via the bounded-heap exec") {
+    val out = Curation.embedOutliers(spark, Sf0001)
+    // the scale contract: per-centroid bottom-k runs through GroupedTopK,
+    // not a K-task Window sort
+    assert(out.queryExecution.executedPlan.toString.contains("GroupedTopK"),
+      "embed_outliers must use the bounded-heap exec")
+    val got = out.as[(Long, Long, Double, Long)].collect()
+      .map { case (c, v, cos, rn) => (c, rn) -> (v, cos) }.toMap
+    // brute recompute: bottom-k per centroid from the full assignment
+    val brute = Curation.assignVectors(spark, Sf0001, literal = true)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._2).toSeq
+      .flatMap { case (c, xs) =>
+        xs.sortBy(x => (x._3, x._1)).take(Curation.OutlierK).zipWithIndex
+          .map { case ((v, _, cos), i) => (c, i + 1L) -> (v, cos) }
+      }.toMap
+    brute.foreach { case ((c, rn), (v, cos)) =>
+      assert(got.get((c, rn)).contains((v, cos)),
+        s"centroid $c rank $rn: got ${got.get((c, rn))}, brute ($v, $cos)")
+    }
+    assert(got.size == brute.size)
+  }
+
   test("corpus_mixture: probabilities normalize, weights are sqrt(tokens)") {
     val rows = Curation.mixture(spark, Sf0001)
       .select("n_tokens", "weight", "p_sample", "epochs")

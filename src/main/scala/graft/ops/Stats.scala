@@ -147,6 +147,56 @@ object Stats {
           .as("corr_value_hour"))
   }
 
+  /** Spearman rank correlation between `value` and hour-of-day per event
+    * type — the tie-aware monotone-association twin of [[corrValueHour]]
+    * (Pearson detects only LINEAR association; Spearman is Pearson over
+    * average ranks, robust to any monotone transform of either margin).
+    *
+    * Scale shape: no per-row rank window and no row-level join. The input
+    * collapses to three grids — the joint (value, hour) histogram and the
+    * two marginals — ranks come from [[rangeCum]]'s range-partitioned
+    * prefix sums over the marginals (average rank for a tie block of
+    * size c ending at cumulative count cum is `cum − c + (c+1)/2`), and
+    * the five Pearson sums are weighted by the joint counts: one equi-join
+    * of two collapsed grids plus a broadcast of the 24·|types|-row hour
+    * ranks. Per-term products quantize onto the decimal(38,6) grid before
+    * their order-free sums (the catalog determinism rule); degenerate
+    * margins (a single distinct value) yield NULL via nullif in both
+    * engines.
+    */
+  def spearman(s: SparkSession, dir: String): DataFrame =
+    spearmanOf(Tables.events(s, dir)
+      .select(col("event_type"), col("value"), hour(col("ts")).as("hh")))
+
+  private[graft] def spearmanOf(ev: DataFrame): DataFrame = {
+    val joint = ev.groupBy("event_type", "value", "hh").agg(count(lit(1)).as("c"))
+    val xm = ev.groupBy("event_type", "value").agg(count(lit(1)).as("cx"))
+    val rx = rangeCum(xm, Seq("event_type"), "value", "cx", needTot = false)
+      .select(col("event_type"), col("value"),
+        (col("cum") - col("cx") + (col("cx") + lit(1)) / lit(2.0)).as("rx"))
+    val ym = ev.groupBy("event_type", "hh").agg(count(lit(1)).as("cy"))
+    val ry = rangeCum(ym, Seq("event_type"), "hh", "cy", needTot = false)
+      .select(col("event_type"), col("hh"),
+        (col("cum") - col("cy") + (col("cy") + lit(1)) / lit(2.0)).as("ry"))
+    val j = joint
+      .join(rx, Seq("event_type", "value"))
+      .join(broadcast(ry), Seq("event_type", "hh"))
+    j.groupBy("event_type")
+      .agg(
+        sum(col("c")).as("n"),
+        dsum(col("c") * col("rx")).as("sx"),
+        dsum(col("c") * col("ry")).as("sy"),
+        dsum(col("c") * col("rx") * col("ry")).as("sxy"),
+        dsum(col("c") * col("rx") * col("rx")).as("sxx"),
+        dsum(col("c") * col("ry") * col("ry")).as("syy"))
+      .select(col("event_type"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          nullif(
+            sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")),
+            lit(0.0))).as("spearman_rho"))
+  }
+
   /** Ordinary-least-squares fit of `value` on hour-of-day per event type
     * — slope/intercept/R² from the same five decimal-exact sums as
     * [[corrValueHour]], so the whole regression is one partial-aggregated
@@ -1042,6 +1092,7 @@ object Stats {
     "hist_equidepth"     -> (histEquidepth _),
     "stats_moments"      -> (moments _),
     "stats_corr"         -> (corrValueHour _),
+    "stats_spearman"     -> (spearman _),
     "stats_minmax_scale" -> (minmaxScale _),
     "stats_percentiles"  -> (percentilesExact _),
     "stats_robust_scale" -> (robustScale _),
@@ -1396,6 +1447,36 @@ object Stats {
          SELECT event_type, n,
            (n * sxy - sx * sy) /
              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_hour
+         FROM a""",
+    // average ranks from the same marginal-histogram construction as the
+    // Spark side (cum − c + (c+1)/2), Pearson over joint-count-weighted
+    // rank products on the shared decimal grid
+    "stats_spearman" ->
+      s"""WITH ev AS (SELECT event_type, value, hour(ts) AS hh FROM events),
+         joint AS (SELECT event_type, value, hh, count(*) AS c FROM ev GROUP BY 1, 2, 3),
+         xm AS (SELECT event_type, value, count(*) AS cx FROM ev GROUP BY 1, 2),
+         rx AS (SELECT event_type, value,
+                  CAST(sum(cx) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT)
+                    - cx + (cx + 1) / 2.0 AS rx
+                FROM xm),
+         ym AS (SELECT event_type, hh, count(*) AS cy FROM ev GROUP BY 1, 2),
+         ry AS (SELECT event_type, hh,
+                  CAST(sum(cy) OVER (PARTITION BY event_type ORDER BY hh) AS BIGINT)
+                    - cy + (cy + 1) / 2.0 AS ry
+                FROM ym),
+         j AS (SELECT joint.event_type, joint.c, rx.rx, ry.ry
+               FROM joint
+               JOIN rx ON rx.event_type = joint.event_type AND rx.value = joint.value
+               JOIN ry ON ry.event_type = joint.event_type AND ry.hh = joint.hh),
+         a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                 ${ds("c * rx")} AS sx, ${ds("c * ry")} AS sy,
+                 ${ds("c * rx * ry")} AS sxy,
+                 ${ds("c * rx * rx")} AS sxx,
+                 ${ds("c * ry * ry")} AS syy
+               FROM j GROUP BY 1)
+         SELECT event_type, n,
+           (n * sxy - sx * sy) /
+             nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0) AS spearman_rho
          FROM a""",
     "stats_minmax_scale" ->
       """SELECT event_id, event_type, value,

@@ -363,6 +363,51 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stats_spearman: matches a driver-side average-rank Pearson, bounded in [-1, 1]") {
+    val rows = graft.Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("value"), hour(col("ts")).cast("int").as("hh"))
+      .as[(String, Double, Int)].collect()
+    def avgRanks[T](xs: Seq[T])(implicit ord: Ordering[T]): Map[T, Double] = {
+      val sorted = xs.sorted
+      sorted.zipWithIndex
+        .groupBy(_._1)
+        .map { case (v, ps) => v -> (ps.map(_._2 + 1.0).sum / ps.size) }
+    }
+    val want = rows.groupBy(_._1).map { case (t, xs) =>
+      val rx = avgRanks(xs.map(_._2).toSeq)
+      val ry = avgRanks(xs.map(_._3).toSeq)
+      val pairs = xs.map(e => (rx(e._2), ry(e._3)))
+      val n = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      t -> (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val got = Stats.spearman(spark, Sf0001)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (t, rho) =>
+      assert(rho >= -1.0 - 1e-12 && rho <= 1.0 + 1e-12, s"$t rho out of range: $rho")
+      assert(math.abs(rho - want(t)) < 1e-9, s"$t: $rho != ${want(t)}")
+    }
+  }
+
+  test("stats_spearman: invariant under a monotone transform of value (Pearson is not)") {
+    val ev = graft.Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("value"), hour(col("ts")).as("hh"))
+    val base = Stats.spearmanOf(ev)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // exp() is strictly increasing -> identical ranks -> identical rho
+    val mono = Stats.spearmanOf(ev.withColumn("value", exp(col("value") / lit(100.0))))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(base.keySet == mono.keySet)
+    base.foreach { case (t, r) =>
+      assert(math.abs(r - mono(t)) < 1e-9, s"$t: $r vs ${mono(t)}")
+    }
+  }
+
   test("stats_welch: t/df agree with a recomputation from stats_moments") {
     val m = Stats.moments(spark, Sf0001)
       .select("event_type", "n", "mean_value", "var_value")

@@ -1050,6 +1050,52 @@ object Curation {
         col("groups_below"), col("rows_below"),
         (col("rows_below").cast("double") / col("n_rows").cast("double")).as("risk_frac"))
 
+  /** Deletion-request rate (percent of customers) for [[deletionAudit]]. */
+  val DelPct = 5
+
+  /** Right-to-be-forgotten deletion propagation: a deterministic
+    * deletion-request set (hash-band of customer keys — the catalog's
+    * PRF-sampling recipe, standing in for an uploaded request table)
+    * cascades through the FK chain customer → orders → lineitem, and the
+    * audit reports per-table deleted/kept counts — the numbers a
+    * compliance pass must log before the physical rewrite.
+    *
+    * Scale shape: the deletion set is never collected and never
+    * broadcast-assumed (at 100 TB a 5% request set is itself huge):
+    * each fact table takes ONE equi-join against the key set of the
+    * previous hop (orders against deleted customers, lineitem against
+    * deleted orders) with a partial-aggregated conditional count — no
+    * NOT IN anti-scan, no second pass per table. The physical delete
+    * would reuse exactly these joins as anti-joins.
+    */
+  def deletionAudit(s: SparkSession, dir: String): DataFrame = {
+    val del = Tables.customer(s, dir)
+      .filter(TextHash.hash60(col("c_custkey").cast("string")) % 100 < DelPct)
+      .select(col("c_custkey").as("dk"))
+    val custAudit = Tables.customer(s, dir)
+      .agg(
+        count(when(TextHash.hash60(col("c_custkey").cast("string")) % 100 < DelPct, 1))
+          .as("n_deleted"),
+        count(when(TextHash.hash60(col("c_custkey").cast("string")) % 100 >= DelPct, 1))
+          .as("n_kept"))
+      .select(lit("customer").as("table_name"), col("n_deleted"), col("n_kept"))
+    val ordFlag = Tables.orders(s, dir)
+      .join(del, col("o_custkey") === col("dk"), "left")
+    val ordAudit = ordFlag
+      .agg(
+        count(when(col("dk").isNotNull, 1)).as("n_deleted"),
+        count(when(col("dk").isNull, 1)).as("n_kept"))
+      .select(lit("orders").as("table_name"), col("n_deleted"), col("n_kept"))
+    val delOrd = ordFlag.filter(col("dk").isNotNull).select(col("o_orderkey").as("ok"))
+    val liAudit = Tables.lineitem(s, dir)
+      .join(delOrd, col("l_orderkey") === col("ok"), "left")
+      .agg(
+        count(when(col("ok").isNotNull, 1)).as("n_deleted"),
+        count(when(col("ok").isNull, 1)).as("n_kept"))
+      .select(lit("lineitem").as("table_name"), col("n_deleted"), col("n_kept"))
+    custAudit.unionAll(ordAudit).unionAll(liAudit)
+  }
+
   /** Privacy budget for [[dpRelease]] (Laplace scale b = 1/ε). */
   val DpEps = 1.0
 
@@ -1112,6 +1158,7 @@ object Curation {
     "curate_curriculum" -> (curriculum _),
     "curate_dp_release"  -> (dpRelease _),
     "curate_k_anonymity" -> (kAnonymity _),
+    "curate_deletion"    -> (deletionAudit _),
     "sample_weighted"    -> (sampleWeighted _),
     "text_bm25"          -> (bm25 _),
     "doc_global_ids"     -> (globalIds _),
@@ -1216,6 +1263,25 @@ object Curation {
            CAST(coalesce(sum(gsz) FILTER (WHERE gsz < $KAnonK), 0) AS DOUBLE) /
              CAST(sum(gsz) AS DOUBLE) AS risk_frac
          FROM g GROUP BY 1""",
+    "curate_deletion" -> {
+      val hc = graft.functions.TextHash.duckHash60Of("CAST(c_custkey AS VARCHAR)")
+      s"""WITH del AS (SELECT c_custkey FROM customer WHERE $hc % 100 < $DelPct),
+         delord AS (SELECT o_orderkey FROM orders
+                    WHERE o_custkey IN (SELECT c_custkey FROM del))
+         SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM del) AS n_deleted,
+           (SELECT count(*) FROM customer) - (SELECT count(*) FROM del) AS n_kept
+         UNION ALL
+         SELECT 'orders',
+           (SELECT count(*) FROM delord),
+           (SELECT count(*) FROM orders) - (SELECT count(*) FROM delord)
+         UNION ALL
+         SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM delord)),
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delord))"""
+    },
     "sample_weighted" -> {
       val h = graft.functions.TextHash.duckHash60Of("CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, n_chars, k FROM (

@@ -106,6 +106,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == brute.size)
   }
 
+  test("curate_deletion: cascade counts match a direct FK recomputation, totals preserved") {
+    val audit = Curation.deletionAudit(spark, Sf0001)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val cust = graft.Tables.customer(spark, Sf0001)
+    val ord  = graft.Tables.orders(spark, Sf0001)
+    val li   = graft.Tables.lineitem(spark, Sf0001)
+    // direct recompute: collect the deleted key sets and count driver-side
+    val delC = cust.filter(
+      graft.functions.TextHash.hash60(col("c_custkey").cast("string")) % 100 < Curation.DelPct)
+      .select("c_custkey").as[Long].collect().toSet
+    val delO = ord.select("o_orderkey", "o_custkey").as[(Long, Long)].collect()
+      .filter(o => delC(o._2)).map(_._1).toSet
+    val delL = li.select("l_orderkey").as[Long].collect().count(delO)
+    assert(audit("customer")._1 == delC.size)
+    assert(audit("orders")._1 == delO.size)
+    assert(audit("lineitem")._1 == delL)
+    // deleted + kept must always reconstruct the full table
+    assert(audit("customer")._1 + audit("customer")._2 == cust.count())
+    assert(audit("orders")._1 + audit("orders")._2 == ord.count())
+    assert(audit("lineitem")._1 + audit("lineitem")._2 == li.count())
+    // the request band is nonempty and strictly partial at fixture scale
+    assert(delC.nonEmpty && delC.size < cust.count())
+  }
+
   test("corpus_mixture: probabilities normalize, weights are sqrt(tokens)") {
     val rows = Curation.mixture(spark, Sf0001)
       .select("n_tokens", "weight", "p_sample", "epochs")

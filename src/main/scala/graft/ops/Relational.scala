@@ -941,6 +941,58 @@ object Relational {
         frac(col("orphans"), col("fk_rows")).as("orphan_frac"))
   }
 
+  /** Fixture arrival boundary for [[ordersIncrementalJoin]] (mid-range of
+    * both tables' date spans, so all four old/new quadrants are
+    * populated).
+    */
+  val IncrJoinCut = "1998-01-01"
+
+  /** Incremental JOIN-view maintenance — the join counterpart of
+    * `events_incr_hourly`'s aggregate maintenance. A materialized
+    * revenue-per-priority view was built from the OLD halves of orders
+    * and lineitem; a batch later, new orders (by order date) and new
+    * lineitems (by ship date) have both arrived. The view update applies
+    * the delta algebra `J(A+ΔA, B+ΔB) = A⋈B + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB`:
+    * three delta joins, each with at least one DELTA-sized input, merged
+    * into the materialized partials — the full history pair never
+    * re-joins.
+    *
+    * Why it matters at 100 TB: the naive refresh re-joins two
+    * corpus-sized tables every batch; here the dominant term (old ⋈ Δ)
+    * keys a corpus-sized side against a batch-sized side — AQE broadcasts
+    * the delta side when it fits, and the bloom/bucket layouts in
+    * `ops/Storage` prune the old side's scan to matching keys. Partials
+    * stay on the decimal(38,6) grid until the final merge, so the
+    * incremental result is BIT-EQUAL to the full recompute — which is
+    * exactly what the oracle runs (one plain join + rollup): the
+    * incrementalization must be semantically invisible.
+    */
+  def ordersIncrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(IncrJoinCut).cast("timestamp")
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+    def half(df: DataFrame, c: String, old: Boolean) =
+      df.filter(if (old) col(c) < cut else col(c) >= cut).drop(c)
+    def j(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,6)")).as("sv"))
+    val materialized = j(half(ord, "o_orderdate", old = true),  half(li, "l_shipdate", old = true))
+    val dA           = j(half(ord, "o_orderdate", old = false), half(li, "l_shipdate", old = true))
+    val dB           = j(half(ord, "o_orderdate", old = true),  half(li, "l_shipdate", old = false))
+    val dAB          = j(half(ord, "o_orderdate", old = false), half(li, "l_shipdate", old = false))
+    materialized.unionAll(dA).unionAll(dB).unionAll(dAB)
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(col("n")).as("n_items"),
+        sum(col("sv")).cast("double").as("revenue"))
+  }
+
   /** Quintile cut percentiles for [[rfm]] (nearest-rank). */
   private val RfmCuts = Seq(20, 40, 60, 80)
 
@@ -1098,6 +1150,7 @@ object Relational {
     "orders_abc"          -> (abc _),
     "orders_rfm"          -> (rfm _),
     "audit_ref_integrity" -> (refIntegrity _),
+    "orders_incr_join"    -> (ordersIncrementalJoin _),
     "q1_pricing"         -> (q1Pricing _),
     "distinct_agg"       -> (distinctOrdersPerFlag _),
     "agg_minmax"         -> (aggMinMax _),
@@ -1231,6 +1284,14 @@ object Relational {
              AS BIGINT) AS rfm_code
          FROM cust, rc, fc, mc"""
     },
+    // full recompute: one plain join + rollup. The Spark side reaches the
+    // same rows through the materialized-view delta algebra — the
+    // incrementalization must be semantically invisible.
+    "orders_incr_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY 1""",
     "audit_ref_integrity" ->
       """WITH li AS (
            SELECT count(*) AS n,

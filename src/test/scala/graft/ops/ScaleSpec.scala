@@ -37,6 +37,33 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE b_orders")
   }
 
+  test("orders_incr_join: all four delta quadrants populated, merge equals the direct join") {
+    import org.apache.spark.sql.functions._
+    val cut = lit(Relational.IncrJoinCut).cast("timestamp")
+    val ord = graft.Tables.orders(spark, Sf0001)
+    val li  = graft.Tables.lineitem(spark, Sf0001)
+    // the fixture boundary must exercise every term of the delta algebra —
+    // an empty quadrant would make the incremental path vacuously correct
+    def quad(oldO: Boolean, oldL: Boolean): Long =
+      ord.filter(if (oldO) col("o_orderdate") < cut else col("o_orderdate") >= cut)
+        .join(
+          li.filter(if (oldL) col("l_shipdate") < cut else col("l_shipdate") >= cut),
+          col("o_orderkey") === col("l_orderkey"))
+        .count()
+    Seq((true, true), (false, true), (true, false), (false, false)).foreach { case (a, b) =>
+      assert(quad(a, b) > 0, s"quadrant (oldOrders=$a, oldItems=$b) empty — fixture cut wrong")
+    }
+    val direct = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,6)")).cast("double").as("revenue"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val incr = Relational.ordersIncrementalJoin(spark, Sf0001)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(incr == direct, "incremental merge must be bit-equal to the full recompute")
+  }
+
   test("salted two-phase aggregation is bit-identical to the direct agg") {
     val direct = Reference.skewAgg(spark, Sf0001).as[(String, Long, Double)].collect().toSeq
     val salted = Skew.saltedTotals(spark, Sf0001).as[(String, Long, Double)].collect().toSeq

@@ -290,6 +290,44 @@ object Stats {
       .join(broadcast(pcts), "l_returnflag")
   }
 
+  /** Trim rate (percent per tail) for [[trimmedMean]]. */
+  val TrimPct = 5
+
+  /** Exact α-trimmed mean of `value` per event type — the robust location
+    * estimate between the mean (outlier-fragile) and the median (throws
+    * away 100·(1−ε)% of the data): drop the ⌊αn⌋ smallest and largest
+    * OBSERVATIONS, average the rest.
+    *
+    * Scale shape: no sort and no per-row rank. The input collapses to its
+    * (type, value) histogram; [[rangeCum]] supplies cumulative counts;
+    * and each grid row's SURVIVING multiplicity is closed-form —
+    * a row holding ranks (cum−c, cum] keeps
+    * `max(0, min(cum, n−k) − max(cum−c, k))` observations for trim depth
+    * k = ⌊αn⌋ — so the trimmed sum is one more partial-aggregated pass
+    * over the grid. Integer rank arithmetic throughout; the only float
+    * op is the final division.
+    */
+  def trimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val vc = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val cum = rangeCum(vc, Seq("event_type"), "value", "c")
+      .withColumn("k", expr(s"($TrimPct * tot) div 100"))
+      .withColumn("inc",
+        greatest(lit(0L),
+          least(col("cum"), col("tot") - col("k")) -
+            greatest(col("cum") - col("c"), col("k"))))
+    cum.groupBy("event_type")
+      .agg(
+        max(col("tot")).as("n"),
+        max(col("k")).as("k_trim"),
+        sum(col("inc")).as("n_kept"),
+        dsum(col("inc") * col("value")).as("ts"))
+      .select(
+        col("event_type"), col("n"), col("k_trim"), col("n_kept"),
+        (col("ts") / (col("n") - lit(2) * col("k_trim"))).as("trimmed_mean"))
+  }
+
   /** Quantization grid for [[robustScale]]'s percentiles: value·16 is a
     * power-of-two scaling, exact in binary floating point, so the grid
     * assignment and the de-quantized grid values are bit-deterministic in
@@ -1093,6 +1131,7 @@ object Stats {
     "stats_moments"      -> (moments _),
     "stats_corr"         -> (corrValueHour _),
     "stats_spearman"     -> (spearman _),
+    "stats_trimmed"      -> (trimmedMean _),
     "stats_minmax_scale" -> (minmaxScale _),
     "stats_percentiles"  -> (percentilesExact _),
     "stats_robust_scale" -> (robustScale _),
@@ -1448,6 +1487,28 @@ object Stats {
            (n * sxy - sx * sy) /
              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_hour
          FROM a""",
+    // same closed-form surviving-multiplicity arithmetic over the
+    // cumulative value histogram; integer ranks, one final division
+    "stats_trimmed" ->
+      s"""WITH vc AS (
+           SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, value, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+           FROM vc),
+         inc AS (
+           SELECT event_type, value, tot,
+             ($TrimPct * tot) // 100 AS k,
+             greatest(0, least(cum, tot - ($TrimPct * tot) // 100) -
+                         greatest(cum - c, ($TrimPct * tot) // 100)) AS inc
+           FROM cum)
+         SELECT event_type,
+           CAST(max(tot) AS BIGINT) AS n,
+           CAST(max(k) AS BIGINT) AS k_trim,
+           CAST(sum(inc) AS BIGINT) AS n_kept,
+           ${ds("inc * value")} / (max(tot) - 2 * max(k)) AS trimmed_mean
+         FROM inc GROUP BY 1""",
     // average ranks from the same marginal-histogram construction as the
     // Spark side (cum − c + (c+1)/2), Pearson over joint-count-weighted
     // rank products on the shared decimal grid

@@ -363,6 +363,62 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stats_trimmed: matches a driver-side sort-and-trim, bookkeeping consistent") {
+    val rows = graft.Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val want = rows.groupBy(_._1).map { case (t, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      val k = Stats.TrimPct * n / 100
+      val kept = sorted.slice(k, n - k)
+      t -> (n.toLong, k.toLong, kept.sum / kept.length)
+    }
+    val got = Stats.trimmedMean(spark, Sf0001)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (t, n, kTrim, nKept, mean) =>
+      val (wn, wk, wmean) = want(t)
+      assert(n == wn && kTrim == wk, s"$t bookkeeping: n=$n k=$kTrim vs $wn/$wk")
+      assert(nKept == n - 2 * kTrim, s"$t: kept $nKept != ${n - 2 * kTrim}")
+      assert(math.abs(mean - wmean) < 1e-9 * math.max(1.0, math.abs(wmean)),
+        s"$t: $mean != $wmean")
+    }
+  }
+
+  test("stats_trimmed: a sub-trim-mass outlier block cannot move the estimate") {
+    // 1000 regular values + 30 enormous outliers (3% < the 5% trim): the
+    // trimmed mean must equal that of the clean prefix trimmed at its own
+    // depth over the surviving ranks — here simply: outliers all trimmed
+    val regular = (1 to 1000).map(i => (i % 97).toDouble)
+    val spiked  = regular ++ Seq.fill(30)(1e12)
+    def tm(vals: Seq[Double]): Double = {
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, "t", v) }.toDF("event_id", "event_type", "value")
+      // reuse the operator body via a temp events-shaped frame: group on
+      // event_type, value histogram, closed-form trim
+      val vc = df.groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+      val cum = graft.ops.Stats.rangeCum(vc, Seq("event_type"), "value", "c")
+        .withColumn("k", expr(s"(${Stats.TrimPct} * tot) div 100"))
+        .withColumn("inc",
+          greatest(lit(0L),
+            least(col("cum"), col("tot") - col("k")) -
+              greatest(col("cum") - col("c"), col("k"))))
+      cum.groupBy("event_type")
+        .agg((sum((col("inc") * col("value")).cast("decimal(38,6)")).cast("double") /
+          (max(col("tot")) - lit(2) * max(col("k")))).as("m"))
+        .as[(String, Double)].collect().head._2
+    }
+    val spikedMean = tm(spiked)
+    // every 1e12 outlier ranks above n - k (k = 51 of 1030), so none survive
+    val sorted = spiked.sorted
+    val k = Stats.TrimPct * spiked.length / 100
+    val brute = sorted.slice(k, spiked.length - k)
+    assert(!brute.contains(1e12), "outliers must fall inside the trim band")
+    assert(math.abs(spikedMean - brute.sum / brute.length) < 1e-9)
+    assert(spikedMean < 100.0, s"outliers leaked into the trimmed mean: $spikedMean")
+  }
+
   test("stats_spearman: matches a driver-side average-rank Pearson, bounded in [-1, 1]") {
     val rows = graft.Tables.events(spark, Sf0001)
       .select(col("event_type"), col("value"), hour(col("ts")).cast("int").as("hh"))

@@ -181,14 +181,22 @@ object Stats {
     val j = joint
       .join(rx, Seq("event_type", "value"))
       .join(broadcast(ry), Seq("event_type", "hh"))
+    // Rank products live on the QUARTER-integer grid (ranks are
+    // half-integers), so 2 decimal digits are exact — and decimal(38,2)
+    // matters beyond economy: these sums reach ~n³/4, and at sf0.1 a
+    // (38,6)-scaled integer already exceeds double's exact range, where
+    // DuckDB's decimal→double (scaled-int cast, then divide) can land one
+    // ULP off the JVM's correctly-rounded BigDecimal conversion. The
+    // ×100 representation stays exact two decades longer.
+    def qsum(x: Column) = sum(x.cast("decimal(38,2)")).cast("double")
     j.groupBy("event_type")
       .agg(
         sum(col("c")).as("n"),
-        dsum(col("c") * col("rx")).as("sx"),
-        dsum(col("c") * col("ry")).as("sy"),
-        dsum(col("c") * col("rx") * col("ry")).as("sxy"),
-        dsum(col("c") * col("rx") * col("rx")).as("sxx"),
-        dsum(col("c") * col("ry") * col("ry")).as("syy"))
+        qsum(col("c") * col("rx")).as("sx"),
+        qsum(col("c") * col("ry")).as("sy"),
+        qsum(col("c") * col("rx") * col("ry")).as("sxy"),
+        qsum(col("c") * col("rx") * col("rx")).as("sxx"),
+        qsum(col("c") * col("ry") * col("ry")).as("syy"))
       .select(col("event_type"), col("n"),
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           nullif(
@@ -1530,10 +1538,11 @@ object Stats {
                JOIN rx ON rx.event_type = joint.event_type AND rx.value = joint.value
                JOIN ry ON ry.event_type = joint.event_type AND ry.hh = joint.hh),
          a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
-                 ${ds("c * rx")} AS sx, ${ds("c * ry")} AS sy,
-                 ${ds("c * rx * ry")} AS sxy,
-                 ${ds("c * rx * rx")} AS sxx,
-                 ${ds("c * ry * ry")} AS syy
+                 CAST(sum(CAST(c * rx AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(c * ry AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(c * rx * ry AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(c * rx * rx AS DECIMAL(38,2))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(c * ry * ry AS DECIMAL(38,2))) AS DOUBLE) AS syy
                FROM j GROUP BY 1)
          SELECT event_type, n,
            (n * sxy - sx * sy) /

@@ -477,6 +477,57 @@ object Events {
       .select("user_id", "version", "event_type", "valid_from", "valid_to", "n_events")
   }
 
+  /** Point-in-time (temporal) join: each fact row joined to the dimension
+    * VERSION that was valid at the fact's own event time — the
+    * feature-store lookup discipline that keeps training data free of
+    * future leakage (a label row must see the feature value as of its
+    * timestamp, never a later correction). Facts here are the purchase
+    * events; the versioned dimension is [[scd2]]'s validity intervals.
+    *
+    * Scale shape: the naive formulation is an interval join
+    * (`valid_from <= ts < valid_to`), which Spark can only plan as a
+    * nested loop. Instead the intervals collapse to their START events
+    * and the join becomes MERGE semantics: union dim-starts with facts,
+    * one per-user window ordered by (ts, dim-first, version), and
+    * `last(version, ignoreNulls)` carries the in-effect version onto
+    * every fact — one shuffle on user_id, per-user-bounded sort, zero
+    * nested loops. Dim rows order before facts at equal timestamps
+    * (half-open [from, to) semantics), and version-ascending ordering
+    * among same-instant starts makes a zero-length interval invisible —
+    * both exactly matching the oracle's naive interval join, which is
+    * what DuckDB runs (its IEJoin handles it at oracle scale).
+    */
+  def pitJoin(s: SparkSession, dir: String): DataFrame = {
+    val dims = scd2(s, dir)
+      .select(
+        col("user_id"),
+        col("valid_from").as("ts_us"),
+        col("version"),
+        col("event_type").as("dim_type"),
+        lit(1).as("is_dim"),
+        lit(null).cast("long").as("event_id"))
+    val facts = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        lit(null).cast("long").as("version"),
+        lit(null).cast("string").as("dim_type"),
+        lit(0).as("is_dim"),
+        col("event_id"))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("is_dim").desc, col("version").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dims.unionByName(facts)
+      .withColumn("v_at", last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("t_at", last(col("dim_type"), ignoreNulls = true).over(w))
+      .filter(col("is_dim") === 0)
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        col("v_at").as("version"), col("t_at").as("dim_type"))
+  }
+
   /** Incremental aggregate maintenance: the hourly rollup refreshed by
     * aggregating ONLY a new slice of events and merging it into the
     * previously-materialized aggregate — the daily-refresh pattern that
@@ -660,6 +711,7 @@ object Events {
     "events_seasonality" -> (seasonality _),
     "events_cusum"     -> (cusum _),
     "events_scd2"      -> (scd2 _),
+    "events_pit_join"  -> (pitJoin _),
     "events_fill"      -> (fillHours _),
     "events_funnel"    -> (funnel _),
     "events_unpivot"   -> (typeUnpivot _),
@@ -779,6 +831,37 @@ object Events {
            lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
            n_events
          FROM runs""",
+    // the NAIVE interval join over the same SCD2 intervals — the engine's
+    // union+window merge must be semantically invisible
+    "events_pit_join" ->
+      """WITH t AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, event_type, ts_us,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS changed
+           FROM t),
+         numbered AS (
+           SELECT user_id, event_type, ts_us,
+             CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+           FROM flagged),
+         runs AS (
+           SELECT user_id, version, max(event_type) AS event_type,
+             min(ts_us) AS valid_from, count(*) AS n_events
+           FROM numbered GROUP BY 1, 2),
+         dim AS (
+           SELECT user_id, version, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+           FROM runs),
+         facts AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id, f.ts_us, d.version, d.event_type AS dim_type
+         FROM facts f JOIN dim d
+           ON d.user_id = f.user_id AND d.valid_from <= f.ts_us
+          AND (d.valid_to IS NULL OR f.ts_us < d.valid_to)""",
     "events_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) tv FROM events WHERE event_type = 'view' GROUP BY 1),
          c AS (SELECT e.user_id, min(epoch_us(e.ts)) tc FROM events e JOIN v ON e.user_id = v.user_id

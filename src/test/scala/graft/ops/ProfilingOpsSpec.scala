@@ -363,6 +363,30 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("events_pit_join: looked-up version's interval contains the fact ts, plan has no nested loop") {
+    val out = Events.pitJoin(spark, Sf0001)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      "PIT join must plan as union+window merge, not an interval nested loop")
+    val got = out.as[(Long, Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    // direct interval check against independently recomputed SCD2 intervals
+    val dims = Events.scd2(spark, Sf0001)
+      .select("user_id", "version", "valid_from", "valid_to")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map { case (u, v, f, t) => (u, v) -> (f, t) }.toMap
+    got.foreach { case (eid, u, ts, v, dtype) =>
+      val (from, to) = dims((u, v))
+      assert(from <= ts && to.forall(ts < _),
+        s"event $eid: ts $ts outside version $v interval [$from, $to)")
+      assert(dtype == "purchase", s"purchase event $eid landed in a '$dtype' run")
+    }
+    // every purchase is matched exactly once
+    val nPurchases = graft.Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(got.length.toLong == nPurchases && got.map(_._1).distinct.length == got.length)
+  }
+
   test("stats_trimmed: matches a driver-side sort-and-trim, bookkeeping consistent") {
     val rows = graft.Tables.events(spark, Sf0001)
       .select(col("event_type"), col("value"))

@@ -28,6 +28,29 @@ object Events {
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
 
+  /** Sliding (hopping) windows: 1-hour windows every 15 minutes — the
+    * overlapping-window twin of [[hourly]], via Spark's native `window()`
+    * time TVF (each event fans out to the 4 windows covering it; the
+    * aggregation is still one partial-aggregated shuffle keyed on
+    * (window, type), and the same expression runs unchanged as a
+    * watermarked streaming aggregation). Epoch-aligned window boundaries
+    * are mirrored in the oracle by integer floor arithmetic on epoch
+    * microseconds — no timezone or alignment ambiguity.
+    */
+  def slidingHourly(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+      .select(
+        unix_micros(col("w.start")).as("win_start_us"),
+        unix_micros(col("w.end")).as("win_end_us"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Sessionization: a >30-minute silence starts a new session.
     * Classic gaps-and-islands — lag → new-session flag → running sum as
     * session id → per-session rollup. One shuffle on user_id; every window
@@ -717,6 +740,7 @@ object Events {
     "events_unpivot"   -> (typeUnpivot _),
     "events_hourly_dev" -> (hourlyDeviation _),
     "events_hourly"    -> (hourly _),
+    "events_sliding"   -> (slidingHourly _),
     "events_sessionize" -> (sessionize _),
     "events_asof"      -> (asofClickPurchase _),
     "events_gaps"      -> (gaps _),
@@ -983,6 +1007,20 @@ object Events {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+    // each event fans out to the 4 epoch-aligned 15-min-slide windows
+    // covering it (integer floor arithmetic = Spark's window() alignment)
+    "events_sliding" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+         x AS (SELECT event_type, value,
+                 unnest(generate_series(
+                   (ts_us // 900000000) * 900000000 - 2700000000,
+                   (ts_us // 900000000) * 900000000,
+                   900000000)) AS win_start_us
+               FROM e)
+         SELECT win_start_us, win_start_us + 3600000000 AS win_end_us,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         FROM x GROUP BY 1, 2, 3""",
     "events_fill" ->
       """WITH hourly AS (SELECT date_trunc('hour', ts) h, count(*) n FROM events GROUP BY 1),
          bounds AS (SELECT date_trunc('hour', min(ts)) h0, date_trunc('hour', max(ts)) h1 FROM events),

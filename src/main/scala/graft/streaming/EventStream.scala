@@ -66,6 +66,24 @@ object EventStream extends Serializable {
         sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding (hopping) windows, 1 hour every 15 minutes — the streaming
+    * twin of `events_sliding` (graft.ops.Events.slidingHourly): identical
+    * expression, incremental execution; state is bounded by the 4 OPEN
+    * windows per (slide, type), each emitted once the watermark passes
+    * its end.
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+      .select(
+        unix_micros(col("w.start")).as("win_start_us"),
+        unix_micros(col("w.end")).as("win_end_us"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Native session-window aggregation (30-min gap) — the streaming twin
     * of `events_session_native` (graft.ops.Events.sessionNative). Same
     * logical plan, executed incrementally: Spark keeps one merging

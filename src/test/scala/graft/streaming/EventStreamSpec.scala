@@ -46,6 +46,19 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming sliding windows converge to the batch answer") {
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(streamDir)
+    runToCompletion(EventStream.sliding(src), "sliding_out")
+    val got = spark.table("sliding_out")
+      .filter(col("event_type") =!= "sentinel")
+      .as[(Long, Long, String, Long, Double)].collect().toSet
+    val want = graft.ops.Events.slidingHourly(spark, Sf0001)
+      .as[(Long, Long, String, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("streaming native session windows converge to the batch answer") {
     val src = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")

@@ -351,6 +351,64 @@ object Graph {
     dist.select(col("node").as("p_partkey"), col("dist"))
   }
 
+  /** Relaxation rounds for [[sssp]] (unrolled in the oracle). */
+  val SsspRounds = 4
+
+  /** Catalog entry: weighted shortest paths from the [[BfsSeedBrand]]
+    * parts over the co-purchase graph, edge cost `1000000 div c + 1` for
+    * co-occurrence count c — popular links are cheap, so the distance
+    * ranks parts by how strongly they connect to the seed family through
+    * high-traffic baskets (integer costs: oracle parity needs no
+    * quantization anywhere).
+    */
+  def ssspCoPurchase(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"), col("l_partkey"))
+    val pairs = li.select(col("ok"), (col("ln") + 1).as("ln"), col("l_partkey").as("pa"))
+      .join(li.select(col("ok"), col("ln"), col("l_partkey").as("pb")), Seq("ok", "ln"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("da"), greatest(col("pa"), col("pb")).as("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("c"))
+    val w = expr("1000000 div c + 1")
+    val wadj = pairs.select(col("da").as("u"), col("db").as("m"), w.as("w"))
+      .union(pairs.select(col("db").as("u"), col("da").as("m"), w.as("w")))
+    sssp(wadj,
+      Tables.part(s, dir).filter(col("p_brand") === BfsSeedBrand)
+        .select(col("p_partkey")))
+  }
+
+  /** Weighted single-source (multi-seed) shortest paths by Bellman–Ford
+    * relaxation: each round joins the current distance table to the
+    * weighted adjacency and takes the grouped min of
+    * `(old, via-neighbor + edge cost)` — [[bfs]]'s frontier-free shape
+    * with an edge-cost add in place of +1, so the cost model is identical
+    * (one |reached|-row equi-join plus one partial-aggregated min shuffle
+    * per round) and a fixed round count bounds the result to ≤
+    * [[SsspRounds]]-edge paths, deterministically in both engines. All
+    * arithmetic is long-integer: no float path sums, no quantization.
+    */
+  def sssp(wadj: DataFrame, seeds: DataFrame, rounds: Int = SsspRounds): DataFrame = {
+    val adj = wadj.transform(Ckpt.apply)
+    var dist = adj.select(col("u")).distinct()
+      .join(seeds.toDF("u"), Seq("u"), "left_semi")
+      .select(col("u").as("node"), lit(0L).as("dist"))
+      .transform(Ckpt.apply)
+    for (_ <- 1 to rounds) {
+      val next = dist.select(col("node").as("m"), col("dist"))
+        .join(adj, "m")
+        .select(col("u").as("node"), (col("dist") + col("w")).as("dist"))
+        .union(dist.select(col("node"), col("dist")))
+        .groupBy("node")
+        .agg(min(col("dist")).as("dist"))
+        .transform(Ckpt.apply)
+      Dedup.freeCheckpoint(dist)
+      dist = next
+    }
+    Dedup.freeCheckpoint(adj)
+    dist.select(col("node").as("p_partkey"), col("dist"))
+  }
+
   /** Core order and fixed peel-round count for [[kcore]] (unrolled in
     * the oracle). The fixture graphs reach the peeling fixpoint well
     * inside this many rounds (pinned in GraphSpec), so the output IS the
@@ -454,7 +512,8 @@ object Graph {
     "graph_kcore"     -> (kcoreCoPurchase _),
     "graph_assortativity" -> (assortativityCoPurchase _),
     "graph_modularity" -> (modularityCoPurchase _),
-    "graph_bfs"       -> (bfsCoPurchase _)
+    "graph_bfs"       -> (bfsCoPurchase _),
+    "graph_sssp"      -> (ssspCoPurchase _)
   )
 
   /** The unrolled LPA label CTEs shared by the communities and modularity
@@ -547,6 +606,28 @@ object Graph {
                 FROM nodes n JOIN seeds s ON s.u = n.u),
          $rounds
          SELECT node AS p_partkey, CAST(dist AS BIGINT) AS dist FROM d$BfsRounds"""
+    },
+    "graph_sssp" -> {
+      val rounds = (1 to SsspRounds).map { i =>
+        s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+             SELECT a.u AS node, d.dist + a.w AS dist
+             FROM d${i - 1} d JOIN wadj a ON a.m = d.node
+             UNION ALL SELECT node, dist FROM d${i - 1}) GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+           SELECT least(a.l_partkey, b.l_partkey) AS da,
+             greatest(a.l_partkey, b.l_partkey) AS db, count(*) AS c
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+           WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+         wadj AS (SELECT da AS u, db AS m, 1000000 // c + 1 AS w FROM pairs
+                  UNION ALL SELECT db, da, 1000000 // c + 1 FROM pairs),
+         nodes AS (SELECT DISTINCT u FROM wadj),
+         seeds AS (SELECT p_partkey AS u FROM part WHERE p_brand = '$BfsSeedBrand'),
+         d0 AS (SELECT n.u AS node, CAST(0 AS BIGINT) AS dist
+                FROM nodes n JOIN seeds s ON s.u = n.u),
+         $rounds
+         SELECT node AS p_partkey, CAST(dist AS BIGINT) AS dist FROM d$SsspRounds"""
     },
     "graph_common_neighbors" ->
       s"""WITH pairs AS (

@@ -168,6 +168,48 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       5L -> 2L, 6L -> 1L, 7L -> 0L))
   }
 
+  test("sssp: cheap detour beats the direct expensive edge") {
+    // weighted triangle 1-3 (cost 10) vs 1-2-3 (cost 2+2): Bellman-Ford
+    // must take the two-hop detour; plus a pendant 4 at cost 1 off node 3
+    val wadj = Seq(
+      (1L, 3L, 10L), (3L, 1L, 10L),
+      (1L, 2L, 2L), (2L, 1L, 2L),
+      (2L, 3L, 2L), (3L, 2L, 2L),
+      (3L, 4L, 1L), (4L, 3L, 1L)).toDF("u", "m", "w")
+    val got = Graph.sssp(wadj, Seq(Tuple1(1L)).toDF("u")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 5L), got.toString)
+  }
+
+  test("sssp: fixture distances match a driver-side Bellman-Ford at the same round cap") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"), col("l_partkey"))
+    val edges = li.select(col("ok"), (col("ln") + 1).as("ln"), col("l_partkey").as("pa"))
+      .join(li.select(col("ok"), col("ln"), col("l_partkey").as("pb")), Seq("ok", "ln"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("da"), greatest(col("pa"), col("pb")).as("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect()
+    val wadj = edges.flatMap { case (a, b, c) =>
+      val w = 1000000L / c + 1
+      Seq((a, (b, w)), (b, (a, w)))
+    }.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2) }
+    val seeds = graft.Tables.part(spark, Sf0001)
+      .filter(col("p_brand") === Graph.BfsSeedBrand)
+      .select("p_partkey").as[Long].collect().toSet
+    var dist: Map[Long, Long] =
+      wadj.keySet.filter(seeds).map(_ -> 0L).toMap
+    for (_ <- 1 to Graph.SsspRounds) {
+      val relaxed = dist.toSeq.flatMap { case (n, d) =>
+        wadj.getOrElse(n, Array.empty[(Long, Long)]).toSeq
+          .map { case (nb, w) => nb -> (d + w) }
+      } ++ dist.toSeq
+      dist = relaxed.groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    val got = Graph.ssspCoPurchase(spark, Sf0001).as[(Long, Long)].collect().toMap
+    assert(got == dist, s"sizes got=${got.size} want=${dist.size}")
+  }
+
   test("bfs: seeds outside the graph are ignored, inside-seed set nonempty on the fixture") {
     val got = Graph.bfsCoPurchase(spark, Sf0001).as[(Long, Long)].collect()
     assert(got.nonEmpty)

@@ -75,6 +75,26 @@ object TextAnalysis {
         (pred === col("lang")).as("agrees"))
   }
 
+  /** Confusion matrix of the [[langId]] heuristic against the corpus's
+    * labeled `lang` column — the model-eval primitive (per-label recall,
+    * cross-label confusion mass) run as a first-class query: any
+    * classifier whose predictions land in a column gets its eval this
+    * way. Scale shape: the language grid is |langs|² rows, so after
+    * [[langId]]'s per-doc aggregation the rollup is one tiny shuffle and
+    * the per-label totals broadcast back.
+    */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    val conf = langId(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val tot = conf.groupBy("lang").agg(sum(col("n")).as("tot"))
+    conf.join(broadcast(tot), "lang")
+      .select(
+        col("lang"), col("pred_lang"), col("n"),
+        (col("n").cast("double") / col("tot")).as("frac_of_label"))
+  }
+
   /** Quality scoring: token counts, type-token ratio, stopword ratio,
     * mean token length, and a fixed-weight composite score.
     */
@@ -753,6 +773,7 @@ object TextAnalysis {
     "text_bpe_pairs"   -> (bpePairs _),
     "text_normalize"   -> (normalizeText _),
     "text_lang_id"     -> (langId _),
+    "text_langid_confusion" -> (langIdConfusion _),
     "text_quality"     -> (quality _),
     "text_token_count" -> (tokenCount _),
     "text_top_bigrams" -> (topBigrams _),
@@ -953,6 +974,25 @@ object TextAnalysis {
          SELECT scored.doc_id, $pred AS pred_lang, $best AS score,
            ($pred = d.lang) AS agrees
          FROM scored JOIN documents d ON scored.doc_id = d.doc_id"""
+    },
+    // same prediction CTE, rolled up to the label × prediction grid
+    "text_langid_confusion" -> {
+      val scores = Markers
+        .map { case (lang, ms) => s"count(*) FILTER (WHERE t IN ${inList(ms)}) AS s_$lang" }
+        .mkString(", ")
+      val best = Markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val pred = Markers
+        .map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH scored AS (SELECT doc_id, $scores FROM ($duckToks) GROUP BY 1),
+         conf AS (
+           SELECT d.lang, $pred AS pred_lang, count(*) AS n
+           FROM scored JOIN documents d ON scored.doc_id = d.doc_id
+           GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM conf GROUP BY 1)
+         SELECT conf.lang, pred_lang, n,
+           CAST(n AS DOUBLE) / tot AS frac_of_label
+         FROM conf JOIN tot ON tot.lang = conf.lang"""
     },
     "text_quality" ->
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_types,

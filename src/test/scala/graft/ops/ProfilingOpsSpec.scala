@@ -363,6 +363,22 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("text_langid_confusion: per-label fractions sum to 1, grid equals a langId rollup") {
+    val got = TextAnalysis.langIdConfusion(spark, Sf0001)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, s"$lang fractions don't sum to 1")
+    }
+    // grid counts equal an independent rollup of the langId output
+    val want = TextAnalysis.langId(spark, Sf0001)
+      .join(graft.Tables.documents(spark, Sf0001).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "pred_lang").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want)
+  }
+
   test("events_pit_join: looked-up version's interval contains the fact ts, plan has no nested loop") {
     val out = Events.pitJoin(spark, Sf0001)
     val plan = out.queryExecution.executedPlan.toString

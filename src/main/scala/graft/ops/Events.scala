@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -500,6 +500,55 @@ object Events {
       .select("user_id", "version", "event_type", "valid_from", "valid_to", "n_events")
   }
 
+  /** Data-contract expectations audit — the declarative ingest gate
+    * (Great-Expectations-style): a battery of named rules evaluated in
+    * ONE scan via conditional counts, emitting per-rule
+    * checked/failed/fail-fraction rows. A pipeline promotes the batch
+    * only if every `n_failed` is 0 (the write-audit-publish gate); the
+    * audit result is itself a table, so contract drift is queryable
+    * history. Adding a rule is adding one aggregate column — the scan
+    * count never changes.
+    */
+  def expectations(s: SparkSession, dir: String): DataFrame =
+    expectationsOf(Tables.events(s, dir))
+
+  def expectationsOf(ev: DataFrame): DataFrame = {
+    // rule name -> violation predicate (true = row FAILS the contract)
+    val rules: Seq[(String, Column)] = Seq(
+      "event_id_not_null"  -> col("event_id").isNull,
+      "event_id_unique"    -> lit(false), // checked separately below (needs a group)
+      "type_in_vocabulary" -> !col("event_type").isin("click", "view", "purchase", "error", "signup"),
+      "value_non_negative" -> (col("value").isNull || col("value") < 0),
+      "value_below_cap"    -> (col("value") > 10000.0),
+      "ts_in_window"       -> (col("ts").isNull ||
+        col("ts") < lit("2024-01-01").cast("timestamp") ||
+        col("ts") >= lit("2025-01-01").cast("timestamp")),
+      "user_id_in_range"   -> (col("user_id").isNull || col("user_id") < 0),
+      "props_json_has_k"   -> get_json_object(col("props"), "$.k").isNull)
+    val scanAudit = ev
+      .agg(
+        count(lit(1)).as("n_checked"),
+        rules.map { case (name, bad) =>
+          count(when(bad, 1)).as(s"f_$name")
+        }: _*)
+      .selectExpr(
+        s"""stack(${rules.size}, ${rules.map { case (n, _) =>
+          s"'$n', n_checked, f_$n"
+        }.mkString(", ")}) AS (rule, n_checked, n_failed)""")
+      .filter(col("rule") =!= "event_id_unique")
+    // uniqueness needs a grouped pass: failed = rows carrying a duplicated id
+    val dupAudit = ev
+      .groupBy("event_id").agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).as("n_checked"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("n_failed"))
+      .select(lit("event_id_unique").as("rule"), col("n_checked"), col("n_failed"))
+    scanAudit
+      .unionAll(dupAudit)
+      .select(col("rule"), col("n_checked"), col("n_failed"),
+        (col("n_failed").cast("double") / col("n_checked")).as("fail_frac"))
+  }
+
   /** Point-in-time (temporal) join: each fact row joined to the dimension
     * VERSION that was valid at the fact's own event time — the
     * feature-store lookup discipline that keeps training data free of
@@ -735,6 +784,7 @@ object Events {
     "events_cusum"     -> (cusum _),
     "events_scd2"      -> (scd2 _),
     "events_pit_join"  -> (pitJoin _),
+    "audit_expectations" -> (expectations _),
     "events_fill"      -> (fillHours _),
     "events_funnel"    -> (funnel _),
     "events_unpivot"   -> (typeUnpivot _),
@@ -1059,6 +1109,38 @@ object Events {
          FROM events""",
     "events_json" ->
       "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events",
+    // same one-scan conditional counts; the uniqueness rule's grouped pass
+    // mirrors the Spark side's duplicate-mass count
+    "audit_expectations" ->
+      """WITH scan AS (
+           SELECT count(*) AS n_checked,
+             count(*) FILTER (WHERE event_id IS NULL) AS f_event_id_not_null,
+             count(*) FILTER (WHERE event_type NOT IN
+               ('click', 'view', 'purchase', 'error', 'signup')) AS f_type_in_vocabulary,
+             count(*) FILTER (WHERE value IS NULL OR value < 0) AS f_value_non_negative,
+             count(*) FILTER (WHERE value > 10000.0) AS f_value_below_cap,
+             count(*) FILTER (WHERE ts IS NULL
+               OR ts < TIMESTAMP '2024-01-01'
+               OR ts >= TIMESTAMP '2025-01-01') AS f_ts_in_window,
+             count(*) FILTER (WHERE user_id IS NULL OR user_id < 0) AS f_user_id_in_range,
+             count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS f_props_json_has_k
+           FROM events),
+         dup AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n_checked,
+             CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_failed
+           FROM (SELECT event_id, count(*) AS c FROM events GROUP BY 1)),
+         rows_ AS (
+           SELECT 'event_id_not_null' AS rule, n_checked, f_event_id_not_null AS n_failed FROM scan
+           UNION ALL SELECT 'type_in_vocabulary', n_checked, f_type_in_vocabulary FROM scan
+           UNION ALL SELECT 'value_non_negative', n_checked, f_value_non_negative FROM scan
+           UNION ALL SELECT 'value_below_cap', n_checked, f_value_below_cap FROM scan
+           UNION ALL SELECT 'ts_in_window', n_checked, f_ts_in_window FROM scan
+           UNION ALL SELECT 'user_id_in_range', n_checked, f_user_id_in_range FROM scan
+           UNION ALL SELECT 'props_json_has_k', n_checked, f_props_json_has_k FROM scan
+           UNION ALL SELECT 'event_id_unique', n_checked, n_failed FROM dup)
+         SELECT rule, n_checked, n_failed,
+           CAST(n_failed AS DOUBLE) / n_checked AS fail_frac
+         FROM rows_""",
     "events_pivot" ->
       """SELECT user_id,
            count(*) FILTER (WHERE event_type = 'click') AS n_click,

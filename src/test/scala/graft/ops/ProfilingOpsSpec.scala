@@ -363,6 +363,40 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("audit_expectations: each rule fires on its injected violation, clean corpus audits clean") {
+    import java.sql.Timestamp
+    val ok = Timestamp.valueOf("2024-01-10 12:00:00")
+    val rows = Seq(
+      // (event_id, ts, user_id, event_type, value, props) — one clean row
+      (Some(1L), Some(ok), Some(5L), "click", Some(10.0), """{"k": 1}"""),
+      (None: Option[Long], Some(ok), Some(5L), "view", Some(1.0), """{"k": 1}"""), // null id
+      (Some(3L), Some(ok), Some(5L), "browse", Some(1.0), """{"k": 1}"""), // unknown type
+      (Some(4L), Some(ok), Some(5L), "click", Some(-2.0), """{"k": 1}"""), // negative value
+      (Some(5L), Some(ok), Some(5L), "click", Some(20000.0), """{"k": 1}"""), // over cap
+      (Some(6L), Some(Timestamp.valueOf("2023-06-01 00:00:00")), Some(5L), "click",
+        Some(1.0), """{"k": 1}"""), // ts out of window
+      (Some(7L), Some(ok), Some(-3L), "click", Some(1.0), """{"k": 1}"""), // bad user
+      (Some(8L), Some(ok), Some(5L), "click", Some(1.0), """{"nope": 1}"""), // missing k
+      (Some(9L), Some(ok), Some(5L), "click", Some(1.0), """{"k": 1}"""), // dup pair...
+      (Some(9L), Some(ok), Some(5L), "click", Some(1.0), """{"k": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val audit = Events.expectationsOf(rows)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(audit("event_id_not_null") == ((10L, 1L)))
+    assert(audit("type_in_vocabulary") == ((10L, 1L)))
+    assert(audit("value_non_negative") == ((10L, 1L)))
+    assert(audit("value_below_cap") == ((10L, 1L)))
+    assert(audit("ts_in_window") == ((10L, 1L)))
+    assert(audit("user_id_in_range") == ((10L, 1L)))
+    assert(audit("props_json_has_k") == ((10L, 1L)))
+    assert(audit("event_id_unique") == ((10L, 2L)), "both duplicate carriers count as failed")
+    // the real fixture passes the whole contract
+    val clean = Events.expectations(spark, Sf0001)
+      .as[(String, Long, Long, Double)].collect()
+    assert(clean.forall(_._3 == 0L), s"fixture contract violations: ${clean.filter(_._3 > 0).toSeq}")
+  }
+
   test("text_langid_confusion: per-label fractions sum to 1, grid equals a langId rollup") {
     val got = TextAnalysis.langIdConfusion(spark, Sf0001)
       .as[(String, String, Long, Double)].collect()

@@ -336,6 +336,38 @@ object Stats {
         (col("ts") / (col("n") - lit(2) * col("k_trim"))).as("trimmed_mean"))
   }
 
+  /** Winsorization percentiles (lower tail percent; upper = 100 − it). */
+  val WinsorPct = 5
+
+  /** Winsorized values: `value` clipped to its event type's exact
+    * [p5, p95] nearest-rank band — the row-level companion of
+    * [[trimmedMean]] (trimming DROPS tail observations; winsorizing
+    * CLAMPS them, preserving row count for downstream feature pipelines
+    * that must keep every example).
+    *
+    * Scale shape: the band comes from the same cumulative-histogram
+    * machinery as [[percentilesExact]] (collapse to the distinct-value
+    * grid, [[rangeCum]] prefix sums, conditional-min rank hit — never a
+    * table sort), and the |types|-row band table broadcasts back onto
+    * the original partitioning, so the clamp itself is a pure map stage.
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val vc = ev.groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+    val cum = rangeCum(vc, Seq("event_type"), "value", "c")
+    def hit(p: Int) =
+      expr(s"cum - c < ($p * tot + 99) div 100 AND cum >= ($p * tot + 99) div 100")
+    val band = cum.groupBy("event_type").agg(
+      min(when(hit(WinsorPct), col("value"))).as("lo"),
+      min(when(hit(100 - WinsorPct), col("value"))).as("hi"))
+    ev.select("event_id", "event_type", "value")
+      .join(broadcast(band), "event_type")
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("winsorized"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+  }
+
   /** Quantization grid for [[robustScale]]'s percentiles: value·16 is a
     * power-of-two scaling, exact in binary floating point, so the grid
     * assignment and the de-quantized grid values are bit-deterministic in
@@ -1140,6 +1172,7 @@ object Stats {
     "stats_corr"         -> (corrValueHour _),
     "stats_spearman"     -> (spearman _),
     "stats_trimmed"      -> (trimmedMean _),
+    "stats_winsorize"    -> (winsorize _),
     "stats_minmax_scale" -> (minmaxScale _),
     "stats_percentiles"  -> (percentilesExact _),
     "stats_robust_scale" -> (robustScale _),
@@ -1495,6 +1528,29 @@ object Stats {
            (n * sxy - sx * sy) /
              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_hour
          FROM a""",
+    // same cumulative-histogram rank selection as stats_percentiles,
+    // with the [p5, p95] band joined back for the clamp
+    "stats_winsorize" ->
+      s"""WITH vc AS (
+           SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, value, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+           FROM vc),
+         band AS (
+           SELECT event_type,
+             min(CASE WHEN cum - c < ($WinsorPct * tot + 99) // 100
+                       AND cum >= ($WinsorPct * tot + 99) // 100
+                      THEN value END) AS lo,
+             min(CASE WHEN cum - c < (${100 - WinsorPct} * tot + 99) // 100
+                       AND cum >= (${100 - WinsorPct} * tot + 99) // 100
+                      THEN value END) AS hi
+           FROM cum GROUP BY 1)
+         SELECT event_id, e.event_type, value,
+           least(greatest(value, lo), hi) AS winsorized,
+           (value < lo OR value > hi) AS clipped
+         FROM events e JOIN band b ON b.event_type = e.event_type""",
     // same closed-form surviving-multiplicity arithmetic over the
     // cumulative value histogram; integer ranks, one final division
     "stats_trimmed" ->

@@ -363,6 +363,30 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stats_winsorize: clip band is the exact nearest-rank [p5, p95], clipped mass <= 2*alpha") {
+    val rows = graft.Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val bands = rows.groupBy(_._1).map { case (t, xs) =>
+      val sorted = xs.map(_._2).sorted
+      def nr(p: Int) = sorted(((p * sorted.length + 99) / 100) - 1)
+      t -> (nr(Stats.WinsorPct), nr(100 - Stats.WinsorPct))
+    }
+    val got = Stats.winsorize(spark, Sf0001)
+      .as[(Long, String, Double, Double, Boolean)].collect()
+    assert(got.length == rows.length, "winsorizing must preserve row count")
+    got.foreach { case (id, t, v, w, clipped) =>
+      val (lo, hi) = bands(t)
+      assert(w == math.min(math.max(v, lo), hi), s"event $id: $v -> $w with band [$lo, $hi]")
+      assert(clipped == (v < lo || v > hi))
+    }
+    // at most ~2 alpha of each group clips (nearest-rank boundary slack)
+    got.groupBy(_._2).foreach { case (t, xs) =>
+      val frac = xs.count(_._5).toDouble / xs.length
+      assert(frac <= 2.0 * Stats.WinsorPct / 100.0 + 0.02, s"$t clipped frac $frac")
+    }
+  }
+
   test("audit_expectations: each rule fires on its injected violation, clean corpus audits clean") {
     import java.sql.Timestamp
     val ok = Timestamp.valueOf("2024-01-10 12:00:00")

@@ -336,6 +336,23 @@ object Stats {
         (col("ts") / (col("n") - lit(2) * col("k_trim"))).as("trimmed_mean"))
   }
 
+  /** Exact mode of the integer value bucket (⌊value⌋) per event type,
+    * deterministic tie-break to the smallest bucket. The count grid is
+    * one partial-aggregated shuffle; the per-group argmax runs through
+    * the bounded-heap `GroupedTopK` exec with k = 1 — no per-group
+    * window sort, #partitions·|groups| candidate rows shuffle. floor of
+    * a double is IEEE-exact in both engines (no rounding-direction
+    * hazard).
+    */
+  def modeValue(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type"), floor(col("value")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    graft.plans.GroupedTopK
+      .topK(grid, Seq("event_type"), Seq("n" -> false, "bucket" -> true), 1)
+      .select(col("event_type"), col("bucket").as("mode_bucket"), col("n").as("n_mode"))
+  }
+
   /** Winsorization percentiles (lower tail percent; upper = 100 − it). */
   val WinsorPct = 5
 
@@ -1173,6 +1190,7 @@ object Stats {
     "stats_spearman"     -> (spearman _),
     "stats_trimmed"      -> (trimmedMean _),
     "stats_winsorize"    -> (winsorize _),
+    "stats_mode"         -> (modeValue _),
     "stats_minmax_scale" -> (minmaxScale _),
     "stats_percentiles"  -> (percentilesExact _),
     "stats_robust_scale" -> (robustScale _),
@@ -1528,6 +1546,18 @@ object Stats {
            (n * sxy - sx * sy) /
              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_hour
          FROM a""",
+    // argmax over the bucket-count grid with the same (count desc,
+    // bucket asc) tie-break the heap exec applies
+    "stats_mode" ->
+      """WITH grid AS (
+           SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         rk AS (
+           SELECT event_type, bucket, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY n DESC, bucket ASC) AS rn
+           FROM grid)
+         SELECT event_type, bucket AS mode_bucket, n AS n_mode
+         FROM rk WHERE rn = 1""",
     // same cumulative-histogram rank selection as stats_percentiles,
     // with the [p5, p95] band joined back for the clamp
     "stats_winsorize" ->

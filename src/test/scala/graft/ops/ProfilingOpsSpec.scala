@@ -363,6 +363,20 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stats_mode: matches a driver-side argmax with the lowest-bucket tie-break") {
+    val want = graft.Tables.events(spark, Sf0001)
+      .select(col("event_type"), floor(col("value")).cast("long").as("b"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (t, xs) =>
+        val counts = xs.groupBy(_._2).map { case (b, g) => (b, g.length.toLong) }
+        val (b, n) = counts.toSeq.minBy { case (bk, c) => (-c, bk) }
+        t -> (b, n)
+      }
+    val got = Stats.modeValue(spark, Sf0001)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want)
+  }
+
   test("stats_winsorize: clip band is the exact nearest-rank [p5, p95], clipped mass <= 2*alpha") {
     val rows = graft.Tables.events(spark, Sf0001)
       .select(col("event_type"), col("value"))

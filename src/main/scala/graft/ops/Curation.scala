@@ -423,7 +423,20 @@ object Curation {
   /** Per-vector argmax-cosine assignment (vec_id, centroid, cos) — the
     * shared front half of [[centroidAssign]] and [[kmeansIter]].
     */
-  private[ops] def assignVectors(s: SparkSession, dir: String, literal: Boolean): DataFrame = {
+  /** Centroids needed to hold expected cluster occupancy near
+    * `targetCluster` vectors for an n-row table. Cluster-then-rank
+    * (SemDeDup) compares all pairs WITHIN a cluster, so per-cluster work
+    * is occupancy²/2 and total candidate volume is n·occupancy/2 —
+    * constant occupancy keeps it LINEAR in n, while a fixed K degenerates
+    * toward all-pairs (n²/K) as the corpus grows. The k-means catalog
+    * queries keep the fixed [[KCentroids]] (their oracle pins the
+    * centroid set); [[graft.ops.Dedup.semantic]] derives its K here.
+    */
+  def centroidsFor(n: Long, targetCluster: Int = 64): Int =
+    math.max(1, math.ceil(n.toDouble / targetCluster).toInt)
+
+  private[ops] def assignVectors(s: SparkSession, dir: String, literal: Boolean,
+      k: Int = KCentroids): DataFrame = {
     val e = Tables
       .embeddings(s, dir)
       .select(
@@ -434,7 +447,7 @@ object Curation {
       if (literal) {
         val cents: Seq[(Long, Seq[Float], Double)] = Tables
           .embeddings(s, dir)
-          .filter(col("vec_id") < KCentroids)
+          .filter(col("vec_id") < k)
           .select("vec_id", "embedding")
           .collect()
           .map { r =>
@@ -463,7 +476,7 @@ object Curation {
         // matching the literal path's first-match-wins fold.
         val cent = Tables
           .embeddings(s, dir)
-          .filter(col("vec_id") < KCentroids)
+          .filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
           .withColumn("cnorm", sqrt(VectorFunctions.dotF(s, col("cemb"), col("cemb"))))
         e.crossJoin(broadcast(cent))

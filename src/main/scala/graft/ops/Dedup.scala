@@ -73,13 +73,29 @@ object Dedup {
     * ~7%; 4 planes x 8 tables compounds to ~0.8, and to ~1.0 for genuine
     * near-dups at cos >= 0.9).
     *
-    * The plane count is pinned (the DuckDB oracle SQL is static) and
-    * sized for the 500-2000-vector fixtures; at real scale the geometry
-    * must grow with the table — [[Similarity.planesFor]] keeps bucket
-    * occupancy (and therefore candidate volume per row) constant.
+    * The plane count is DERIVED from the table size at runtime
+    * ([[Similarity.planesFor]] with [[EmbTargetBucket]]), so bucket
+    * occupancy — and therefore candidate volume per row — stays constant
+    * as the corpus grows instead of degenerating toward all-pairs. The
+    * DuckDB oracle SQL is static, so [[EmbPlanes]] evaluates the SAME
+    * formula at the correctness fixture's row count
+    * ([[FixtureEmbRows]] = 500 at sf0.001/sf0.01): one formula, two
+    * evaluation sites, provably equal at the gate.
     */
   val EmbTables = 8
-  val EmbPlanes = 4
+  /** Target rows per LSH bucket for embedding near-dup pair generation. */
+  val EmbTargetBucket = 32
+  /** Embeddings row count of the driver's correctness fixtures (sf0.001
+    * and sf0.01 both ship 500 vectors — TESTDATA.md). Only the static
+    * oracle SQL depends on this; the Spark side counts the real table.
+    */
+  val FixtureEmbRows = 500L
+  val EmbPlanes: Int = Similarity.planesFor(FixtureEmbRows, EmbTargetBucket)
+  /** Target rows per cluster for SemDeDup cluster-then-rank; 500-vector
+    * fixture → ceil(500/64) = 8 = [[Curation.KCentroids]], so the static
+    * oracle's centroid set and the derived one coincide at the gate.
+    */
+  val SemTargetCluster = 64
 
   // ------------------------------------------------------------ building blocks
 
@@ -640,7 +656,11 @@ object Dedup {
     // norm/cosine construction shared with Similarity so the exact
     // arithmetic shape (which the oracle depends on) has one definition
     val e   = Similarity.withNorm(Tables.embeddings(s, dir))
-    val sig = Similarity.signatures(s, dir, EmbTables, EmbPlanes)
+    // occupancy-constant geometry: planes grow with log2(n) so candidate
+    // volume stays linear; equals the oracle-pinned EmbPlanes at the
+    // 500-vector correctness fixtures by construction
+    val planes = Similarity.planesFor(Tables.embeddingsCount(s, dir), EmbTargetBucket)
+    val sig = Similarity.signatures(s, dir, EmbTables, planes)
     val cands = sig
       .select(col("vec_id").as("va"), col("tbl"), col("bucket"))
       .join(sig.select(col("vec_id").as("vb"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
@@ -810,7 +830,7 @@ object Dedup {
     */
   val RepSpanTokens = 16
 
-  /** Maximal cross-document repeated spans — the k-gram approximation of
+  /** Maximal cross-document repeated spans — the k-gram decomposition of
     * ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better", which removes any ≥50-token substring
     * shared between documents via a corpus-wide suffix array). A global
@@ -818,21 +838,34 @@ object Dedup {
     * granularity the same signal decomposes into pure dataflow:
     * every [[RepSpanTokens]]-token SLIDING shingle hashes to a key, a
     * distinct-doc count marks shingles seen in ≥2 documents, and each
-    * doc's surviving shingle positions merge into maximal intervals
-    * (gaps-and-islands: fixed-length intervals sorted by start, break
-    * when the gap exceeds the window). Output per doc: the maximal
-    * repeated spans, their token coverage, and the covered fraction —
-    * the rows a span-removal pass would cut.
+    * doc's surviving shingle positions chain into maximal runs. Output
+    * per doc: the maximal repeated spans, their token coverage, and the
+    * covered fraction — the rows a span-removal pass would cut.
+    *
+    * MAXIMAL EXTENSION (the step past naive island-merge): two adjacent
+    * repeated positions p and p+1 chain into one span only when the
+    * (K+1)-gram starting at p is ITSELF cross-document repeated — i.e.
+    * some single other document contains the two K-grams consecutively.
+    * Without this check, p repeated via doc B and p+1 repeated via doc C
+    * would merge into a "span" no other document actually contains
+    * (over-extension — pinned adversarially in DedupSpanSpec). Every
+    * merge step is therefore certified by a real length-(K+1) shared
+    * substring, which is exactly the left/right extension test a suffix
+    * array answers, re-expressed as one more shingle table. Runs that
+    * overlap without a certified extension stay SEPARATE maximal spans;
+    * `covered_tokens` is their interval UNION (second gaps-and-islands
+    * pass), so coverage never double-counts overlapping spans.
     *
     * Differs from [[spanDedup]] in both unit and semantics: sliding (not
     * disjoint) windows, cross-document only (within-doc repetition is
-    * `text_repetition`'s job), and contiguous runs merged to MAXIMAL
-    * spans rather than counted per block.
+    * `text_repetition`'s job), and contiguous certified runs merged to
+    * MAXIMAL spans rather than counted per block.
     *
-    * Scale shape: one shuffle on the 8-byte shingle hash (distinct-doc
-    * count), one equi-join back, then a per-doc window — partitioned on
-    * doc_id, so the sort is bounded by a single document's shingle count,
-    * never the corpus. No pair table, no suffix array, no cartesian.
+    * Scale shape: two shuffles on 8-byte shingle hashes (distinct-doc
+    * counts for K-grams and (K+1)-grams), equi-joins back, then per-doc
+    * windows — partitioned on doc_id, so each sort is bounded by a
+    * single document's shingle count, never the corpus. No pair table,
+    * no suffix array, no cartesian.
     */
   def repeatedSpans(s: SparkSession, dir: String): DataFrame =
     repeatedSpansOf(Tables.documents(s, dir))
@@ -843,35 +876,64 @@ object Dedup {
       .select(col("doc_id"), Tokenize.tokenCol(col("text")).as("raw"))
       .select(col("doc_id"), filter(col("raw"), _ =!= "").as("toks"))
       .filter(size(col("toks")) >= K)
+    // one explode produces BOTH shingle tables: the K-gram at p and (when
+    // it exists) the (K+1)-gram at p, so the text is tokenized and
+    // scanned once
     val sh = toks
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"),
         explode(expr(
           s"""transform(sequence(1, size(toks) - ${K - 1}),
-              i -> struct(i AS p, concat_ws(' ', slice(toks, i, $K)) AS g))""")).as("e"))
+              i -> struct(i AS p,
+                          concat_ws(' ', slice(toks, i, $K)) AS g,
+                          IF(i <= size(toks) - $K,
+                             concat_ws(' ', slice(toks, i, ${K + 1})),
+                             NULL) AS gx))""")).as("e"))
       .select(col("doc_id"), col("n_toks"), col("e.p").as("p"),
-        TextHash.hash60(col("e.g")).as("h"))
-    val hot = sh
-      .select("h", "doc_id").distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"))
+        TextHash.hash60(col("e.g")).as("h"),
+        when(col("e.gx").isNotNull, TextHash.hash60(col("e.gx"))).as("hx"))
+    def hotOf(c: String) = sh
+      .filter(col(c).isNotNull)
+      .select(col(c).as("hh"), col("doc_id")).distinct()
+      .groupBy("hh").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
-      .select("h")
-    val rep = sh.join(hot, "h").select("doc_id", "n_toks", "p")
+      .select(col("hh"))
+    val hot  = hotOf("h")
+    val hotx = hotOf("hx")
+    // repeated K-gram positions, each flagged with whether the
+    // length-(K+1) extension to p+1 is itself cross-document repeated
+    val rep = sh
+      .join(hot, sh("h") === hot("hh"))
+      .join(hotx.withColumnRenamed("hh", "hhx"), sh("hx") === col("hhx"), "left")
+      .select(col("doc_id"), col("n_toks"), col("p"),
+        col("hhx").isNotNull.as("ext"))
     val w = Window.partitionBy("doc_id").orderBy("p")
+    // chain p into the previous run only when adjacent AND the previous
+    // position's (K+1)-gram is shared — the certified extension step
     val spans = rep
       .withColumn("brk",
-        when(col("p") > coalesce(lag(col("p"), 1).over(w), lit(-K)) + K, 1)
-          .otherwise(0))
+        when(col("p") === lag(col("p"), 1).over(w) + 1 &&
+             lag(col("ext"), 1).over(w), 0).otherwise(1))
       .withColumn("g", sum(col("brk"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("n_toks"), col("g"))
       .agg(min(col("p")).as("s"), max(col("p")).as("e"))
-    spans
+    // coverage = interval UNION of the (possibly overlapping) maximal
+    // spans [s, e+K-1]: classic running-max sweep, still per-doc
+    val ws = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    val covered = spans
+      .withColumn("e2", col("e") + lit(K - 1))
+      .withColumn("pmax",
+        max(col("e2")).over(ws.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("add",
+        greatest(lit(0L),
+          col("e2") - greatest(col("s") - 1, coalesce(col("pmax"), col("s") - 1))))
+    covered
       .groupBy(col("doc_id"), col("n_toks"))
       .agg(
         count(lit(1)).as("n_spans"),
-        sum(col("e") - col("s") + K).cast("long").as("covered_tokens"))
+        sum(col("add")).cast("long").as("covered_tokens"))
       .select(
         col("doc_id"),
         col("n_toks"),
@@ -896,7 +958,16 @@ object Dedup {
     * TakeOrderedAndProject.
     */
   def semantic(s: SparkSession, dir: String): DataFrame = {
-    val a = Curation.assignVectors(s, dir, literal = true).select("vec_id", "centroid")
+    // occupancy-constant cluster count: K grows with n so within-cluster
+    // pair volume stays linear (see Curation.centroidsFor); equals the
+    // oracle-pinned KCentroids at the 500-vector correctness fixtures.
+    // Past the literal budget the assignment switches to the broadcast
+    // join automatically — centroid vectors never accumulate on the
+    // driver at scale.
+    val k = Curation.centroidsFor(Tables.embeddingsCount(s, dir), SemTargetCluster)
+    val a = Curation
+      .assignVectors(s, dir, literal = k <= Similarity.IvfLiteralBudget, k = k)
+      .select("vec_id", "centroid")
     val e = Similarity.withNorm(Tables.embeddings(s, dir))
     val va = a.join(e.select("vec_id", "embedding", "norm"), "vec_id")
     val left = va.select(col("centroid"), col("vec_id").as("va"),
@@ -1132,17 +1203,27 @@ object Dedup {
            FROM toks WHERE len(l) >= $RepSpanTokens),
          sh AS (
            SELECT doc_id, n_toks, p,
-             ${h(s"array_to_string(list_slice(l, p, p + ${RepSpanTokens - 1}), ' ')")} AS h
+             ${h(s"array_to_string(list_slice(l, p, p + ${RepSpanTokens - 1}), ' ')")} AS h,
+             CASE WHEN p <= n_toks - $RepSpanTokens THEN
+               ${h(s"array_to_string(list_slice(l, p, p + $RepSpanTokens), ' ')")}
+             ELSE NULL END AS hx
            FROM pos),
          hot AS (
            SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
            WHERE nd >= 2),
-         rep AS (SELECT doc_id, n_toks, p FROM sh JOIN hot USING (h)),
+         hotx AS (
+           SELECT hx FROM (SELECT hx, count(DISTINCT doc_id) AS nd FROM sh
+                           WHERE hx IS NOT NULL GROUP BY 1)
+           WHERE nd >= 2),
+         rep AS (
+           SELECT s.doc_id, s.n_toks, s.p, x.hx IS NOT NULL AS ext
+           FROM sh s JOIN hot USING (h)
+           LEFT JOIN hotx x ON s.hx = x.hx),
          isl AS (
            SELECT doc_id, n_toks, p,
-             CASE WHEN p > coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
-                                    -$RepSpanTokens) + $RepSpanTokens
-                  THEN 1 ELSE 0 END AS brk
+             CASE WHEN p = lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 1
+                   AND lag(ext) OVER (PARTITION BY doc_id ORDER BY p)
+                  THEN 0 ELSE 1 END AS brk
            FROM rep),
          grp AS (
            SELECT doc_id, n_toks, p,
@@ -1151,11 +1232,20 @@ object Dedup {
            FROM isl),
          spans AS (
            SELECT doc_id, n_toks, g, min(p) AS s, max(p) AS e
-           FROM grp GROUP BY 1, 2, 3)
+           FROM grp GROUP BY 1, 2, 3),
+         cov AS (
+           SELECT doc_id, n_toks,
+             greatest(0, (e + ${RepSpanTokens - 1})
+               - greatest(s - 1,
+                   coalesce(max(e + ${RepSpanTokens - 1}) OVER (
+                     PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     s - 1))) AS add
+           FROM spans)
          SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
            count(*) AS n_spans,
-           CAST(sum(e - s + $RepSpanTokens) AS BIGINT) AS covered_tokens,
-           CAST(sum(e - s + $RepSpanTokens) AS DOUBLE) / n_toks AS coverage
-         FROM spans GROUP BY doc_id, n_toks"""
+           CAST(sum(add) AS BIGINT) AS covered_tokens,
+           CAST(sum(add) AS DOUBLE) / n_toks AS coverage
+         FROM cov GROUP BY doc_id, n_toks"""
   )
 }

@@ -222,16 +222,21 @@ object Storage {
     * lossless — including multi-line, quoted, and non-ASCII text, which
     * JSON escaping must carry through unchanged.
     *
-    * The sink directory is a fixed per-sf temp location written in
-    * overwrite mode: repeated catalog runs (Bench runs each query 3x)
-    * rewrite in place rather than accumulating copies. The write is
-    * deliberately INSIDE the measured query — this catalog entry is the
-    * sink's benchmark as much as the source's.
+    * The sink directory is a per-sf temp location KEYED BY THE SPARK
+    * applicationId and written in overwrite mode: repeated catalog runs
+    * within one session (Bench runs each query 3x) rewrite in place
+    * rather than accumulating copies, while concurrent JVMs (bench
+    * overlapping verify, parallel shards) can never tear each other's
+    * read-back — a path keyed only by scale factor is world-shared
+    * mutable state and corrupts content_sig under concurrency. The write
+    * is deliberately INSIDE the measured query — this catalog entry is
+    * the sink's benchmark as much as the source's.
     */
   def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val out  = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-jsonl-${tag(dir)}").toString
+      sys.props("java.io.tmpdir"),
+      s"graft-jsonl-${tag(dir)}-${s.sparkContext.applicationId}").toString
     graft.sources.JsonSources.writeJsonl(docs, out)
     corpusSummary(graft.sources.JsonSources.readJsonl(s, out, docs.schema))
   }
@@ -246,7 +251,8 @@ object Storage {
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val out  = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-csv-${tag(dir)}").toString
+      sys.props("java.io.tmpdir"),
+      s"graft-csv-${tag(dir)}-${s.sparkContext.applicationId}").toString
     graft.sources.CsvSources.writeCsv(docs, out)
     corpusSummary(graft.sources.CsvSources.readCsv(s, out, docs.schema))
   }

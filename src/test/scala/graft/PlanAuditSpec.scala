@@ -437,6 +437,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("graft_nfc"), p)
   }
 
+  test("graph_communities materializes the LPA labels once (no re-executed subtree)") {
+    // The 3-round LPA feeds TWO consumers (community sizes + the final
+    // join). Without the checkpoint the final plan re-plans the whole
+    // ~6-shuffle iteration per consumer (observed r7: 20 exchanges, no
+    // reuse). With the labels materialized, the remaining plan is just
+    // the size aggregation and the label⋈size join over a checkpoint
+    // scan — a handful of exchanges, and the iteration rounds appear
+    // NOWHERE in it.
+    val df = SparkEntry.queries("graph_communities")(spark, Sf0001)
+    val p  = planOf(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4, s"LPA subtree re-executed ($exchanges exchanges):\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"labels not checkpoint-scanned:\n$p")
+  }
+
   test("graph_triangles closes wedges with hash equi-joins, never nested-loop") {
     val p = plan("graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -76,6 +76,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       (2L, 60L, 1L, 40L, 40.0 / 60)), out.toString)
   }
 
+  test("repeated spans: mixed-partner adjacency does NOT over-merge (maximal extension)") {
+    // The ExactSubstr exactness case: doc 1 = t1..t17. Its K-gram at p=1
+    // (t1..t16) is shared with doc 2, and at p=2 (t2..t17) with doc 3 —
+    // but NO single document contains the full 17-token run, so the
+    // (K+1)-gram at p=1 is not cross-doc repeated and the two positions
+    // must stay SEPARATE maximal spans (a naive island merge would emit
+    // one 17-token "span" that exists nowhere else). Coverage is the
+    // interval UNION of the two overlapping spans = all 17 tokens.
+    def words(seed: String, n: Int) =
+      (0 until n).map(i => s"$seed${('a' + i % 26).toChar}${('a' + i / 26).toChar}").mkString(" ")
+    val ts = (1 to 17).map(i => s"core${('a' + i).toChar}x")
+    val docs = Seq(
+      (1L, ts.mkString(" ")),
+      (2L, ts.take(16).mkString(" ") + " " + words("btail", 16)),
+      (3L, words("chead", 16) + " " + ts.drop(1).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpansOf(docs)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 17L, 2L, 17L, 1.0),       // two maximal matches, union covers all
+      (2L, 32L, 1L, 16L, 16.0 / 32), // t1..t16 shared with doc 1
+      (3L, 32L, 1L, 16L, 16.0 / 32)  // t2..t17 shared with doc 1
+    ), out.toString)
+  }
+
   test("repeated spans: disjoint shared runs stay separate islands") {
     def words(seed: String, n: Int) =
       (0 until n).map(i => s"$seed${('a' + i % 26).toChar}${('a' + i / 26).toChar}").mkString(" ")

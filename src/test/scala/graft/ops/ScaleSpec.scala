@@ -235,6 +235,42 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("every shared-tmpdir scratch path carries an app-unique component") {
+    // Lesson from the round-7 corpus_csv/corpus_jsonl hash failures: a
+    // scratch dir keyed only by scale factor is world-shared mutable
+    // state — any concurrent JVM (bench overlapping verify, a parallel
+    // shard) tears the read-back. Rule (SCALING.md): every materialized
+    // intermediate under java.io.tmpdir must key its path by
+    // applicationId (or use a fresh createTempDirectory). Enforced here
+    // as a source audit so a future operator can't silently regress.
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
+      .iterator().asScala.filter(_.toString.endsWith(".scala")).toList
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val lines = java.nio.file.Files.readAllLines(f).asScala.toVector
+      for ((l, i) <- lines.zipWithIndex if l.contains("java.io.tmpdir")) {
+        val ctx = lines.slice(i, math.min(lines.size, i + 4)).mkString(" ")
+        assert(ctx.contains("applicationId"),
+          s"$f:${i + 1} builds a tmpdir path without an app-unique component: $l")
+      }
+    }
+  }
+
+  test("LSH/cluster geometry derives from table size, matching the oracle pin at fixture scale") {
+    // one formula, two evaluation sites: the static oracle SQL pins the
+    // geometry at the fixture row count, the Spark side derives it from
+    // the real table — equal at the gate by construction
+    assert(Similarity.planesFor(Dedup.FixtureEmbRows, Dedup.EmbTargetBucket) == Dedup.EmbPlanes)
+    assert(Curation.centroidsFor(Dedup.FixtureEmbRows, Dedup.SemTargetCluster)
+      == Curation.KCentroids)
+    assert(Tables.embeddingsCount(spark, Sf0001) == Dedup.FixtureEmbRows)
+    // occupancy-constant growth: 2^planes buckets ∝ n, centroids ∝ n
+    assert(Similarity.planesFor(1L << 30, 64) == 24)
+    assert(Curation.centroidsFor(1L << 20, 64) == (1 << 14))
+    assert(Similarity.planesFor(100, 1000) == 1) // never degenerate to 0 planes
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     val li    = Tables.lineitem(spark, Sf0001)
     val exact = li.select(count_distinct(col("l_orderkey"))).as[Long].head()

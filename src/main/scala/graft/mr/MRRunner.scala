@@ -20,14 +20,32 @@ import graft.sources.TextSources
   * Spark's scheduler provides it.
   */
 object MRRunner {
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: MRRunner <app> <inputGlob> <outDir> [nreduce]")
-    val Array(appName, input, outDir) = args.take(3)
-    val nreduce = if (args.length > 3) args(3).toInt else 4 // reference default, cmd/main.go:22
+  /** The whole submission flow minus session lifecycle: registry lookup,
+    * glob read, secondary-sort MR run, text sink. `main` wraps this in
+    * its own session; MRRunnerSpec drives it under the shared test
+    * session (an in-JVM spec cannot let `main` stop the session it
+    * shares), covering the identical code path end to end.
+    */
+  def run(spark: SparkSession, appName: String, input: String, outDir: String,
+      nreduce: Int): Unit = {
     val app = MRApps.all.getOrElse(
       appName,
       throw new IllegalArgumentException(
         s"unknown app '$appName'; registered: ${MRApps.all.keys.toSeq.sorted.mkString(", ")}"))
+    val docs = TextSources.wholeFiles(spark, input)
+    val out  = MapReduceJob.runSecondarySort(spark, docs, app, nreduce)
+    TextSources.writeKV(out, outDir)
+    println(s"[mrrunner] $appName over $input -> $outDir (nreduce=$nreduce)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: MRRunner <app> <inputGlob> <outDir> [nreduce]")
+    val Array(appName, input, outDir) = args.take(3)
+    val nreduce = if (args.length > 3) args(3).toInt else 4 // reference default, cmd/main.go:22
+    // fail on an unknown app BEFORE paying session startup (and so the
+    // spec can exercise main's validation without a session to stop)
+    require(MRApps.all.contains(appName),
+      s"unknown app '$appName'; registered: ${MRApps.all.keys.toSeq.sorted.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", nreduce)
@@ -35,11 +53,7 @@ object MRRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val docs = TextSources.wholeFiles(spark, input)
-      val out  = MapReduceJob.runSecondarySort(spark, docs, app, nreduce)
-      TextSources.writeKV(out, outDir)
-      println(s"[mrrunner] $appName over $input -> $outDir (nreduce=$nreduce)")
-    } finally spark.stop()
+    try run(spark, appName, input, outDir, nreduce)
+    finally spark.stop()
   }
 }

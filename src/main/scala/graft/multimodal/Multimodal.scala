@@ -30,6 +30,17 @@ case class MediaFeatures(
     width: Long,
     height: Long)
 
+/** Audio-probe result for one payload ([[Multimodal.probeAudio]]). */
+case class AudioProbe(
+    doc_id: Long,
+    media_type: String,
+    format: String,
+    channels: Long,
+    sample_rate: Long,
+    bits: Long,
+    data_bytes: Long,
+    duration_ms: Long)
+
 /** Multimodal processing plumbing: binary columns, a typed `Dataset[T]`
   * surface, and partition-batched iteration (`mapPartitions` +
   * `grouped(batchSize)`, the Scala analogue of an Arrow-batched
@@ -152,6 +163,64 @@ object Multimodal extends Serializable {
   def features(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaFromDocuments(s, dir)).toDF()
 
+  /** Canonical-WAV header parse: `(channels, sample_rate, bits_per_sample,
+    * data_bytes)` from the standard 44-byte RIFF/WAVE layout — "RIFF"
+    * FourCC, "WAVE" form type, a 16-byte "fmt " chunk (PCM header:
+    * [format u16][channels u16][sample_rate u32][byte_rate u32]
+    * [block_align u16][bits u16], all LITTLE-endian per RIFF), and the
+    * "data" chunk at byte 36. Non-canonical WAVs (extra chunks before
+    * "data", extensible fmt) return None and take the raw-audio fallback
+    * — the same honest trade as the JPEG walker's SOF-less `(0,0)`: the
+    * canonical layout is what encoders emit by default, and the DuckDB
+    * oracle can mirror the fixed offsets exactly, which a chunk walk in
+    * SQL could not.
+    */
+  def decodeWav(p: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def u8(i: Int)         = p(i) & 0xff
+    def ascii(off: Int, s: String) = s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+    def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
+        ascii(12, "fmt ") && le32(16) == 16 && ascii(36, "data"))
+      Some((le16(22), le32(24), le16(34), le32(40)))
+    else None
+  }
+
+  /** Batched audio container probe — the audio sibling of the PNG/JPEG
+    * header decode: WAV payloads yield their real channel/rate/width
+    * fields and the data-chunk byte count; opaque payloads get the
+    * deterministic raw-audio fallback (rate/channels derived from the
+    * byte length, so the fixture rows stay oracle-checkable). Duration
+    * is pure integer arithmetic — `data_bytes · 8000 / (rate · ch ·
+    * bits)` milliseconds — so both engines agree bit-for-bit; a
+    * zero-rate (corrupt) header probes as 0 ms, the undecodable-frame
+    * convention. Payloads never leave the scan: only the eight narrow
+    * probe columns flow downstream.
+    */
+  def probeAudio(
+      records: Dataset[MediaRecord],
+      batchSize: Int = DefaultBatchSize): Dataset[AudioProbe] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val n = r.payload.length.toLong
+          val (fmt, ch, sr, bits, db) = decodeWav(r.payload) match {
+            case Some((ch, sr, bits, db)) => ("wav", ch, sr, bits, db)
+            case None => ("rawaudio", 1L + n % 2, 8000L + (n % 8) * 1000L, 16L, n)
+          }
+          val denom = sr * ch * bits
+          val dur   = if (denom == 0) 0L else db * 8000L / denom
+          AudioProbe(r.doc_id, r.media_type, fmt, ch, sr, bits, db, dur)
+        }
+      }
+    }
+  }
+
+  def audioProbe(s: SparkSession, dir: String): DataFrame =
+    probeAudio(mediaFromDocuments(s, dir)).toDF()
+
   /** Fixed-size frame geometry for [[frameSample]]: payloads are treated
     * as a sequence of [[FrameBytes]]-byte frames and every
     * [[FrameStride]]-th frame is sampled.
@@ -234,7 +303,8 @@ object Multimodal extends Serializable {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (features _),
     "multimodal_frames"   -> (frameSample _),
-    "multimodal_resize"   -> (resizePlan _)
+    "multimodal_resize"   -> (resizePlan _),
+    "multimodal_audio"    -> (audioProbe _)
   )
 
   // DuckDB mirror of [[decode]] over a hex-encoded payload `h` with byte
@@ -311,6 +381,55 @@ object Multimodal extends Serializable {
            CAST(sum(CAST('0x' || substr(hex(payload), CAST(k * stride AS BIGINT) * 2 + 1, 2) AS BIGINT)) AS BIGINT)
              AS resample_sum
          FROM st, unnest(range(0, out_w)) AS t(k)
-         GROUP BY 1, 2, 3, 4, 5, 6, 7"""
+         GROUP BY 1, 2, 3, 4, 5, 6, 7""",
+    // mirrors [[decodeWav]]'s canonical 44-byte layout byte-for-byte:
+    // FourCC checks and little-endian field reads over the hex encoding
+    // (byte o lives at substr(h, o*2+1, 2); LE values concatenate the
+    // bytes REVERSED). A real WAV in the text fixture would be parsed
+    // identically by both engines; the fixture's text payloads all take
+    // the raw-audio fallback, same as the png/jpeg probes.
+    "multimodal_audio" ->
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             hex(encode(text)) AS h
+           FROM documents),
+         p AS (
+           SELECT doc_id, media_type, n, h,
+             (n >= 44 AND substr(h, 1, 8) = '52494646'
+                AND substr(h, 17, 8) = '57415645'
+                AND substr(h, 25, 8) = '666D7420'
+                AND CAST('0x' || substr(h,39,2) || substr(h,37,2)
+                              || substr(h,35,2) || substr(h,33,2) AS BIGINT) = 16
+                AND substr(h, 73, 8) = '64617461') AS is_wav
+           FROM m),
+         f AS (
+           SELECT doc_id, media_type,
+             CASE WHEN is_wav THEN 'wav' ELSE 'rawaudio' END AS format,
+             CASE WHEN is_wav
+                  THEN CAST('0x' || substr(h,47,2) || substr(h,45,2) AS BIGINT)
+                  ELSE 1 + n % 2 END AS channels,
+             CASE WHEN is_wav
+                  THEN CAST('0x' || substr(h,55,2) || substr(h,53,2)
+                                 || substr(h,51,2) || substr(h,49,2) AS BIGINT)
+                  ELSE 8000 + (n % 8) * 1000 END AS sample_rate,
+             CASE WHEN is_wav
+                  THEN CAST('0x' || substr(h,71,2) || substr(h,69,2) AS BIGINT)
+                  ELSE 16 END AS bits,
+             CASE WHEN is_wav
+                  THEN CAST('0x' || substr(h,87,2) || substr(h,85,2)
+                                 || substr(h,83,2) || substr(h,81,2) AS BIGINT)
+                  ELSE n END AS data_bytes
+           FROM p)
+         SELECT doc_id, media_type, format,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(bits AS BIGINT) AS bits,
+           CAST(data_bytes AS BIGINT) AS data_bytes,
+           CAST(CASE WHEN sample_rate * channels * bits = 0 THEN 0
+                     ELSE data_bytes * 8000 // (sample_rate * channels * bits) END
+             AS BIGINT) AS duration_ms
+         FROM f"""
   )
 }

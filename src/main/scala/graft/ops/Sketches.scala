@@ -237,7 +237,7 @@ object Sketches {
       col("event_type") +:
         QTargets.map(p =>
           (expr(s"($p * n + 99) div 100") - col(s"b$p")).as(s"k$p")): _*)
-    cum
+    val sel = cum
       .join(broadcast(ranks), "event_type")
       .groupBy("event_type", "pct")
       .agg(min(QTargets.map { p =>
@@ -245,6 +245,27 @@ object Sketches {
           col("cum") - col("c") < col(s"k$p") && col("cum") >= col(s"k$p"),
           col("value"))
       }.reduce(coalesce(_, _))).as("value_at"))
+    // Bracket-miss guard: the GK guarantee (rank error ≤ n/QAccuracy)
+    // weakens under partial-aggregate merges, and a bracket that misses
+    // the exact rank would otherwise surface as a silently MISSING
+    // (event_type, pct) row — the worst failure mode at scale, a hole
+    // downstream consumers never notice. Re-anchor on the full
+    // group × target grid and fail LOUDLY on any hole: the operator
+    // re-runs with a larger QAccuracy (or falls back to
+    // Stats.percentilesExact) instead of shipping a partial answer.
+    val grid2 = belows.select(col("event_type"),
+      explode(typedLit(QTargets)).as("pct"))
+    grid2
+      .join(sel, Seq("event_type", "pct"), "left")
+      .select(
+        col("event_type"),
+        col("pct"),
+        when(col("value_at").isNotNull, col("value_at"))
+          .otherwise(raise_error(format_string(
+            "sketch bracket missed the exact rank for event_type=%s pct=%s" +
+              " — increase Sketches.QAccuracy or use Stats.percentilesExact",
+            col("event_type"), col("pct").cast("string"))))
+          .as("value_at"))
   }
 
   /** Catalog entry: bracketed exact quantiles of `events.value`. */

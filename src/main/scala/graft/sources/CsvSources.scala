@@ -32,6 +32,15 @@ object CsvSources {
 
   private val NullToken = "\\N"
 
+  /** Spark's default CSV timestampFormat carries millisecond precision,
+    * so a microsecond timestamp would silently truncate on a round trip.
+    * Writer and reader both pin the full-microsecond form (and its NTZ
+    * twin) so timestamp columns survive losslessly alongside strings and
+    * numerics.
+    */
+  private val TsFormat    = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private val TsNtzFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
   /** Escape one string column into its line-free form: backslash doubles
     * first, then newline/CR fold to `\n`/`\r`. Pure codegen'd builtins —
     * no UDF in the write path.
@@ -79,6 +88,8 @@ object CsvSources {
       .mode("overwrite")
       .option("header", "true")
       .option("nullValue", NullToken)
+      .option("timestampFormat", TsFormat)
+      .option("timestampNTZFormat", TsNtzFormat)
       .option("compression", codec)
       .csv(path)
 
@@ -91,6 +102,8 @@ object CsvSources {
         .schema(schema)
         .option("header", "true")
         .option("nullValue", NullToken)
+        .option("timestampFormat", TsFormat)
+        .option("timestampNTZFormat", TsNtzFormat)
         .csv(path),
       unescapeCol)
 }

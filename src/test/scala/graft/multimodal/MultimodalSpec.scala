@@ -89,6 +89,44 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == (("raw", 12L, 12L)))
   }
 
+  /** A canonical 44-byte-header WAV: RIFF + "WAVE" + 16-byte PCM "fmt "
+    * chunk + "data" chunk, all fields little-endian per RIFF.
+    */
+  private def wavBytes(channels: Int, rate: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val byteRate   = rate * channels * bits / 8
+    val blockAlign = channels * bits / 8
+    "RIFF".getBytes ++ le32(36 + dataBytes) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(byteRate) ++ le16(blockAlign) ++ le16(bits) ++
+      "data".getBytes ++ le32(dataBytes) ++ Array.fill[Byte](dataBytes)(0)
+  }
+
+  test("audio probe parses real canonical WAV headers; near-misses fall back") {
+    // 2ch 44.1kHz 16-bit, 1s of samples: duration must come out 1000 ms
+    val oneSec = 44100 * 2 * 2
+    val recs = Seq(
+      MediaRecord(1L, "audio", wavBytes(2, 44100, 16, oneSec)),
+      MediaRecord(2L, "audio", wavBytes(1, 8000, 8, 4000)),  // 500 ms mono
+      MediaRecord(3L, "audio", "RIFF1234AVI LIST".getBytes ++ Array.fill[Byte](40)(0)),
+      MediaRecord(4L, "audio", "plain text audio stand-in bytes".getBytes))
+    val got = Multimodal.probeAudio(spark.createDataset(recs))
+      .collect().map(p => p.doc_id -> p).toMap
+    assert(got(1L).format == "wav" && got(1L).channels == 2 &&
+      got(1L).sample_rate == 44100 && got(1L).bits == 16 &&
+      got(1L).data_bytes == oneSec && got(1L).duration_ms == 1000)
+    assert(got(2L).format == "wav" && got(2L).duration_ms == 500)
+    // RIFF-but-not-WAVE (an AVI) must NOT parse as wav
+    assert(got(3L).format == "rawaudio")
+    assert(got(4L).format == "rawaudio" && got(4L).bits == 16 &&
+      got(4L).data_bytes == 31 && got(4L).sample_rate == 8000 + (31 % 8) * 1000)
+    // corrupt zero-rate header probes as 0 ms, never divides by zero
+    val corrupt = wavBytes(1, 0, 16, 100)
+    assert(Multimodal.probeAudio(spark.createDataset(Seq(
+      MediaRecord(5L, "audio", corrupt)))).collect().head.duration_ms == 0)
+  }
+
   test("batching covers all rows regardless of partition layout") {
     val recs = (1L to 100L).map(i => MediaRecord(i, "image", Array.fill(i.toInt)(7.toByte)))
     val ds   = spark.createDataset(recs).repartition(7)

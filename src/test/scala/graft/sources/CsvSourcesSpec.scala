@@ -24,7 +24,15 @@ class CsvSourcesSpec extends AnyFunSuite with SparkTestBase {
     (8L, "", Option("en")), // empty string must NOT come back as null
     (9L, "null lang on this row", None),
     (10L, "\n", Option("en")), // newline-only value
-    (11L, "\\", Option("en"))) // single-backslash value
+    (11L, "\\", Option("en")), // single-backslash value
+    // backslash × quote-layer interplay: escapeCol inserts backslashes
+    // and Spark CSV's own default escape char is ALSO backslash — these
+    // rows pin the quoted-field escape symmetry end-to-end
+    (12L, "a\\\"b", Option("en")),   // backslash immediately before a quote
+    (13L, "a\\,b", Option("en")),    // backslash immediately before a comma
+    (14L, "\\\"", Option("en")),     // the two-char value backslash+quote
+    (15L, "\\\"\\n\"\\", Option("en")), // quote/backslash/escape-pair soup
+    (16L, "\",\\\",\"", Option("en"))) // quoted-comma sandwich
 
   test("escaped csv round-trip is lossless on adversarial strings") {
     val df  = adversarial.toDF("doc_id", "text", "lang")
@@ -58,6 +66,21 @@ class CsvSourcesSpec extends AnyFunSuite with SparkTestBase {
     val headers = lines.count(_ == "doc_id,text")
     assert(headers == files.count(f => f.length() > 0) && headers >= 1, lines.mkString("|"))
     assert(lines.count(l => l.nonEmpty && l != "doc_id,text") == 2, lines.mkString("|"))
+  }
+
+  test("timestamp columns round-trip at full microsecond precision") {
+    // Spark's default CSV timestampFormat is millisecond — without the
+    // sink's explicit microsecond format this would silently truncate
+    val ts = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-03-01 12:34:56.123456")),
+      (2L, java.sql.Timestamp.valueOf("1999-12-31 23:59:59.000001")),
+      (3L, java.sql.Timestamp.valueOf("2026-03-01 00:00:00")))
+    val df  = ts.toDF("id", "t")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-ts-").toString
+    CsvSources.writeCsv(df, dir)
+    val back = CsvSources.readCsv(spark, dir, df.schema)
+      .as[(Long, java.sql.Timestamp)].collect().sortBy(_._1).toSeq
+    assert(back == ts)
   }
 
   test("corpus_csv summary on real documents matches the direct-parquet summary") {

@@ -69,16 +69,33 @@ object Bench {
         name -> t
       }
     }
+    // Adaptive tail re-sampling: queries whose 3-run spread exceeds
+    // SpreadTarget get ExtraRuns more samples before the median is taken
+    // — a transient load spike then has to corrupt 3 of 5 samples
+    // instead of 2 of 3 to move the reported number. Bounded cost: only
+    // the noisy tail (historically 2-4 queries) pays the extra runs.
+    val SpreadTarget = 2.0
+    val ExtraRuns    = 2
+    val extra: Map[String, Seq[Double]] = catalog.flatMap { case (name, fn) =>
+      val times = samples.flatMap(_.collectFirst { case (`name`, Some(t)) => t })
+      if (times.size < Runs || times.max - times.min <= SpreadTarget) None
+      else Some(name -> (1 to ExtraRuns).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      })
+    }.toMap
     // per query: (median, spread = max-min, min). The median is the
     // headline; min is the low-noise estimator on an idle box (a loaded
     // run can only inflate a sample, never deflate it), reported in
     // BENCH_FULL.json so regressions can be split from machine load.
     val results: Seq[(String, Double, Double, Double)] = catalog.map { case (name, _) =>
-      val times = samples.flatMap(_.collectFirst { case (`name`, Some(t)) => t })
+      val times = samples.flatMap(_.collectFirst { case (`name`, Some(t)) => t }) ++
+        extra.getOrElse(name, Nil)
       if (times.size < Runs) (name, -1.0, -1.0, -1.0)
       else {
         val sorted = times.sorted
-        (name, sorted(Runs / 2), sorted.last - sorted.head, sorted.head)
+        (name, sorted(sorted.size / 2), sorted.last - sorted.head, sorted.head)
       }
     }
     // The driver stores only the LAST ~2000 chars of stdout and parses the

@@ -433,7 +433,9 @@ object Curation {
     * centroid set); [[graft.ops.Dedup.semantic]] derives its K here.
     */
   def centroidsFor(n: Long, targetCluster: Int = 64): Int =
-    math.max(1, math.ceil(n.toDouble / targetCluster).toInt)
+    // integer-exact ceil(n / targetCluster) — the DuckDB twin evaluates
+    // the same (n + t - 1) / t, so derived K agrees at every scale
+    math.max(1, ((n + targetCluster - 1) / targetCluster).toInt)
 
   private[ops] def assignVectors(s: SparkSession, dir: String, literal: Boolean,
       k: Int = KCentroids): DataFrame = {

@@ -56,7 +56,33 @@ object Dedup {
     * and the DuckDB oracle mirrors the same constants.
     */
   val NumHashes = 36
-  val BandRows  = 3
+
+  /** Rows-per-band for an LSH banding scheme: the divisor `r` of the
+    * hash budget whose S-curve midpoint `(1/b)^(1/r)` (b = hashes/r,
+    * the similarity at which collision probability `1-(1-s^r)^b`
+    * crosses ~50%) lands closest to the target Jaccard threshold —
+    * ties break toward the SMALLER r (wider bands = higher recall; the
+    * verify step removes the extra false positives exactly). This is
+    * the banding-side twin of [[Similarity.planesFor]]: geometry as a
+    * function of the detection target, not a magic constant. Unlike
+    * planesFor it does NOT depend on n — the S-curve is set by the
+    * threshold alone; what grows with the corpus is the hash budget
+    * (more hashes sharpen the curve at constant b·r cost per doc).
+    */
+  def bandRowsFor(threshold: Double, hashes: Int = NumHashes): Int =
+    (1 to hashes).filter(hashes % _ == 0).minBy { r =>
+      val b = hashes / r
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), r)
+    }
+
+  /** 36 hashes band into 12 bands x 3 rows: [[bandRowsFor]] picks r = 3
+    * for the 0.5 Jaccard target (midpoint (1/12)^(1/3) ≈ 0.44 — the
+    * recall-side of the threshold, so genuine 0.5-pairs collide with
+    * high probability and the exact-Jaccard verify discards the rest).
+    * The static DuckDB oracle evaluates the same formula at the same
+    * constants, so the two sites provably agree (ScaleSpec).
+    */
+  val BandRows: Int = bandRowsFor(JaccardThreshold, NumHashes)
   val ModP      = 2147483647L // Mersenne prime 2^31-1
   def laneA(j: Int): Long = 2L * j + 1
   def laneB(j: Int): Long = 7919L * j
@@ -77,10 +103,11 @@ object Dedup {
     * ([[Similarity.planesFor]] with [[EmbTargetBucket]]), so bucket
     * occupancy — and therefore candidate volume per row — stays constant
     * as the corpus grows instead of degenerating toward all-pairs. The
-    * DuckDB oracle SQL is static, so [[EmbPlanes]] evaluates the SAME
-    * formula at the correctness fixture's row count
-    * ([[FixtureEmbRows]] = 500 at sf0.001/sf0.01): one formula, two
-    * evaluation sites, provably equal at the gate.
+    * DuckDB oracle derives the SAME integer recurrence from `count(*)`
+    * ([[Similarity.duckSigDynamic]]), so the two sides agree at EVERY
+    * scale factor, not just the gate's. [[EmbPlanes]] evaluates the
+    * formula at the correctness fixture's row count ([[FixtureEmbRows]]
+    * = 500 at sf0.001/sf0.01) for specs that pin the fixture geometry.
     */
   val EmbTables = 8
   /** Target rows per LSH bucket for embedding near-dup pair generation. */
@@ -965,9 +992,13 @@ object Dedup {
     // join automatically — centroid vectors never accumulate on the
     // driver at scale.
     val k = Curation.centroidsFor(Tables.embeddingsCount(s, dir), SemTargetCluster)
+    // Checkpoint the assignment: it feeds BOTH sides of the same-cluster
+    // self-join, and without materialization the k-wide argmax projection
+    // executes twice (measured 3x slower at sf0.1 with k=32).
     val a = Curation
       .assignVectors(s, dir, literal = k <= Similarity.IvfLiteralBudget, k = k)
       .select("vec_id", "centroid")
+      .transform(graft.Ckpt.apply)
     val e = Similarity.withNorm(Tables.embeddings(s, dir))
     val va = a.join(e.select("vec_id", "embedding", "norm"), "vec_id")
     val left = va.select(col("centroid"), col("vec_id").as("va"),
@@ -1155,7 +1186,9 @@ object Dedup {
          FROM reach GROUP BY node""",
     "dedup_semantic" ->
       s"""WITH ${Similarity.duckNorm},
-         cent AS (SELECT vec_id cid, emb cemb, nrm cnrm FROM e WHERE vec_id < ${Curation.KCentroids}),
+         cent AS (SELECT vec_id cid, emb cemb, nrm cnrm FROM e
+                  WHERE vec_id < (SELECT greatest(1, (count(*) + ${SemTargetCluster - 1}) // $SemTargetCluster)
+                                  FROM embeddings)),
          scored AS (SELECT e.vec_id, cent.cid,
                       list_inner_product(e.emb, cent.cemb) / (e.nrm * cent.cnrm) AS cos
                     FROM e CROSS JOIN cent),
@@ -1171,7 +1204,7 @@ object Dedup {
          ORDER BY cos DESC, va ASC, vb ASC LIMIT 20""",
     "dedup_embedding" ->
       s"""WITH ${Similarity.duckNorm},
-         ${Similarity.duckSigFor(EmbTables, EmbPlanes)},
+         ${Similarity.duckSigDynamic(EmbTables, EmbTargetBucket)},
          cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
                   FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
                   AND a.vec_id < b.vec_id)

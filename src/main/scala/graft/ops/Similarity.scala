@@ -98,8 +98,16 @@ object Similarity {
     * deployment sizes planes with this function (e.g. 24 planes for 1e9
     * vectors at occupancy ~60) and compounds recall with more tables.
     */
-  def planesFor(n: Long, targetBucket: Int = 64): Int =
-    math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+  def planesFor(n: Long, targetBucket: Int = 64): Int = {
+    // integer-exact form of ceil(log2(n/targetBucket)): the smallest p
+    // with 2^p buckets · targetBucket ≥ n. Both engines evaluate this
+    // same integer recurrence (the DuckDB side as a min-over-range scalar
+    // subquery), so the derived geometry can never diverge by a floating
+    // log ULP at power-of-two boundaries.
+    var p = 1
+    while (p < 40 && (1L << p) * targetBucket < n) p += 1
+    p
+  }
 
   /** Bucketing geometry is a recall/selectivity dial: fewer planes =
     * wider buckets = higher recall per table; more tables compound
@@ -511,6 +519,36 @@ object Similarity {
          FROM votes GROUP BY vec_id, tbl)"""
 
   private[ops] val duckSig = duckSigFor(NumTables, NumPlanes)
+
+  /** [[duckSigFor]] with the plane count DERIVED from the table's row
+    * count — the SQL twin of [[planesFor]]: `geo.planes` is the smallest
+    * p with 2^p · targetBucket ≥ count(*), evaluated as a min over an
+    * integer range (no floating log, so it can never diverge from the
+    * Scala side at a power-of-two boundary), and the per-plane vote rows
+    * are masked to `j < geo.planes`. This keeps the dedup_embedding
+    * oracle bit-green at EVERY scale factor, not just the one whose row
+    * count the pinned geometry happens to match.
+    */
+  private[ops] def duckSigDynamic(tables: Int, targetBucket: Int): String =
+    s"""geo AS (SELECT min(p) AS planes
+         FROM (SELECT unnest(range(1, 41)) AS p),
+              (SELECT count(*) AS c FROM embeddings)
+         WHERE (1::BIGINT << p) * $targetBucket >= c),
+       expl AS (SELECT vec_id, generate_subscripts(embedding, 1) i, unnest(embedding) x FROM embeddings),
+       votes AS (SELECT vec_id, tbl, j,
+           sum(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) *
+               (CASE WHEN ${TextHash.duckHash60Of(
+        "CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(tbl AS VARCHAR)")} % 2 = 1 THEN 1 ELSE -1 END)) sv
+         FROM expl
+         CROSS JOIN (SELECT unnest(range(0, 40)) j)
+         CROSS JOIN (SELECT unnest(range(0, $tables)) tbl)
+         WHERE j < (SELECT planes FROM geo)
+         GROUP BY 1, 2, 3),
+       sig AS (SELECT vec_id, tbl,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list(CAST(CASE WHEN sv > 0 THEN 1 ELSE 0 END AS BIGINT) ORDER BY j DESC)),
+             (a, b) -> a * 2 + b) bucket
+         FROM votes GROUP BY vec_id, tbl)"""
 
   /** PQ CTE chain shared by the embed_pq and sim_pq_topk oracles (ends in
     * `best` — per (vector, subspace) argmin code rows at rn = 1).

@@ -269,6 +269,11 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.planesFor(1L << 30, 64) == 24)
     assert(Curation.centroidsFor(1L << 20, 64) == (1 << 14))
     assert(Similarity.planesFor(100, 1000) == 1) // never degenerate to 0 planes
+    // minhash banding: the S-curve planner reproduces the oracle-pinned
+    // 12x3 geometry at the 0.5 Jaccard target, and tracks the threshold
+    assert(Dedup.bandRowsFor(Dedup.JaccardThreshold, Dedup.NumHashes) == Dedup.BandRows)
+    assert(Dedup.bandRowsFor(0.8, 36) == 9)  // high threshold -> narrower bands
+    assert(Dedup.bandRowsFor(0.2, 36) == 2)  // low threshold -> wider bands
   }
 
   test("approx_count_distinct lands within 5% of exact") {

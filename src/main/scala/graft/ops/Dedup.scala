@@ -768,7 +768,7 @@ object Dedup {
     // ⟺ no label changed — one aggregation job per round instead of an
     // anti-join
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
     var prevSum   = labelSum(labels)
     var converged = false
     var rounds    = 0
@@ -910,13 +910,19 @@ object Dedup {
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"),
+        // the (K+1)-gram is the K-gram plus one appended token: the inner
+        // transform builds each K-gram string once, the outer one appends
+        // the next token — no second K+1-wide slice+join per position
         explode(expr(
-          s"""transform(sequence(1, size(toks) - ${K - 1}),
-              i -> struct(i AS p,
-                          concat_ws(' ', slice(toks, i, $K)) AS g,
-                          IF(i <= size(toks) - $K,
-                             concat_ws(' ', slice(toks, i, ${K + 1})),
-                             NULL) AS gx))""")).as("e"))
+          s"""transform(
+                transform(sequence(1, size(toks) - ${K - 1}),
+                  i -> named_struct('p', i, 'g', concat_ws(' ', slice(toks, i, $K)))),
+                s -> named_struct(
+                       'p', s.p,
+                       'g', s.g,
+                       'gx', IF(s.p <= size(toks) - $K,
+                                concat(s.g, ' ', element_at(toks, s.p + $K)),
+                                NULL)))""")).as("e"))
       .select(col("doc_id"), col("n_toks"), col("e.p").as("p"),
         TextHash.hash60(col("e.g")).as("h"),
         when(col("e.gx").isNotNull, TextHash.hash60(col("e.gx"))).as("hx"))

@@ -340,6 +340,40 @@ object Dedup {
       .select("doc_id", "lang", "n_chars")
   }
 
+  /** Quality-aware near-dup APPLY — the production form of the cluster
+    * decision: instead of keeping each cluster's smallest doc_id (an
+    * arbitrary arrival-order proxy), keep its HIGHEST-quality member by
+    * the [[TextAnalysis.quality]] composite score (ties → smallest id).
+    * This is what real curation pipelines do: near-dup clusters usually
+    * mix a clean canonical page with truncated/boilerplate-wrapped
+    * copies, and "keep first" happily keeps the worst one. Emits every
+    * clustered doc with its score and the keep decision, so the drop
+    * set, the keep set, and the audit trail are all one filter away.
+    *
+    * Scale shape: the CC labels are already materialized (eager
+    * checkpointed loop); the score join is doc-bounded, and the
+    * per-cluster argmax is max(struct(score, -id)) — one
+    * partial-aggregated shuffle on cluster_id, never a window over the
+    * corpus. Cross-engine determinism: both engines build the score
+    * with the identical IEEE op chain (the text_quality parity
+    * argument), so argmax comparisons agree; exact ties (identical
+    * texts — the common near-dup case) fall to the integer id.
+    */
+  def clustersApplyQuality(s: SparkSession, dir: String): DataFrame = {
+    val cl = clusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    val q = graft.ops.TextAnalysis.quality(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val member = cl.join(q, "doc_id")
+    val best = member
+      .groupBy("cluster_id")
+      .agg(max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nd")).as("keep_id"))
+    member
+      .join(best, "cluster_id")
+      .select(col("cluster_id"), col("doc_id"), col("quality_score"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
   // ------------------------------------------------------------------ ngram
 
   /** Exact n-gram (word trigram, see ShingleN) Jaccard dedup via
@@ -926,19 +960,28 @@ object Dedup {
       .select(col("doc_id"), col("n_toks"), col("e.p").as("p"),
         TextHash.hash60(col("e.g")).as("h"),
         when(col("e.gx").isNotNull, TextHash.hash60(col("e.gx"))).as("hx"))
-    def hotOf(c: String) = sh
-      .filter(col(c).isNotNull)
-      .select(col(c).as("hh"), col("doc_id")).distinct()
+    val hot = sh
+      .select(col("h").as("hh"), col("doc_id")).distinct()
       .groupBy("hh").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("hh"))
-    val hot  = hotOf("h")
-    val hotx = hotOf("hx")
+    // K-gram-hot rows only — a (K+1)-gram shared by two documents forces
+    // its K-prefix to be shared by the same two documents, so counting
+    // (K+1)-gram document frequencies over the hot-prefix subset is
+    // provably identical to counting over the full stream, and the
+    // subset is the (typically small) repeated fraction of the corpus
+    val repAll = sh.join(hot, sh("h") === hot("hh"))
+      .select(col("doc_id"), col("n_toks"), col("p"), col("hx"))
+    val hotx = repAll
+      .filter(col("hx").isNotNull)
+      .select(col("hx").as("hhx"), col("doc_id")).distinct()
+      .groupBy("hhx").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("hhx"))
     // repeated K-gram positions, each flagged with whether the
     // length-(K+1) extension to p+1 is itself cross-document repeated
-    val rep = sh
-      .join(hot, sh("h") === hot("hh"))
-      .join(hotx.withColumnRenamed("hh", "hhx"), sh("hx") === col("hhx"), "left")
+    val rep = repAll
+      .join(hotx, repAll("hx") === hotx("hhx"), "left")
       .select(col("doc_id"), col("n_toks"), col("p"),
         col("hhx").isNotNull.as("ext"))
     val w = Window.partitionBy("doc_id").orderBy("p")
@@ -1025,6 +1068,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_semantic"  -> (semantic _),
     "dedup_clusters_apply" -> (clustersApply _),
+    "dedup_apply_quality" -> (clustersApplyQuality _),
     "dedup_exact"     -> (exact _),
     "dedup_ngram"     -> (ngram _),
     "dedup_containment" -> (containment _),
@@ -1190,6 +1234,27 @@ object Dedup {
          SELECT node AS doc_id, min(label) AS cluster_id,
            (node = min(label)) AS is_canonical
          FROM reach GROUP BY node""",
+    "dedup_apply_quality" ->
+      s"""WITH RECURSIVE
+         $duckMinhashPairsCte,
+         edges AS (SELECT da a, db b FROM pairs UNION ALL SELECT db a, da b FROM pairs),
+         reach(node, label) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+         ),
+         cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+         q AS (${graft.ops.TextAnalysis.duckQualityCte}),
+         member AS (SELECT cl.cluster_id, cl.doc_id, q.quality_score
+                    FROM cl JOIN q USING (doc_id)),
+         best AS (SELECT cluster_id, doc_id AS keep_id FROM (
+                    SELECT cluster_id, doc_id,
+                      row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY quality_score DESC, doc_id ASC) rn
+                    FROM member) WHERE rn = 1)
+         SELECT m.cluster_id, m.doc_id, m.quality_score,
+           (m.doc_id = b.keep_id) AS kept
+         FROM member m JOIN best b USING (cluster_id)""",
     "dedup_semantic" ->
       s"""WITH ${Similarity.duckNorm},
          cent AS (SELECT vec_id cid, emb cemb, nrm cnrm FROM e
@@ -1250,13 +1315,15 @@ object Dedup {
          hot AS (
            SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
            WHERE nd >= 2),
+         repall AS (
+           SELECT s.doc_id, s.n_toks, s.p, s.hx FROM sh s JOIN hot USING (h)),
          hotx AS (
-           SELECT hx FROM (SELECT hx, count(DISTINCT doc_id) AS nd FROM sh
+           SELECT hx FROM (SELECT hx, count(DISTINCT doc_id) AS nd FROM repall
                            WHERE hx IS NOT NULL GROUP BY 1)
            WHERE nd >= 2),
          rep AS (
            SELECT s.doc_id, s.n_toks, s.p, x.hx IS NOT NULL AS ext
-           FROM sh s JOIN hot USING (h)
+           FROM repall s
            LEFT JOIN hotx x ON s.hx = x.hx),
          isl AS (
            SELECT doc_id, n_toks, p,

@@ -786,8 +786,20 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _)
   )
 
-  private val duckToks =
+  private[ops] val duckToks =
     "SELECT doc_id, t FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS t FROM documents) WHERE t <> ''"
+
+  /** The composite quality score of [[quality]] as a per-doc CTE body
+    * (`SELECT doc_id, quality_score FROM (duckToks) GROUP BY 1`), shared
+    * with [[graft.ops.Dedup]]'s quality-aware apply oracle so the score
+    * has exactly one SQL definition.
+    */
+  private[ops] val duckQualityCte: String =
+    s"""SELECT doc_id,
+       0.4 * (CAST(count(DISTINCT t) AS DOUBLE) / count(*)) +
+       0.3 * (CAST(count(*) FILTER (WHERE t IN ${inList(Stopwords)}) AS DOUBLE) / count(*)) +
+       0.3 * least(CAST(count(*) AS DOUBLE) / 100.0, 1.0) AS quality_score
+       FROM ($duckToks) GROUP BY 1"""
 
   /** Adjacent-pair (bigram) stream with its prefix token, via the same
     * 1-based position self-join as the text_top_bigrams oracle.

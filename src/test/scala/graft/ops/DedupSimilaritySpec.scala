@@ -428,6 +428,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     for ((_, c) <- canon) assert(got(c), s"cluster canonical $c was dropped")
   }
 
+  test("dedup_apply_quality: exactly one kept member per cluster, and it is the argmax") {
+    val out = Dedup.clustersApplyQuality(spark, Sf0001)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_._1)
+    for ((c, ms) <- byCluster) {
+      assert(ms.count(_._4) == 1, s"cluster $c kept ${ms.count(_._4)} members")
+      val best = ms.maxBy(m => (m._3, -m._2))
+      assert(best._4, s"cluster $c kept ${ms.filter(_._4).toSeq} but argmax is $best")
+    }
+    // the decision is quality-driven, not id-driven: membership matches
+    // the CC labeling, and every cluster's keeper has >= the median
+    // member score (trivially true for argmax — pinned to catch a
+    // refactor that silently reverts to keep-first)
+    val clusterOf = Dedup.clusters(spark, Sf0001)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    for ((cl, doc, _, _) <- out) assert(clusterOf(doc) == cl)
+  }
+
   test("near-dup clusters: pairs land in one cluster, canonical is the min member") {
     val pairs = Dedup.minhash(spark, Sf0001).select("da", "db").as[(Long, Long)].collect()
     assert(pairs.nonEmpty)

@@ -1169,7 +1169,42 @@ object Curation {
       .select(col("doc_id"), col("n_chars"), col("phase"))
   }
 
+  /** Token budget for [[tokenBudget]] — sized so the fixtures select a
+    * strict subset (the selection boundary is exercised at every SF).
+    */
+  val TokenBudget = 20000L
+
+  /** Token-budget-aware corpus selection — the data-mixture step that
+    * answers "we can afford B training tokens; which documents?": rank
+    * every document by the [[TextAnalysis.quality]] composite (ties →
+    * smallest id) and keep the greedy prefix whose running token total
+    * stays within the budget. Emits every document with its running
+    * total and the keep decision, so the selected set, the cut line,
+    * and the quality distribution of what was dropped are all visible.
+    *
+    * Scale shape: the global ordered prefix sum runs through
+    * [[Stats.rangeCum]]'s range-partitioned sweep on the composite
+    * (−score, id) key — no single-partition window over the corpus, the
+    * same discipline as every cumulative-histogram query. Cross-engine
+    * determinism: both engines build the score with the identical IEEE
+    * chain, and the (score, id) order is total.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("ok",
+        struct((-col("quality_score")).as("nq"), col("doc_id").as("id")))
+    Stats.rangeCum(q, Seq(), "ok", "n_tokens", needTot = false)
+      .select(
+        col("doc_id"),
+        col("quality_score"),
+        col("n_tokens"),
+        col("cum").cast("long").as("cum_tokens"),
+        (col("cum") <= TokenBudget).as("selected"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "curate_token_budget" -> (tokenBudget _),
     "curate_curriculum" -> (curriculum _),
     "curate_dp_release"  -> (dpRelease _),
     "curate_k_anonymity" -> (kAnonymity _),
@@ -1238,6 +1273,21 @@ object Curation {
          FROM a)"""
 
   val oracle: Map[String, String] = Map(
+    "curate_token_budget" ->
+      s"""WITH q AS (
+           SELECT doc_id, count(*) AS n_tokens,
+             0.4 * (CAST(count(DISTINCT t) AS DOUBLE) / count(*)) +
+             0.3 * (CAST(count(*) FILTER (WHERE t IN ${TextAnalysis.inList(TextAnalysis.Stopwords)}) AS DOUBLE) / count(*)) +
+             0.3 * least(CAST(count(*) AS DOUBLE) / 100.0, 1.0) AS quality_score
+           FROM (${TextAnalysis.duckToks}) GROUP BY 1),
+         c AS (
+           SELECT doc_id, quality_score, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS cum_tokens
+           FROM q)
+         SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens,
+           cum_tokens, cum_tokens <= $TokenBudget AS selected
+         FROM c""",
     "curate_curriculum" ->
       """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
          cc AS (SELECT n_chars, c, sum(c) OVER (ORDER BY n_chars) AS cum,

@@ -39,6 +39,11 @@ object Similarity {
     */
   val NumPlanes = 6
   val NumTables = 4
+  /** Target rows per bucket for [[annLsh]]'s derived plane count —
+    * [[planesFor]](500, 8) = 6 = [[NumPlanes]], so the fixture geometry
+    * is unchanged while occupancy stays constant as the table grows.
+    */
+  val AnnTargetBucket = 8
 
   private[ops] def withNorm(e: DataFrame): DataFrame = {
     val s = e.sparkSession
@@ -151,7 +156,12 @@ object Similarity {
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e   = withNorm(Tables.embeddings(s, dir))
-    val sig = signatures(s, dir)
+    // derived geometry, same discipline as dedup_embedding: per-query
+    // candidate volume is tables · n/2^planes, so planes must track n to
+    // keep it constant; [[AnnTargetBucket]] = 8 reproduces the original
+    // 6-plane fixture geometry at the 500-vector gate
+    val sig = signatures(s, dir, NumTables,
+      planesFor(Tables.embeddingsCount(s, dir), AnnTargetBucket))
     val cands = sig
       .filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("va"), col("tbl"), col("bucket"))
@@ -518,8 +528,6 @@ object Similarity {
              (a, b) -> a * 2 + b) bucket
          FROM votes GROUP BY vec_id, tbl)"""
 
-  private[ops] val duckSig = duckSigFor(NumTables, NumPlanes)
-
   /** [[duckSigFor]] with the plane count DERIVED from the table's row
     * count — the SQL twin of [[planesFor]]: `geo.planes` is the smallest
     * p with 2^p · targetBucket ≥ count(*), evaluated as a min over an
@@ -630,7 +638,7 @@ object Similarity {
          WHERE rn <= $TopK""",
     "sim_ann_lsh" ->
       s"""WITH $duckNorm,
-         $duckSig,
+         ${duckSigDynamic(NumTables, AnnTargetBucket)},
          cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
                   FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
                   WHERE a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id)

@@ -815,7 +815,7 @@ object TextAnalysis {
             FROM documents)) b
        ON a.doc_id = b.doc_id AND b.i = a.i + 1"""
 
-  private def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
+  private[ops] def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("(", ", ", ")")
 
   /** The [[bpeTrainOf]] oracle, generated for [[BpeRounds]] rounds: the
     * same loop unrolled as chained CTEs (w0 → p1/b1 → w1 → …), with the

@@ -284,4 +284,27 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(dense.nonEmpty)
     assert(dense == sparse)
   }
+
+  test("curate_token_budget: greedy quality prefix, exact running totals, budget exercised") {
+    val out = Curation.tokenBudget(spark, Sf0001)
+      .as[(Long, Double, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    val sel = out.filter(_._5)
+    // the boundary is exercised at fixture scale: neither empty nor all
+    assert(sel.nonEmpty && sel.length < out.length,
+      s"budget not exercised: ${sel.length}/${out.length}")
+    // prefix property: ordered by (quality desc, id), the selected set is
+    // exactly the prefix whose cumulative tokens stay within the budget
+    val ordered = out.sortBy(r => (-r._2, r._1))
+    var cum = 0L
+    for (r <- ordered) {
+      cum += r._3
+      assert(r._4 == cum, s"cum mismatch for doc ${r._1}: ${r._4} != $cum")
+      assert(r._5 == (cum <= Curation.TokenBudget), s"selection flag wrong for doc ${r._1}")
+    }
+    // partition-layout independence of the range-partitioned prefix sum
+    val again = Curation.tokenBudget(spark, Sf0001)
+      .repartition(7).as[(Long, Double, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(again.toSeq == out.sortBy(_._1).toSeq)
+  }
 }

@@ -262,6 +262,8 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     // geometry at the fixture row count, the Spark side derives it from
     // the real table — equal at the gate by construction
     assert(Similarity.planesFor(Dedup.FixtureEmbRows, Dedup.EmbTargetBucket) == Dedup.EmbPlanes)
+    assert(Similarity.planesFor(Dedup.FixtureEmbRows, Similarity.AnnTargetBucket)
+      == Similarity.NumPlanes)
     assert(Curation.centroidsFor(Dedup.FixtureEmbRows, Dedup.SemTargetCluster)
       == Curation.KCentroids)
     assert(Tables.embeddingsCount(spark, Sf0001) == Dedup.FixtureEmbRows)

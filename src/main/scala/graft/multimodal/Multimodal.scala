@@ -41,6 +41,16 @@ case class AudioProbe(
     data_bytes: Long,
     duration_ms: Long)
 
+/** Video-probe result for one payload ([[Multimodal.probeVideo]]). */
+case class VideoProbe(
+    doc_id: Long,
+    media_type: String,
+    format: String,
+    brand: String,
+    timescale: Long,
+    duration_units: Long,
+    duration_ms: Long)
+
 /** Multimodal processing plumbing: binary columns, a typed `Dataset[T]`
   * surface, and partition-batched iteration (`mapPartitions` +
   * `grouped(batchSize)`, the Scala analogue of an Arrow-batched
@@ -221,6 +231,79 @@ object Multimodal extends Serializable {
   def audioProbe(s: SparkSession, dir: String): DataFrame =
     probeAudio(mediaFromDocuments(s, dir)).toDF()
 
+  /** The only mvhd size this probe accepts: a version-0 movie header is
+    * exactly 108 bytes (ISO/IEC 14496-12 §8.2.2) — full box header (8) +
+    * version/flags (4) + creation/modification/timescale/duration (16) +
+    * rate/volume/reserved/matrix/predefineds/next_track (80).
+    */
+  val MvhdV0Size = 108L
+
+  /** Canonical-MP4 header parse: `(major_brand, timescale, duration)`
+    * from the ISO-BMFF two-box prefix a minimal muxer emits — an `ftyp`
+    * box first (size S at bytes 0–3, FourCC at 4–7, major_brand at
+    * 8–11), then `moov` directly at offset S whose FIRST child is a
+    * version-0 `mvhd` (size [[MvhdV0Size]]): timescale and duration are
+    * the big-endian u32s at S+28 and S+32. All sizes/fields big-endian
+    * per ISO/IEC 14496-12 §4.2/8.2.2 — the mirror image of the WAV
+    * probe's little-endian RIFF fields. Files with other box orders
+    * (mdat-first "non-faststart", free/skip padding, version-1 64-bit
+    * mvhd) return None and take the raw-video fallback — the same
+    * honest canonical-layout trade as [[decodeWav]], and what keeps the
+    * offset arithmetic exactly mirrorable in the DuckDB oracle.
+    *
+    * Text payloads cannot collide: "ftyp" at bytes 4–7 would make bytes
+    * 0–3 printable text, so S ≥ 0x09090909 — far past any payload
+    * length, failing the `length ≥ S+36` bound. The oracle runs the
+    * identical check, so even a collision could not diverge the gate.
+    */
+  def decodeMp4(p: Array[Byte]): Option[(String, Long, Long)] = {
+    def u8(i: Int)                 = p(i) & 0xff
+    def ascii(off: Int, s: String) = s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    if (p.length < 8 || !ascii(4, "ftyp")) None
+    else {
+      val s0 = be32(0)
+      if (s0 >= 16 && s0 <= Int.MaxValue - 36 && p.length >= s0 + 36 &&
+          ascii(s0.toInt + 4, "moov") && be32(s0.toInt + 8) == MvhdV0Size &&
+          ascii(s0.toInt + 12, "mvhd") && u8(s0.toInt + 16) == 0)
+        Some((new String(p, 8, 4, "US-ASCII"), be32(s0.toInt + 28), be32(s0.toInt + 32)))
+      else None
+    }
+  }
+
+  /** Batched video container probe — the ISO-BMFF sibling of the WAV
+    * probe: canonical MP4 payloads yield their real major brand and
+    * movie-header timescale/duration; opaque payloads get the
+    * deterministic raw-video fallback (timescale derived from the byte
+    * length, duration = the byte count, so fixture rows stay
+    * oracle-checkable). Duration is integer arithmetic —
+    * `duration · 1000 / timescale` ms — bit-equal across engines; a
+    * zero-timescale (corrupt) header probes as 0 ms. Payloads never
+    * leave the scan: only the seven narrow probe columns flow on.
+    */
+  def probeVideo(
+      records: Dataset[MediaRecord],
+      batchSize: Int = DefaultBatchSize): Dataset[VideoProbe] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val n = r.payload.length.toLong
+          val (fmt, brand, ts, du) = decodeMp4(r.payload) match {
+            case Some((b, ts, du)) => ("mp4", b, ts, du)
+            case None              => ("rawvideo", "none", 1000L + (n % 4) * 500L, n)
+          }
+          val ms = if (ts == 0) 0L else du * 1000L / ts
+          VideoProbe(r.doc_id, r.media_type, fmt, brand, ts, du, ms)
+        }
+      }
+    }
+  }
+
+  def videoProbe(s: SparkSession, dir: String): DataFrame =
+    probeVideo(mediaFromDocuments(s, dir)).toDF()
+
   /** Fixed-size frame geometry for [[frameSample]]: payloads are treated
     * as a sequence of [[FrameBytes]]-byte frames and every
     * [[FrameStride]]-th frame is sampled.
@@ -304,7 +387,8 @@ object Multimodal extends Serializable {
     "multimodal_features" -> (features _),
     "multimodal_frames"   -> (frameSample _),
     "multimodal_resize"   -> (resizePlan _),
-    "multimodal_audio"    -> (audioProbe _)
+    "multimodal_audio"    -> (audioProbe _),
+    "multimodal_video"    -> (videoProbe _)
   )
 
   // DuckDB mirror of [[decode]] over a hex-encoded payload `h` with byte
@@ -430,6 +514,53 @@ object Multimodal extends Serializable {
            CAST(CASE WHEN sample_rate * channels * bits = 0 THEN 0
                      ELSE data_bytes * 8000 // (sample_rate * channels * bits) END
              AS BIGINT) AS duration_ms
+         FROM f""",
+    // mirrors [[decodeMp4]]'s two-box canonical layout: byte o of the
+    // payload lives at substr(h, o*2+1, 2), box sizes/fields are
+    // BIG-endian (hex bytes concatenate in order, unlike the WAV
+    // oracle's reversed LE reads), and the moov-relative offsets shift
+    // by the DATA-dependent ftyp size s0 — a genuinely dynamic box walk
+    // the fixed-offset WAV mirror cannot express. TRY_CAST guards the
+    // mvhd-size read: a text payload's garbage s0 makes the substr
+    // empty, which must select the fallback, not error the cast.
+    "multimodal_video" ->
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             hex(encode(text)) AS h
+           FROM documents),
+         p AS (
+           SELECT doc_id, media_type, n, h,
+             CASE WHEN n >= 8 AND substr(h, 9, 8) = '66747970'
+                  THEN CAST('0x' || substr(h, 1, 8) AS BIGINT)
+                  ELSE CAST(-1 AS BIGINT) END AS s0
+           FROM m),
+         q AS (
+           SELECT doc_id, media_type, n, h, s0,
+             (s0 >= 16 AND n >= s0 + 36
+               AND substr(h, s0 * 2 + 9, 8) = '6D6F6F76'
+               AND coalesce(TRY_CAST('0x' || substr(h, s0 * 2 + 17, 8) AS BIGINT), -1)
+                     = $MvhdV0Size
+               AND substr(h, s0 * 2 + 25, 8) = '6D766864'
+               AND substr(h, s0 * 2 + 33, 2) = '00') AS is_mp4
+           FROM p),
+         f AS (
+           SELECT doc_id, media_type,
+             CASE WHEN is_mp4 THEN 'mp4' ELSE 'rawvideo' END AS format,
+             CASE WHEN is_mp4 THEN decode(unhex(substr(h, 17, 8))) ELSE 'none' END AS brand,
+             CASE WHEN is_mp4
+                  THEN CAST('0x' || substr(h, s0 * 2 + 57, 8) AS BIGINT)
+                  ELSE 1000 + (n % 4) * 500 END AS timescale,
+             CASE WHEN is_mp4
+                  THEN CAST('0x' || substr(h, s0 * 2 + 65, 8) AS BIGINT)
+                  ELSE n END AS duration_units
+           FROM q)
+         SELECT doc_id, media_type, format, brand,
+           CAST(timescale AS BIGINT) AS timescale,
+           CAST(duration_units AS BIGINT) AS duration_units,
+           CAST(CASE WHEN timescale = 0 THEN 0
+                     ELSE duration_units * 1000 // timescale END AS BIGINT) AS duration_ms
          FROM f"""
   )
 }

@@ -127,6 +127,53 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       MediaRecord(5L, "audio", corrupt)))).collect().head.duration_ms == 0)
   }
 
+  /** A canonical two-box MP4 prefix: `ftyp` (size 16, given brand,
+    * minor version 0x200) immediately followed by `moov` whose first
+    * child is a 108-byte version-0 `mvhd` — all sizes/fields big-endian
+    * per ISO/IEC 14496-12.
+    */
+  private def mp4Bytes(brand: String, timescale: Int, duration: Int): Array[Byte] = {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val mvhd = be32(108) ++ "mvhd".getBytes ++
+      Array[Byte](0, 0, 0, 0) ++            // version 0 + flags
+      be32(3600) ++ be32(3600) ++           // creation/modification time
+      be32(timescale) ++ be32(duration) ++
+      Array.fill[Byte](108 - 28)(0)         // rate/volume/matrix/next_track
+    be32(16) ++ "ftyp".getBytes ++ brand.getBytes ++ be32(0x200) ++
+      be32(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+  }
+
+  test("video probe parses real canonical MP4 headers; near-misses fall back") {
+    val recs = Seq(
+      MediaRecord(1L, "image", mp4Bytes("isom", 600, 1800)),   // 3 s movie
+      MediaRecord(2L, "image", mp4Bytes("mp42", 90000, 45000)),// 500 ms
+      MediaRecord(3L, "image", mp4Bytes("isom", 600, 1800).take(40)), // truncated moov
+      MediaRecord(4L, "image", "plain text video stand-in".getBytes))
+    val got = Multimodal.probeVideo(spark.createDataset(recs))
+      .collect().map(p => p.doc_id -> p).toMap
+    assert(got(1L).format == "mp4" && got(1L).brand == "isom" &&
+      got(1L).timescale == 600 && got(1L).duration_units == 1800 &&
+      got(1L).duration_ms == 3000)
+    assert(got(2L).format == "mp4" && got(2L).brand == "mp42" && got(2L).duration_ms == 500)
+    assert(got(3L).format == "rawvideo" && got(3L).brand == "none")
+    assert(got(4L).format == "rawvideo" && got(4L).duration_units == 25 &&
+      got(4L).timescale == 1000 + (25 % 4) * 500)
+    // mdat-before-moov (non-faststart) is non-canonical: falls back
+    val nonFast = {
+      val c = mp4Bytes("isom", 600, 1800)
+      c.patch(20, "mdat".getBytes, 4)
+    }
+    assert(Multimodal.probeVideo(spark.createDataset(Seq(
+      MediaRecord(5L, "image", nonFast)))).collect().head.format == "rawvideo")
+    // version-1 (64-bit) mvhd is non-canonical: falls back
+    val v1 = { val c = mp4Bytes("isom", 600, 1800); c(16 + 16) = 1; c }
+    assert(Multimodal.probeVideo(spark.createDataset(Seq(
+      MediaRecord(6L, "image", v1)))).collect().head.format == "rawvideo")
+    // zero-timescale corrupt header probes as 0 ms, never divides by zero
+    assert(Multimodal.probeVideo(spark.createDataset(Seq(
+      MediaRecord(7L, "image", mp4Bytes("isom", 0, 77))))).collect().head.duration_ms == 0)
+  }
+
   test("batching covers all rows regardless of partition layout") {
     val recs = (1L to 100L).map(i => MediaRecord(i, "image", Array.fill(i.toInt)(7.toByte)))
     val ds   = spark.createDataset(recs).repartition(7)

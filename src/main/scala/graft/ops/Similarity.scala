@@ -322,7 +322,10 @@ object Similarity {
     * the sum, and the per-query top-k is filter-then-cast
     * WindowGroupLimit.
     */
-  def ivfPq(s: SparkSession, dir: String): DataFrame = {
+  def ivfPq(s: SparkSession, dir: String): DataFrame =
+    ivfPqShortlist(s, dir, TopK)
+
+  private def ivfPqShortlist(s: SparkSession, dir: String, limit: Int): DataFrame = {
     val assigned = ivfAssigned(s, dir, literal = IvfK <= IvfLiteralBudget)
     val index = assigned
       .select(col("vec_id"), element_at(col("cells"), 1)("cid").as("cell"))
@@ -350,9 +353,47 @@ object Similarity {
       .groupBy("q_vec", "vec_id")
       .agg(sum(col("d2q")).as("adcq"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
+      .filter(col("rn") <= limit)
       .select(col("q_vec"), col("vec_id"), col("adcq").cast("double").as("adc"),
         col("rn").cast("long").as("rn"))
+  }
+
+  /** ADC shortlist size per query for [[ivfPqRerank]] — the standard
+    * 3–10× over-retrieve that buys back the recall PQ compression
+    * loses; 4×[[TopK]] keeps the rerank's float work bounded.
+    */
+  val RerankR = 4 * TopK
+
+  /** IVF-PQ with an exact-cosine rerank tier — the third stage of the
+    * production ANN stack ([[ivfPq]]'s own scaladoc points here): the
+    * coarse quantizer prunes cells, ADC over byte codes ranks the
+    * pruned candidates, and only each query's top [[RerankR]] ADC
+    * survivors are re-scored against their TRUE float vectors. The
+    * compressed tier touches no floats; the float tier touches only
+    * Q·[[RerankR]] rows — the two-sided bound that lets a
+    * billion-vector index serve exact-quality top-k from RAM.
+    *
+    * Scale shape: the shortlist is Q·R rows (broadcast-joined to the
+    * query vectors); candidate float vectors arrive through ONE
+    * equi-join on vec_id against the base table — no re-scan of the
+    * PQ/IVF state, no pair table. Determinism: the ADC shortlist
+    * inherits [[ivfPq]]'s decimal-quantized ranking; the final rerank
+    * orders by exact IEEE cosine with the vec_id tiebreak.
+    */
+  def ivfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir))
+    val qe = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("q_vec"), col("embedding").as("qa"), col("norm").as("na"))
+    val cand = ivfPqShortlist(s, dir, RerankR).select("q_vec", "vec_id")
+    val w = Window.partitionBy("q_vec").orderBy(desc("cos"), asc("vec_id"))
+    cand
+      .join(broadcast(qe), "q_vec")
+      .join(e, "vec_id")
+      .withColumn("cos", cosine(s, col("qa"), col("embedding"), col("na"), col("norm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select(col("q_vec"), col("vec_id"), col("cos"), col("rn"))
   }
 
   /** Levels of the scalar (int8) quantization grid: byte codes 0..255. */
@@ -498,6 +539,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "sim_ivfpq"      -> (ivfPq _),
+    "sim_ivfpq_rerank" -> (ivfPqRerank _),
     "sim_pq_topk"    -> (pqTopk _),
     "embed_pq"       -> (pq _),
     "sim_topk"       -> (topkBrute _),
@@ -575,39 +617,62 @@ object Similarity {
                   row_number() OVER (PARTITION BY vec_id, subspace ORDER BY d2 ASC, code ASC) rn
                 FROM scored)"""
 
+  /** IVF-PQ CTE chain shared by the sim_ivfpq and sim_ivfpq_rerank
+    * oracles (extends [[duckPq]]; ends in `adc` — per (query, candidate)
+    * decimal-summed ADC distances over probed cells).
+    */
+  private val duckIvfPqAdc =
+    s"""$duckPq,
+       en AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) nrm FROM e),
+       cent AS (SELECT vec_id cid, emb cemb, nrm cnrm FROM en WHERE vec_id < $IvfK),
+       ranked AS (SELECT en.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY en.vec_id
+             ORDER BY list_inner_product(en.emb, cent.cemb) / (en.nrm * cent.cnrm) DESC,
+               cent.cid ASC) crn
+         FROM en CROSS JOIN cent),
+       cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE crn = 1),
+       probes AS (SELECT vec_id AS q_vec, cid AS cell FROM ranked
+                  WHERE vec_id < $NumQueryVecs AND crn <= $NProbe),
+       codes AS (SELECT vec_id, subspace, code FROM best WHERE rn = 1),
+       qs AS (SELECT vec_id AS q_vec, subspace, sv AS qv FROM subs
+              WHERE vec_id < $NumQueryVecs),
+       lut AS (SELECT q_vec, c.subspace, c.code,
+                 CAST(list_inner_product(qv, qv) - 2 * list_inner_product(qv, c.cv)
+                   + list_inner_product(c.cv, c.cv) AS DECIMAL(38,9)) AS d2q
+               FROM qs JOIN cw c ON qs.subspace = c.subspace),
+       cand AS (SELECT p.q_vec, co.vec_id, co.subspace, co.code
+                FROM probes p JOIN cells ce ON p.cell = ce.cell AND p.q_vec <> ce.vec_id
+                JOIN codes co ON co.vec_id = ce.vec_id),
+       adc AS (SELECT q_vec, vec_id, sum(d2q) AS adcq
+               FROM cand JOIN lut USING (q_vec, subspace, code)
+               GROUP BY 1, 2)"""
+
   val oracle: Map[String, String] = Map(
     "embed_pq" ->
       s"""WITH $duckPq
          SELECT vec_id, subspace, code, d2 AS err FROM best WHERE rn = 1""",
     "sim_ivfpq" ->
-      s"""WITH $duckPq,
-         en AS (SELECT vec_id, emb, sqrt(list_inner_product(emb, emb)) nrm FROM e),
-         cent AS (SELECT vec_id cid, emb cemb, nrm cnrm FROM en WHERE vec_id < $IvfK),
-         ranked AS (SELECT en.vec_id, cent.cid,
-             row_number() OVER (PARTITION BY en.vec_id
-               ORDER BY list_inner_product(en.emb, cent.cemb) / (en.nrm * cent.cnrm) DESC,
-                 cent.cid ASC) crn
-           FROM en CROSS JOIN cent),
-         cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE crn = 1),
-         probes AS (SELECT vec_id AS q_vec, cid AS cell FROM ranked
-                    WHERE vec_id < $NumQueryVecs AND crn <= $NProbe),
-         codes AS (SELECT vec_id, subspace, code FROM best WHERE rn = 1),
-         qs AS (SELECT vec_id AS q_vec, subspace, sv AS qv FROM subs
-                WHERE vec_id < $NumQueryVecs),
-         lut AS (SELECT q_vec, c.subspace, c.code,
-                   CAST(list_inner_product(qv, qv) - 2 * list_inner_product(qv, c.cv)
-                     + list_inner_product(c.cv, c.cv) AS DECIMAL(38,9)) AS d2q
-                 FROM qs JOIN cw c ON qs.subspace = c.subspace),
-         cand AS (SELECT p.q_vec, co.vec_id, co.subspace, co.code
-                  FROM probes p JOIN cells ce ON p.cell = ce.cell AND p.q_vec <> ce.vec_id
-                  JOIN codes co ON co.vec_id = ce.vec_id),
-         adc AS (SELECT q_vec, vec_id, sum(d2q) AS adcq
-                 FROM cand JOIN lut USING (q_vec, subspace, code)
-                 GROUP BY 1, 2)
+      s"""WITH $duckIvfPqAdc
          SELECT q_vec, vec_id, CAST(adcq AS DOUBLE) AS adc, rn FROM (
            SELECT q_vec, vec_id, adcq,
              row_number() OVER (PARTITION BY q_vec ORDER BY adcq ASC, vec_id ASC) rn
            FROM adc)
+         WHERE rn <= $TopK""",
+    "sim_ivfpq_rerank" ->
+      s"""WITH $duckIvfPqAdc,
+         short AS (SELECT q_vec, vec_id FROM (
+             SELECT q_vec, vec_id,
+               row_number() OVER (PARTITION BY q_vec ORDER BY adcq ASC, vec_id ASC) rn
+             FROM adc)
+           WHERE rn <= $RerankR)
+         SELECT q_vec, vec_id, cos, rn FROM (
+           SELECT s.q_vec, s.vec_id,
+             list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) AS cos,
+             row_number() OVER (PARTITION BY s.q_vec
+               ORDER BY list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) DESC,
+                 s.vec_id ASC) AS rn
+           FROM short s JOIN en qa ON qa.vec_id = s.q_vec
+           JOIN en qb ON qb.vec_id = s.vec_id)
          WHERE rn <= $TopK""",
     "sim_pq_topk" ->
       s"""WITH $duckPq,

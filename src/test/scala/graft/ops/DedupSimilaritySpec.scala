@@ -412,6 +412,42 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(a - wantAdc((q, v))) < 1e-8, s"adc($q,$v)=$a != ${wantAdc((q, v))}")
   }
 
+  test("sim_ivfpq_rerank: exact cosines, and recall dominates the ADC-only top-k") {
+    val got = Similarity.ivfPqRerank(spark, Sf0001)
+      .as[(Long, Long, Double, Long)].collect()
+    val perQ = got.groupBy(_._1)
+    assert(perQ.size == Similarity.NumQueryVecs)
+    for ((_, rows) <- perQ) {
+      assert(rows.map(_._4).sorted.toSeq == (1L to Similarity.TopK))
+      // rank order IS exact-cosine order (vec_id tiebreak)
+      val byRank = rows.sortBy(_._4).map(r => (-r._3, r._2)).toSeq
+      assert(byRank == byRank.sorted, "rerank ranks must follow cos desc, vec_id asc")
+    }
+    // emitted cosines are the TRUE float cosines, not ADC approximations
+    val e = graft.Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cos(a: Long, b: Long) =
+      dot(e(a), e(b)) / (math.sqrt(dot(e(a), e(a))) * math.sqrt(dot(e(b), e(b))))
+    for ((q, v, c, _) <- got)
+      assert(math.abs(c - cos(q, v)) < 1e-12, s"cos($q,$v)=$c != exact ${cos(q, v)}")
+    // the shortlist-superset guarantee: any true-top-k member the ADC
+    // shortlist retains MUST surface in the rerank top-k, so rerank
+    // recall >= ADC-only recall — the property the rerank tier exists for
+    val exact = perQ.keys.map { q =>
+      q -> e.keys.filter(_ != q).toSeq
+        .sortBy(v => (-cos(q, v), v)).take(Similarity.TopK).toSet
+    }.toMap
+    val adcHits = Similarity.ivfPq(spark, Sf0001)
+      .as[(Long, Long, Double, Long)].collect()
+      .count { case (q, v, _, _) => exact(q)(v) }
+    val rrHits = got.count { case (q, v, _, _) => exact(q)(v) }
+    val denom = (Similarity.NumQueryVecs * Similarity.TopK).toDouble
+    info(f"ivfpq-rerank recall ${rrHits / denom}%.3f vs adc-only ${adcHits / denom}%.3f")
+    assert(rrHits >= adcHits, s"rerank recall $rrHits < adc-only $adcHits")
+  }
+
   test("dedup_clusters_apply: survivors = corpus minus non-canonical cluster members") {
     val dropped = Dedup.clusters(spark, Sf0001)
       .filter(!col("is_canonical")).select("doc_id").as[Long].collect().toSet

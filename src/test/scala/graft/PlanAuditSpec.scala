@@ -70,7 +70,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // every approximate-dedup strategy must bound the pair space with an
     // equi-join; a BroadcastNestedLoop/CartesianProduct here is the
     // all-pairs scale-killer this audit exists to catch
-    for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash", "dedup_embedding", "sim_ann_lsh")) {
+    for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash", "dedup_embedding",
+                  "sim_ann_lsh", "sim_ivfpq_rerank")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BroadcastNestedLoopJoin:\n$p")

@@ -1203,7 +1203,49 @@ object Curation {
         (col("cum") <= TokenBudget).as("selected"))
   }
 
+  /** Documents per shard for [[shuffleShards]] — sized so the fixture
+    * produces several full shards plus a ragged tail (boundary math is
+    * exercised at every SF).
+    */
+  val ShardSize = 64L
+
+  /** Deterministic corpus shuffle + fixed-size shard manifest — the
+    * export step between curation and training: documents are permuted
+    * by a seeded content-independent hash (reproducible, and
+    * uncorrelated with ingest order, so every shard is an unbiased
+    * sample — the property distributed data loaders rely on), then cut
+    * into [[ShardSize]]-document shards. Emits each document's global
+    * shuffle position, shard id, and in-shard offset — the manifest a
+    * WebDataset-style shard writer consumes verbatim.
+    *
+    * Scale shape: the global ordered rank is [[Stats.rangeCum]]'s
+    * range-partitioned sweep on the (hash, doc_id) key — no
+    * single-partition window over the corpus; shard boundaries are pure
+    * arithmetic on the rank. Determinism: the md5-backed
+    * [[TextHash.hash60]] with the doc_id tiebreak is a total order
+    * written identically in both engines.
+    */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        TextHash.hash60(concat(col("doc_id").cast("string"), lit(":shard"))).as("shuffle_key"))
+      .withColumn("sk", struct(col("shuffle_key").as("h"), col("doc_id").as("id")))
+      .withColumn("one", lit(1L))
+    Stats.rangeCum(d, Seq(), "sk", "one", needTot = false)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("shuffle_key"),
+        col("cum").as("shuffle_pos"),
+        expr(s"(cum - 1) div $ShardSize").as("shard_id"),
+        expr(s"(cum - 1) % $ShardSize").as("pos_in_shard"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "corpus_shards"       -> (shuffleShards _),
     "curate_token_budget" -> (tokenBudget _),
     "curate_curriculum" -> (curriculum _),
     "curate_dp_release"  -> (dpRelease _),
@@ -1273,6 +1315,21 @@ object Curation {
          FROM a)"""
 
   val oracle: Map[String, String] = Map(
+    "corpus_shards" -> {
+      val h = graft.functions.TextHash.duckHash60Of(
+        "CAST(doc_id AS VARCHAR) || ':shard'")
+      s"""WITH k AS (
+           SELECT doc_id, n_chars, $h AS shuffle_key FROM documents),
+         r AS (
+           SELECT doc_id, n_chars, shuffle_key,
+             CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+               AS shuffle_pos
+           FROM k)
+         SELECT doc_id, n_chars, shuffle_key, shuffle_pos,
+           (shuffle_pos - 1) // $ShardSize AS shard_id,
+           (shuffle_pos - 1) % $ShardSize AS pos_in_shard
+         FROM r"""
+    },
     "curate_token_budget" ->
       s"""WITH q AS (
            SELECT doc_id, count(*) AS n_tokens,

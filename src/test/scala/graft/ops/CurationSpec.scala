@@ -285,6 +285,36 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(dense == sparse)
   }
 
+  test("corpus_shards: hash order is a bijective permutation cut into full shards") {
+    val out = Curation.shuffleShards(spark, Sf0001)
+      .select("doc_id", "shuffle_key", "shuffle_pos", "shard_id", "pos_in_shard")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val n = out.length
+    assert(n > 0)
+    // positions are exactly 1..N — a permutation, no gaps or dupes
+    assert(out.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    // position order IS (hash, doc_id) order
+    val byPos = out.sortBy(_._3).map(r => (r._2, r._1)).toSeq
+    assert(byPos == byPos.sorted, "shuffle_pos must follow (shuffle_key, doc_id) order")
+    // shard arithmetic: derived exactly from the position
+    for ((_, _, pos, sid, off) <- out) {
+      assert(sid == (pos - 1) / Curation.ShardSize)
+      assert(off == (pos - 1) % Curation.ShardSize)
+    }
+    // every shard but the last is full; the permutation fills in order
+    val sizes = out.groupBy(_._4).view.mapValues(_.length).toMap
+    val last  = sizes.keys.max
+    for ((sid, c) <- sizes if sid != last)
+      assert(c == Curation.ShardSize, s"shard $sid has $c docs")
+    // the shuffle must actually permute: hash order != doc_id order
+    assert(out.sortBy(_._3).map(_._1).toSeq != out.map(_._1).sorted.toSeq)
+    // partition-layout independence of the range-partitioned rank
+    val again = Curation.shuffleShards(spark, Sf0001)
+      .select("doc_id", "shuffle_key", "shuffle_pos", "shard_id", "pos_in_shard")
+      .repartition(7).as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("curate_token_budget: greedy quality prefix, exact running totals, budget exercised") {
     val out = Curation.tokenBudget(spark, Sf0001)
       .as[(Long, Double, Long, Long, Boolean)].collect()

@@ -155,32 +155,75 @@ object Similarity {
     * brute-force baseline is asserted in the test suite.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val e   = withNorm(Tables.embeddings(s, dir))
-    // derived geometry, same discipline as dedup_embedding: per-query
-    // candidate volume is tables · n/2^planes, so planes must track n to
-    // keep it constant; [[AnnTargetBucket]] = 8 reproduces the original
-    // 6-plane fixture geometry at the 500-vector gate
-    val sig = signatures(s, dir, NumTables,
-      planesFor(Tables.embeddingsCount(s, dir), AnnTargetBucket))
-    val cands = sig
-      .filter(col("vec_id") < NumQueryVecs)
-      .select(col("vec_id").as("va"), col("tbl"), col("bucket"))
-      .join(sig.select(col("vec_id").as("vb"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
-      .filter(col("va") =!= col("vb"))
-      .select("va", "vb")
-      .distinct()
+    val e = withNorm(Tables.embeddings(s, dir))
     val q = e
       .filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("va"), col("embedding").as("ea"), col("norm").as("na"))
     val c = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"))
     val w = Window.partitionBy("va").orderBy(desc("cos"), asc("vb"))
-    cands
+    lshCandidates(s, dir)
       .join(broadcast(q), "va")
       .join(c, "vb")
       .withColumn("cos", cosine(s, col("ea"), col("eb"), col("na"), col("nb")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TopK)
       .select("va", "vb", "cos", "rn")
+  }
+
+  /** LSH-bucketed (query, candidate) pairs shared by [[annLsh]] and
+    * [[hardNegatives]]: union over hash tables of same-bucket pairs,
+    * de-duplicated. Derived geometry, same discipline as
+    * dedup_embedding: per-query candidate volume is tables · n/2^planes,
+    * so planes must track n to keep it constant; [[AnnTargetBucket]] = 8
+    * reproduces the original 6-plane fixture geometry at the 500-vector
+    * gate.
+    */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir, NumTables,
+      planesFor(Tables.embeddingsCount(s, dir), AnnTargetBucket))
+    sig
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("va"), col("tbl"), col("bucket"))
+      .join(sig.select(col("vec_id").as("vb"), col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .filter(col("va") =!= col("vb"))
+      .select("va", "vb")
+      .distinct()
+  }
+
+  /** Hard-negative mining for contrastive training — each query
+    * vector's top-k most-similar vectors with a DIFFERENT label: the
+    * negatives nearest the decision boundary, which embedding-model
+    * fine-tuning samples preferentially (the "hard" in hard negatives;
+    * in-batch randoms are too easy to carry gradient signal). Same-label
+    * rows (positives) and the query itself are excluded BEFORE ranking,
+    * so `rn` is the rank among negatives — k hard negatives per query
+    * even when the nearest neighbors are all positives.
+    *
+    * Scale shape: identical to [[annLsh]] — the shared LSH-bucketed
+    * candidate join bounds the pair space, the label filter rides the
+    * candidate stream (a column compare, no extra shuffle beyond the
+    * two id-equi-joins), and the per-query top-k is a WindowGroupLimit.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    // label rides the norm projection — one scan, no self-join
+    val e = Tables.embeddings(s, dir).select(
+      col("vec_id"), col("embedding"), col("label"),
+      sqrt(VectorFunctions.dotF(s, col("embedding"), col("embedding"))).as("norm"))
+    val q = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("norm").as("na"), col("label").as("label_q"))
+    val c = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("norm").as("nb"), col("label").as("label_n"))
+    val w = Window.partitionBy("va").orderBy(desc("cos"), asc("vb"))
+    lshCandidates(s, dir)
+      .join(broadcast(q), "va")
+      .join(c, "vb")
+      .filter(col("label_q") =!= col("label_n"))
+      .withColumn("cos", cosine(s, col("ea"), col("eb"), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select("va", "label_q", "vb", "label_n", "cos", "rn")
   }
 
   /** IVF geometry: coarse centroids (the first `IvfK` vectors, the same
@@ -544,6 +587,7 @@ object Similarity {
     "embed_pq"       -> (pq _),
     "sim_topk"       -> (topkBrute _),
     "sim_ann_lsh"    -> (annLsh _),
+    "sim_hard_negatives" -> (hardNegatives _),
     "sim_ivf"        -> (ivf _),
     "embed_quantize" -> (quantize _)
   )
@@ -713,6 +757,22 @@ object Similarity {
              row_number() OVER (PARTITION BY va
                ORDER BY list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) DESC, vb ASC) AS rn
            FROM cand JOIN e qa ON qa.vec_id = va JOIN e qb ON qb.vec_id = vb)
+         WHERE rn <= $TopK""",
+    "sim_hard_negatives" ->
+      s"""WITH $duckNorm,
+         ${duckSigDynamic(NumTables, AnnTargetBucket)},
+         cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
+                  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                  WHERE a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id),
+         lab AS (SELECT vec_id, label FROM embeddings)
+         SELECT va, label_q, vb, label_n, cos, rn FROM (
+           SELECT va, la.label AS label_q, vb, lb.label AS label_n,
+             list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) AS cos,
+             row_number() OVER (PARTITION BY va
+               ORDER BY list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) DESC, vb ASC) AS rn
+           FROM cand JOIN e qa ON qa.vec_id = va JOIN e qb ON qb.vec_id = vb
+           JOIN lab la ON la.vec_id = va JOIN lab lb ON lb.vec_id = vb
+           WHERE la.label <> lb.label)
          WHERE rn <= $TopK""",
     "sim_ivf" ->
       s"""WITH $duckNorm,

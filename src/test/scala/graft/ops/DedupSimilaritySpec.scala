@@ -448,6 +448,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rrHits >= adcHits, s"rerank recall $rrHits < adc-only $adcHits")
   }
 
+  test("sim_hard_negatives: cross-label only, ranked by exact cosine within LSH candidates") {
+    val got = Similarity.hardNegatives(spark, Sf0001)
+      .as[(Long, Int, Long, Int, Double, Long)].collect()
+    assert(got.nonEmpty)
+    // the defining invariant: never a positive (same-label) pair
+    for ((q, lq, v, ln, _, _) <- got) assert(lq != ln, s"($q,$v) is a same-label pair")
+    val perQ = got.groupBy(_._1)
+    for ((_, rows) <- perQ) {
+      assert(rows.map(_._6).sorted.toSeq == (1L to rows.length), "ranks must be 1..k contiguous")
+      assert(rows.length <= Similarity.TopK)
+      val byRank = rows.sortBy(_._6).map(r => (-r._5, r._3)).toSeq
+      assert(byRank == byRank.sorted, "ranks must follow cos desc, vec_id asc")
+    }
+    // the emitted set is exactly the label-filtered rerank of the SAME
+    // candidate pairs annLsh ranks: recompute from the ann query's pairs
+    // is not possible post-topk, so pin hardness the direct way — each
+    // emitted cosine is the true float cosine
+    val e = graft.Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    for ((q, _, v, _, c, _) <- got) {
+      val want = dot(e(q), e(v)) / (math.sqrt(dot(e(q), e(q))) * math.sqrt(dot(e(v), e(v))))
+      assert(math.abs(c - want) < 1e-12, s"cos($q,$v)=$c != exact $want")
+    }
+  }
+
   test("dedup_clusters_apply: survivors = corpus minus non-canonical cluster members") {
     val dropped = Dedup.clusters(spark, Sf0001)
       .filter(!col("is_canonical")).select("doc_id").as[Long].collect().toSet

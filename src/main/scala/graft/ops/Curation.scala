@@ -223,6 +223,83 @@ object Curation {
           .as("jaccard"))
   }
 
+  /** KMV sketch size for [[kmvOverlap]] — small enough that the fixture
+    * sources' trigram vocabularies exceed it (the estimator path is
+    * exercised, not the degenerate exact path).
+    */
+  val KmvK = 128
+
+  /** KMV-sketched cross-source overlap — the bounded-state twin of
+    * [[sourceOverlap]]: each source is summarized by its k MINIMUM
+    * distinct-trigram hash values (a KMV / bottom-k sketch, Bar-Yossef
+    * et al. 2002), and pairwise Jaccard is estimated from sketches
+    * alone as |U ∩ S_a ∩ S_b| / |U|, where U is the k smallest of
+    * S_a ∪ S_b. Exact [[sourceOverlap]] shuffles the full per-source
+    * shingle vocabulary; this shuffles it ONCE to build k-row sketches
+    * and then never touches the corpus again — the shape that lets a
+    * 1000-source overlap matrix refresh in seconds at 100 TB, at the
+    * cost of ±O(1/√k) error (measured against the exact matrix in the
+    * spec).
+    *
+    * Scale shape: the sketch build is one distinct + per-source top-k
+    * (`row_number ≤ k` compiles to WindowGroupLimit: per-partition
+    * group limits run BEFORE the shuffle, so no source's full
+    * vocabulary is ever sorted in one task). Everything downstream —
+    * the pair grid, the per-pair union top-k, the membership joins —
+    * operates on source_count·k rows, bounded by the source count,
+    * never the corpus. The pair grid is an explicit tiny cross join
+    * (sources × sources), the same source-count-bounded expansion
+    * [[sourceOverlap]] reaches through its per-shingle source sets.
+    *
+    * Determinism: md5-backed hashes are fixed; every top-k orders by
+    * the hash value itself (distinct within a source and within a pair
+    * union, so the order is total).
+    */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = withToks(s, dir)
+      .select(col("source"), explode(TextHash.shingles(col("toks"), 3)).as("shs"))
+      .select(col("source"), TextHash.hash60(col("shs")).as("sh"))
+      .distinct()
+    val wSrc = Window.partitionBy("source").orderBy("sh")
+    // the k-row-per-source sketch: the ONLY corpus-sized computation
+    val sk = sh
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= KmvK)
+      .select("source", "sh")
+      .transform(Ckpt.apply)
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val u = pairs
+      .join(sk.select(col("source").as("source_a"), col("sh")), "source_a")
+      .select("source_a", "source_b", "sh")
+      .union(pairs
+        .join(sk.select(col("source").as("source_b"), col("sh")), "source_b")
+        .select("source_a", "source_b", "sh"))
+      .distinct()
+    val wPair = Window.partitionBy("source_a", "source_b").orderBy("sh")
+    val topu = u
+      .withColumn("rn", row_number().over(wPair))
+      .filter(col("rn") <= KmvK)
+      .select("source_a", "source_b", "sh")
+    topu
+      .join(sk.select(col("source").as("source_a"), col("sh"), lit(1).as("ia")),
+        Seq("source_a", "sh"), "left")
+      .join(sk.select(col("source").as("source_b"), col("sh"), lit(1).as("ib")),
+        Seq("source_b", "sh"), "left")
+      .groupBy("source_a", "source_b")
+      .agg(
+        count(lit(1)).as("k_union"),
+        count(when(col("ia").isNotNull && col("ib").isNotNull, 1)).as("n_both"))
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("k_union"),
+        col("n_both"),
+        (col("n_both").cast("double") / col("k_union")).as("est_jaccard"))
+  }
+
   // ------------------------------------------------------------------- dsir
 
   /** DSIR feature space: hashed-bigram bucket count and the target slice
@@ -1270,6 +1347,7 @@ object Curation {
     "corpus_mixture"     -> (mixture _),
     "embed_kmeans_iter"  -> (kmeansIter _),
     "source_overlap"     -> (sourceOverlap _),
+    "source_overlap_kmv" -> (kmvOverlap _),
     "curate_dsir"        -> (dsir _)
   )
 
@@ -1621,6 +1699,37 @@ object Curation {
          JOIN sizes sa ON sa.source = a.source
          JOIN sizes sb ON sb.source = b.source
          GROUP BY 1, 2, 3, 4""",
+    "source_overlap_kmv" ->
+      s"""WITH toks AS ($duckToksList),
+         sh AS (SELECT DISTINCT source, ${TextHash.duckHash60Of("g")} sh
+                FROM (SELECT source, ${duckNgrams(3)} g FROM toks)),
+         sk AS (SELECT source, sh FROM (
+             SELECT source, sh, row_number() OVER (PARTITION BY source ORDER BY sh) rn
+             FROM sh)
+           WHERE rn <= $KmvK),
+         srcs AS (SELECT DISTINCT source FROM sk),
+         pairs AS (SELECT a.source source_a, b.source source_b
+                   FROM srcs a, srcs b WHERE a.source < b.source),
+         u AS (SELECT DISTINCT source_a, source_b, sh FROM (
+             SELECT p.source_a, p.source_b, s.sh
+             FROM pairs p JOIN sk s ON s.source = p.source_a
+             UNION ALL
+             SELECT p.source_a, p.source_b, s.sh
+             FROM pairs p JOIN sk s ON s.source = p.source_b)),
+         topu AS (SELECT source_a, source_b, sh FROM (
+             SELECT source_a, source_b, sh,
+               row_number() OVER (PARTITION BY source_a, source_b ORDER BY sh) rn
+             FROM u)
+           WHERE rn <= $KmvK)
+         SELECT t.source_a, t.source_b,
+           count(*) AS k_union,
+           count(*) FILTER (WHERE ia.sh IS NOT NULL AND ib.sh IS NOT NULL) AS n_both,
+           CAST(count(*) FILTER (WHERE ia.sh IS NOT NULL AND ib.sh IS NOT NULL) AS DOUBLE)
+             / count(*) AS est_jaccard
+         FROM topu t
+         LEFT JOIN sk ia ON ia.source = t.source_a AND ia.sh = t.sh
+         LEFT JOIN sk ib ON ib.source = t.source_b AND ib.sh = t.sh
+         GROUP BY 1, 2""",
     "curate_dsir" ->
       s"""WITH toks AS (SELECT doc_id, lang,
              list_filter(regexp_split_to_array(text, '${Tokenize.WordPattern}'), x -> x <> '') l

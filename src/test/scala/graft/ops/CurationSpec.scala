@@ -285,6 +285,32 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(dense == sparse)
   }
 
+  test("source_overlap_kmv: bounded-state estimate tracks the exact Jaccard matrix") {
+    val est = Curation.kmvOverlap(spark, Sf0001)
+      .select("source_a", "source_b", "k_union", "n_both", "est_jaccard")
+      .as[(String, String, Long, Long, Double)].collect()
+    val exact = Curation.sourceOverlap(spark, Sf0001)
+      .select("source_a", "source_b", "jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // every exact pair has a sketched row and vice versa
+    assert(est.map(r => (r._1, r._2)).toSet == exact.keySet)
+    // the estimator path must be exercised: vocabularies exceed k, so the
+    // union top-k saturates at exactly k
+    assert(est.forall(_._3 == Curation.KmvK),
+      s"expected saturated k_union=${Curation.KmvK}, got ${est.map(_._3).distinct.toSeq}")
+    // KMV error is O(1/sqrt(k)) ~ 0.09 at k=128; allow 3 sigma-ish slack
+    for ((a, b, _, _, e) <- est) {
+      val x = exact((a, b))
+      assert(math.abs(e - x) <= 0.15, f"pair ($a,$b): est $e%.3f vs exact $x%.3f")
+    }
+    // and on aggregate the estimate is genuinely informative, not noise:
+    // mean absolute error well under half the error bound
+    val mae = est.map { case (a, b, _, _, e) => math.abs(e - exact((a, b))) }.sum / est.length
+    info(f"kmv mean |est - exact| = $mae%.4f over ${est.length} pairs")
+    assert(mae <= 0.05, f"mean absolute error $mae%.4f too high")
+  }
+
   test("corpus_shards: hash order is a bijective permutation cut into full shards") {
     val out = Curation.shuffleShards(spark, Sf0001)
       .select("doc_id", "shuffle_key", "shuffle_pos", "shard_id", "pos_in_shard")

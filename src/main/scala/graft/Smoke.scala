@@ -34,7 +34,11 @@ object Smoke {
     "corpus_mixture", "text_ppl_buckets", "curate_dsir", "graph_pagerank",
     "text_bm25", "stats_chi2", "orders_rfm", "orders_abc", "orders_basket",
     "curate_curriculum", "events_ewma", "text_bpe_train", "stats_kendall",
-    "stats_mutual_info")
+    "stats_mutual_info",
+    // source_overlap_kmv: the sources×sources pair grid — both sides are
+    // k-row-sketch source lists, bounded by the source count, never the
+    // corpus (the sketch build above it is equi-shuffled)
+    "source_overlap_kmv")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

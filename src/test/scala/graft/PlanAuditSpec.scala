@@ -78,6 +78,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("round-8 top-k queries push the group limit below the shuffle") {
+    // sketch build (per-source bottom-k), pair-union top-k, and the
+    // hard-negative per-query top-k must all compile to partial+final
+    // WindowGroupLimit (or the GroupedTopK physical op) — a plain
+    // WindowExec here sorts a source's/query's full candidate set in one
+    // task, the single-task-sort scale-killer
+    for (q <- Seq("source_overlap_kmv", "sim_hard_negatives")) {
+      val p = plan(q)
+      assert(p.contains("GroupedTopK") || p.contains("WindowGroupLimit"),
+        s"$q has no pushed group limit:\n$p")
+    }
+    // corpus_shards' global rank must be the range-partitioned sweep,
+    // never a single-partition window over the corpus
+    val ps = plan("corpus_shards")
+    assert(ps.contains("Exchange rangepartitioning"), ps)
+  }
+
   test("text_top_bigrams tokenizes each document exactly once") {
     // the round-2 12.4s pathology: the regex split inlined into the
     // shingle lambda re-tokenized the doc per element_at. The fix keeps
@@ -204,7 +221,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // convolution); stats_kendall's hb>ha band join has ≤24-row hourly
     // aggregates on both sides; stats_mutual_info's cells/marginals/
     // totals are category- or grid-bounded (the stats_chi2 shape);
-    // orders_rfm's quintile cuts are 1-row boundary aggregates; the rest
+    // orders_rfm's quintile cuts are 1-row boundary aggregates;
+    // source_overlap_kmv's pair grid crosses two source-count-bounded
+    // k-row sketch lists; the rest
     // are 1-row scalar broadcasts or the cross-join operator itself.
     // The set lives in Smoke.NestedLoopAllowed so the pre-commit smoke
     // gate and this sweep can never drift apart.

@@ -272,15 +272,118 @@ object Sketches {
   def quantilesEvents(s: SparkSession, dir: String): DataFrame =
     quantilesBracketed(Tables.events(s, dir).select(col("event_type"), col("value")))
 
+  // ------------------------------------------------------------------ HLL
+  /** HyperLogLog geometry: 2^[[HllP]] registers; the rank lives in the
+    * low [[HllRankBits]] bits of the 60-bit hash.
+    */
+  val HllP        = 9
+  val HllM        = 1 << HllP // 512 registers
+  val HllRankBits = 60 - HllP // 51
+  val HllAlpha    = 0.7213 / (1.0 + 1.079 / HllM)
+
+  /** Oracle-checkable HyperLogLog (Flajolet et al. 2007): distinct
+    * user_id per event_type, estimated from 2^[[HllP]] one-byte
+    * registers. Every step is deterministic integer/IEEE arithmetic with
+    * a bit-equal DuckDB twin — md5-backed hash, top-bits bucket, rank
+    * from the LENGTH OF `bin(w)` (never a floating log2, which could
+    * diverge at power-of-two boundaries), and the harmonic-mean
+    * denominator carried as the EXACT integer Σ 2^(52−M_j) (scaled by
+    * 2^52; ≤ 512·2^52 = 2^61, inside int64) — so unlike
+    * `Relational.approxStats`'s engine-internal HLL++, the sketch itself
+    * sits in the DuckDB oracle gate. Linear counting takes over below
+    * 2.5·m when empty registers remain (the standard small-range
+    * correction); the 60-bit large-range correction can never trigger at
+    * int64 cardinalities and is omitted.
+    *
+    * Scale shape: the register build is ONE partial-aggregated shuffle
+    * onto (event_type, bucket) — at most types × 512 rows of state, and
+    * `max` is duplicate-insensitive, so no distinct pass touches the
+    * corpus. The exact count rides along as the audit column (its own
+    * distinct shuffle — the cost the sketch exists to avoid; production
+    * drops it and keeps the constant-state path).
+    */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val h  = graft.functions.TextHash.hash60(col("user_id").cast("string"))
+    val ranks = ev
+      .select(col("event_type"), h.as("h"))
+      .select(
+        col("event_type"),
+        expr(s"h div ${1L << HllRankBits}").as("bucket"),
+        expr(s"h % ${1L << HllRankBits}").as("w"))
+      .select(
+        col("event_type"),
+        col("bucket"),
+        when(col("w") === 0, lit(HllRankBits + 1))
+          .otherwise(lit(HllRankBits + 1) - length(bin(col("w")))).as("rank"))
+    val regs = ranks.groupBy("event_type", "bucket").agg(max("rank").as("mj"))
+    val perType = regs
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("observed"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllRankBits + 1} - mj)")).as("sum_obs"))
+    val vZero  = lit(HllM.toLong) - col("observed")
+    val sumInt = col("sum_obs") + vZero * lit(1L << (HllRankBits + 1))
+    val raw = lit(HllAlpha) * lit(HllM.toDouble * HllM) *
+      lit(math.pow(2.0, HllRankBits + 1)) / sumInt.cast("double")
+    val est = when(raw <= lit(2.5 * HllM) && vZero > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / vZero.cast("double")))
+      .otherwise(raw)
+    val exact = ev.distinct().groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    perType
+      .select(
+        col("event_type"),
+        vZero.as("v_zero"),
+        est.cast("decimal(38,6)").cast("double").as("est_hll"))
+      .join(broadcast(exact), "event_type")
+      .select("event_type", "n_exact", "v_zero", "est_hll")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_heavy_hitters" -> (heavyHittersExact _),
-    "sketch_quantiles"     -> (quantilesEvents _)
+    "sketch_quantiles"     -> (quantilesEvents _),
+    "sketch_hll_distinct"  -> (hllDistinct _)
   )
 
   private val tok =
     "SELECT t AS token FROM (SELECT unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS t FROM documents) WHERE t <> ''"
 
   val oracle: Map[String, String] = Map(
+    // the SAME register pipeline in SQL: integer bucket/rank extraction
+    // (length(bin(w)), no floating log), exact integer register sum, the
+    // identical IEEE estimator chain (a*b*c/d associates left in both
+    // engines), DECIMAL(38,6) final rounding
+    "sketch_hll_distinct" -> {
+      val h = graft.functions.TextHash.duckHash60Of("CAST(user_id AS VARCHAR)")
+      s"""WITH b AS (SELECT event_type, $h AS h FROM events),
+         r AS (SELECT event_type, h // ${1L << HllRankBits} AS bucket,
+                 h % ${1L << HllRankBits} AS w FROM b),
+         rk AS (SELECT event_type, bucket,
+             CASE WHEN w = 0 THEN ${HllRankBits + 1}
+                  ELSE ${HllRankBits + 1} - length(bin(w)) END AS rank
+           FROM r),
+         regs AS (SELECT event_type, bucket, max(rank) AS mj FROM rk GROUP BY 1, 2),
+         agg AS (SELECT event_type, count(*) AS observed,
+             sum(1::BIGINT << (${HllRankBits + 1} - mj)) AS sum_obs
+           FROM regs GROUP BY 1),
+         est AS (SELECT event_type,
+             $HllM - observed AS v_zero,
+             CAST(sum_obs + ($HllM - observed) * (1::BIGINT << ${HllRankBits + 1})
+               AS DOUBLE) AS sum_d
+           FROM agg),
+         fin AS (SELECT event_type, v_zero,
+             CAST($HllAlpha AS DOUBLE) * CAST(${HllM.toDouble * HllM} AS DOUBLE) *
+               CAST(1::BIGINT << ${HllRankBits + 1} AS DOUBLE) / sum_d AS raw
+           FROM est),
+         x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+               FROM events GROUP BY 1)
+         SELECT f.event_type, x.n_exact, CAST(f.v_zero AS BIGINT) AS v_zero,
+           CAST(CAST(CASE WHEN raw <= CAST(${2.5 * HllM} AS DOUBLE) AND v_zero > 0
+                          THEN CAST(${HllM.toDouble} AS DOUBLE) *
+                               ln(CAST(${HllM.toDouble} AS DOUBLE) / v_zero)
+                          ELSE raw END AS DECIMAL(38,6)) AS DOUBLE) AS est_hll
+         FROM fin f JOIN x ON x.event_type = f.event_type"""
+    },
     "sketch_heavy_hitters" ->
       s"""SELECT token, cnt FROM (
             SELECT token, count(*) AS cnt FROM ($tok) GROUP BY 1)

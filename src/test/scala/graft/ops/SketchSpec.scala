@@ -114,6 +114,25 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sketch_hll_distinct: estimate within the HLL error envelope, layout-independent") {
+    val out = Sketches.hllDistinct(spark, Sf0001)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // 1.04/sqrt(512) ~ 4.6% standard error; allow ~3 sigma (linear
+    // counting, active when empty registers remain at low cardinality,
+    // is tighter still)
+    for ((t, exact, vZero, est) <- out) {
+      assert(vZero >= 0 && vZero <= Sketches.HllM)
+      val rel = math.abs(est - exact) / exact.toDouble
+      assert(rel <= 0.15, f"$t: est $est%.1f vs exact $exact (rel err $rel%.3f)")
+    }
+    info(out.map { case (t, e, _, h) => f"$t: exact $e est $h%.1f" }.mkString("; "))
+    // register build is duplicate-insensitive and partitioning-independent
+    val again = Sketches.hllDistinct(spark, Sf0001)
+      .repartition(7).as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(again.toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("sketch_quantiles: bracket covers the target rank on an adversarial duplicate-heavy column") {
     import org.apache.spark.sql.functions._
     // 90% of mass on one value (the p50/p90 answer IS the hot value, and

@@ -20,6 +20,12 @@ case class FunnelStage(user_id: Long, stage: Int)
 /** An event type's cumulative online-anomaly tally. */
 case class AnomalyCount(event_type: String, n_seen: Long, n_flagged: Long)
 
+/** An event type's running HLL distinct-user estimate. */
+case class HllEstimate(event_type: String, n_seen: Long, v_zero: Long, est_hll: Double)
+
+/** Per-type HLL register array (the mergeable sketch state). */
+private case class HllRegs(nSeen: Long, regs: Array[Byte])
+
 /** Running prefix moments per event type: count, scale-6 unscaled Σv and
   * Σv², flags so far, and the latest event time (order enforcement).
   */
@@ -255,6 +261,63 @@ object EventStream extends Serializable {
       }
       state.update(s)
       AnomalyCount(tpe, s.n, s.nFlagged)
+    }
+
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming HyperLogLog — the mergeable-register property that makes
+    * the batch sketch (`graft.ops.Sketches.hllDistinct`) a streaming
+    * operator for free: state per event type is the 512-byte register
+    * array, updated by pointwise max, so duplicate users across
+    * micro-batches can never inflate it and delivery order is
+    * irrelevant (max is a commutative idempotent monoid). The estimator
+    * replays the batch side's arithmetic step for step — rank from the
+    * leading-zero count (the JVM twin of `length(bin(w))`), the exact
+    * integer harmonic sum scaled by 2^52, the same IEEE multiply/divide
+    * chain, the same decimal(38,6) rounding — so once the stream drains,
+    * the estimate equals the batch query BIT-FOR-BIT (spec-pinned).
+    * Emits each type's running estimate after every micro-batch; state
+    * is 512 bytes per type regardless of stream length.
+    */
+  def hllUsers(events: Dataset[Event]): Dataset[HllEstimate] = {
+    import events.sparkSession.implicits._
+    import graft.ops.Sketches.{HllAlpha, HllM, HllRankBits}
+
+    def fn(tpe: String, batch: Iterator[Event], state: GroupState[HllRegs]): HllEstimate = {
+      val st   = state.getOption.getOrElse(HllRegs(0L, new Array[Byte](HllM)))
+      val regs = st.regs.clone()
+      var n    = st.nSeen
+      batch.foreach { e =>
+        n += 1
+        val h      = graft.functions.TextHash.hash60Jvm(e.user_id.toString)
+        val bucket = (h >>> HllRankBits).toInt
+        val w      = h & ((1L << HllRankBits) - 1)
+        val rank =
+          if (w == 0) HllRankBits + 1
+          else HllRankBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rank > regs(bucket)) regs(bucket) = rank.toByte
+      }
+      state.update(HllRegs(n, regs))
+      var observed = 0
+      var sumInt   = 0L
+      var i        = 0
+      while (i < HllM) {
+        if (regs(i) > 0) observed += 1
+        sumInt += 1L << (HllRankBits + 1 - regs(i))
+        i += 1
+      }
+      val vZero = (HllM - observed).toLong
+      val raw = HllAlpha * (HllM.toDouble * HllM) *
+        math.pow(2.0, HllRankBits + 1) / sumInt.toDouble
+      val est =
+        if (raw <= 2.5 * HllM && vZero > 0) HllM.toDouble * math.log(HllM.toDouble / vZero)
+        else raw
+      val est6 = java.math.BigDecimal.valueOf(est)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      HllEstimate(tpe, n, vZero, est6)
     }
 
     events

@@ -418,6 +418,39 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_._3 > 0), "fixture should produce at least one prefix anomaly")
   }
 
+  test("streaming HLL registers converge to the batch sketch bit-for-bit, any delivery order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // adversarial delivery: shuffled deterministically (hash order) and
+    // split so every batch re-delivers users already registered — the
+    // pointwise-max register update must be idempotent across batches
+    val shuffled = all.sortBy(e => (e.user_id * 2654435761L) ^ e.event_id)
+    val third    = shuffled.length / 3
+    val stream   = MemoryStream[Event]
+    val q = EventStream.hllUsers(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("hll_out").outputMode("update").start()
+    try {
+      stream.addData(shuffled.take(third).toSeq)
+      q.processAllAvailable()
+      stream.addData(shuffled.slice(third, 2 * third).toSeq)
+      q.processAllAvailable()
+      stream.addData(shuffled.drop(2 * third).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hll_out")
+      .groupBy("event_type")
+      .agg(max(struct(col("n_seen"), col("v_zero"), col("est_hll"))).as("m"))
+      .select(col("event_type"), col("m.v_zero"), col("m.est_hll"))
+      .as[(String, Long, Double)].collect().toSet
+    val want = graft.ops.Sketches.hllDistinct(spark, Sf0001)
+      .select("event_type", "v_zero", "est_hll")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == want, s"streaming HLL $got != batch sketch $want")
+  }
+
   test("stateful sessionization converges to the batch gaps-and-islands answer") {
     val src = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")

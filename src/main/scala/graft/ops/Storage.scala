@@ -257,6 +257,25 @@ object Storage {
     corpusSummary(graft.sources.CsvSources.readCsv(s, out, docs.schema))
   }
 
+  /** ORC twin of [[jsonlRoundtrip]]/[[csvRoundtrip]] — the OTHER
+    * columnar container Spark ships natively (the interchange format a
+    * Hive/Trino-era warehouse hands a training pipeline): write the
+    * documents table as ORC, read it back under the explicit schema,
+    * emit the same integrity summary. Unlike the text sinks there is no
+    * escaping layer to prove out — what this pins is the binary
+    * columnar path itself (dictionary/RLE encodings, stripe framing)
+    * round-tripping corpus text losslessly, plus the same
+    * applicationId-keyed scratch discipline.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-orc-${tag(dir)}-${s.sparkContext.applicationId}").toString
+    docs.write.mode("overwrite").orc(out)
+    corpusSummary(s.read.schema(docs.schema).orc(out))
+  }
+
   /** The per-(lang, source) integrity summary shared by the batch
     * round-trip and its streaming-ingestion twin
     * ([[graft.streaming.CorpusStream.ingestProfile]]): counts, char
@@ -278,7 +297,8 @@ object Storage {
     "bucket_join" -> (bucketJoin _),
     "part_prune"  -> (partPrune _),
     "corpus_jsonl" -> (jsonlRoundtrip _),
-    "corpus_csv"   -> (csvRoundtrip _)
+    "corpus_csv"   -> (csvRoundtrip _),
+    "corpus_orc"   -> (orcRoundtrip _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -305,6 +325,15 @@ object Storage {
     // the Spark side (which reads its own escaped-CSV rewrite) proves the
     // CSV round trip lossless
     "corpus_csv" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         sum(CAST(${graft.functions.TextHash.duckHash60Of(
+           "CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text, '')")}
+           AS DECIMAL(38,0))) AS content_sig
+         FROM documents GROUP BY 1, 2""",
+    // same original-parquet oracle: equality proves the ORC columnar
+    // round trip lossless
+    "corpus_orc" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          sum(CAST(${graft.functions.TextHash.duckHash60Of(

@@ -191,6 +191,14 @@ class StorageSpec extends AnyFunSuite with SparkTestBase {
       s"bloom layout read $readBloom of $total rows — row-group skip not effective")
   }
 
+  test("orc round trip preserves the corpus summary bit-for-bit") {
+    val direct = Storage.corpusSummary(graft.Tables.documents(spark, Sf0001))
+      .as[(String, String, Long, Long, java.math.BigDecimal)].collect().sortBy(r => (r._1, r._2))
+    val orc = Storage.orcRoundtrip(spark, Sf0001)
+      .as[(String, String, Long, Long, java.math.BigDecimal)].collect().sortBy(r => (r._1, r._2))
+    assert(orc.nonEmpty && orc.toSeq == direct.toSeq)
+  }
+
   test("ref-integrity audit counts injected orphans, zero on the intact fixture") {
     // the synthetic warehouse is referentially intact — every edge 0
     val clean = Relational.refIntegrity(spark, Sf0001)

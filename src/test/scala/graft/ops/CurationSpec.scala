@@ -311,6 +311,28 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(mae <= 0.05, f"mean absolute error $mae%.4f too high")
   }
 
+  test("kmv overlap: exact 1.0 on identical sources, exact 0.0 on disjoint ones") {
+    import graft.text.Tokenize
+    // three sources: A and B share every document verbatim; C is disjoint
+    val docs = (1 to 300).flatMap { i =>
+      Seq(("A", s"alpha doc $i shares every word with beta $i"),
+          ("B", s"alpha doc $i shares every word with beta $i"),
+          ("C", s"gamma corpus entry $i distinct vocabulary item x$i y$i z$i"))
+    }.toDF("source", "text")
+    val toks = docs
+      .select(col("source"), Tokenize.tokenCol(col("text")).as("raw"))
+      .select(col("source"), filter(col("raw"), _ =!= "").as("toks"))
+    val got = Curation.kmvOverlapOf(toks)
+      .select("source_a", "source_b", "est_jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // identical sketches: every union member is in both -> estimate 1.0
+    assert(got(("A", "B")) == 1.0, s"identical sources estimated ${got(("A", "B"))}")
+    // disjoint shingle sets: no union member in both -> estimate 0.0
+    assert(got(("A", "C")) == 0.0 && got(("B", "C")) == 0.0,
+      s"disjoint sources estimated ${got(("A", "C"))} / ${got(("B", "C"))}")
+  }
+
   test("corpus_shards: hash order is a bijective permutation cut into full shards") {
     val out = Curation.shuffleShards(spark, Sf0001)
       .select("doc_id", "shuffle_key", "shuffle_pos", "shard_id", "pos_in_shard")

@@ -38,7 +38,9 @@ object Smoke {
     // source_overlap_kmv: the sources×sources pair grid — both sides are
     // k-row-sketch source lists, bounded by the source count, never the
     // corpus (the sketch build above it is equi-shuffled)
-    "source_overlap_kmv")
+    "source_overlap_kmv",
+    // sketch_bloom: the 1-row derived-geometry (bit-space size) broadcast
+    "sketch_bloom")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -339,16 +339,109 @@ object Sketches {
       .select("event_type", "n_exact", "v_zero", "est_hll")
   }
 
+  // ---------------------------------------------------------------- Bloom
+  /** Bloom geometry: [[BloomK]] hash functions over a bit space sized
+    * [[BloomBitsPerMember]]·|members| — the same data-derived-geometry
+    * discipline as `Similarity.planesFor`: a FIXED bit count silently
+    * saturates as the member set grows (fp → 1), a per-member budget
+    * holds fp ≈ (1 − e^(−k/bpm))^k ≈ 0.5% constant at any scale.
+    */
+  val BloomBal           = 5000.0
+  val BloomK             = 3
+  val BloomBitsPerMember = 16
+
+  /** Oracle-checkable Bloom filter + false-positive audit — the
+    * approximate-membership sketch that guards 100 TB joins (ship a
+    * kilobyte-scale filter of the dimension's keys to the fact scan and
+    * drop non-matching rows before the shuffle; Spark's own runtime
+    * bloom pushdown, pinned in ScaleSpec, is this same idea engine-side).
+    * Here the filter is built EXPLICITLY so both engines can replay it
+    * bit for bit: members are the high-balance customers, the bit space
+    * is [[BloomBitsPerMember]]·|members| (derived in-plan from a 1-row
+    * count — no fixed geometry to saturate), each key sets [[BloomK]]
+    * md5-derived positions, and every distinct ordering customer probes
+    * it. Emits the one-row audit: probes, true members, filter hits,
+    * false positives, fp rate. No-false-negative is structural (a
+    * member's positions are in the bit set by construction) and
+    * spec-pinned; the fp rate lands near the (1 − e^(−k/bpm))^k ≈ 0.5%
+    * design point.
+    *
+    * Scale shape: the bit table is bounded by the bit-space size and
+    * meets the probe stream through one equi-join on position; the only
+    * nested-loop is the sanctioned 1-row geometry broadcast. Everything
+    * is deterministic integer arithmetic — both engines agree on every
+    * bit, so the sketch itself sits in the oracle gate.
+    */
+  def bloomAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHash
+    val members = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > BloomBal)
+      .select(col("c_custkey"))
+    val mTab = members.agg((count(lit(1)) * BloomBitsPerMember).as("m"))
+    def positions(df: DataFrame, keyCol: String): DataFrame = df
+      .crossJoin(broadcast(mTab))
+      .select(
+        col(keyCol).as("key"),
+        explode(array((0 until BloomK).map(i =>
+          TextHash.hash60(concat(col(keyCol).cast("string"), lit(s":b$i"))) % col("m")): _*))
+          .as("pos"))
+    val bits   = positions(members, "c_custkey").select("pos").distinct()
+    val probes = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+    val truth = probes.join(
+      members.select(col("c_custkey").as("o_custkey")).withColumn("is_member", lit(1)),
+      Seq("o_custkey"), "left")
+    val hits = positions(probes, "o_custkey")
+      .join(bits.withColumn("set", lit(1)), Seq("pos"), "left")
+      .groupBy("key")
+      .agg((count(col("set")) === BloomK).as("hit"))
+    truth
+      .join(hits, truth("o_custkey") === hits("key"))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("is_member").isNotNull, 1L).otherwise(0L)).as("n_members"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("hit") && col("is_member").isNull, 1L).otherwise(0L)).as("n_false_pos"))
+      .select(
+        col("n_probes"), col("n_members"), col("n_hits"), col("n_false_pos"),
+        (col("n_false_pos").cast("double") /
+          greatest(lit(1L), col("n_probes") - col("n_members"))).as("fp_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_heavy_hitters" -> (heavyHittersExact _),
     "sketch_quantiles"     -> (quantilesEvents _),
-    "sketch_hll_distinct"  -> (hllDistinct _)
+    "sketch_hll_distinct"  -> (hllDistinct _),
+    "sketch_bloom"         -> (bloomAudit _)
   )
 
   private val tok =
     "SELECT t AS token FROM (SELECT unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS t FROM documents) WHERE t <> ''"
 
   val oracle: Map[String, String] = Map(
+    // the SAME explicit filter in SQL: derived bit space, k md5
+    // positions per key, count-of-matched-positions membership test
+    "sketch_bloom" -> {
+      def h(key: String) = graft.functions.TextHash.duckHash60Of(
+        s"CAST($key AS VARCHAR) || ':b' || CAST(i AS VARCHAR)")
+      s"""WITH members AS (SELECT c_custkey FROM customer WHERE c_acctbal > $BloomBal),
+         mt AS (SELECT count(*) * $BloomBitsPerMember AS m FROM members),
+         ks AS (SELECT unnest(range(0, $BloomK)) AS i),
+         bits AS (SELECT DISTINCT ${h("c_custkey")} % m AS pos FROM members, mt, ks),
+         probes AS (SELECT DISTINCT o_custkey FROM orders),
+         pp AS (SELECT o_custkey, ${h("o_custkey")} % m AS pos FROM probes, mt, ks),
+         hits AS (SELECT o_custkey, count(b.pos) = $BloomK AS hit
+                  FROM pp LEFT JOIN bits b USING (pos) GROUP BY 1),
+         t AS (SELECT p.o_custkey, m.c_custkey IS NOT NULL AS is_member, h.hit
+               FROM probes p LEFT JOIN members m ON m.c_custkey = p.o_custkey
+               JOIN hits h ON h.o_custkey = p.o_custkey)
+         SELECT count(*) AS n_probes,
+           CAST(count(*) FILTER (WHERE is_member) AS BIGINT) AS n_members,
+           CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_hits,
+           CAST(count(*) FILTER (WHERE hit AND NOT is_member) AS BIGINT) AS n_false_pos,
+           CAST(count(*) FILTER (WHERE hit AND NOT is_member) AS DOUBLE) /
+             greatest(1, count(*) - count(*) FILTER (WHERE is_member)) AS fp_rate
+         FROM t"""
+    },
     // the SAME register pipeline in SQL: integer bucket/rank extraction
     // (length(bin(w)), no floating log), exact integer register sum, the
     // identical IEEE estimator chain (a*b*c/d associates left in both

@@ -133,6 +133,20 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     assert(again.toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("sketch_bloom: zero false negatives by construction, fp near the design point") {
+    val Seq((probes, members, hits, falsePos, fpRate)) = Sketches.bloomAudit(spark, Sf0001)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(probes > 0 && members > 0 && members < probes,
+      s"fixture must probe members AND non-members (probes=$probes members=$members)")
+    // no false negatives: hits = member hits + false positives, and
+    // every one of the `members` true members must be a member hit
+    assert(hits - falsePos == members,
+      s"false negative: only ${hits - falsePos} of $members members hit")
+    // design point: k=3, 16 bits/member -> fp ~ (1 - e^(-3/16))^3 ~ 0.5%;
+    // allow a generous band on the small fixture probe set
+    assert(fpRate <= 0.05, s"fp rate $fpRate far above the 0.5% design point")
+  }
+
   test("sketch_quantiles: bracket covers the target rank on an adversarial duplicate-heavy column") {
     import org.apache.spark.sql.functions._
     // 90% of mass on one value (the p50/p90 answer IS the hot value, and

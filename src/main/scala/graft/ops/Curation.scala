@@ -303,6 +303,45 @@ object Curation {
         (col("n_both").cast("double") / col("k_union")).as("est_jaccard"))
   }
 
+  /** Preference-pair mining — the DPO/RLHF-style data factory step:
+    * within each source, pair the HIGHEST-quality document (chosen)
+    * with the LOWEST (rejected) under the [[TextAnalysis.quality]]
+    * composite, emitting the pair with both scores and the margin. A
+    * same-source pair holds topic/format roughly constant, so the
+    * margin isolates the quality signal a preference model should
+    * learn — the same argmax-under-tie discipline as
+    * [[graft.ops.Dedup.clustersApplyQuality]], applied to ranking
+    * rather than dedup. Sources with a single document cannot form a
+    * pair and are dropped; ties break to the SMALLEST id for chosen
+    * and the LARGEST id for rejected, so a fully-tied source still
+    * yields a deterministic, distinct pair.
+    *
+    * Scale shape: one partial-aggregated shuffle keyed by source (two
+    * struct-extrema + a count — no window over the corpus, no join
+    * back); the quality scan is the only corpus-sized input. Margin is
+    * the plain IEEE difference of two identically-built scores, so the
+    * oracle agrees bit-for-bit.
+    */
+  def preferencePairs(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality_score"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .join(q, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nd"))).as("c"),
+        min(struct(col("quality_score").as("q"), (-col("doc_id")).as("nd"))).as("r"))
+      .filter(col("n_docs") >= 2)
+      .select(
+        col("source"),
+        (-col("c.nd")).as("chosen_id"),
+        (-col("r.nd")).as("rejected_id"),
+        col("c.q").as("chosen_score"),
+        col("r.q").as("rejected_score"),
+        (col("c.q") - col("r.q")).as("margin"))
+  }
+
   // ------------------------------------------------------------------- dsir
 
   /** DSIR feature space: hashed-bigram bucket count and the target slice
@@ -1327,6 +1366,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "corpus_shards"       -> (shuffleShards _),
     "curate_token_budget" -> (tokenBudget _),
+    "curate_pref_pairs"   -> (preferencePairs _),
     "curate_curriculum" -> (curriculum _),
     "curate_dp_release"  -> (dpRelease _),
     "curate_k_anonymity" -> (kAnonymity _),
@@ -1411,6 +1451,27 @@ object Curation {
            (shuffle_pos - 1) % $ShardSize AS pos_in_shard
          FROM r"""
     },
+    "curate_pref_pairs" ->
+      s"""WITH q AS (
+           SELECT doc_id,
+             0.4 * (CAST(count(DISTINCT t) AS DOUBLE) / count(*)) +
+             0.3 * (CAST(count(*) FILTER (WHERE t IN ${TextAnalysis.inList(TextAnalysis.Stopwords)}) AS DOUBLE) / count(*)) +
+             0.3 * least(CAST(count(*) AS DOUBLE) / 100.0, 1.0) AS quality_score
+           FROM (${TextAnalysis.duckToks}) GROUP BY 1),
+         p AS (SELECT d.source, q.doc_id, q.quality_score
+               FROM q JOIN documents d USING (doc_id)),
+         c AS (SELECT source, doc_id, quality_score,
+             row_number() OVER (PARTITION BY source
+               ORDER BY quality_score DESC, doc_id ASC) rc,
+             row_number() OVER (PARTITION BY source
+               ORDER BY quality_score ASC, doc_id DESC) rr,
+             count(*) OVER (PARTITION BY source) n
+           FROM p)
+         SELECT a.source, a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           a.quality_score AS chosen_score, b.quality_score AS rejected_score,
+           a.quality_score - b.quality_score AS margin
+         FROM c a JOIN c b ON a.source = b.source AND a.rc = 1 AND b.rr = 1
+         WHERE a.n >= 2""",
     "curate_token_budget" ->
       s"""WITH q AS (
            SELECT doc_id, count(*) AS n_tokens,

@@ -311,6 +311,28 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(mae <= 0.05, f"mean absolute error $mae%.4f too high")
   }
 
+  test("curate_pref_pairs: per-source quality extrema, distinct ids, non-negative margin") {
+    val pairs = Curation.preferencePairs(spark, Sf0001)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    val q = graft.ops.TextAnalysis.quality(spark, Sf0001)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val bySrc = graft.Tables.documents(spark, Sf0001)
+      .select("source", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // every multi-doc source forms exactly one pair
+    assert(pairs.map(_._1).toSet == bySrc.filter(_._2.length >= 2).keySet)
+    for ((src, chosen, rejected, cs, rs, margin) <- pairs) {
+      assert(chosen != rejected, s"$src pairs a doc with itself")
+      assert(cs == q(chosen) && rs == q(rejected))
+      assert(margin == cs - rs && margin >= 0.0)
+      // chosen/rejected are the true extrema under the documented ties
+      val docs = bySrc(src)
+      assert(chosen == docs.minBy(d => (-q(d), d)), s"$src chosen not argmax")
+      assert(rejected == docs.minBy(d => (q(d), -d)), s"$src rejected not argmin")
+    }
+  }
+
   test("kmv overlap: exact 1.0 on identical sources, exact 0.0 on disjoint ones") {
     import graft.text.Tokenize
     // three sources: A and B share every document verbatim; C is disjoint

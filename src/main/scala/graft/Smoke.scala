@@ -40,7 +40,10 @@ object Smoke {
     // corpus (the sketch build above it is equi-shuffled)
     "source_overlap_kmv",
     // sketch_bloom: the 1-row derived-geometry (bit-space size) broadcast
-    "sketch_bloom")
+    "sketch_bloom",
+    // embed_rp_audit: the audit's va<vb pair grid over the
+    // NumQueryVecs-bounded query set (the projection itself is scan-side)
+    "embed_rp_audit")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

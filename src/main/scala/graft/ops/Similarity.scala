@@ -439,6 +439,62 @@ object Similarity {
       .select(col("q_vec"), col("vec_id"), col("cos"), col("rn"))
   }
 
+  /** Johnson–Lindenstrauss target dimensionality for [[rpAudit]]. */
+  val RpK = 16
+
+  /** Random-projection (JL) dimensionality reduction + distortion audit
+    * — the third compression path next to PCA (data-driven, needs a
+    * covariance pass) and PQ (codebook): a DATA-FREE ±1 projection
+    * matrix (Achlioptas 2003) maps [[Dims]]→[[RpK]] in one scan, no
+    * training state at all — the right tool when even the d² covariance
+    * grid is too big or the matrix must be fixed before any data
+    * arrives. Emits, for every query pair, the original and projected
+    * squared distances and their ratio (expectation 1 under the JL
+    * guarantee) — the audit a pipeline runs before trusting the
+    * compressed space.
+    *
+    * Determinism discipline: components quantize to floor(x·1000)
+    * integers and weights are ±1 from the shared md5 parity family, so
+    * every projection and distance is EXACT integer arithmetic —
+    * order-free, partition-independent, and bit-equal in the oracle
+    * (the same trick as the LSH signature votes); only the final ratio
+    * divides two exact longs into a double.
+    *
+    * Scale shape: the projection is a pure scan-side codegen fold (the
+    * weight matrix ships as literals — no join, no shuffle, no driver
+    * state beyond d·k booleans); the audit pairs are query-set-bounded.
+    */
+  def rpAudit(s: SparkSession, dir: String): DataFrame = {
+    val wts: Seq[Seq[Long]] = (0 until RpK).map { j =>
+      (1 to Dims).map { i =>
+        if (TextHash.hash60Jvm(s"rp:$i:$j") % 2 == 1) 1L else -1L
+      }
+    }
+    val xq = transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
+    val proj = array(wts.map { w =>
+      aggregate(
+        zip_with(col("xq"), typedLit(w), (x, ww) => x * ww),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+    val p = Tables
+      .embeddings(s, dir)
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id"), xq.as("xq"))
+      .select(col("vec_id"), col("xq"), proj.as("pj"))
+    val d2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    p.as("a")
+      .join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"),
+        d2(col("a.xq"), col("b.xq")).as("orig_d2"),
+        d2(col("a.pj"), col("b.pj")).as("proj_d2"))
+      .select(
+        col("va"), col("vb"), col("orig_d2"), col("proj_d2"),
+        (col("proj_d2").cast("double") / (lit(RpK.toDouble) * col("orig_d2"))).as("ratio"))
+  }
+
   /** Levels of the scalar (int8) quantization grid: byte codes 0..255. */
   val QuantLevels = 255
 
@@ -588,6 +644,7 @@ object Similarity {
     "sim_topk"       -> (topkBrute _),
     "sim_ann_lsh"    -> (annLsh _),
     "sim_hard_negatives" -> (hardNegatives _),
+    "embed_rp_audit" -> (rpAudit _),
     "sim_ivf"        -> (ivf _),
     "embed_quantize" -> (quantize _)
   )
@@ -774,6 +831,29 @@ object Similarity {
            JOIN lab la ON la.vec_id = va JOIN lab lb ON lb.vec_id = vb
            WHERE la.label <> lb.label)
          WHERE rn <= $TopK""",
+    "embed_rp_audit" -> {
+      val h = TextHash.duckHash60Of(
+        "'rp:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+      s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) xq
+           FROM embeddings WHERE vec_id < $NumQueryVecs),
+         pj AS (SELECT vec_id, j,
+             sum(xq * (CASE WHEN $h % 2 = 1 THEN 1 ELSE -1 END)) v
+           FROM ex CROSS JOIN (SELECT unnest(range(0, $RpK)) j)
+           GROUP BY 1, 2),
+         od AS (SELECT a.vec_id va, b.vec_id vb,
+             sum((a.xq - b.xq) * (a.xq - b.xq)) od2
+           FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+           GROUP BY 1, 2),
+         pd AS (SELECT a.vec_id va, b.vec_id vb,
+             sum((a.v - b.v) * (a.v - b.v)) pd2
+           FROM pj a JOIN pj b ON a.j = b.j AND a.vec_id < b.vec_id
+           GROUP BY 1, 2)
+         SELECT va, vb, CAST(od2 AS BIGINT) AS orig_d2,
+           CAST(pd2 AS BIGINT) AS proj_d2,
+           CAST(pd2 AS DOUBLE) / (CAST($RpK AS DOUBLE) * od2) AS ratio
+         FROM od JOIN pd USING (va, vb)"""
+    },
     "sim_ivf" ->
       s"""WITH $duckNorm,
          cent AS (SELECT vec_id cid, emb cemb, nrm cnrm FROM e WHERE vec_id < $IvfK),

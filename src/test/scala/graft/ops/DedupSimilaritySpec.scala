@@ -475,6 +475,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("embed_rp_audit: JL distortion concentrates around 1, layout-independent") {
+    val rows = Similarity.rpAudit(spark, Sf0001)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == Similarity.NumQueryVecs * (Similarity.NumQueryVecs - 1) / 2)
+    for ((va, vb, od2, pd2, ratio) <- rows) {
+      assert(od2 > 0, s"degenerate pair ($va,$vb)")
+      assert(ratio == pd2.toDouble / (Similarity.RpK * od2))
+      // per-pair JL distortion at k=16 is loose but bounded
+      assert(ratio > 0.05 && ratio < 5.0, s"pair ($va,$vb) distortion $ratio")
+    }
+    val mean = rows.map(_._5).sum / rows.length
+    info(f"mean JL ratio ${mean}%.3f over ${rows.length} pairs at k=${Similarity.RpK}")
+    // expectation of the ratio is exactly 1; the mean over 190 pairs
+    // concentrates well inside [0.7, 1.3]
+    assert(mean > 0.7 && mean < 1.3, f"mean distortion $mean%.3f off the JL expectation")
+    val again = Similarity.rpAudit(spark, Sf0001)
+      .repartition(7).as[(Long, Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(again.toSeq == rows.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("dedup_clusters_apply: survivors = corpus minus non-canonical cluster members") {
     val dropped = Dedup.clusters(spark, Sf0001)
       .filter(!col("is_canonical")).select("doc_id").as[Long].collect().toSet

@@ -51,6 +51,14 @@ case class VideoProbe(
     duration_units: Long,
     duration_ms: Long)
 
+/** One planned audio frame window ([[Multimodal.probeAudioWindows]]). */
+case class AudioWindow(
+    doc_id: Long,
+    format: String,
+    window_idx: Long,
+    start_byte: Long,
+    probe_byte: Long)
+
 /** Multimodal processing plumbing: binary columns, a typed `Dataset[T]`
   * surface, and partition-batched iteration (`mapPartitions` +
   * `grouped(batchSize)`, the Scala analogue of an Arrow-batched
@@ -304,6 +312,50 @@ object Multimodal extends Serializable {
   def videoProbe(s: SparkSession, dir: String): DataFrame =
     probeVideo(mediaFromDocuments(s, dir)).toDF()
 
+  /** Speech-style frame length for [[probeAudioWindows]] — the 20 ms
+    * convention fbank/MFCC front ends use.
+    */
+  val AudioFrameMs = 20
+
+  /** Audio frame-window planning — the probe→plan composition: each
+    * payload's PROBED container parameters (real WAV header fields, or
+    * the deterministic raw-audio fallback) size its [[AudioFrameMs]]-ms
+    * frames (`bytes/frame = rate·ch·bits / 400` — bytes/sec over 50),
+    * and one row per FULL frame is emitted with its byte offset and a
+    * probe byte (a real front end reads the frame; the byte keeps the
+    * fixture oracle-checkable — the same honest seam as
+    * [[frameSample]]). WAV frames start after the 44-byte header; raw
+    * audio at 0. Everything happens inside the one batched
+    * mapPartitions, so the payload never leaves the scan — only the
+    * five narrow window columns flow on.
+    */
+  def probeAudioWindows(
+      records: Dataset[MediaRecord],
+      batchSize: Int = DefaultBatchSize): Dataset[AudioWindow] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val n = r.payload.length.toLong
+          val (fmt, ch, sr, bits, db, off) = decodeWav(r.payload) match {
+            case Some((ch, sr, bits, db)) => ("wav", ch, sr, bits, db, 44L)
+            case None => ("rawaudio", 1L + n % 2, 8000L + (n % 8) * 1000L, 16L, n, 0L)
+          }
+          val bpw  = sr * ch * bits / 400L
+          val nWin = if (bpw <= 0) 0L else db / bpw
+          (0L until nWin).map { w =>
+            val idx = off + w * bpw
+            val pb  = if (idx < n) r.payload(idx.toInt) & 0xffL else 0L
+            AudioWindow(r.doc_id, fmt, w, idx, pb)
+          }
+        }
+      }
+    }
+  }
+
+  def audioWindows(s: SparkSession, dir: String): DataFrame =
+    probeAudioWindows(mediaFromDocuments(s, dir)).toDF()
+
   /** Fixed-size frame geometry for [[frameSample]]: payloads are treated
     * as a sequence of [[FrameBytes]]-byte frames and every
     * [[FrameStride]]-th frame is sampled.
@@ -388,7 +440,8 @@ object Multimodal extends Serializable {
     "multimodal_frames"   -> (frameSample _),
     "multimodal_resize"   -> (resizePlan _),
     "multimodal_audio"    -> (audioProbe _),
-    "multimodal_video"    -> (videoProbe _)
+    "multimodal_video"    -> (videoProbe _),
+    "multimodal_audio_windows" -> (audioWindows _)
   )
 
   // DuckDB mirror of [[decode]] over a hex-encoded payload `h` with byte
@@ -414,6 +467,47 @@ object Multimodal extends Serializable {
     s"""CASE WHEN ${duckIsPng(h, n)} THEN CAST('0x' || substr($h, 41, 8) AS BIGINT)
              WHEN ${duckIsJpeg(h, n)} THEN CAST(0 AS BIGINT)
              ELSE CAST($n % 480 AS BIGINT) END"""
+
+  /** Shared audio-probe CTE chain (m → p → f) used by the
+    * multimodal_audio and multimodal_audio_windows oracles — ends in
+    * `f` with the probed container fields plus the payload length `n`,
+    * hex `h`, and the data offset `off` (44 for canonical WAV, 0 raw).
+    */
+  private val duckAudioF =
+    s"""m AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n,
+           hex(encode(text)) AS h
+         FROM documents),
+       p AS (
+         SELECT doc_id, media_type, n, h,
+           (n >= 44 AND substr(h, 1, 8) = '52494646'
+              AND substr(h, 17, 8) = '57415645'
+              AND substr(h, 25, 8) = '666D7420'
+              AND CAST('0x' || substr(h,39,2) || substr(h,37,2)
+                            || substr(h,35,2) || substr(h,33,2) AS BIGINT) = 16
+              AND substr(h, 73, 8) = '64617461') AS is_wav
+         FROM m),
+       f AS (
+         SELECT doc_id, media_type, n, h,
+           CASE WHEN is_wav THEN 'wav' ELSE 'rawaudio' END AS format,
+           CASE WHEN is_wav THEN CAST(44 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS off,
+           CASE WHEN is_wav
+                THEN CAST('0x' || substr(h,47,2) || substr(h,45,2) AS BIGINT)
+                ELSE 1 + n % 2 END AS channels,
+           CASE WHEN is_wav
+                THEN CAST('0x' || substr(h,55,2) || substr(h,53,2)
+                               || substr(h,51,2) || substr(h,49,2) AS BIGINT)
+                ELSE 8000 + (n % 8) * 1000 END AS sample_rate,
+           CASE WHEN is_wav
+                THEN CAST('0x' || substr(h,71,2) || substr(h,69,2) AS BIGINT)
+                ELSE 16 END AS bits,
+           CASE WHEN is_wav
+                THEN CAST('0x' || substr(h,87,2) || substr(h,85,2)
+                               || substr(h,83,2) || substr(h,81,2) AS BIGINT)
+                ELSE n END AS data_bytes
+         FROM p)"""
 
   val oracle: Map[String, String] = Map(
     "multimodal_features" ->
@@ -473,39 +567,7 @@ object Multimodal extends Serializable {
     // identically by both engines; the fixture's text payloads all take
     // the raw-audio fallback, same as the png/jpeg probes.
     "multimodal_audio" ->
-      s"""WITH m AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n,
-             hex(encode(text)) AS h
-           FROM documents),
-         p AS (
-           SELECT doc_id, media_type, n, h,
-             (n >= 44 AND substr(h, 1, 8) = '52494646'
-                AND substr(h, 17, 8) = '57415645'
-                AND substr(h, 25, 8) = '666D7420'
-                AND CAST('0x' || substr(h,39,2) || substr(h,37,2)
-                              || substr(h,35,2) || substr(h,33,2) AS BIGINT) = 16
-                AND substr(h, 73, 8) = '64617461') AS is_wav
-           FROM m),
-         f AS (
-           SELECT doc_id, media_type,
-             CASE WHEN is_wav THEN 'wav' ELSE 'rawaudio' END AS format,
-             CASE WHEN is_wav
-                  THEN CAST('0x' || substr(h,47,2) || substr(h,45,2) AS BIGINT)
-                  ELSE 1 + n % 2 END AS channels,
-             CASE WHEN is_wav
-                  THEN CAST('0x' || substr(h,55,2) || substr(h,53,2)
-                                 || substr(h,51,2) || substr(h,49,2) AS BIGINT)
-                  ELSE 8000 + (n % 8) * 1000 END AS sample_rate,
-             CASE WHEN is_wav
-                  THEN CAST('0x' || substr(h,71,2) || substr(h,69,2) AS BIGINT)
-                  ELSE 16 END AS bits,
-             CASE WHEN is_wav
-                  THEN CAST('0x' || substr(h,87,2) || substr(h,85,2)
-                                 || substr(h,83,2) || substr(h,81,2) AS BIGINT)
-                  ELSE n END AS data_bytes
-           FROM p)
+      s"""WITH $duckAudioF
          SELECT doc_id, media_type, format,
            CAST(channels AS BIGINT) AS channels,
            CAST(sample_rate AS BIGINT) AS sample_rate,
@@ -515,6 +577,23 @@ object Multimodal extends Serializable {
                      ELSE data_bytes * 8000 // (sample_rate * channels * bits) END
              AS BIGINT) AS duration_ms
          FROM f""",
+    // the probe→plan composition in SQL: the same f CTE sizes the 20 ms
+    // frames (bytes/frame = rate·ch·bits // 400), generates one row per
+    // FULL frame, and reads the probe byte at the frame's hex offset
+    "multimodal_audio_windows" ->
+      s"""WITH $duckAudioF,
+         g AS (SELECT doc_id, format, n, h, off, data_bytes,
+                 sample_rate * channels * bits // 400 AS bpw
+               FROM f),
+         w AS (SELECT doc_id, format, n, h, off, bpw, CAST(wi AS BIGINT) AS window_idx
+               FROM g, unnest(range(0,
+                 CASE WHEN bpw > 0 THEN data_bytes // bpw ELSE 0 END)) t(wi))
+         SELECT doc_id, format, window_idx,
+           CAST(off + window_idx * bpw AS BIGINT) AS start_byte,
+           CAST(CASE WHEN off + window_idx * bpw < n
+                     THEN CAST('0x' || substr(h, (off + window_idx * bpw) * 2 + 1, 2) AS BIGINT)
+                     ELSE 0 END AS BIGINT) AS probe_byte
+         FROM w""",
     // mirrors [[decodeMp4]]'s two-box canonical layout: byte o of the
     // payload lives at substr(h, o*2+1, 2), box sizes/fields are
     // BIG-endian (hex bytes concatenate in order, unlike the WAV

@@ -174,6 +174,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       MediaRecord(7L, "image", mp4Bytes("isom", 0, 77))))).collect().head.duration_ms == 0)
   }
 
+  test("audio windows: probed-rate 20ms framing over real WAV and raw fallback") {
+    // 8kHz mono 16-bit, 0.5s of data: 320 bytes/frame -> 25 full frames
+    val data = Array.tabulate[Byte](8000)(i => (i % 251).toByte)
+    val wav  = wavBytes(1, 8000, 16, 0).dropRight(0) // header only
+    val full = wav.take(40) ++ Array[Byte](
+      (8000 & 0xff).toByte, ((8000 >> 8) & 0xff).toByte, 0, 0) ++ data
+    val got = Multimodal.probeAudioWindows(spark.createDataset(Seq(
+      MediaRecord(1L, "audio", full),
+      MediaRecord(2L, "audio", "tiny".getBytes)))).collect()
+    val w1 = got.filter(_.doc_id == 1L).sortBy(_.window_idx)
+    assert(w1.length == 25, s"expected 25 frames, got ${w1.length}")
+    assert(w1.forall(_.format == "wav"))
+    // frame w starts at 44 + w*320 and probes the real payload byte
+    for (w <- w1) {
+      assert(w.start_byte == 44 + w.window_idx * 320)
+      assert(w.probe_byte == (full(w.start_byte.toInt) & 0xffL))
+    }
+    // a 4-byte raw payload yields zero full frames (bpw >> payload)
+    assert(!got.exists(_.doc_id == 2L))
+  }
+
   test("batching covers all rows regardless of partition layout") {
     val recs = (1L to 100L).map(i => MediaRecord(i, "image", Array.fill(i.toInt)(7.toByte)))
     val ds   = spark.createDataset(recs).repartition(7)

@@ -321,6 +321,77 @@ object Graph {
         sum(col("t")).cast("double").as("modularity"))
   }
 
+  /** Catalog entry: one Louvain local-move round over the LPA labels of
+    * the co-purchase graph.
+    */
+  def louvainMoveCoPurchase(s: SparkSession, dir: String): DataFrame =
+    louvainMove(coPurchaseEdges(s, dir))
+
+  /** One SYNCHRONOUS Louvain local-move round (Blondel et al. 2008) —
+    * the refinement step community pipelines run after a cheap seeding
+    * like LPA: every node evaluates the modularity gain of joining each
+    * NEIGHBORING community (its own included, self-degree excluded from
+    * the candidate community's degree mass) and moves to the argmax,
+    * ties to the smallest community id. Emits per node the old/new
+    * label, the winning gain, the stay-put gain, and the move flag — so
+    * the spec (and any pipeline) can verify per-node local optimality
+    * (`gain ≥ stay_gain` by construction) and measure how much
+    * refinement LPA left on the table. One round, applied
+    * simultaneously: the full Louvain iterates this to a fixed point
+    * sequentially; the synchronous form is the one that exists as pure
+    * dataflow, and a fixed round count keeps both engines bit-equal.
+    *
+    * Scale shape: candidate generation is the |E|-row edge⋈label join
+    * partial-aggregated onto (node, community) — identical to one LPA
+    * round; community degree mass is one more |E|-row agg joined back
+    * on the community key; the argmax is a struct-max groupBy. No
+    * windows over the corpus, no pair table beyond the edge stream.
+    * Determinism: all inputs are integer counts; the gain is one fixed
+    * IEEE chain written identically in the oracle, and the (gain, −c)
+    * struct-max mirrors ORDER BY gain DESC, c ASC.
+    */
+  def louvainMove(pairList: DataFrame): DataFrame = {
+    val adj    = symAdj(pairList)
+    val labels = lpaLabels(adj).transform(Ckpt.apply)
+    val m2     = adj.count().toDouble // directed edges = 2m
+    val deg    = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val tot = deg
+      .join(labels.select(col("node").as("u"), col("lbl")), "u")
+      .groupBy("lbl")
+      .agg(sum(col("deg")).as("d_sum"))
+    val own = labels.select(col("node").as("u"), col("lbl").as("own"))
+    val kic = adj
+      .join(labels.select(col("node").as("m"), col("lbl").as("c")), "m")
+      .groupBy(col("u"), col("c"))
+      .agg(count(lit(1)).as("k_ic"))
+    // the node's own community is always a candidate, even when no
+    // neighbor shares it (k_ic = 0 — the "stay" option)
+    val cand = kic
+      .join(own, "u")
+      .select("u", "c", "own", "k_ic")
+      .unionByName(own.select(col("u"), col("own").as("c"), col("own"), lit(0L).as("k_ic")))
+      .groupBy("u", "c", "own")
+      .agg(max(col("k_ic")).as("k_ic"))
+    val sel = when(col("c") === col("own"), col("deg")).otherwise(lit(0L))
+    val gain = col("k_ic").cast("double") / lit(m2) -
+      (col("deg").cast("double") * (col("d_sum") - sel).cast("double")) / (lit(m2) * lit(m2))
+    cand
+      .join(deg, "u")
+      .join(tot.select(col("lbl").as("c"), col("d_sum")), "c")
+      .select(col("u"), col("own"), col("c"), gain.as("g"))
+      .groupBy("u", "own")
+      .agg(
+        max(struct(col("g"), (-col("c")).as("nc"))).as("b"),
+        max(when(col("c") === col("own"), col("g"))).as("stay_gain"))
+      .select(
+        col("u").as("p_partkey"),
+        col("own").as("old_community"),
+        (-col("b.nc")).as("new_community"),
+        col("b.g").as("gain"),
+        col("stay_gain"),
+        (col("own") =!= -col("b.nc")).as("moved"))
+  }
+
   /** Seed predicate and fixed round count for [[bfs]] (unrolled in the
     * oracle). Four rounds reaches the fixture graphs' periphery; on a
     * longer-diameter graph the fixed count still defines a deterministic
@@ -530,6 +601,7 @@ object Graph {
     "graph_triangles" -> (trianglesNearDup _),
     "graph_common_neighbors" -> (commonNeighborsCoPurchase _),
     "graph_communities" -> (communitiesCoPurchase _),
+    "graph_louvain_move" -> (louvainMoveCoPurchase _),
     "graph_kcore"     -> (kcoreCoPurchase _),
     "graph_assortativity" -> (assortativityCoPurchase _),
     "graph_modularity" -> (modularityCoPurchase _),
@@ -594,6 +666,39 @@ object Graph {
          SELECT node AS p_partkey, l.lbl AS community,
            CAST(community_size AS BIGINT) AS community_size
          FROM l$LpaIterations l JOIN sz ON sz.lbl = l.lbl""",
+    "graph_louvain_move" ->
+      s"""WITH $duckCoPurchaseCte,
+         l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),
+         $duckLpaCtes,
+         lab AS (SELECT node, lbl FROM l$LpaIterations),
+         t0 AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM adj),
+         deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
+         ctot AS (SELECT l.lbl, sum(d.deg) AS d_sum
+                  FROM deg d JOIN lab l ON l.node = d.u GROUP BY 1),
+         own AS (SELECT node AS u, lbl AS own FROM lab),
+         kic AS (SELECT a.u, l.lbl AS c, count(*) AS k_ic
+                 FROM adj a JOIN lab l ON l.node = a.m GROUP BY 1, 2),
+         cand AS (SELECT u, c, own, max(k_ic) AS k_ic FROM (
+             SELECT k.u, k.c, o.own, k.k_ic FROM kic k JOIN own o USING (u)
+             UNION ALL
+             SELECT u, own AS c, own, 0 AS k_ic FROM own)
+           GROUP BY 1, 2, 3),
+         scored AS (SELECT cand.u, cand.own, cand.c,
+             CAST(k_ic AS DOUBLE) / m2 -
+               CAST(deg AS DOUBLE) *
+                 CAST(d_sum - (CASE WHEN cand.c = cand.own THEN deg ELSE 0 END) AS DOUBLE)
+                 / (m2 * m2) AS gain
+           FROM cand JOIN deg ON deg.u = cand.u
+           JOIN ctot ON ctot.lbl = cand.c, t0)
+         SELECT u AS p_partkey, own AS old_community, c AS new_community,
+           gain,
+           max(CASE WHEN c2_own THEN gain END)
+             OVER (PARTITION BY u) AS stay_gain,
+           c <> own AS moved
+         FROM (SELECT *, c = own AS c2_own,
+             row_number() OVER (PARTITION BY u ORDER BY gain DESC, c ASC) rn
+           FROM scored)
+         QUALIFY rn = 1""",
     "graph_modularity" ->
       s"""WITH $duckCoPurchaseCte,
          l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),

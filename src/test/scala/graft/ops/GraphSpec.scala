@@ -69,6 +69,29 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(a.map(_._2).distinct.size > 1, "fixture should split into multiple communities")
   }
 
+  test("louvain move: per-node local optimality over LPA labels, real refinement") {
+    val out = Graph.louvainMoveCoPurchase(spark, Sf0001)
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    val lpa = Graph.communitiesCoPurchase(spark, Sf0001)
+      .select("p_partkey").as[Long].collect().toSet
+    // one decision row per labeled node
+    assert(out.map(_._1).toSet == lpa && out.length == lpa.size)
+    for ((node, old, next, gain, stay, moved) <- out) {
+      // the winning gain can never lose to staying put (own community is
+      // always a candidate) — the local-optimality contract
+      assert(gain >= stay, s"node $node: selected $gain < stay $stay")
+      assert(moved == (old != next))
+      if (!moved) assert(gain == stay, s"node $node stays but gain $gain != stay $stay")
+    }
+    // the round must do real work on the fixture: some nodes move, most
+    // of a 3-round-LPA labeling is already locally stable
+    val nMoved = out.count(_._6)
+    info(s"louvain round moved $nMoved of ${out.length} nodes")
+    assert(nMoved > 0, "no node moved — refinement step is a no-op")
+    assert(nMoved < out.length, "every node moved — labels were noise")
+  }
+
   test("common neighbors: a path graph predicts exactly its distance-2 pairs") {
     // path 1-2-3-4: non-edges with a shared neighbor are (1,3) via 2 and
     // (2,4) via 3; both middles have degree 2. (1,4) shares no neighbor.

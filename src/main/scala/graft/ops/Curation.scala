@@ -1184,6 +1184,41 @@ object Curation {
         col("groups_below"), col("rows_below"),
         (col("rows_below").cast("double") / col("n_rows").cast("double")).as("risk_frac"))
 
+  /** l-diversity audit — the second privacy bar after [[kAnonymity]]:
+    * a QI group can be large (k-anonymous) yet still leak if every row
+    * in it shares the same SENSITIVE value, so per QI tuple
+    * (hour-of-day, coarse value bucket — k-anonymity's tuple minus the
+    * sensitive column) we count DISTINCT sensitive values
+    * (`event_type`) and report the distribution: for each diversity
+    * level l, how many groups sit at exactly that level, how many rows
+    * they hold, and the row fraction — the table a release decision
+    * reads top-down (l=1 groups are homogeneous: the attacker who
+    * re-identifies the group learns the sensitive value with certainty).
+    *
+    * Scale shape: one shuffle on the QI tuple with a partial-aggregated
+    * count-distinct over a 5-value domain (Spark's distinct-agg expand
+    * is bounded by the sensitive-attribute cardinality), then two
+    * aggregations over ALREADY-GROUPED rows (bounded by distinct QI
+    * tuples, then by distinct l ≤ |domain|). The pct_rows window runs
+    * over the ≤|domain|-row final frame — free.
+    */
+  def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byL = Tables.events(s, dir)
+      .select(
+        col("event_type"),
+        hour(col("ts")).cast("long").as("h"),
+        floor(col("value") / 25.0).cast("long").as("vb"))
+      .groupBy("h", "vb")
+      .agg(countDistinct("event_type").as("l"), count(lit(1)).as("gsz"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_groups"), sum("gsz").as("n_rows"))
+    byL.select(
+      col("l"), col("n_groups"), col("n_rows"),
+      (col("n_rows").cast("double") /
+        sum("n_rows").over(Window.partitionBy()).cast("double")).as("pct_rows"))
+  }
+
   /** Deletion-request rate (percent of customers) for [[deletionAudit]]. */
   val DelPct = 5
 
@@ -1370,6 +1405,7 @@ object Curation {
     "curate_curriculum" -> (curriculum _),
     "curate_dp_release"  -> (dpRelease _),
     "curate_k_anonymity" -> (kAnonymity _),
+    "curate_l_diversity" -> (lDiversity _),
     "curate_deletion"    -> (deletionAudit _),
     "sample_weighted"    -> (sampleWeighted _),
     "text_bm25"          -> (bm25 _),
@@ -1527,6 +1563,21 @@ object Curation {
            CAST(coalesce(sum(gsz) FILTER (WHERE gsz < $KAnonK), 0) AS DOUBLE) /
              CAST(sum(gsz) AS DOUBLE) AS risk_frac
          FROM g GROUP BY 1""",
+    "curate_l_diversity" ->
+      """WITH g AS (
+           SELECT CAST(hour(ts) AS BIGINT) AS h,
+             CAST(floor(value / 25.0) AS BIGINT) AS vb,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS l,
+             count(*) AS gsz
+           FROM events GROUP BY 1, 2),
+         d AS (
+           SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(gsz) AS BIGINT) AS n_rows
+           FROM g GROUP BY 1)
+         SELECT l, n_groups, n_rows,
+           CAST(n_rows AS DOUBLE) /
+             CAST(sum(n_rows) OVER () AS DOUBLE) AS pct_rows
+         FROM d""",
     "curate_deletion" -> {
       val hc = graft.functions.TextHash.duckHash60Of("CAST(c_custkey AS VARCHAR)")
       s"""WITH del AS (SELECT c_custkey FROM customer WHERE $hc % 100 < $DelPct),

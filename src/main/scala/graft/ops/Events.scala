@@ -772,7 +772,47 @@ object Events {
         (col("n").cast("double") / col("t").cast("double")).as("p"))
   }
 
+  /** Last-touch attribution — the marketing/causal read of the event
+    * log: every `purchase` is credited to the user's most recent
+    * preceding touch event (`view`/`click`/`signup`; none → `direct`),
+    * and the per-channel rollup reports conversions, attributed revenue,
+    * and the mean touch-to-purchase lag. The touch pick is the as-of
+    * discipline of [[asof]] generalized from one channel to all of them:
+    * a single `last(..., ignoreNulls)` over the user's history instead
+    * of a per-channel join — one window pass regardless of how many
+    * channel types exist.
+    *
+    * Scale shape: one shuffle on user_id (the window), then a
+    * partial-aggregated rollup bounded by the channel domain. Type and
+    * timestamp of the touch come from the SAME frame row because their
+    * null-conditions coincide. All lag arithmetic is epoch-microsecond
+    * longs; the mean divides two exact integers in double — identical
+    * IEEE result in the oracle. A channel with no lag terms (`direct`)
+    * yields NULL, never 0/0.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("view", "click", "signup")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("t_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("t_us", last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        coalesce(col("t_type"), lit("direct")).as("channel"),
+        col("value"),
+        (unix_micros(col("ts")) - col("t_us")).as("gap_us"))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_conv"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"),
+        (sum("gap_us").cast("double") /
+          (count(col("gap_us")).cast("double") * 1000000.0)).as("avg_gap_s"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_attribution"    -> (attribution _),
     "events_transitions"    -> (transitions _),
     "events_ewma"           -> (ewma _),
     "events_session_dyngap" -> (sessionDynamicGap _),
@@ -974,6 +1014,24 @@ object Events {
       }
       rows.mkString("\n UNION ALL \n")
     },
+    "events_attribution" ->
+      """WITH seq AS (
+           SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view','click','signup')
+                 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_type,
+             last_value(CASE WHEN event_type IN ('view','click','signup')
+                 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_us
+           FROM events)
+         SELECT coalesce(t_type, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_conv,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           CAST(sum(epoch_us(ts) - t_us) AS DOUBLE) /
+             (CAST(count(t_us) AS DOUBLE) * 1000000.0) AS avg_gap_s
+         FROM seq WHERE event_type = 'purchase' GROUP BY 1""",
     "events_transitions" ->
       """WITH seq AS (
            SELECT event_type AS next_type,

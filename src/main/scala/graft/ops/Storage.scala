@@ -276,6 +276,66 @@ object Storage {
     corpusSummary(s.read.schema(docs.schema).orc(out))
   }
 
+  /** File count for the [[zorderAudit]] layout plan. */
+  val ZFiles = 64
+  /** Predicate box for the [[zorderAudit]] pruning audit, on the
+    * quantized grid: ship-day bucket in [ZLoA, ZHiA], price bucket in
+    * [ZLoB, ZHiB] (~18 months x ~20k–40k price band).
+    */
+  val (zLoA, zHiA, zLoB, zHiB) = (100L, 140L, 40L, 80L)
+
+  /** Zone-map audit of a Z-ordered layout — the oracle-checkable twin of
+    * [[writeZOrdered]]: quantize lineitem onto an 8-bit x 8-bit grid
+    * (ship-day decade, 500-unit price bucket), order rows by the Morton
+    * interleave of the two coordinates ([[graft.functions.ZOrder2]]),
+    * cut the ordered stream into [[ZFiles]] equal files (what the
+    * range-partitioned writer produces), and emit each file's zone map —
+    * row count, min/max of BOTH dimensions — plus, for a fixed 2-D
+    * predicate box, how many of its rows match and whether the file's
+    * box misses the predicate box entirely (`prunable`: a min/max-stats
+    * reader skips it without opening it). The audit is the planner's
+    * evidence that a Z-order layout turns a 2-column selective scan into
+    * a handful of file reads — the decision a 100 TB lake makes before
+    * paying for the one-time re-layout.
+    *
+    * Scale shape: the quantize + interleave is a scan-side projection
+    * (codegen'd native expression); the ntile is a global range sort —
+    * exactly the shuffle the real writer pays ([[writeZOrdered]]'s
+    * `repartitionByRange`), pinned here in its exact-rank form so the
+    * oracle can reproduce file boundaries bit-for-bit (a sampled range
+    * partitioner has nondeterministic cut points). Everything after the
+    * sort is a per-file partial aggregate: [[ZFiles]] output rows.
+    *
+    * Determinism: the sort key (z, l_orderkey, l_linenumber) is total;
+    * ntile on a total order is exact rank arithmetic in both engines.
+    */
+  def zorderAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir).select(
+      least(floor(
+        datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date"))
+          .cast("double") / 10.0), lit(255L)).cast("long").as("qa"),
+      least(floor(col("l_extendedprice") / 500.0), lit(255L)).cast("long").as("qb"),
+      col("l_orderkey"), col("l_linenumber"))
+    val z = graft.functions.ZOrderFunctions.zorder2(s, col("qa"), col("qb"))
+    val w = Window.orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("z", z)
+      .withColumn("file_id", ntile(ZFiles).over(w).cast("long"))
+      .groupBy("file_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("qa").as("min_a"), max("qa").as("max_a"),
+        min("qb").as("min_b"), max("qb").as("max_b"),
+        count(when(
+          col("qa").between(zLoA, zHiA) && col("qb").between(zLoB, zHiB),
+          1)).as("n_hits"))
+      .select(
+        col("file_id"), col("n_rows"),
+        col("min_a"), col("max_a"), col("min_b"), col("max_b"), col("n_hits"),
+        (col("max_a") < zLoA || col("min_a") > zHiA ||
+          col("max_b") < zLoB || col("min_b") > zHiB).as("prunable"))
+  }
+
   /** The per-(lang, source) integrity summary shared by the batch
     * round-trip and its streaming-ingestion twin
     * ([[graft.streaming.CorpusStream.ingestProfile]]): counts, char
@@ -298,8 +358,18 @@ object Storage {
     "part_prune"  -> (partPrune _),
     "corpus_jsonl" -> (jsonlRoundtrip _),
     "corpus_csv"   -> (csvRoundtrip _),
-    "corpus_orc"   -> (orcRoundtrip _)
+    "corpus_orc"   -> (orcRoundtrip _),
+    "corpus_zorder" -> (zorderAudit _)
   )
+
+  /** DuckDB-side Morton interleave of two 8-bit grid coordinates `qa`,
+    * `qb` — the SQL mirror of [[graft.functions.ZOrder2.interleave]]
+    * restricted to the audit's 8-bit quantizers: bit k of `qa` lands at
+    * position 2k, bit k of `qb` at 2k+1.
+    */
+  private val duckZ: String = (0 until 8).map(k =>
+    s"(((qa >> $k) & 1) << ${2 * k}) + (((qb >> $k) & 1) << ${2 * k + 1})")
+    .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
     "bucket_join" ->
@@ -339,6 +409,31 @@ object Storage {
          sum(CAST(${graft.functions.TextHash.duckHash60Of(
            "CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text, '')")}
            AS DECIMAL(38,0))) AS content_sig
-         FROM documents GROUP BY 1, 2"""
+         FROM documents GROUP BY 1, 2""",
+    // same quantize -> Morton-order -> ntile file cut -> zone-map
+    // summary, with the interleave spelled out as shift/mask arithmetic
+    "corpus_zorder" ->
+      s"""WITH q AS (
+           SELECT
+             least(CAST(floor(CAST(date_diff('day', DATE '1995-01-01',
+               CAST(l_shipdate AS DATE)) AS DOUBLE) / 10.0) AS BIGINT),
+               255) AS qa,
+             least(CAST(floor(l_extendedprice / 500.0) AS BIGINT), 255) AS qb,
+             l_orderkey, l_linenumber
+           FROM lineitem),
+         z AS (SELECT *, $duckZ AS z FROM q),
+         f AS (SELECT qa, qb,
+             ntile($ZFiles) OVER (ORDER BY z, l_orderkey, l_linenumber)
+               AS file_id
+           FROM z)
+         SELECT CAST(file_id AS BIGINT) AS file_id,
+           count(*) AS n_rows,
+           min(qa) AS min_a, max(qa) AS max_a,
+           min(qb) AS min_b, max(qb) AS max_b,
+           count(*) FILTER (WHERE qa BETWEEN $zLoA AND $zHiA
+             AND qb BETWEEN $zLoB AND $zHiB) AS n_hits,
+           (max(qa) < $zLoA OR min(qa) > $zHiA
+             OR max(qb) < $zLoB OR min(qb) > $zHiB) AS prunable
+         FROM f GROUP BY 1"""
   )
 }

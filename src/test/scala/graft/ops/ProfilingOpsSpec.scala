@@ -902,4 +902,50 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r._2 >= -1e-8 && r._2 <= math.min(r._3, r._4) + 1e-8, s"real MI: $r")
     assert(r._5 >= -1e-8 && r._5 <= 1.0 + 1e-8)
   }
+
+  test("curate_l_diversity: levels partition the QI groups and rows, pct sums to 1") {
+    val ev = graft.Tables.events(spark, Sf0001)
+    val rows = Curation.lDiversity(spark, Sf0001).collect()
+    val domain = ev.select("event_type").distinct().count()
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l")
+      assert(l >= 1L && l <= domain, s"diversity level $l outside [1, $domain]")
+    }
+    // the level histogram partitions both the QI-group set and the rows
+    val nQi = ev.select(hour(col("ts")), floor(col("value") / 25.0))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_groups")).sum == nQi)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == ev.count())
+    assert(math.abs(rows.map(_.getAs[Double]("pct_rows")).sum - 1.0) < 1e-12)
+  }
+
+  test("events_attribution: window pick equals an independent join+argmax formulation") {
+    val att = Events.attribution(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Long]("n_conv")).toMap
+    val ev = graft.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    val touches = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("ts").as("tts"), col("event_id").as("tid"),
+        col("event_type").as("channel"))
+    // independent path: join every purchase to ALL its prior touches and
+    // take the (ts, event_id)-max — same winner the one-pass window picks
+    // a non-prior touch is nulled out (not filtered) so a purchase whose
+    // only touches come later still yields a 'direct' group
+    val isPrior = col("tts") < col("pts") ||
+      (col("tts") === col("pts") && col("tid") < col("pid"))
+    val viaJoin = purchases
+      .join(touches, Seq("user_id"), "left")
+      .groupBy("user_id", "pts", "pid")
+      .agg(max_by(when(isPrior, col("channel")),
+        when(isPrior, struct(col("tts"), col("tid")))).as("channel"))
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conv"))
+      .collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Long]("n_conv")).toMap
+    assert(att == viaJoin, s"window=$att join=$viaJoin")
+    assert(att.values.sum ==
+      ev.filter(col("event_type") === "purchase").count())
+  }
 }

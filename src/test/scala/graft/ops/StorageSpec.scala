@@ -229,4 +229,49 @@ class StorageSpec extends AnyFunSuite with SparkTestBase {
     assert(got("supplier->nation") == suppOrph)
     assert(got("lineitem->part") == 0L && got("nation->region") == 0L)
   }
+
+  test("corpus_zorder: zone maps are sound, complete, and prune more than a time-ordered cut") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val audit = Storage.zorderAudit(spark, Sf0001).collect()
+    assert(audit.length == Storage.ZFiles)
+    assert(audit.map(_.getAs[Long]("n_rows")).sum == li.count())
+    // zone-map soundness: a file marked prunable must contain zero hits —
+    // skipping it can never change the query result
+    audit.foreach { r =>
+      if (r.getAs[Boolean]("prunable")) assert(r.getAs[Long]("n_hits") == 0L)
+      assert(r.getAs[Long]("min_a") >= 0L && r.getAs[Long]("max_a") <= 255L)
+      assert(r.getAs[Long]("min_b") >= 0L && r.getAs[Long]("max_b") <= 255L)
+    }
+    // completeness: per-file hits sum to the direct predicate count
+    val direct = li.filter(
+      least(floor(datediff(to_date(col("l_shipdate")),
+        lit("1995-01-01").cast("date")).cast("double") / 10.0), lit(255L))
+        .between(Storage.zLoA, Storage.zHiA) &&
+      least(floor(col("l_extendedprice") / 500.0), lit(255L))
+        .between(Storage.zLoB, Storage.zHiB)).count()
+    assert(audit.map(_.getAs[Long]("n_hits")).sum == direct)
+    // the layout pays: the same file cut ordered by l_orderkey (the
+    // append/time order a lake gets by default) leaves nearly every file
+    // spanning the full (qa, qb) range, so the Z-order cut must prune
+    // strictly more files — this is the re-layout's business case
+    import org.apache.spark.sql.expressions.Window
+    val q = li.select(
+      least(floor(datediff(to_date(col("l_shipdate")),
+        lit("1995-01-01").cast("date")).cast("double") / 10.0), lit(255L)).as("qa"),
+      least(floor(col("l_extendedprice") / 500.0), lit(255L)).as("qb"),
+      col("l_orderkey"), col("l_linenumber"))
+    val keyCut = q
+      .withColumn("file_id",
+        ntile(Storage.ZFiles).over(Window.orderBy("l_orderkey", "l_linenumber")))
+      .groupBy("file_id")
+      .agg(min("qa").as("min_a"), max("qa").as("max_a"),
+        min("qb").as("min_b"), max("qb").as("max_b"))
+      .filter(col("max_a") < Storage.zLoA || col("min_a") > Storage.zHiA ||
+        col("max_b") < Storage.zLoB || col("min_b") > Storage.zHiB)
+      .count()
+    val zPrunable = audit.count(_.getAs[Boolean]("prunable")).toLong
+    assert(zPrunable > keyCut,
+      s"z-order pruned $zPrunable files, time-order cut pruned $keyCut")
+    assert(zPrunable >= Storage.ZFiles / 2)
+  }
 }

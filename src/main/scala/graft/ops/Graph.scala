@@ -80,6 +80,93 @@ object Graph {
     ranks.select(col("node").as("doc_id"), col("rank"))
   }
 
+  /** Seed-set size for [[ppr]]: the [[PprSeeds]] nodes with the
+    * smallest PRF hash — nonempty on any graph, bounded, deterministic.
+    */
+  val PprSeeds = 8
+
+  /** Catalog entry: personalized PageRank over the near-dup graph. */
+  def pprNearDup(s: SparkSession, dir: String): DataFrame =
+    ppr(Dedup.minhash(s, dir).select(col("da"), col("db")))
+
+  /** Personalized PageRank — the seed-anchored variant of [[pagerank]]
+    * that powers graph-based data SELECTION rather than inspection:
+    * restart mass is concentrated on a trusted seed set S instead of
+    * spread uniformly, so `r(v)` measures v's proximity to the seeds
+    * (TrustRank/harmonic-seed curation: score every crawl doc by random-
+    * walk closeness to a vetted whitelist, keep the top mass). Iteration:
+    * `r_{i+1}(v) = (1-d)·s(v) + d · Σ_{u~v} r_i(u)/deg(u)` with
+    * `s = 1/|S|` on seeds, 0 elsewhere, `r_0 = s`.
+    *
+    * The seed set is the [[PprSeeds]] nodes with the smallest
+    * (hash, node) — a PRF stand-in for the uploaded whitelist that is
+    * nonempty on any graph and reproducible in the oracle. Its selection
+    * is a top-k over the node list (TakeOrderedAndProject, no global
+    * sort); the per-node restart column rides the SAME checkpointed
+    * table the rank join already produces, so personalization adds zero
+    * extra shuffles per round versus [[pagerank]] — one equi-join plus
+    * one partial-aggregated destination sum, two checkpoint generations
+    * max.
+    *
+    * Determinism: [[pagerank]]'s decimal(38,12) CAST is tie-hazardous
+    * here — the 1/8 seed mass is dyadic, so iteration values (seed /
+    * power-of-two degrees) land EXACTLY on half-grid boundaries, where
+    * Spark (HALF_UP on the double's exact expansion) and DuckDB
+    * (ties-to-even on `x·10¹²`) systematically disagree. This loop
+    * quantizes with `floor(x·10¹² + 0.5)` instead: every step (divide,
+    * multiply, add, floor) is a correctly-rounded IEEE operation on
+    * identical inputs, so both engines compute the bit-identical
+    * integer-grid value with NO dependence on a decimal rounding mode.
+    * Contributions sum as exact integers (through decimal(38,0), so the
+    * destination sum can't overflow at any in-degree), and `(1-d)`/`d`
+    * are interpolated into the oracle as full-precision double literals.
+    */
+  def ppr(pairList: DataFrame,
+      iterations: Int = PrIterations, damping: Double = PrDamping): DataFrame = {
+    val prs = pairList.toDF("da", "db").transform(Ckpt.apply)
+    val edges = prs
+      .union(prs.select(col("db").as("da"), col("da").as("db")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src").transform(Ckpt.apply)
+    Dedup.freeCheckpoint(prs)
+    val nodes = edgesDeg.select("src").distinct()
+    val seeds = nodes
+      .orderBy(graft.functions.TextHash.hash60(col("src").cast("string")), col("src"))
+      .limit(PprSeeds)
+      .select(col("src").as("node"), lit(1).as("is_seed"))
+    val sv = nodes.select(col("src").as("node"))
+      .join(broadcast(seeds), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed").isNotNull, lit(1.0 / PprSeeds)).otherwise(lit(0.0)).as("s"))
+      .transform(Ckpt.apply)
+    var ranks = sv.select(col("node"), col("s").as("rank"))
+    // generation 0 is a projection OVER sv's checkpoint — freeing it
+    // would free sv, which every later round still joins
+    var ranksOwned = false
+    for (_ <- 1 to iterations) {
+      val next = ranks
+        .join(edgesDeg, col("node") === col("src"))
+        .select(col("dst"),
+          floor(col("rank") / col("deg").cast("double") * lit(1e12) + lit(0.5))
+            .cast("decimal(38,0)").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).cast("double").as("m"))
+        .join(sv, "node")
+        .select(col("node"),
+          (floor((lit(1 - damping) * col("s") +
+              lit(damping) * (col("m") / lit(1e12))) * lit(1e12) + lit(0.5))
+            .cast("double") / lit(1e12)).as("rank"))
+        .transform(Ckpt.apply)
+      if (ranksOwned) Dedup.freeCheckpoint(ranks)
+      ranks = next
+      ranksOwned = true
+    }
+    Dedup.freeCheckpoint(edgesDeg)
+    Dedup.freeCheckpoint(sv)
+    ranks.select(col("node").as("doc_id"), col("rank"))
+  }
+
   /** Catalog entry: per-node triangle counts over the same near-dup
     * graph. A document's triangle count is the numerator of its local
     * clustering coefficient — high-triangle docs sit inside densely
@@ -598,6 +685,7 @@ object Graph {
 
   val queries: Map[String, Q] = Map(
     "graph_pagerank"  -> (pagerankNearDup _),
+    "graph_ppr"       -> (pprNearDup _),
     "graph_triangles" -> (trianglesNearDup _),
     "graph_common_neighbors" -> (commonNeighborsCoPurchase _),
     "graph_communities" -> (communitiesCoPurchase _),
@@ -645,7 +733,44 @@ object Graph {
        FROM r${i - 1} r JOIN ed e ON r.node = e.src, nn
        GROUP BY e.dst, nn.cnt)"""
 
+  /** One unrolled personalized-PageRank oracle iteration: the same
+    * floor-integer-grid quantization as the Spark loop — every step a
+    * correctly-rounded IEEE op, the destination sum an exact integer —
+    * with both damping factors interpolated as full-precision double
+    * literals (the exact doubles the Spark plan multiplies by).
+    */
+  private def pprIterCte(i: Int): String = {
+    val a = java.lang.Double.toString(1 - PrDamping)
+    val d = java.lang.Double.toString(PrDamping)
+    s"""p$i AS (SELECT e.dst AS node,
+         CAST(floor((CAST('$a' AS DOUBLE) * sv.s + CAST('$d' AS DOUBLE) *
+             (CAST(sum(CAST(floor(r.rank / CAST(e.deg AS DOUBLE) * 1e12 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1e12)) * 1e12 + 0.5)
+           AS DOUBLE) / 1e12 AS rank
+       FROM p${i - 1} r JOIN ed e ON r.node = e.src JOIN sv ON sv.node = e.dst
+       GROUP BY e.dst, sv.s)"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_ppr" -> {
+      val iters = (1 to PrIterations).map(pprIterCte).mkString(",\n")
+      val seedMass = java.lang.Double.toString(1.0 / PprSeeds)
+      val h = graft.functions.TextHash.duckHash60Of("CAST(n.node AS VARCHAR)")
+      s"""WITH ${Dedup.duckMinhashPairsCte},
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION ALL SELECT db, da FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+         nodes AS (SELECT src AS node FROM deg),
+         seeds AS (SELECT n.node FROM nodes n ORDER BY $h, n.node LIMIT $PprSeeds),
+         sv AS (SELECT n.node,
+             CASE WHEN s.node IS NOT NULL THEN CAST('$seedMass' AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END AS s
+           FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         p0 AS (SELECT node, s AS rank FROM sv),
+         $iters
+         SELECT node AS doc_id, rank FROM p$PrIterations"""
+    },
     "graph_pagerank" -> {
       val iters = (1 to PrIterations).map(prIterCte).mkString(",\n")
       s"""WITH ${Dedup.duckMinhashPairsCte},

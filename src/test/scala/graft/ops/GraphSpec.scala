@@ -254,6 +254,62 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(nc1 == 1L && math.abs(q1) < 1e-12, s"one-clique ($nc1, $q1)")
   }
 
+  test("graph_ppr: bit-equal to a sequential reference on a known topology") {
+    // plain-Scala reference with the SAME floor-integer-grid arithmetic:
+    // any divergence in join/agg/quantization order shows up as a bit
+    // difference here before the cross-engine oracle ever sees it
+    def refPpr(pairs: Seq[(Long, Long)], iters: Int, d: Double): Map[Long, Double] = {
+      val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val deg   = edges.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+      val nodes = deg.keys.toSeq
+      val seeds = nodes
+        .sortBy(n => (graft.functions.TextHash.hash60Jvm(n.toString), n))
+        .take(Graph.PprSeeds).toSet
+      val sMass = 1.0 / Graph.PprSeeds
+      val s = nodes.map(n => n -> (if (seeds(n)) sMass else 0.0)).toMap
+      var r = s
+      for (_ <- 1 to iters) {
+        r = edges.groupBy(_._2).map { case (dst, es) =>
+          val m = es.map { case (src, _) =>
+            BigInt(math.floor(r(src) / deg(src).toDouble * 1e12 + 0.5).toLong)
+          }.sum
+          dst -> math.floor(
+            ((1 - d) * s(dst) + d * (m.toDouble / 1e12)) * 1e12 + 0.5) / 1e12
+        }
+      }
+      r
+    }
+    // two components (chain + star) so restart mass must NOT leak across,
+    // plus enough nodes that the 8-seed cap is a strict subset
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (6L, 8L), (6L, 9L), (6L, 10L), (11L, 12L))
+    val got = Graph.ppr(pairs.toDF("da", "db")).as[(Long, Double)].collect().toMap
+    val want = refPpr(pairs, Graph.PrIterations, Graph.PrDamping)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (n, v) =>
+      assert(v == want(n), s"node $n: spark=$v reference=${want(n)}")
+    }
+  }
+
+  test("graph_ppr: restart mass stays on the grid-conserved total and seeds hold their floor") {
+    val rows = Graph.pprNearDup(spark, Sf0001).as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val tol = rows.length * 5e-13 * Graph.PrIterations
+    assert(math.abs(rows.map(_._2).sum - 1.0) <= tol + 1e-12,
+      s"ppr mass ${rows.map(_._2).sum} drifted beyond $tol")
+    assert(rows.forall(_._2 >= 0.0))
+    // every seed keeps at least its own restart share (1-d)/|S|
+    val seedFloor = (1 - Graph.PrDamping) / Graph.PprSeeds - 1e-12
+    val seeds = rows.map(_._1)
+      .sortBy(n => (graft.functions.TextHash.hash60Jvm(n.toString), n))
+      .take(Graph.PprSeeds).toSet
+    val seedRanks = rows.filter(r => seeds(r._1)).map(_._2)
+    assert(seedRanks.nonEmpty && seedRanks.forall(_ >= seedFloor),
+      s"a seed fell below its restart floor $seedFloor: ${seedRanks.min}")
+    // personalization is real: seed mean rank exceeds the uniform share
+    assert(seedRanks.sum / seedRanks.length > 1.0 / rows.length)
+  }
+
   test("modularity: deterministic across shuffle-partition counts on the fixture") {
     val a = Graph.modularityCoPurchase(spark, Sf0001).as[(Long, Double)].collect().head
     withSQLConf("spark.sql.shuffle.partitions" -> "13") {

@@ -330,6 +330,73 @@ object TextAnalysis {
       .limit(PmiTopN)
   }
 
+  /** Minimum bigram support and result size for the LLR collocations. */
+  val LlrMinCount = 5
+  val LlrTopN     = 50
+
+  /** Top collocations by Dunning's log-likelihood ratio (G², Dunning
+    * 1993) — the significance-test counterpart of [[pmiTop]]: PMI
+    * over-rewards rare pairs (two hapaxes that co-occur once get a huge
+    * score), while G² weighs the full 2×2 contingency table of
+    * bigram-position counts, so high scores need both association AND
+    * evidence mass. Cells use BIGRAM-POSITION marginals (bigrams whose
+    * first word is w1, whose second is w2, total bigrams N) — the
+    * construction that keeps every cell non-negative by identity, unlike
+    * raw unigram counts. Zero cells contribute zero (their x·ln x limit),
+    * and each zero guard coincides exactly with the denominator that
+    * would vanish, so no ln(0)/division-by-zero path exists.
+    *
+    * Scale shape: the bigram stream is checkpointed once and feeds all
+    * four count aggregations (support, two marginals, total) — the
+    * [[graft.ops.Curation.kmvOverlapOf]] multi-consumer discipline;
+    * marginal joins are unhinted (model tables outgrow broadcast), the
+    * 1-row total rides as a broadcast, and the final top-N is a
+    * TakeOrderedAndProject over support-filtered survivors. The G² is
+    * quantized through decimal(38,6) before ordering (four lns —
+    * StrictMath/libm last-ulp hazard), bigram string as total tiebreak.
+    */
+  def llrTop(s: SparkSession, dir: String): DataFrame =
+    llrTopOf(Tables.documents(s, dir))
+
+  private[ops] def llrTopOf(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(filter(Tokenize.tokenCol(col("text")), _ =!= "").as("toks"))
+      .select(explode(TextHash.shingles(col("toks"), 2)).as("b"))
+      .transform(graft.Ckpt.apply)
+    val c12 = bg.groupBy("b").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= LlrMinCount)
+    val first  = bg.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val second = bg.groupBy(substring_index(col("b"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val tot = bg.agg(count(lit(1)).cast("double").as("n_bg"))
+    val n = col("n_bg")
+    val k = col("c12").cast("double")
+    val r = col("c1").cast("double")
+    val c = col("c2").cast("double")
+    val t11 = k * log(n * k / (r * c))
+    val t12 = when(r - k > 0.0,
+      (r - k) * log(n * (r - k) / (r * (n - c)))).otherwise(lit(0.0))
+    val t21 = when(c - k > 0.0,
+      (c - k) * log(n * (c - k) / ((n - r) * c))).otherwise(lit(0.0))
+    val t22 = when(n - r - c + k > 0.0,
+      (n - r - c + k) * log(n * (n - r - c + k) / ((n - r) * (n - c))))
+      .otherwise(lit(0.0))
+    c12
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .withColumn("w2", substring_index(col("b"), " ", -1))
+      .join(first, "w1")
+      .join(second, "w2")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("b").as("bigram"),
+        col("c12"),
+        (lit(2.0) * (t11 + t12 + t21 + t22))
+          .cast("decimal(38,6)").cast("double").as("llr"))
+      .orderBy(desc("llr"), asc("bigram"))
+      .limit(LlrTopN)
+  }
+
   /** Terms per language entering the Zipf fit. */
   val ZipfTopN = 1000
 
@@ -782,6 +849,7 @@ object TextAnalysis {
     "text_entropy"     -> (tokenEntropy _),
     "text_zipf_slope"  -> (zipfSlope _),
     "text_pmi"         -> (pmiTop _),
+    "text_collocation_llr" -> (llrTop _),
     "text_ppl_buckets" -> (pplBuckets _),
     "text_fingerprint" -> (fingerprint _)
   )
@@ -1094,6 +1162,34 @@ object TextAnalysis {
          JOIN uni u1 ON u1.t = split_part(b, ' ', 1)
          JOIN uni u2 ON u2.t = split_part(b, ' ', 2), tot
          ORDER BY pmi DESC, bigram ASC LIMIT $PmiTopN""",
+    // identical contingency construction: bigram-position marginals,
+    // zero cells contribute zero, same multiply/divide shape inside ln
+    "text_collocation_llr" ->
+      s"""WITH bg AS (SELECT b FROM ($duckBigrams)),
+         c12 AS (SELECT b, count(*) AS c12 FROM bg GROUP BY 1
+                 HAVING count(*) >= $LlrMinCount),
+         f AS (SELECT split_part(b, ' ', 1) AS w, count(*) AS c1 FROM bg GROUP BY 1),
+         sn AS (SELECT split_part(b, ' ', 2) AS w, count(*) AS c2 FROM bg GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bg),
+         cells AS (SELECT b, c12,
+             CAST(c12 AS DOUBLE) AS k, CAST(c1 AS DOUBLE) AS r,
+             CAST(c2 AS DOUBLE) AS c, n
+           FROM c12
+           JOIN f ON f.w = split_part(b, ' ', 1)
+           JOIN sn ON sn.w = split_part(b, ' ', 2), tot)
+         SELECT b AS bigram, c12,
+           CAST(CAST(2.0 * (
+             k * ln(n * k / (r * c)) +
+             CASE WHEN r - k > 0 THEN (r - k) * ln(n * (r - k) / (r * (n - c)))
+                  ELSE 0 END +
+             CASE WHEN c - k > 0 THEN (c - k) * ln(n * (c - k) / ((n - r) * c))
+                  ELSE 0 END +
+             CASE WHEN n - r - c + k > 0
+                  THEN (n - r - c + k) * ln(n * (n - r - c + k) / ((n - r) * (n - c)))
+                  ELSE 0 END)
+           AS DECIMAL(38,6)) AS DOUBLE) AS llr
+         FROM cells
+         ORDER BY llr DESC, bigram ASC LIMIT $LlrTopN""",
     "text_zipf_slope" ->
       s"""WITH ltc AS (
            SELECT lang, t, count(*) AS c FROM (

@@ -903,6 +903,39 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r._5 >= -1e-8 && r._5 <= 1.0 + 1e-8)
   }
 
+  test("text_collocation_llr: perfect collocation dominates, G2 matches a hand computation") {
+    // 6 perfectly-associated pairs, 10 gamma-bigrams of which only 5 are
+    // 'gamma delta' (partial association), 20 unique filler bigrams that
+    // only add marginal/total mass (below the support cut)
+    val docs =
+      (1 to 6).map(i => (i.toLong, "alpha beta")) ++
+      (7 to 11).map(i => (i.toLong, "gamma delta")) ++
+      (12 to 16).map(i => (i.toLong, "gamma zeta")) ++
+      (17 to 36).map(i => (i.toLong, s"u$i v$i"))
+    val got = TextAnalysis.llrTopOf(docs.toDF("doc_id", "text"))
+      .as[(String, Long, Double)].collect()
+    // G2 is a deviance: never negative beyond grid rounding
+    assert(got.forall(_._3 >= -1e-6), s"negative llr: ${got.minBy(_._3)}")
+    val byName = got.map(r => r._1 -> r._3).toMap
+    assert(byName.contains("alpha beta") && byName.contains("gamma delta"))
+    assert(byName("alpha beta") > byName("gamma delta"),
+      "perfect association must outscore the diluted pair")
+    // bit-check 'alpha beta' against the closed-form cells:
+    // k=6, r=6, c=6, N=36 — same double op order, same decimal grid
+    val (k, r, c, n) = (6.0, 6.0, 6.0, 36.0)
+    def cell(kk: Double, num: Double, den: Double): Double =
+      if (kk > 0) kk * math.log(num / den) else 0.0
+    val g2 = 2.0 * (
+      cell(k, n * k, r * c) +
+      cell(r - k, n * (r - k), r * (n - c)) +
+      cell(c - k, n * (c - k), (n - r) * c) +
+      cell(n - r - c + k, n * (n - r - c + k), (n - r) * (n - c)))
+    val want = new java.math.BigDecimal(g2)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(byName("alpha beta") == want,
+      s"alpha beta: got ${byName("alpha beta")}, hand computation $want")
+  }
+
   test("curate_l_diversity: levels partition the QI groups and rows, pct sums to 1") {
     val ev = graft.Tables.events(spark, Sf0001)
     val rows = Curation.lDiversity(spark, Sf0001).collect()

@@ -258,18 +258,23 @@ object Curation {
   def kmvOverlap(s: SparkSession, dir: String): DataFrame =
     kmvOverlapOf(withToks(s, dir))
 
-  private[ops] def kmvOverlapOf(toks: DataFrame): DataFrame = {
+  /** The k-row-per-source bottom-k sketch shared by [[kmvOverlapOf]] and
+    * [[kmvSetAlgOf]] — the ONLY corpus-sized computation either makes.
+    */
+  private def kmvSketch(toks: DataFrame): DataFrame = {
     val sh = toks
       .select(col("source"), explode(TextHash.shingles(col("toks"), 3)).as("shs"))
       .select(col("source"), TextHash.hash60(col("shs")).as("sh"))
       .distinct()
     val wSrc = Window.partitionBy("source").orderBy("sh")
-    // the k-row-per-source sketch: the ONLY corpus-sized computation
-    val sk = sh
-      .withColumn("rn", row_number().over(wSrc))
+    sh.withColumn("rn", row_number().over(wSrc))
       .filter(col("rn") <= KmvK)
       .select("source", "sh")
       .transform(Ckpt.apply)
+  }
+
+  private[ops] def kmvOverlapOf(toks: DataFrame): DataFrame = {
+    val sk = kmvSketch(toks)
     val srcs = sk.select("source").distinct()
     val pairs = srcs.select(col("source").as("source_a"))
       .crossJoin(srcs.select(col("source").as("source_b")))
@@ -301,6 +306,90 @@ object Curation {
         col("k_union"),
         col("n_both"),
         (col("n_both").cast("double") / col("k_union")).as("est_jaccard"))
+  }
+
+  /** Hash-space size for the KMV cardinality estimator: hash60 is
+    * uniform on [0, 2^60), so `n̂ = (k-1)·2^60 / h_k`.
+    */
+  private val KmvSpace = 1152921504606846976L // 2^60
+
+  /** Catalog entry: KMV set-algebra cardinalities across sources. */
+  def kmvSetAlg(s: SparkSession, dir: String): DataFrame =
+    kmvSetAlgOf(withToks(s, dir))
+
+  /** Set-ALGEBRA estimates from the same bottom-k sketches as
+    * [[kmvOverlapOf]] — the planner's numbers rather than the analyst's
+    * ratio: per source pair, estimated distinct-shingle cardinalities of
+    * A, B, A∪B, A∩B, and both one-sided differences. `|A\B|` is the
+    * question a corpus-acquisition decision actually asks ("how many NEW
+    * shingles does source B add to what I already hold?"), and it
+    * composes from two sketch reads — no second corpus pass, which is
+    * the whole point at 100 TB (Bar-Yossef et al. 2002: the bottom-k
+    * sketch of A∪B is computable from the sketches of A and B alone).
+    *
+    * Estimator: `n̂ = (k-1)·2^60 / h_k` when the sketch is full (h_k =
+    * its max), the EXACT sketch size when not (fewer than k distinct
+    * values means the sketch IS the set); `|A∩B| = Ĵ·|A∪B|` with Ĵ from
+    * the union sketch; differences by inclusion with a zero clamp (an
+    * estimator can go epsilon-negative, a set size cannot). Every
+    * estimate quantizes onto the decimal(38,6) grid; the clamp then
+    * subtracts two on-grid doubles — bit-identical in both engines.
+    *
+    * Scale shape: identical to [[kmvOverlapOf]] — everything after the
+    * one sketch build is bounded by source_count·k rows.
+    */
+  private[ops] def kmvSetAlgOf(toks: DataFrame): DataFrame = {
+    val sk = kmvSketch(toks)
+    val sstats = sk.groupBy("source")
+      .agg(count(lit(1)).as("cnt"), max("sh").as("maxh"))
+    val srcs = sstats.select("source")
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val u = pairs
+      .join(sk.select(col("source").as("source_a"), col("sh")), "source_a")
+      .select("source_a", "source_b", "sh")
+      .union(pairs
+        .join(sk.select(col("source").as("source_b"), col("sh")), "source_b")
+        .select("source_a", "source_b", "sh"))
+      .distinct()
+    val wPair = Window.partitionBy("source_a", "source_b").orderBy("sh")
+    val topu = u
+      .withColumn("rn", row_number().over(wPair))
+      .filter(col("rn") <= KmvK)
+      .select("source_a", "source_b", "sh")
+    val ustats = topu
+      .join(sk.select(col("source").as("source_a"), col("sh"), lit(1).as("ia")),
+        Seq("source_a", "sh"), "left")
+      .join(sk.select(col("source").as("source_b"), col("sh"), lit(1).as("ib")),
+        Seq("source_b", "sh"), "left")
+      .groupBy("source_a", "source_b")
+      .agg(
+        count(lit(1)).as("k_union"),
+        max("sh").as("umaxh"),
+        count(when(col("ia").isNotNull && col("ib").isNotNull, 1)).as("n_both"))
+    def est(cnt: Column, maxh: Column): Column =
+      when(cnt < KmvK, cnt.cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) * lit(KmvSpace).cast("double") /
+          maxh.cast("double"))
+    def grid(c: Column): Column = c.cast("decimal(38,6)").cast("double")
+    ustats
+      .join(sstats.select(col("source").as("source_a"),
+        col("cnt").as("cnt_a"), col("maxh").as("maxh_a")), "source_a")
+      .join(sstats.select(col("source").as("source_b"),
+        col("cnt").as("cnt_b"), col("maxh").as("maxh_b")), "source_b")
+      .select(
+        col("source_a"), col("source_b"),
+        grid(est(col("cnt_a"), col("maxh_a"))).as("est_a"),
+        grid(est(col("cnt_b"), col("maxh_b"))).as("est_b"),
+        grid(est(col("k_union"), col("umaxh"))).as("est_union"),
+        grid((col("n_both").cast("double") / col("k_union").cast("double")) *
+          est(col("k_union"), col("umaxh"))).as("est_inter"))
+      .select(
+        col("source_a"), col("source_b"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+        greatest(lit(0.0), col("est_a") - col("est_inter")).as("est_a_only"),
+        greatest(lit(0.0), col("est_b") - col("est_inter")).as("est_b_only"))
   }
 
   /** Preference-pair mining — the DPO/RLHF-style data factory step:
@@ -1427,6 +1516,7 @@ object Curation {
     "embed_kmeans_iter"  -> (kmeansIter _),
     "source_overlap"     -> (sourceOverlap _),
     "source_overlap_kmv" -> (kmvOverlap _),
+    "source_setalg_kmv"  -> (kmvSetAlg _),
     "curate_dsir"        -> (dsir _)
   )
 
@@ -1845,6 +1935,54 @@ object Curation {
          LEFT JOIN sk ia ON ia.source = t.source_a AND ia.sh = t.sh
          LEFT JOIN sk ib ON ib.source = t.source_b AND ib.sh = t.sh
          GROUP BY 1, 2""",
+    "source_setalg_kmv" -> {
+      def est(cnt: String, maxh: String) =
+        s"""CASE WHEN $cnt < $KmvK THEN CAST($cnt AS DOUBLE)
+            ELSE ${(KmvK - 1).toDouble} * CAST($KmvSpace AS DOUBLE) /
+              CAST($maxh AS DOUBLE) END"""
+      def grid(e: String) = s"CAST(CAST($e AS DECIMAL(38,6)) AS DOUBLE)"
+      s"""WITH toks AS ($duckToksList),
+         sh AS (SELECT DISTINCT source, ${TextHash.duckHash60Of("g")} sh
+                FROM (SELECT source, ${duckNgrams(3)} g FROM toks)),
+         sk AS (SELECT source, sh FROM (
+             SELECT source, sh, row_number() OVER (PARTITION BY source ORDER BY sh) rn
+             FROM sh)
+           WHERE rn <= $KmvK),
+         sstats AS (SELECT source, count(*) AS cnt, max(sh) AS maxh FROM sk GROUP BY 1),
+         pairs AS (SELECT a.source source_a, b.source source_b
+                   FROM sstats a, sstats b WHERE a.source < b.source),
+         u AS (SELECT DISTINCT source_a, source_b, sh FROM (
+             SELECT p.source_a, p.source_b, s.sh
+             FROM pairs p JOIN sk s ON s.source = p.source_a
+             UNION ALL
+             SELECT p.source_a, p.source_b, s.sh
+             FROM pairs p JOIN sk s ON s.source = p.source_b)),
+         topu AS (SELECT source_a, source_b, sh FROM (
+             SELECT source_a, source_b, sh,
+               row_number() OVER (PARTITION BY source_a, source_b ORDER BY sh) rn
+             FROM u)
+           WHERE rn <= $KmvK),
+         ustats AS (SELECT t.source_a, t.source_b,
+             count(*) AS k_union, max(t.sh) AS umaxh,
+             count(*) FILTER (WHERE ia.sh IS NOT NULL AND ib.sh IS NOT NULL) AS n_both
+           FROM topu t
+           LEFT JOIN sk ia ON ia.source = t.source_a AND ia.sh = t.sh
+           LEFT JOIN sk ib ON ib.source = t.source_b AND ib.sh = t.sh
+           GROUP BY 1, 2),
+         g AS (SELECT u.source_a, u.source_b,
+             ${grid(est("sa.cnt", "sa.maxh"))} AS est_a,
+             ${grid(est("sb.cnt", "sb.maxh"))} AS est_b,
+             ${grid(est("u.k_union", "u.umaxh"))} AS est_union,
+             ${grid(s"""(CAST(u.n_both AS DOUBLE) / CAST(u.k_union AS DOUBLE)) *
+               (${est("u.k_union", "u.umaxh")})""")} AS est_inter
+           FROM ustats u
+           JOIN sstats sa ON sa.source = u.source_a
+           JOIN sstats sb ON sb.source = u.source_b)
+         SELECT source_a, source_b, est_a, est_b, est_union, est_inter,
+           greatest(CAST(0 AS DOUBLE), est_a - est_inter) AS est_a_only,
+           greatest(CAST(0 AS DOUBLE), est_b - est_inter) AS est_b_only
+         FROM g"""
+    },
     "curate_dsir" ->
       s"""WITH toks AS (SELECT doc_id, lang,
              list_filter(regexp_split_to_array(text, '${Tokenize.WordPattern}'), x -> x <> '') l

@@ -355,6 +355,59 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       s"disjoint sources estimated ${got(("A", "C"))} / ${got(("B", "C"))}")
   }
 
+  test("source_setalg_kmv: estimates track exact cardinalities; identities hold on edges") {
+    import graft.text.Tokenize
+    // real fixture: compare against the exact per-source/union counts the
+    // full-vocabulary sourceOverlap computes
+    val est = Curation.kmvSetAlg(spark, Sf0001)
+      .as[(String, String, Double, Double, Double, Double, Double, Double)]
+      .collect()
+    val exact = Curation.sourceOverlap(spark, Sf0001)
+      .select("source_a", "source_b", "n_a", "n_b", "n_inter")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(est.nonEmpty && est.map(r => (r._1, r._2)).toSet == exact.keySet)
+    for ((a, b, ea, eb, eu, ei, eao, ebo) <- est) {
+      val (na, nb, ni) = exact((a, b))
+      val nu = na + nb - ni
+      // KMV relative error is O(1/sqrt(k)) ~ 9% at k=128; 3-sigma slack
+      assert(math.abs(ea - na) <= 0.3 * na, s"($a,$b) |A|: est $ea exact $na")
+      assert(math.abs(eb - nb) <= 0.3 * nb, s"($a,$b) |B|: est $eb exact $nb")
+      assert(math.abs(eu - nu) <= 0.3 * nu, s"($a,$b) |A∪B|: est $eu exact $nu")
+      // intersection inherits both jaccard and union error; wider band,
+      // absolute floor for near-empty intersections
+      assert(math.abs(ei - ni) <= 0.45 * nu.toDouble.max(1.0),
+        s"($a,$b) |A∩B|: est $ei exact $ni")
+      assert(eao >= 0.0 && ebo >= 0.0)
+    }
+    // the difference estimates stay informative in aggregate
+    val maeDiff = est.map { case (a, b, _, _, _, _, eao, _) =>
+      val (na, _, ni) = exact((a, b))
+      math.abs(eao - (na - ni)) / math.max(1.0, (na - ni).toDouble)
+    }.sum / est.length
+    assert(maeDiff <= 0.2, f"mean relative |A\\B| error $maeDiff%.3f too high")
+    // edge identities on crafted sources: identical -> inter==union==A,
+    // zero difference; disjoint -> zero inter, difference == own size
+    val docs = (1 to 300).flatMap { i =>
+      Seq(("A", s"alpha doc $i shares every word with beta $i"),
+          ("B", s"alpha doc $i shares every word with beta $i"),
+          ("C", s"gamma corpus entry $i distinct vocabulary item x$i y$i z$i"))
+    }.toDF("source", "text")
+    val toks = docs
+      .select(col("source"), Tokenize.tokenCol(col("text")).as("raw"))
+      .select(col("source"), filter(col("raw"), _ =!= "").as("toks"))
+    val edge = Curation.kmvSetAlgOf(toks)
+      .as[(String, String, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val ab = edge(("A", "B"))
+    assert(ab._3 == ab._4 && ab._3 == ab._5 && ab._5 == ab._6,
+      s"identical sources: $ab")
+    assert(ab._7 == 0.0 && ab._8 == 0.0)
+    val ac = edge(("A", "C"))
+    assert(ac._6 == 0.0, s"disjoint intersection: ${ac._6}")
+    assert(ac._7 == ac._3 && ac._8 == ac._4)
+  }
+
   test("corpus_shards: hash order is a bijective permutation cut into full shards") {
     val out = Curation.shuffleShards(spark, Sf0001)
       .select("doc_id", "shuffle_key", "shuffle_pos", "shard_id", "pos_in_shard")

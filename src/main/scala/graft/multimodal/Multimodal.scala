@@ -128,6 +128,14 @@ object Multimodal extends Serializable {
         }
       }
       ("jpeg", if (dims == null) 0L else dims._1, if (dims == null) 0L else dims._2)
+    } else if (payload.length >= 13 &&
+        payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == '8' && (payload(4) == '7' || payload(4) == '9') &&
+        payload(5) == 'a') {
+      // GIF87a/89a: logical-screen width/height are LITTLE-endian u16s
+      // at bytes 6–9 (GIF89a spec §18) — the one LE image header here
+      def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+      ("gif", le16(6), le16(8))
     } else {
       val n = payload.length.toLong
       ("raw", n % 640, n % 480)
@@ -455,17 +463,29 @@ object Multimodal extends Serializable {
     s"$n >= 24 AND substr($h, 1, 16) = '89504E470D0A1A0A' AND substr($h, 25, 8) = '49484452'"
   private def duckIsJpeg(h: String, n: String) =
     s"$n >= 2 AND substr($h, 1, 4) = 'FFD8'"
+  // 'GIF87a' / 'GIF89a' are pure ASCII, so (unlike PNG/JPEG) a text
+  // payload COULD collide — which is exactly why the branch is mirrored
+  // at full strength: both engines read the same little-endian u16s
+  // from the same bytes either way
+  private def duckIsGif(h: String, n: String) =
+    s"""$n >= 13 AND (substr($h, 1, 12) = '474946383761'
+        OR substr($h, 1, 12) = '474946383961')"""
   private def duckFormat(h: String, n: String) =
     s"""CASE WHEN ${duckIsPng(h, n)} THEN 'png'
              WHEN ${duckIsJpeg(h, n)} THEN 'jpeg'
+             WHEN ${duckIsGif(h, n)} THEN 'gif'
              ELSE 'raw' END"""
   private def duckWidth(h: String, n: String) =
     s"""CASE WHEN ${duckIsPng(h, n)} THEN CAST('0x' || substr($h, 33, 8) AS BIGINT)
              WHEN ${duckIsJpeg(h, n)} THEN CAST(0 AS BIGINT)
+             WHEN ${duckIsGif(h, n)}
+               THEN CAST('0x' || substr($h, 15, 2) || substr($h, 13, 2) AS BIGINT)
              ELSE CAST($n % 640 AS BIGINT) END"""
   private def duckHeight(h: String, n: String) =
     s"""CASE WHEN ${duckIsPng(h, n)} THEN CAST('0x' || substr($h, 41, 8) AS BIGINT)
              WHEN ${duckIsJpeg(h, n)} THEN CAST(0 AS BIGINT)
+             WHEN ${duckIsGif(h, n)}
+               THEN CAST('0x' || substr($h, 19, 2) || substr($h, 17, 2) AS BIGINT)
              ELSE CAST($n % 480 AS BIGINT) END"""
 
   /** Shared audio-probe CTE chain (m → p → f) used by the

@@ -190,6 +190,32 @@ object Similarity {
       .distinct()
   }
 
+  /** ANN recall audit — "measure, don't guess" applied to the index
+    * itself: per query, how many of [[topkBrute]]'s exact top-k the
+    * LSH path ([[annLsh]]) actually returned. recall@k is THE number an
+    * ANN deployment is judged by (index geometry changes ship against a
+    * recall target, not a vibe), and computing it as a catalog query
+    * means the audit reruns under the same oracle gate as the operators
+    * it audits — if either side drifts, the audit row fails too.
+    *
+    * Scale shape: both sides are the already-bounded top-k tables
+    * (|Q|·k rows); the audit itself is one left equi-join plus a
+    * per-query count — free next to the pipelines it measures. The
+    * recall ratio is a quotient of two small exact integers: no
+    * quantization needed.
+    */
+  def recallAudit(s: SparkSession, dir: String): DataFrame = {
+    val truth = topkBrute(s, dir).select(col("va"), col("vb"))
+    val ann   = annLsh(s, dir).select(col("va"), col("vb"), lit(1).as("hit"))
+    truth
+      .join(ann, Seq("va", "vb"), "left")
+      .groupBy("va")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+      .select(
+        col("va"), col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall_at_k"))
+  }
+
   /** Hard-negative mining for contrastive training — each query
     * vector's top-k most-similar vectors with a DIFFERENT label: the
     * negatives nearest the decision boundary, which embedding-model
@@ -643,6 +669,7 @@ object Similarity {
     "embed_pq"       -> (pq _),
     "sim_topk"       -> (topkBrute _),
     "sim_ann_lsh"    -> (annLsh _),
+    "sim_recall_audit" -> (recallAudit _),
     "sim_hard_negatives" -> (hardNegatives _),
     "embed_rp_audit" -> (rpAudit _),
     "sim_ivf"        -> (ivf _),
@@ -815,6 +842,32 @@ object Similarity {
                ORDER BY list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) DESC, vb ASC) AS rn
            FROM cand JOIN e qa ON qa.vec_id = va JOIN e qb ON qb.vec_id = vb)
          WHERE rn <= $TopK""",
+    // truth/ann are the sim_topk and sim_ann_lsh oracles verbatim; the
+    // audit is exact set arithmetic over their (va, vb) pairs
+    "sim_recall_audit" ->
+      s"""WITH $duckNorm,
+         ${duckSigDynamic(NumTables, AnnTargetBucket)},
+         truth AS (SELECT va, vb FROM (
+             SELECT a.vec_id va, b.vec_id vb,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) DESC,
+                   b.vec_id ASC) AS rn
+             FROM e a JOIN e b ON a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id)
+           WHERE rn <= $TopK),
+         cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
+                  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                  WHERE a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id),
+         ann AS (SELECT va, vb FROM (
+             SELECT va, vb,
+               row_number() OVER (PARTITION BY va
+                 ORDER BY list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) DESC,
+                   vb ASC) AS rn
+             FROM cand JOIN e qa ON qa.vec_id = va JOIN e qb ON qb.vec_id = vb)
+           WHERE rn <= $TopK)
+         SELECT t.va, count(*) AS n_true, count(a.vb) AS n_hit,
+           CAST(count(a.vb) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
+         FROM truth t LEFT JOIN ann a ON a.va = t.va AND a.vb = t.vb
+         GROUP BY 1""",
     "sim_hard_negatives" ->
       s"""WITH $duckNorm,
          ${duckSigDynamic(NumTables, AnnTargetBucket)},

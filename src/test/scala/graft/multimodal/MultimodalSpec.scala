@@ -72,6 +72,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decode(Array(0xff, 0xd8).map(_.toByte)) == (("jpeg", 0L, 0L)))
   }
 
+  test("decode parses GIF87a/89a logical-screen dimensions (little-endian)") {
+    def gifBytes(ver: Char, w: Int, h: Int): Array[Byte] =
+      s"GIF8${ver}a".getBytes("US-ASCII") ++
+        Array((w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+          (h & 0xff).toByte, ((h >> 8) & 0xff).toByte) ++
+        Array[Byte](0, 0, 0) // packed/bg/aspect
+    assert(Multimodal.decode(gifBytes('9', 320, 200)) == (("gif", 320L, 200L)))
+    assert(Multimodal.decode(gifBytes('7', 61440, 513)) == (("gif", 61440L, 513L)))
+    // a text payload that merely mentions GIF is not a GIF ...
+    assert(Multimodal.decode("GIF image follows".getBytes)._1 == "raw")
+    // ... but one starting with the exact ASCII magic IS parsed — GIF's
+    // signature is valid UTF-8, so the branch must be total, not assumed
+    // unreachable on text (the oracle mirrors it at full strength)
+    assert(Multimodal.decode("GIF89a text collision".getBytes)._1 == "gif")
+    // truncated screen descriptor: not decodable as GIF
+    assert(Multimodal.decode(gifBytes('9', 1, 1).take(10))._1 == "raw")
+  }
+
   test("decode is deterministic and total on raw/empty payloads") {
     assert(Multimodal.decode(Array.emptyByteArray) == (("raw", 0L, 0L)))
     assert(Multimodal.decode("abc".getBytes) == (("raw", 3L, 3L)))

@@ -601,6 +601,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     val recall = ann.intersect(brute).size.toDouble / brute.size
     info(f"ann recall vs brute-force top-${Similarity.TopK}: $recall%.3f")
     assert(recall > 0.0)
+    // the catalog's recall audit must report EXACTLY this set arithmetic
+    val audit = Similarity.recallAudit(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(audit.map(_._1).toSet == brute.map(_._1).toSet)
+    audit.foreach { case (va, nTrue, nHit, r) =>
+      val t = brute.filter(_._1 == va)
+      val hits = t.intersect(ann)
+      assert(nTrue == t.size && nHit == hits.size,
+        s"query $va: audit says $nHit/$nTrue, sets say ${hits.size}/${t.size}")
+      assert(r == hits.size.toDouble / t.size)
+    }
+    // every query holds exactly k truth rows, so the pooled recall and
+    // the per-query mean are the same rational number
+    val meanRecall = audit.map(_._4).sum / audit.length
+    assert(math.abs(meanRecall - recall) < 1e-9,
+      s"pooled $recall vs per-query mean $meanRecall")
+    info(f"per-query mean recall@${Similarity.TopK}: $meanRecall%.3f")
   }
 
   test("ivf: cosines exact, per-query k bounded, recall vs brute force reported") {

@@ -17,6 +17,14 @@ private case class SessionState(startUs: Long, endUs: Long, n: Long)
 /** A user's current funnel stage (0 = none … 3 = purchased). */
 case class FunnelStage(user_id: Long, stage: Int)
 
+/** One attributed conversion ([[EventStream.attributeConversions]]);
+  * `gap_us` is -1 for a direct (touchless) purchase.
+  */
+case class AttributedConv(user_id: Long, event_id: Long, channel: String,
+    value: Double, gap_us: Long)
+
+private case class TouchState(tType: String, tUs: Long, maxUs: Long)
+
 /** An event type's cumulative online-anomaly tally. */
 case class AnomalyCount(event_type: String, n_seen: Long, n_flagged: Long)
 
@@ -374,6 +382,55 @@ object EventStream extends Serializable {
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming last-touch attribution — the incremental twin of
+    * `events_attribution`: per-user state is ONE (touch_type, touch_us)
+    * pair (the batch window's `last(..., ignoreNulls)` frontier), so a
+    * purchase is credited the moment it arrives, with constant state
+    * per user regardless of history length. Emits one attributed
+    * conversion row per purchase (Append mode); the per-channel rollup
+    * is a plain downstream aggregation, and the spec pins the drained
+    * rollup to the batch query bit-for-bit (same decimal value sums,
+    * same exact-integer lag arithmetic).
+    *
+    * Like the funnel, cross-batch exactness requires event-time-ordered
+    * delivery (a late touch would re-attribute an already-emitted
+    * conversion); the operator enforces that contract loudly.
+    */
+  def attributeConversions(events: Dataset[Event]): Dataset[AttributedConv] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[TouchState]): Iterator[AttributedConv] = {
+      var s   = state.getOption.getOrElse(TouchState("", Long.MinValue, Long.MinValue))
+      val out = Vector.newBuilder[AttributedConv]
+      batch.toVector.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+        val us = tsMicros(e.ts)
+        if (us < s.maxUs)
+          throw new IllegalStateException(
+            s"attributeConversions: out-of-order cross-batch delivery for user $userId — " +
+              "last-touch attribution requires event-time-ordered batches")
+        e.event_type match {
+          case "view" | "click" | "signup" =>
+            s = TouchState(e.event_type, us, math.max(s.maxUs, us))
+          case "purchase" =>
+            out += (if (s.tType.isEmpty)
+              AttributedConv(userId, e.event_id, "direct", e.value, -1L)
+            else
+              AttributedConv(userId, e.event_id, s.tType, e.value, us - s.tUs))
+            s = s.copy(maxUs = math.max(s.maxUs, us))
+          case _ =>
+            s = s.copy(maxUs = math.max(s.maxUs, us))
+        }
+      }
+      state.update(s)
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Stateful sessionization via flatMapGroupsWithState with event-time

@@ -274,6 +274,50 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want, s"multi-batch streaming funnel $got != batch funnel $want")
   }
 
+  test("streaming attribution rollup equals the batch query bit-for-bit, across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mid    = all(all.length / 2).ts
+    val stream = MemoryStream[Event]
+    val q = EventStream.attributeConversions(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      // the cross-batch case that matters: a touch in batch 1 must credit
+      // a purchase arriving in batch 2
+      stream.addData(all.filter(!_.ts.after(mid)).toSeq)
+      q.processAllAvailable()
+      stream.addData(all.filter(_.ts.after(mid)).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // roll the emitted conversions up EXACTLY the way the batch query
+    // does: count, decimal(38,6)-summed value, exact-integer mean lag
+    val convs = spark.table("attr_out")
+      .as[(Long, Long, String, Double, Long)].collect()
+    val got = convs.groupBy(_._3).map { case (ch, rows) =>
+      val sumValue = rows
+        .map(r => java.math.BigDecimal.valueOf(r._4).setScale(6, java.math.RoundingMode.HALF_UP))
+        .reduce(_ add _).doubleValue()
+      val gaps = rows.map(_._5).filter(_ >= 0)
+      val avgGap =
+        if (gaps.isEmpty) None
+        else Some(gaps.sum.toDouble / (gaps.length.toDouble * 1000000.0))
+      ch -> ((rows.length.toLong, sumValue, avgGap))
+    }
+    val want = graft.ops.Events.attribution(spark, Sf0001)
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == want.keySet, s"channels ${got.keySet} != ${want.keySet}")
+    got.foreach { case (ch, g) =>
+      assert(g == want(ch), s"channel $ch: streaming $g != batch ${want(ch)}")
+    }
+    // every purchase in the fixture was attributed exactly once
+    assert(convs.map(_._2).distinct.length == convs.length)
+    assert(convs.length == all.count(_.event_type == "purchase"))
+  }
+
   test("streaming corpus diff converges to the batch snapshot diff across batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -43,7 +43,22 @@ object Smoke {
     "sketch_bloom",
     // embed_rp_audit: the audit's va<vb pair grid over the
     // NumQueryVecs-bounded query set (the projection itself is scan-side)
-    "embed_rp_audit")
+    "embed_rp_audit",
+    // sim_recall_audit: its ground-truth side IS sim_topk's brute-force
+    // path, so it inherits that query's sanctioned |Q|-row broadcast
+    // against the candidate stream (the ANN side under audit is the
+    // equi-joined LSH bucket join, no nested loop)
+    "sim_recall_audit",
+    // source_setalg_kmv: same sources×sources sketch-pair grid as
+    // source_overlap_kmv — both sides bounded by the source count, the
+    // corpus-sized shingle stream is equi-shuffled above it
+    "source_setalg_kmv",
+    // text_collocation_llr: the 1-row bigram-total broadcast, same
+    // shape as text_pmi (marginal joins are unhinted equi-joins)
+    "text_collocation_llr",
+    // text_bigram_kn: the 1-row bigram-type-total broadcast (the three
+    // model joins are unhinted equi-joins, same shape as text_bigram_lm)
+    "text_bigram_kn")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

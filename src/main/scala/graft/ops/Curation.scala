@@ -431,6 +431,59 @@ object Curation {
         (col("c.q") - col("r.q")).as("margin"))
   }
 
+  /** Pareto-frontier data selection: the documents no other document
+    * dominates on (quality_score ↑, n_chars ↑) — "is there anything
+    * both better AND longer?" is the honest form of a two-objective
+    * curation cut, where any scalarized threshold (a weighted sum, a
+    * quality floor) silently picks one trade-off ratio; the frontier
+    * returns every undominated trade-off and lets the mixing stage
+    * choose. Dominance: b dominates a iff b ≥ a on both axes and > on
+    * at least one; ties on both axes dominate neither, so exact
+    * duplicates all stay on the frontier.
+    *
+    * Scale shape — the classic 2-D maxima problem without the O(n²)
+    * pair join OR a corpus-sized single-partition sort: scores quantize
+    * onto the decimal(38,6) grid (the [[TextAnalysis.pplBuckets]] grid
+    * discipline), so the per-score max-length table is bounded by the
+    * SCORE RANGE (quality ∈ [0,1] → ≤ 10⁶+1 rows at any corpus size,
+    * one partial-aggregated shuffle to build). The strict-prefix
+    * running max runs over that bounded grid only; dominance for each
+    * document is then a map-side comparison after one equi-join back.
+    * A document is dominated iff some strictly-higher score reached at
+    * least its length (prefix max) or its own score bucket exceeds its
+    * length (same-score strict case).
+    *
+    * Determinism: grid doubles come from one exact decimal cast on both
+    * engines; the 6-decimal grid spacing (10⁻⁶) is ~10 orders above
+    * double epsilon at magnitude 1, so distinct grid values never
+    * collapse and `<`/`=` agree bit-for-bit.
+    */
+  def paretoFront(s: SparkSession, dir: String): DataFrame =
+    paretoFrontOf(
+      TextAnalysis.quality(s, dir)
+        .select(col("doc_id"), col("quality_score"))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+        .select(
+          col("doc_id"),
+          col("quality_score").cast("decimal(38,6)").cast("double").as("qs"),
+          col("n_chars")))
+
+  /** Core of [[paretoFront]] over a pre-quantized (doc_id, qs, n_chars)
+    * relation — split out so specs can feed constructed tie geometry.
+    */
+  private[ops] def paretoFrontOf(pts: DataFrame): DataFrame = {
+    val j    = pts.transform(Ckpt.apply)
+    val grid = j.groupBy("qs").agg(max(col("n_chars")).as("gmax"))
+    val wPre = Window.orderBy(desc("qs"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = grid.withColumn("pmax", max(col("gmax")).over(wPre))
+    j.join(pre, "qs")
+      .filter(
+        (col("pmax").isNull || col("pmax") < col("n_chars")) &&
+          col("gmax") === col("n_chars"))
+      .select(col("doc_id"), col("qs").as("quality_score"), col("n_chars"))
+  }
+
   // ------------------------------------------------------------------- dsir
 
   /** DSIR feature space: hashed-bigram bucket count and the target slice
@@ -1491,6 +1544,7 @@ object Curation {
     "corpus_shards"       -> (shuffleShards _),
     "curate_token_budget" -> (tokenBudget _),
     "curate_pref_pairs"   -> (preferencePairs _),
+    "curate_pareto"       -> (paretoFront _),
     "curate_curriculum" -> (curriculum _),
     "curate_dp_release"  -> (dpRelease _),
     "curate_k_anonymity" -> (kAnonymity _),
@@ -1598,6 +1652,22 @@ object Curation {
            a.quality_score - b.quality_score AS margin
          FROM c a JOIN c b ON a.source = b.source AND a.rc = 1 AND b.rr = 1
          WHERE a.n >= 2""",
+    // independent formulation on purpose: the oracle states dominance
+    // directly as NOT EXISTS over the quantized scores (quadratic is
+    // fine at oracle SF), checking the engine's grid/prefix-max shape
+    // against the definition rather than against itself
+    "curate_pareto" ->
+      s"""WITH q AS (${TextAnalysis.duckQualityCte}),
+         j AS (SELECT d.doc_id,
+             CAST(CAST(quality_score AS DECIMAL(38,6)) AS DOUBLE) AS quality_score,
+             d.n_chars
+           FROM documents d JOIN q USING (doc_id))
+         SELECT a.doc_id, a.quality_score, a.n_chars FROM j a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM j b
+           WHERE b.quality_score >= a.quality_score
+             AND b.n_chars >= a.n_chars
+             AND (b.quality_score > a.quality_score OR b.n_chars > a.n_chars))""",
     "curate_token_budget" ->
       s"""WITH q AS (
            SELECT doc_id, count(*) AS n_tokens,

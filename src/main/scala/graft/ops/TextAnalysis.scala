@@ -217,6 +217,78 @@ object TextAnalysis {
         max(nllQ).cast("double").as("max_nll"))
   }
 
+  /** Absolute-discount mass for the Kneser–Ney model — 0.75 (Chen &
+    * Goodman 1999's fixed-D variant) is exact in binary floating point,
+    * so the discount itself contributes no cross-engine drift.
+    */
+  val KnDiscount = 0.75
+
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing [[bigramLm]]
+    * deliberately lacks: the raw MLE conditional assigns the SAME
+    * probability to a bigram seen 3/3 times in one rare context as to
+    * one seen 30k/30k times, and generalizes nothing across contexts.
+    * KN discounts every observed bigram by a fixed mass D and redistributes
+    * it via the CONTINUATION probability — how many distinct left
+    * contexts a word follows, not how often it occurs — the estimator
+    * that famously scores "Francisco" low despite high raw frequency
+    * because it only ever follows "San":
+    *
+    *   P(w2|w1) = [ max(c(w1 w2) − D, 0) + D · N1+(w1·) · N1+(·w2)/N1+(··) ]
+    *              / c(w1·)
+    *
+    * with N1+(w1·) = distinct followers of w1, N1+(·w2) = distinct
+    * contexts preceding w2, N1+(··) = total distinct bigram types. Each
+    * document's score is the mean/max negative log of that probability
+    * over its adjacent token pairs — the quality-filtering signal with
+    * proper mass reserved for unseen continuations.
+    *
+    * Scale shape: the bigram stream is checkpointed once and feeds all
+    * four model aggregations (type counts, follower/context fan-outs,
+    * type total) plus the scoring join — the multi-consumer discipline
+    * of [[llrTop]]; the three model joins stay unhinted (bigram-type and
+    * vocabulary tables outgrow any broadcast budget at corpus scale, AQE
+    * may still broadcast small ones); only the 1-row type-total rides as
+    * an explicit broadcast. No zero/ln(0) path exists: every scored
+    * bigram was trained on, so c ≥ 1 gives max(c−D,0) ≥ 0.25.
+    *
+    * Determinism: the probability is one fixed IEEE expression tree over
+    * integer-valued doubles — both engines round each step identically —
+    * and the `ln` (libm-divergent in the last ulp) quantizes through
+    * decimal(38,6) before any aggregate, the [[unigramLm]] rule.
+    */
+  def bigramKn(s: SparkSession, dir: String): DataFrame =
+    bigramKnOf(Tables.documents(s, dir))
+
+  private[ops] def bigramKnOf(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), filter(Tokenize.tokenCol(col("text")), _ =!= "").as("toks"))
+      .select(col("doc_id"), explode(TextHash.shingles(col("toks"), 2)).as("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .withColumn("w2", substring_index(col("b"), " ", -1))
+      .transform(graft.Ckpt.apply)
+    val c2    = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+    val left  = bg.groupBy(col("w1").as("w1k"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("b")).as("nfol"))
+    val right = bg.groupBy(col("w2").as("w2k"))
+      .agg(countDistinct(col("b")).as("nprec"))
+    val types = c2.agg(count(lit(1)).cast("double").as("n_types"))
+    val prob =
+      (greatest(col("c2").cast("double") - lit(KnDiscount), lit(0.0)) +
+        lit(KnDiscount) * col("nfol").cast("double") *
+          (col("nprec").cast("double") / col("n_types"))) /
+        col("c1").cast("double")
+    val nllQ = (-log(prob)).cast("decimal(38,6)")
+    bg.join(c2, "b")
+      .join(left, col("w1") === col("w1k"))
+      .join(right, col("w2") === col("w2k"))
+      .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(nllQ).cast("double") / count(lit(1))).as("mean_nll"),
+        max(nllQ).cast("double").as("max_nll"))
+  }
+
   /** CCNet-style perplexity buckets: scores quantize onto a 0.001-NLL
     * grid before ranking, so the per-language cumulative histogram runs
     * over the GRID (bounded by the NLL range — tens of thousands of rows
@@ -846,6 +918,7 @@ object TextAnalysis {
     "text_top_bigrams" -> (topBigrams _),
     "text_unigram_lm"  -> (unigramLm _),
     "text_bigram_lm"   -> (bigramLm _),
+    "text_bigram_kn"   -> (bigramKn _),
     "text_entropy"     -> (tokenEntropy _),
     "text_zipf_slope"  -> (zipfSlope _),
     "text_pmi"         -> (pmiTop _),
@@ -1140,6 +1213,28 @@ object TextAnalysis {
              / count(*) AS mean_nll,
            CAST(max(CAST(ln(CAST(nw AS DOUBLE)) - ln(CAST(nb AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS max_nll
          FROM bg JOIN cb USING (b) JOIN cw USING (w1) GROUP BY 1""",
+    // same fixed IEEE expression tree as the Spark side: discount, the
+    // continuation product, and the context division in identical order,
+    // ln quantized through decimal(38,6) before any aggregate
+    "text_bigram_kn" ->
+      s"""WITH bg AS (SELECT doc_id, b, w1, split_part(b, ' ', 2) AS w2
+                      FROM ($duckBigrams)),
+         cb AS (SELECT b, count(*) AS c2 FROM bg GROUP BY 1),
+         lf AS (SELECT w1, count(*) AS c1, count(DISTINCT b) AS nfol
+                FROM bg GROUP BY 1),
+         rt AS (SELECT w2, count(DISTINCT b) AS nprec FROM bg GROUP BY 1),
+         tt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cb),
+         sc AS (SELECT doc_id,
+             CAST(-ln(
+               (greatest(CAST(c2 AS DOUBLE) - $KnDiscount, 0.0) +
+                $KnDiscount * CAST(nfol AS DOUBLE) *
+                  (CAST(nprec AS DOUBLE) / n_types)) /
+               CAST(c1 AS DOUBLE)) AS DECIMAL(38,6)) AS nll
+           FROM bg JOIN cb USING (b) JOIN lf USING (w1) JOIN rt USING (w2), tt)
+         SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(nll) AS DOUBLE) / count(*) AS mean_nll,
+           CAST(max(nll) AS DOUBLE) AS max_nll
+         FROM sc GROUP BY 1""",
     "text_entropy" ->
       s"""WITH dc AS (SELECT doc_id, t, count(*) AS c FROM ($duckToks) GROUP BY 1, 2),
          a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,

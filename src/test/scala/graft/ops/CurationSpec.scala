@@ -333,6 +333,45 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("curate_pareto: constructed tie geometry — duplicates stay, same-score shorter falls") {
+    val pts = Seq(
+      (1L, 0.9, 100L),  // frontier
+      (2L, 0.9, 100L),  // exact duplicate of 1 — dominates neither, stays
+      (3L, 0.9, 90L),   // same score, strictly shorter — dominated by 1
+      (4L, 0.8, 200L),  // frontier (longest at its score and below)
+      (5L, 0.8, 150L),  // dominated by 4 (same score, shorter)
+      (6L, 0.95, 50L),  // frontier (highest score)
+      (7L, 0.7, 200L)   // dominated by 4 (lower score, equal length)
+    ).toDF("doc_id", "qs", "n_chars")
+    val got = Curation.paretoFrontOf(pts)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L, 6L), s"got $got")
+  }
+
+  test("curate_pareto: equals the brute-force dominance set on sf0.001") {
+    val front = Curation.paretoFront(spark, Sf0001)
+      .as[(Long, Double, Long)].collect()
+    val pts = graft.ops.TextAnalysis.quality(spark, Sf0001)
+      .select("doc_id", "quality_score")
+      .join(graft.Tables.documents(spark, Sf0001).select("doc_id", "n_chars"), "doc_id")
+      .select(col("doc_id"),
+        col("quality_score").cast("decimal(38,6)").cast("double").as("qs"),
+        col("n_chars"))
+      .as[(Long, Double, Long)].collect()
+    val brute = pts.filter { case (_, q, c) =>
+      !pts.exists { case (_, q2, c2) =>
+        q2 >= q && c2 >= c && (q2 > q || c2 > c)
+      }
+    }
+    assert(front.nonEmpty && front.length < pts.length,
+      "frontier must select a strict, non-empty subset")
+    assert(front.toSet == brute.toSet,
+      s"window-grid frontier != brute force (${front.length} vs ${brute.length})")
+    // frontier rows carry their true source values
+    val byId = pts.map(p => p._1 -> p).toMap
+    assert(front.forall(f => byId(f._1) == f))
+  }
+
   test("kmv overlap: exact 1.0 on identical sources, exact 0.0 on disjoint ones") {
     import graft.text.Tokenize
     // three sources: A and B share every document verbatim; C is disjoint

@@ -936,6 +936,39 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
       s"alpha beta: got ${byName("alpha beta")}, hand computation $want")
   }
 
+  test("text_bigram_kn: hand-computed Kneser-Ney fixture, proper NLL bounds on sf0.001") {
+    // corpus: doc1 = "a b a c", doc2 = "a b d"
+    // bigram types: ab(2) ba(1) ac(1) bd(1); T=4
+    // left  w1=a: c1=3 nfol=2 | w1=b: c1=2 nfol=2
+    // right nprec: every type's w2 (b,a,c,d) is preceded by exactly 1 type
+    val docs = Seq((1L, "a b a c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramKnOf(docs)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    def p(c2: Double, nfol: Double, nprec: Double, c1: Double): Double =
+      (math.max(c2 - TextAnalysis.KnDiscount, 0.0) +
+        TextAnalysis.KnDiscount * nfol * (nprec / 4.0)) / c1
+    def nll(pr: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(-math.log(pr)).setScale(6, java.math.RoundingMode.HALF_UP)
+    val (ab, ba, ac, bd) =
+      (nll(p(2, 2, 1, 3)), nll(p(1, 2, 1, 2)), nll(p(1, 2, 1, 3)), nll(p(1, 2, 1, 2)))
+    // doc1 bigrams {ab, ba, ac}; doc2 {ab, bd}
+    assert(got(1L)._2 == 3L && got(2L)._2 == 2L)
+    assert(got(1L)._3 == ab.add(ba).add(ac).doubleValue() / 3.0,
+      s"doc1 mean: got ${got(1L)._3}")
+    assert(got(1L)._4 == ba.max(ac).max(ab).doubleValue())
+    assert(got(2L)._3 == ab.add(bd).doubleValue() / 2.0)
+    assert(got(2L)._4 == bd.doubleValue())
+    // the discounted mass makes every smoothed prob < the MLE c2/c1 when
+    // the continuation share is below 1 — seen bigrams pay for unseen
+    assert(p(2, 2, 1, 3) < 2.0 / 3.0 && p(1, 2, 1, 2) < 1.0 / 2.0)
+    // sf0.001: P(w2|w1) <= 1 by the interpolation identity, so NLL >= 0
+    val real = TextAnalysis.bigramKn(spark, Sf0001)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r._3 >= 0.0 && r._4 >= r._3),
+      "mean NLL must be non-negative and bounded by the max")
+  }
+
   test("curate_l_diversity: levels partition the QI groups and rows, pct sums to 1") {
     val ev = graft.Tables.events(spark, Sf0001)
     val rows = Curation.lDiversity(spark, Sf0001).collect()

@@ -58,7 +58,12 @@ object Smoke {
     "text_collocation_llr",
     // text_bigram_kn: the 1-row bigram-type-total broadcast (the three
     // model joins are unhinted equi-joins, same shape as text_bigram_lm)
-    "text_bigram_kn")
+    "text_bigram_kn",
+    // sim_rrf_fusion: inherits sim_topk's sanctioned |Q|-row broadcast
+    // (its semantic branch IS topkBrute) plus the 1-row corpus-stats
+    // broadcast of the bm25 family; fusion itself is equi-joined over
+    // k-bounded lists
+    "sim_rrf_fusion")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

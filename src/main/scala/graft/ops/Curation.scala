@@ -1258,6 +1258,81 @@ object Curation {
     bm25TopK(scored)
   }
 
+  /** RRF dampening constant — 60 is the value from Cormack et al. 2009
+    * (exact in binary, so `1/(60+rank)` is one exactly-rounded division
+    * on both engines).
+    */
+  val RrfC = 60
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion: for each of the first
+    * [[Similarity.NumQueryVecs]] documents (vec_id ≡ doc_id in the
+    * fixture tables), fuse its BM25 lexical neighbor list with its
+    * embedding-cosine semantic neighbor list by
+    * `Σ 1/(RrfC + rank)` — the score-free combiner that needs no
+    * cross-system score calibration, which is exactly why hybrid search
+    * uses it: BM25 impacts and cosines live on incomparable scales.
+    * Lexical side: the [[bm25]] impact formula over the WHOLE corpus
+    * (no benchmark split), query terms = the query doc's own terms,
+    * self-match excluded — "find my near-duplicates by words". Semantic
+    * side: [[Similarity.topkBrute]]'s exact cosine ranks, self excluded
+    * by construction — "find them by meaning". A doc on only one list
+    * contributes only that list's term (the standard RRF convention).
+    *
+    * Scale shape: both branches bound themselves to k rows per query
+    * BEFORE the fusion join (GroupedTopK heaps / the pinned brute
+    * broadcast), so the full-outer fusion join and the final re-rank
+    * touch ≤ 2k rows per query regardless of corpus size. The lexical
+    * scoring is the sparse postings equi-join with the |Q|-bounded
+    * query-term table broadcast.
+    *
+    * Determinism: ranks are exact integers from total orders (long
+    * impact sums / decimal-safe cosines, doc-id tiebreaks); the fused
+    * score is two exactly-rounded divisions and one add in fixed
+    * coalesce order — bit-identical cross-engine with no quantization
+    * needed.
+    */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val tf = withToks(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("tf"))
+      .transform(Ckpt.apply)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val qt = tf.filter(col("doc_id") < Similarity.NumQueryVecs)
+      .select(col("doc_id").as("q"), col("t"))
+    val idf = (col("n") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val sat = (col("tf").cast("double") * lit(BmK1 + 1)) /
+      (col("tf").cast("double") +
+        lit(BmK1) * (lit(1 - BmB) + lit(BmB) * (col("dl").cast("double") / col("avgdl"))))
+    val scored = tf
+      .join(dfreq, "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("t"), col("doc_id"), floor((idf * sat) * lit(1000000.0)).as("ci"))
+      .join(broadcast(qt), "t")
+      .filter(col("doc_id") =!= col("q"))
+      .groupBy("q", "doc_id")
+      .agg(sum("ci").as("s"))
+    val lex = graft.plans.GroupedTopK
+      .topK(scored, Seq("q"), Seq("s" -> false, "doc_id" -> true), Similarity.TopK,
+        rankName = "lex_rn")
+      .select(col("q"), col("doc_id").as("d"), col("lex_rn"))
+    val sem = Similarity.topkBrute(s, dir)
+      .select(col("va").as("q"), col("vb").as("d"), col("rn").as("sem_rn"))
+    val fused = lex
+      .join(sem, Seq("q", "d"), "full_outer")
+      .select(col("q"), col("d"), col("lex_rn"), col("sem_rn"),
+        (coalesce(lit(1.0) / (lit(RrfC) + col("lex_rn")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("sem_rn")), lit(0.0))).as("rrf"))
+    graft.plans.GroupedTopK
+      .topK(fused, Seq("q"), Seq("rrf" -> false, "d" -> true), Similarity.TopK)
+  }
+
   /** Sample size for [[sampleWeighted]]. */
   val WeightedK = 20
 
@@ -1545,6 +1620,7 @@ object Curation {
     "curate_token_budget" -> (tokenBudget _),
     "curate_pref_pairs"   -> (preferencePairs _),
     "curate_pareto"       -> (paretoFront _),
+    "sim_rrf_fusion"      -> (rrfFusion _),
     "curate_curriculum" -> (curriculum _),
     "curate_dp_release"  -> (dpRelease _),
     "curate_k_anonymity" -> (kAnonymity _),
@@ -1770,6 +1846,57 @@ object Curation {
     // parity note: (1.2 + 1) is written as the ADDITION in both engines —
     // the IEEE sum of double(1.2) + 1 is not the same double as the
     // literal 2.2, so both sides must build the constant the same way
+    // both branch rankings re-derived independently (the sim_topk cosine
+    // window and the text_bm25 impact formula over the full corpus), then
+    // fused with the same fixed coalesce-order RRF arithmetic
+    "sim_rrf_fusion" ->
+      s"""WITH ${Similarity.duckNorm},
+         sem AS (
+           SELECT va AS q, vb AS d, rn AS sem_rn FROM (
+             SELECT a.vec_id va, b.vec_id vb,
+               CAST(row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) DESC,
+                          b.vec_id ASC) AS BIGINT) AS rn
+             FROM e a JOIN e b
+               ON a.vec_id < ${Similarity.NumQueryVecs} AND a.vec_id <> b.vec_id)
+           WHERE rn <= ${Similarity.TopK}),
+         toks AS (SELECT doc_id, unnest(l) AS t FROM ($duckToksList)),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         qt AS (SELECT doc_id AS q, t FROM tf WHERE doc_id < ${Similarity.NumQueryVecs}),
+         sc AS (
+           SELECT qt.q, tf.doc_id AS d,
+             sum(CAST(floor(
+               ((((st.n - CAST(df.df AS DOUBLE)) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) *
+                ((CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
+                 (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))))
+               ) * 1000000.0) AS BIGINT)) AS s
+           FROM qt
+           JOIN tf ON tf.t = qt.t
+           JOIN df ON df.t = qt.t
+           JOIN dl ON dl.doc_id = tf.doc_id, st
+           WHERE tf.doc_id <> qt.q
+           GROUP BY 1, 2),
+         lex AS (
+           SELECT q, d, lex_rn FROM (
+             SELECT q, d,
+               CAST(row_number() OVER (PARTITION BY q ORDER BY s DESC, d ASC) AS BIGINT) AS lex_rn
+             FROM sc)
+           WHERE lex_rn <= ${Similarity.TopK}),
+         f AS (
+           SELECT coalesce(l.q, s2.q) AS q, coalesce(l.d, s2.d) AS d,
+             l.lex_rn, s2.sem_rn,
+             coalesce(1.0 / ($RrfC + lex_rn), 0.0) +
+               coalesce(1.0 / ($RrfC + sem_rn), 0.0) AS rrf
+           FROM lex l FULL JOIN sem s2 ON l.q = s2.q AND l.d = s2.d)
+         SELECT q, d, lex_rn, sem_rn, rrf, rn FROM (
+           SELECT q, d, lex_rn, sem_rn, rrf,
+             CAST(row_number() OVER (PARTITION BY q ORDER BY rrf DESC, d ASC) AS BIGINT) AS rn
+           FROM f)
+         WHERE rn <= ${Similarity.TopK}""",
     "text_bm25" ->
       s"""WITH toks AS (SELECT doc_id, source, unnest(l) AS t FROM ($duckToksList)),
          corpus AS (SELECT doc_id, t FROM toks WHERE source <> '$BenchmarkSource'),

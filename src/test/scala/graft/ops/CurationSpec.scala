@@ -372,6 +372,58 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(front.forall(f => byId(f._1) == f))
   }
 
+  test("sim_rrf_fusion: fused ranking equals a full driver recompute on sf0.001") {
+    val got = Curation.rrfFusion(spark, Sf0001)
+      .select("q", "d", "rrf", "rn")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    // semantic branch ranks straight from the engine's pinned brute path
+    val sem = Similarity.topkBrute(spark, Sf0001)
+      .select("va", "vb", "rn").as[(Long, Long, Long)].collect()
+      .map { case (q, d, r) => (q, d) -> r }.toMap
+    // lexical branch recomputed from scratch on the driver with the same
+    // op order (tokenize, tf/df/dl, quantized-long impacts, top-5)
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(graft.text.Tokenize.WordPattern).filter(_.nonEmpty)
+    }.toMap
+    val tf = toks.map { case (id, ts) =>
+      id -> ts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }
+    val dl    = tf.view.mapValues(_.values.sum).toMap
+    val n     = dl.size.toDouble
+    val avgdl = dl.values.sum.toDouble / dl.size.toDouble
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def impact(t: String, d: Long): Long = {
+      val idf = ((n - dfm(t).toDouble) + 0.5) / (dfm(t).toDouble + 0.5)
+      val sat = (tf(d)(t).toDouble * (Curation.BmK1 + 1)) /
+        (tf(d)(t).toDouble + Curation.BmK1 *
+          ((1 - Curation.BmB) + Curation.BmB * (dl(d).toDouble / avgdl)))
+      math.floor((idf * sat) * 1000000.0).toLong
+    }
+    val qIds = docs.map(_._1).filter(_ < Similarity.NumQueryVecs)
+    val lex = qIds.flatMap { q =>
+      docs.map(_._1).filter(_ != q).flatMap { d =>
+        val shared = toks(q).toSet.intersect(tf(d).keySet)
+        if (shared.isEmpty) None else Some((d, shared.toSeq.map(impact(_, d)).sum))
+      }.sortBy { case (d, s) => (-s, d) }.take(Similarity.TopK)
+        .zipWithIndex.map { case ((d, _), i) => (q, d) -> (i + 1L) }
+    }.toMap
+    // fuse and rank exactly as documented
+    val want = qIds.flatMap { q =>
+      val cands = (lex.keys ++ sem.keys).filter(_._1 == q).map(_._2).toSeq.distinct
+      cands.map { d =>
+        val r = lex.get((q, d)).map(r => 1.0 / (Curation.RrfC + r)).getOrElse(0.0) +
+          sem.get((q, d)).map(r => 1.0 / (Curation.RrfC + r)).getOrElse(0.0)
+        (d, r)
+      }.sortBy { case (d, r) => (-r, d) }.take(Similarity.TopK)
+        .zipWithIndex.map { case ((d, r), i) => (q, d, r, i + 1L) }
+    }.toSet
+    assert(got.toSet == want,
+      s"fused output != driver recompute (${got.length} vs ${want.size} rows)")
+  }
+
   test("kmv overlap: exact 1.0 on identical sources, exact 0.0 on disjoint ones") {
     import graft.text.Tokenize
     // three sources: A and B share every document verbatim; C is disjoint

@@ -745,6 +745,77 @@ object Events {
         (col("st").cast("double") / lit(1e9)).as("ewma"))
   }
 
+  /** Holt smoothing constants — both 0.5 (exact in binary floating
+    * point, so no constant contributes cross-engine drift).
+    */
+  val HoltAlpha = 0.5
+  val HoltBeta  = 0.5
+
+  /** Catalog entry: Holt double-exponential smoothing per event type. */
+  def holt(s: SparkSession, dir: String): DataFrame = holtOf(Tables.events(s, dir))
+
+  /** Holt's linear-trend (double exponential) smoothing over each
+    * type's hourly mean series — the forecasting step [[ewmaOf]] cannot
+    * take: a single EWMA lags any trending series by a constant offset,
+    * while Holt carries an explicit trend state
+    * (`l_t = α·x_t + (1−α)(l+b)`, `b_t = β(l_t−l) + (1−β)b`) and
+    * extrapolates it. Init is the textbook `l₁ = x₁, b₁ = x₂ − x₁`
+    * (types with a single observed hour can't seed a trend and are
+    * dropped); output per type is the final level/trend, the 1- and
+    * 3-step-ahead forecasts, and the one-step-ahead SSE the α/β grid
+    * search would minimize.
+    *
+    * Scale shape: the recursion is inherently sequential in t, but t
+    * indexes HOURS — the series length is bounded by the clock (a
+    * decade ≈ 87k points), never by event volume, so the corpus-sized
+    * work is exactly one partial-aggregated shuffle onto the
+    * (type, hour) grid (the [[ewmaOf]] compaction) and the recursion
+    * runs as a codegen'd `aggregate()` fold over one bounded per-type
+    * array — no driver collect, no per-row window, no T-round join
+    * loop.
+    *
+    * Determinism: the fold is one fixed IEEE expression tree applied in
+    * hr order (unique per type, array_sort total); the oracle's
+    * recursive CTE evaluates the identical expressions in the identical
+    * order, so every output double is bit-equal with no quantization —
+    * and none is applied, because a double→decimal cast is itself a
+    * divergence hazard (see [[ewmaOf]]'s half-boundary note).
+    */
+  private[graft] def holtOf(events: DataFrame): DataFrame = {
+    val hm = events
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("sx"),
+        count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("hr"), (col("sx") / col("cnt")).as("x"))
+    val series = hm
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("hr"), col("x")))).as("sv"))
+      .filter(size(col("sv")) >= 2)
+    val x1   = element_at(col("sv"), 1).getField("x")
+    val x2   = element_at(col("sv"), 2).getField("x")
+    val init = struct(x1.as("l"), (x2 - x1).as("b"), lit(0.0).as("sse"))
+    val fin = aggregate(
+      slice(col("sv"), lit(2), size(col("sv")) - 1),
+      init,
+      (st, e) => {
+        val x   = e.getField("x")
+        val l0  = st.getField("l")
+        val b0  = st.getField("b")
+        val l1  = lit(HoltAlpha) * x + lit(1 - HoltAlpha) * (l0 + b0)
+        val b1  = lit(HoltBeta) * (l1 - l0) + lit(1 - HoltBeta) * b0
+        val err = x - (l0 + b0)
+        struct(l1.as("l"), b1.as("b"), (st.getField("sse") + err * err).as("sse"))
+      })
+    series.select(
+      col("event_type"),
+      size(col("sv")).cast("long").as("n_hours"),
+      fin.getField("l").as("level"),
+      fin.getField("b").as("trend"),
+      (fin.getField("l") + fin.getField("b")).as("forecast_1"),
+      (fin.getField("l") + lit(3.0) * fin.getField("b")).as("forecast_3"),
+      fin.getField("sse").as("sse"))
+  }
+
   /** First-order Markov transition matrix of event types: for each user
     * stream (ordered by ts with the unique event_id as tiebreak — a
     * provably total order), count consecutive (prev → next) type pairs
@@ -815,6 +886,7 @@ object Events {
     "events_attribution"    -> (attribution _),
     "events_transitions"    -> (transitions _),
     "events_ewma"           -> (ewma _),
+    "events_holt"           -> (holt _),
     "events_session_dyngap" -> (sessionDynamicGap _),
     "events_concurrency"    -> (sessionConcurrency _),
     "events_incr_hourly"    -> (incrementalHourly _),
@@ -1062,6 +1134,35 @@ object Events {
          FROM t GROUP BY event_type, hr
          HAVING count(*) = $EwmaLags"""
     },
+    // the same fold, stated as a recursive CTE: identical expression
+    // trees applied in the identical hr order, state at step t consumed
+    // by step t+1 — bit-equal doubles with no quantization on either side
+    "events_holt" ->
+      s"""WITH RECURSIVE hm AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS x
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr) AS BIGINT) AS rn
+           FROM hm),
+         n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS t_total FROM r GROUP BY 1),
+         init AS (
+           SELECT a.event_type, a.x AS l, b.x - a.x AS b
+           FROM r a JOIN r b ON a.event_type = b.event_type AND a.rn = 1 AND b.rn = 2),
+         it AS (
+           SELECT event_type, CAST(1 AS BIGINT) AS t, l, b,
+             CAST(0.0 AS DOUBLE) AS sse FROM init
+           UNION ALL
+           SELECT it.event_type, it.t + 1,
+             $HoltAlpha * r.x + ${1 - HoltAlpha} * (it.l + it.b),
+             $HoltBeta * (($HoltAlpha * r.x + ${1 - HoltAlpha} * (it.l + it.b)) - it.l) +
+               ${1 - HoltBeta} * it.b,
+             it.sse + (r.x - (it.l + it.b)) * (r.x - (it.l + it.b))
+           FROM it JOIN r ON r.event_type = it.event_type AND r.rn = it.t + 1)
+         SELECT it.event_type, n.t_total AS n_hours, it.l AS level, it.b AS trend,
+           it.l + it.b AS forecast_1, it.l + 3.0 * it.b AS forecast_3, it.sse
+         FROM it JOIN n ON n.event_type = it.event_type
+         WHERE it.t = n.t_total AND n.t_total >= 2""",
     "events_seasonality" ->
       """WITH cells AS (
            SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,

@@ -936,6 +936,27 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
       s"alpha beta: got ${byName("alpha beta")}, hand computation $want")
   }
 
+  test("events_holt: tracks a linear series exactly, drops single-hour types") {
+    import java.sql.Timestamp
+    // x_h = 10 + 2.5h on hours 0..9 — halves, so every step is exact in
+    // binary and Holt's invariant (l_t = x_t, b_t = slope, zero SSE on a
+    // line) must hold to the bit
+    val rows = (0 to 9).map { h =>
+      (new Timestamp(h * 3600000L), "lin", 10.0 + 2.5 * h)
+    } :+ ((new Timestamp(0L), "solo", 42.0))
+    val got = Events.holtOf(rows.toDF("ts", "event_type", "value"))
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(!got.contains("solo"), "a 1-hour series cannot seed a trend")
+    val (_, n, level, trend, f1, f3, sse) = got("lin")
+    assert(n == 10L && level == 32.5 && trend == 2.5 && sse == 0.0)
+    assert(f1 == 35.0 && f3 == 40.0)
+    // real data: every type present with >= 2 hours, non-negative SSE
+    val real = Events.holt(spark, Sf0001)
+      .as[(String, Long, Double, Double, Double, Double, Double)].collect()
+    assert(real.nonEmpty && real.forall(r => r._2 >= 2 && r._7 >= 0.0))
+  }
+
   test("text_bigram_kn: hand-computed Kneser-Ney fixture, proper NLL bounds on sf0.001") {
     // corpus: doc1 = "a b a c", doc2 = "a b d"
     // bigram types: ab(2) ba(1) ac(1) bd(1); T=4

@@ -63,7 +63,9 @@ object Smoke {
     // (its semantic branch IS topkBrute) plus the 1-row corpus-stats
     // broadcast of the bm25 family; fusion itself is equi-joined over
     // k-bounded lists
-    "sim_rrf_fusion")
+    "sim_rrf_fusion",
+    // stats_benford: the 1-row total broadcast over the <=9-row digit grid
+    "stats_benford")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

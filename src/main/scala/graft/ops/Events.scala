@@ -816,6 +816,65 @@ object Events {
       fin.getField("sse").as("sse"))
   }
 
+  /** Catalog entry: single-changepoint localization per event type. */
+  def changepoint(s: SparkSession, dir: String): DataFrame =
+    changepointOf(Tables.events(s, dir))
+
+  /** At-most-one-changepoint (AMOC) localization over each type's
+    * hourly mean series — the LOCALIZER next to [[cusumOf]]'s detector:
+    * CUSUM says "the level moved somewhere"; this returns the exact
+    * split k maximizing the between-segment sum of squares
+    * `k(T−k)/T · (mean_L − mean_R)²` (binary segmentation's first and
+    * decisive step), with both segment means for effect size.
+    *
+    * Scale shape: the candidate-split scores all derive from PREFIX
+    * SUMS over the (type, hour) grid — one corpus-sized shuffle onto
+    * the grid, then a per-type running sum bounded by the clock (the
+    * [[holtOf]] argument), a per-type total joined back, and a k=1
+    * GroupedTopK argmax. No per-event window, no T² segment pairs.
+    *
+    * Determinism: hourly means quantize onto the floor-to-long 1e-9
+    * grid FIRST (the [[ewmaOf]] discipline — a decimal cast would
+    * itself diverge), so every prefix sum is exact integer arithmetic
+    * and order-free; the score is then one fixed IEEE tree over those
+    * exact integers, and the argmax tiebreaks on the hour.
+    */
+  private[graft] def changepointOf(events: DataFrame): DataFrame = {
+    val hm = events
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("sx"),
+        count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("hr"),
+        floor((col("sx") / col("cnt")) * lit(1e9)).as("xq"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val pre = hm
+      .withColumn("sk", sum(col("xq")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", row_number().over(w).cast("long"))
+    val tot = hm.groupBy("event_type")
+      .agg(count(lit(1)).as("tt"), sum(col("xq")).as("st"))
+    val kd  = col("k").cast("double")
+    val td  = col("tt").cast("double")
+    val ml  = (col("sk").cast("double") / lit(1e9)) / kd
+    val mr  = ((col("st") - col("sk")).cast("double") / lit(1e9)) /
+      (col("tt") - col("k")).cast("double")
+    val scored = pre
+      .join(tot, "event_type")
+      .filter(col("k") < col("tt"))
+      .select(col("event_type"), col("hr"), col("k"), col("tt"),
+        ml.as("mean_left"), mr.as("mean_right"),
+        ((kd * (td - kd) / td) *
+          ((ml - mr) * (ml - mr))).as("score"))
+    graft.plans.GroupedTopK
+      .topK(scored, Seq("event_type"), Seq("score" -> false, "hr" -> true), 1)
+      .select(
+        col("event_type"),
+        timestamp_micros(col("hr") * lit(3600000000L)).as("split_hour"),
+        col("k").as("split_index"),
+        col("tt").as("n_hours"),
+        col("mean_left"), col("mean_right"), col("score"))
+  }
+
   /** First-order Markov transition matrix of event types: for each user
     * stream (ordered by ts with the unique event_id as tiebreak — a
     * provably total order), count consecutive (prev → next) type pairs
@@ -887,6 +946,7 @@ object Events {
     "events_transitions"    -> (transitions _),
     "events_ewma"           -> (ewma _),
     "events_holt"           -> (holt _),
+    "events_changepoint"    -> (changepoint _),
     "events_session_dyngap" -> (sessionDynamicGap _),
     "events_concurrency"    -> (sessionConcurrency _),
     "events_incr_hourly"    -> (incrementalHourly _),
@@ -1134,6 +1194,40 @@ object Events {
          FROM t GROUP BY event_type, hr
          HAVING count(*) = $EwmaLags"""
     },
+    // integer prefix sums over the quantized hourly grid, one fixed IEEE
+    // score tree, argmax by (score desc, hr asc) — identical on both sides
+    "events_changepoint" ->
+      """WITH hm AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(floor((CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*))
+               * 1000000000.0) AS BIGINT) AS xq
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, hr, xq,
+             sum(xq) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr) AS BIGINT) AS k
+           FROM hm),
+         t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS tt, sum(xq) AS st
+           FROM hm GROUP BY 1),
+         sc AS (
+           SELECT w.event_type, hr, k, tt,
+             (CAST(sk AS DOUBLE) / 1000000000.0) / CAST(k AS DOUBLE) AS mean_left,
+             (CAST(st - sk AS DOUBLE) / 1000000000.0) / CAST(tt - k AS DOUBLE) AS mean_right,
+             (CAST(k AS DOUBLE) * CAST(tt - k AS DOUBLE) / CAST(tt AS DOUBLE)) *
+               (((CAST(sk AS DOUBLE) / 1000000000.0) / CAST(k AS DOUBLE) -
+                 (CAST(st - sk AS DOUBLE) / 1000000000.0) / CAST(tt - k AS DOUBLE)) *
+                ((CAST(sk AS DOUBLE) / 1000000000.0) / CAST(k AS DOUBLE) -
+                 (CAST(st - sk AS DOUBLE) / 1000000000.0) / CAST(tt - k AS DOUBLE))) AS score
+           FROM w JOIN t ON t.event_type = w.event_type
+           WHERE k < tt)
+         SELECT event_type, make_timestamp(hr * 3600000000) AS split_hour,
+           k AS split_index, tt AS n_hours, mean_left, mean_right, score
+         FROM (
+           SELECT event_type, hr, k, tt, mean_left, mean_right, score,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY score DESC, hr ASC) AS BIGINT) AS rn
+           FROM sc)
+         WHERE rn = 1""",
     // the same fold, stated as a recursive CTE: identical expression
     // trees applied in the identical hr order, state at step t consumed
     // by step t+1 — bit-equal doubles with no quantization on either side

@@ -519,6 +519,50 @@ object Stats {
       .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
   }
 
+  /** Benford first-digit audit over lineitem prices — the forensic
+    * data-quality test: naturally-grown multiplicative quantities put
+    * log10(1+1/d) of their mass on leading digit d, while fabricated or
+    * truncated data (a synthesizer with a uniform price floor, a feed
+    * that clipped a field) visibly doesn't. Emits the observed vs
+    * expected share per digit with the chi-square contribution, so the
+    * audit localizes WHICH digit carries the deviation, not just that
+    * one exists.
+    *
+    * Digit extraction avoids both libm (no log10 on data) and
+    * double-formatting divergence (no double→string): prices are
+    * cent-valued, so `floor(x·100 + 0.5)` recovers the exact integer
+    * cents on both engines and the leading digit is the first character
+    * of that INTEGER's decimal form. The only transcendental —
+    * log10(1+1/d) — runs over the 9-value digit grid and quantizes onto
+    * decimal(38,9) before any arithmetic touches it.
+    *
+    * Scale shape: one partial-aggregated shuffle onto the ≤9-row digit
+    * grid; the 1-row total rides back as a broadcast. Nothing else.
+    */
+  def benford(s: SparkSession, dir: String): DataFrame =
+    benfordOf(Tables.lineitem(s, dir).select(col("l_extendedprice")))
+
+  private[ops] def benfordOf(prices: DataFrame): DataFrame = {
+    val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+    val dig = prices
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = dig.agg(sum("n_obs").cast("double").as("n_total"))
+    val pBen = log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+      .divide(log(lit(10.0)))
+      .cast("decimal(38,9)").cast("double")
+    dig.crossJoin(broadcast(tot))
+      .select(
+        col("digit"),
+        col("n_obs"),
+        (col("n_obs").cast("double") / col("n_total")).as("p_obs"),
+        pBen.as("p_benford"),
+        (((col("n_obs").cast("double") - col("n_total") * pBen) *
+          (col("n_obs").cast("double") - col("n_total") * pBen)) /
+          (col("n_total") * pBen)).as("chi2_term"))
+  }
+
   /** The two samples compared by [[ksTest]]. */
   val KsGroupA = "click"
   val KsGroupB = "purchase"
@@ -1195,12 +1239,33 @@ object Stats {
     "stats_percentiles"  -> (percentilesExact _),
     "stats_robust_scale" -> (robustScale _),
     "stats_anomaly"      -> (anomaly3Sigma _),
-    "stats_ols"          -> (olsValueHour _)
+    "stats_ols"          -> (olsValueHour _),
+    "stats_benford"      -> (benford _)
   )
 
   private def ds(c: String) = DSUM.format(c)
 
   val oracle: Map[String, String] = Map(
+    // same exact-cents digit extraction (no double formatting, no log10
+    // on data); the ln ratio quantizes before any arithmetic uses it
+    "stats_benford" ->
+      """WITH dig AS (
+           SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n_obs
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n_total FROM dig),
+         pb AS (SELECT digit, n_obs, n_total,
+             CAST(CAST(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+                  AS DECIMAL(38,9)) AS DOUBLE) AS p_benford
+           FROM dig, tot)
+         SELECT digit, n_obs,
+           CAST(n_obs AS DOUBLE) / n_total AS p_obs,
+           p_benford,
+           ((CAST(n_obs AS DOUBLE) - n_total * p_benford) *
+            (CAST(n_obs AS DOUBLE) - n_total * p_benford)) /
+           (n_total * p_benford) AS chi2_term
+         FROM pb""",
     "stats_kendall" ->
       """WITH cells AS (
            SELECT CAST(hour(ts) AS BIGINT) AS h,

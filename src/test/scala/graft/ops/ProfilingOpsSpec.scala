@@ -936,6 +936,59 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
       s"alpha beta: got ${byName("alpha beta")}, hand computation $want")
   }
 
+  test("stats_benford: exact cents digits, law mass sums to 1, chi2 internally consistent") {
+    // sub-dollar, boundary-9, and mid-range prices: the cents-floor path
+    // must recover the exact leading digit for each
+    val fix = Seq(0.01, 0.07, 123.45, 999.99, 500.00, 55.55)
+      .toDF("l_extendedprice")
+    val g = Stats.benfordOf(fix)
+      .select("digit", "n_obs").as[(Long, Long)].collect().toMap
+    assert(g == Map(1L -> 2L, 7L -> 1L, 9L -> 1L, 5L -> 2L), s"got $g")
+    // real data: all 9 digits, probabilities coherent, chi2 recomputable
+    val rows = Stats.benford(spark, Sf0001)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (1L to 9L))
+    val pbSum = rows.map(_._4).sum
+    assert(math.abs(pbSum - 1.0) < 1e-8, s"Benford masses sum to $pbSum")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-12)
+    val nTotal = rows.map(_._2).sum.toDouble
+    for ((d, n, _, pb, chi) <- rows) {
+      val e = nTotal * pb
+      assert(chi == ((n.toDouble - e) * (n.toDouble - e)) / e, s"digit $d chi2 drifts")
+    }
+  }
+
+  test("events_changepoint: exact step localization, brute-force argmax parity") {
+    import java.sql.Timestamp
+    def ev(t: String, h: Int, v: Double) = (new Timestamp(h * 3600000L), t, v)
+    // clean level shift 10 -> 20 at k=10: score = (10*10/20)*10^2 = 500
+    val step = (0 to 9).map(ev("step", _, 10.0)) ++ (10 to 19).map(ev("step", _, 20.0))
+    // irregular series for the brute-force check (halves: exact quantization)
+    val vals  = Seq(1.5, 2.5, 1.5, 2.5, 100.0, 101.5, 99.5)
+    val rough = vals.zipWithIndex.map { case (v, h) => ev("rough", h, v) }
+    val got = Events.changepointOf((step ++ rough).toDF("ts", "event_type", "value"))
+      .select("event_type", "split_index", "n_hours", "mean_left", "mean_right", "score")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("step") == (("step", 10L, 20L, 10.0, 20.0, 500.0)), s"${got("step")}")
+    // brute force over every split with the same quantization path
+    val xq = vals.map(v => math.floor(v * 1e9).toLong)
+    val t  = xq.length
+    val best = (1 until t).map { k =>
+      val ml = (xq.take(k).sum.toDouble / 1e9) / k.toDouble
+      val mr = (xq.drop(k).sum.toDouble / 1e9) / (t - k).toDouble
+      val sc = (k.toDouble * (t - k).toDouble / t.toDouble) * ((ml - mr) * (ml - mr))
+      (k.toLong, ml, mr, sc)
+    }.maxBy(r => (r._4, -r._1))
+    assert(got("rough") == (("rough", best._1, t.toLong, best._2, best._3, best._4)))
+    // real data: a valid interior split with non-negative score per type
+    val real = Events.changepoint(spark, Sf0001)
+      .select("split_index", "n_hours", "score")
+      .as[(Long, Long, Double)].collect()
+    assert(real.nonEmpty)
+    assert(real.forall { case (k, n, sc) => k >= 1 && k < n && sc >= 0.0 })
+  }
+
   test("events_holt: tracks a linear series exactly, drops single-hour types") {
     import java.sql.Timestamp
     // x_h = 10 + 2.5h on hours 0..9 — halves, so every step is exact in

@@ -51,6 +51,18 @@ case class VideoProbe(
     duration_units: Long,
     duration_ms: Long)
 
+/** MP3 frame-header probe result ([[Multimodal.probeMp3]]). */
+case class Mp3Probe(
+    doc_id: Long,
+    media_type: String,
+    format: String,
+    bitrate_kbps: Long,
+    sample_rate: Long,
+    padding: Long,
+    frame_bytes: Long,
+    est_frames: Long,
+    duration_ms: Long)
+
 /** One planned audio frame window ([[Multimodal.probeAudioWindows]]). */
 case class AudioWindow(
     doc_id: Long,
@@ -246,6 +258,77 @@ object Multimodal extends Serializable {
 
   def audioProbe(s: SparkSession, dir: String): DataFrame =
     probeAudio(mediaFromDocuments(s, dir)).toDF()
+
+  /** MPEG-1 Layer III bitrate table (kbps) by header index 1–14 —
+    * ISO/IEC 11172-3 Table B; index 0 (free) and 15 (bad) are rejected
+    * into the fallback, so every accepted frame has a definite size.
+    */
+  val Mp3BitratesV1L3: Vector[Long] =
+    Vector(0L, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample rates (Hz) by header index 0–2; index 3 is reserved
+    * and rejected.
+    */
+  val Mp3RatesV1: Vector[Long] = Vector(44100L, 48000L, 32000L)
+
+  /** Fallback geometry for non-MP3 payloads: the CBR-128/44.1 defaults,
+    * so the raw branch still yields a deterministic frame plan.
+    */
+  val Mp3FallbackBitrate = 128L
+  val Mp3FallbackRate    = 44100L
+
+  /** MP3 frame-header parse: `(bitrate_kbps, sample_rate, padding)` from
+    * the 4-byte MPEG-1 Layer III header — 11 sync bits, version bits 3
+    * (MPEG-1), layer bits 1 (Layer III), then TABLE-DRIVEN fields: the
+    * bitrate index selects from [[Mp3BitratesV1L3]] and the rate index
+    * from [[Mp3RatesV1]] — the lookup-table decode shape the fixed-offset
+    * probes (WAV/MP4/PNG) don't exercise. Free-format (0), bad (15), and
+    * reserved-rate (3) indices reject to the fallback, as do MPEG-2/2.5
+    * and other layers: the canonical-subset-only discipline of
+    * [[decodeWav]].
+    */
+  def decodeMp3(p: Array[Byte]): Option[(Long, Long, Long)] = {
+    def u8(i: Int) = p(i) & 0xff
+    if (p.length >= 4 && u8(0) == 0xff && (u8(1) & 0xe0) == 0xe0 &&
+        ((u8(1) >> 3) & 3) == 3 && ((u8(1) >> 1) & 3) == 1) {
+      val bi = (u8(2) >> 4) & 0xf
+      val si = (u8(2) >> 2) & 3
+      if (bi >= 1 && bi <= 14 && si <= 2)
+        Some((Mp3BitratesV1L3(bi), Mp3RatesV1(si), ((u8(2) >> 1) & 1).toLong))
+      else None
+    } else None
+  }
+
+  /** Batched MP3 probe — bitrate/rate/padding from the frame header,
+    * then the pure-integer frame plan: `frame_bytes = 144000·br/sr +
+    * pad` (the Layer III slot formula), whole frames in the payload,
+    * and the duration from 1152 samples per frame. Integer division
+    * throughout, so both engines agree exactly; payloads never leave
+    * the scan — only the narrow probe columns flow downstream.
+    */
+  def probeMp3(
+      records: Dataset[MediaRecord],
+      batchSize: Int = DefaultBatchSize): Dataset[Mp3Probe] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val n = r.payload.length.toLong
+          val (fmt, br, sr, pad) = decodeMp3(r.payload) match {
+            case Some((br, sr, pad)) => ("mp3", br, sr, pad)
+            case None => ("rawmpeg", Mp3FallbackBitrate, Mp3FallbackRate, 0L)
+          }
+          val fb     = 144000L * br / sr + pad
+          val frames = if (fb == 0) 0L else n / fb
+          val dur    = frames * 1152L * 1000L / sr
+          Mp3Probe(r.doc_id, r.media_type, fmt, br, sr, pad, fb, frames, dur)
+        }
+      }
+    }
+  }
+
+  def mp3Probe(s: SparkSession, dir: String): DataFrame =
+    probeMp3(mediaFromDocuments(s, dir)).toDF()
 
   /** The only mvhd size this probe accepts: a version-0 movie header is
     * exactly 108 bytes (ISO/IEC 14496-12 §8.2.2) — full box header (8) +
@@ -449,7 +532,8 @@ object Multimodal extends Serializable {
     "multimodal_resize"   -> (resizePlan _),
     "multimodal_audio"    -> (audioProbe _),
     "multimodal_video"    -> (videoProbe _),
-    "multimodal_audio_windows" -> (audioWindows _)
+    "multimodal_audio_windows" -> (audioWindows _),
+    "multimodal_mp3"      -> (mp3Probe _)
   )
 
   // DuckDB mirror of [[decode]] over a hex-encoded payload `h` with byte
@@ -586,6 +670,52 @@ object Multimodal extends Serializable {
     // bytes REVERSED). A real WAV in the text fixture would be parsed
     // identically by both engines; the fixture's text payloads all take
     // the raw-audio fallback, same as the png/jpeg probes.
+    // mirrors [[decodeMp3]] bit for bit: sync/version/layer checks as
+    // integer field extractions of the hex bytes, the SAME lookup tables
+    // as CASE expressions, and the pure-integer Layer III slot formula —
+    // UTF-8 text can never start with 0xFF, so catalog rows take the
+    // fallback and a real MP3 sneaking into a text fixture fails LOUDLY
+    "multimodal_mp3" -> {
+      val brCase = (1 to 14)
+        .map(i => s"WHEN $i THEN ${Mp3BitratesV1L3(i)}").mkString(" ")
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             hex(encode(text)) AS h
+           FROM documents),
+         b AS (
+           SELECT doc_id, media_type, n,
+             CASE WHEN n >= 4 THEN CAST('0x' || substr(h, 3, 2) AS BIGINT) ELSE 0 END AS b1,
+             CASE WHEN n >= 4 THEN CAST('0x' || substr(h, 5, 2) AS BIGINT) ELSE 0 END AS b2,
+             CASE WHEN n >= 1 THEN substr(h, 1, 2) ELSE '' END AS h0
+           FROM m),
+         v AS (
+           SELECT doc_id, media_type, n,
+             b2 // 16 AS bi, (b2 // 4) % 4 AS si, (b2 // 2) % 2 AS pad,
+             (n >= 4 AND h0 = 'FF' AND b1 // 32 = 7 AND (b1 // 8) % 4 = 3
+              AND (b1 // 2) % 4 = 1 AND b2 // 16 BETWEEN 1 AND 14
+              AND (b2 // 4) % 4 <= 2) AS is_mp3
+           FROM b),
+         f AS (
+           SELECT doc_id, media_type, n,
+             CASE WHEN is_mp3 THEN 'mp3' ELSE 'rawmpeg' END AS format,
+             CASE WHEN is_mp3 THEN CASE bi $brCase END
+                  ELSE $Mp3FallbackBitrate END AS br,
+             CASE WHEN is_mp3
+                  THEN CASE si WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+                  ELSE $Mp3FallbackRate END AS sr,
+             CASE WHEN is_mp3 THEN pad ELSE 0 END AS pad
+           FROM v)
+         SELECT doc_id, media_type, format,
+           CAST(br AS BIGINT) AS bitrate_kbps,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(pad AS BIGINT) AS padding,
+           CAST(144000 * br // sr + pad AS BIGINT) AS frame_bytes,
+           CAST(n // (144000 * br // sr + pad) AS BIGINT) AS est_frames,
+           CAST((n // (144000 * br // sr + pad)) * 1152 * 1000 // sr AS BIGINT) AS duration_ms
+         FROM f"""
+    },
     "multimodal_audio" ->
       s"""WITH $duckAudioF
          SELECT doc_id, media_type, format,

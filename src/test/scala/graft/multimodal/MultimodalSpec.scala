@@ -213,6 +213,39 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(_.doc_id == 2L))
   }
 
+  test("mp3 probe parses real MPEG-1 Layer III headers; near-misses fall back") {
+    // 0xFF 0xFB 0x90 0x00: sync, MPEG-1, Layer III, bitrate idx 9 (128
+    // kbps), rate idx 0 (44100), no padding -> 417-byte frames
+    def mp3(b1: Int, b2: Int, n: Int): Array[Byte] =
+      Array[Byte](0xff.toByte, b1.toByte, b2.toByte, 0) ++ Array.fill[Byte](n - 4)(3)
+    val got = Multimodal.probeMp3(spark.createDataset(Seq(
+      MediaRecord(1L, "audio", mp3(0xfb, 0x90, 4170)),
+      MediaRecord(2L, "audio", mp3(0xfb, 0x92, 4180)),   // padding bit set
+      MediaRecord(3L, "audio", mp3(0xf3, 0x90, 4170)),   // MPEG-2: fall back
+      MediaRecord(4L, "audio", mp3(0xfd, 0x90, 4170)),   // Layer II: fall back
+      MediaRecord(5L, "audio", mp3(0xfb, 0xf0, 4170)),   // bad bitrate idx 15
+      MediaRecord(6L, "audio", mp3(0xfb, 0x9c, 4170)),   // reserved rate idx 3
+      MediaRecord(7L, "audio", "xy".getBytes)            // too short
+    ))).collect().map(p => p.doc_id -> p).toMap
+    val p1 = got(1L)
+    assert(p1.format == "mp3" && p1.bitrate_kbps == 128 && p1.sample_rate == 44100)
+    assert(p1.padding == 0 && p1.frame_bytes == 417)
+    assert(p1.est_frames == 10 && p1.duration_ms == 10L * 1152 * 1000 / 44100)
+    val p2 = got(2L)
+    assert(p2.format == "mp3" && p2.padding == 1 && p2.frame_bytes == 418)
+    assert(p2.est_frames == 10)
+    for (id <- 3L to 7L)
+      assert(got(id).format == "rawmpeg" &&
+        got(id).bitrate_kbps == Multimodal.Mp3FallbackBitrate &&
+        got(id).sample_rate == Multimodal.Mp3FallbackRate,
+        s"doc $id must take the fallback: ${got(id)}")
+    // the full V1L3 table round-trips through the header encoding
+    for (bi <- 1 to 14) {
+      val p = Multimodal.decodeMp3(mp3(0xfb, (bi << 4) | 0x04, 8))
+      assert(p.contains((Multimodal.Mp3BitratesV1L3(bi), 48000L, 0L)), s"idx $bi: $p")
+    }
+  }
+
   test("batching covers all rows regardless of partition layout") {
     val recs = (1L to 100L).map(i => MediaRecord(i, "image", Array.fill(i.toInt)(7.toByte)))
     val ds   = spark.createDataset(recs).repartition(7)

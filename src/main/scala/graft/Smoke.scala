@@ -65,7 +65,11 @@ object Smoke {
     // k-bounded lists
     "sim_rrf_fusion",
     // stats_benford: the 1-row total broadcast over the <=9-row digit grid
-    "stats_benford")
+    "stats_benford",
+    // curate_t_closeness: the zero-fill cross of two GRID-bounded tables
+    // (hours x value-buckets groups, sensitive types) plus the 1-row
+    // total broadcast — never the corpus
+    "curate_t_closeness")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

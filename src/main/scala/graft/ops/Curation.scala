@@ -1436,6 +1436,62 @@ object Curation {
         sum("n_rows").over(Window.partitionBy()).cast("double")).as("pct_rows"))
   }
 
+  /** t-closeness compliance threshold for [[tCloseness]]. */
+  val TCloseT = 0.2
+
+  /** t-closeness audit — the third leg of the privacy triptych after
+    * [[kAnonymity]] and [[lDiversity]]: l-diversity only counts DISTINCT
+    * sensitive values, so a group that is 99% "purchase" with a token
+    * "view" passes l=2 while still leaking; t-closeness bounds how far
+    * each QI group's sensitive-value DISTRIBUTION may drift from the
+    * global one. For a categorical attribute the Earth Mover's Distance
+    * reduces to total variation: `t = ½ Σ_types |p_g(type) − q(type)|`,
+    * including the zero cells (a type the group never emits contributes
+    * its full global share — skipping those rows would understate t,
+    * which is why the group×type grid is materialized explicitly).
+    *
+    * Scale shape: one partial-aggregated shuffle onto the
+    * (QI, type) grid; the QI-group and global-type tables are both
+    * GRID-bounded (hours × value-buckets, types), so the zero-filling
+    * cross join multiplies two bounded tables, never the corpus.
+    *
+    * Determinism: both ratios are single exactly-rounded divisions; the
+    * |p−q| terms quantize floor-to-long on the 1e-9 grid (the
+    * [[graft.ops.Events.ewmaOf]] discipline — a decimal cast would
+    * itself diverge) so the per-group sum is exact integer arithmetic
+    * and order-free.
+    */
+  def tCloseness(s: SparkSession, dir: String): DataFrame =
+    tClosenessOf(Tables.events(s, dir))
+
+  private[ops] def tClosenessOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(
+        col("event_type"),
+        hour(col("ts")).cast("long").as("h"),
+        floor(col("value") / 25.0).cast("long").as("vb"))
+    val cell = ev.groupBy("h", "vb", "event_type").agg(count(lit(1)).as("c"))
+    val grp  = cell.groupBy("h", "vb").agg(sum("c").as("gsz"))
+    val tot  = ev.agg(count(lit(1)).cast("double").as("n"))
+    val glob = ev.groupBy("event_type").agg(count(lit(1)).as("gc"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), (col("gc").cast("double") / col("n")).as("q"))
+    val tq = floor(
+      abs(coalesce(col("c"), lit(0L)).cast("double") / col("gsz").cast("double") -
+        col("q")) * lit(1e9)).cast("long")
+    grp
+      .crossJoin(broadcast(glob))
+      .join(cell, Seq("h", "vb", "event_type"), "left")
+      .select(col("h"), col("vb"), col("gsz"), tq.as("tq"))
+      .groupBy("h", "vb", "gsz")
+      .agg(sum("tq").as("stq"))
+      .select(
+        col("h"), col("vb"), col("gsz"),
+        ((col("stq").cast("double") / lit(1e9)) * lit(0.5)).as("t_dist"),
+        (((col("stq").cast("double") / lit(1e9)) * lit(0.5)) <= lit(TCloseT))
+          .as("compliant"))
+  }
+
   /** Deletion-request rate (percent of customers) for [[deletionAudit]]. */
   val DelPct = 5
 
@@ -1625,6 +1681,7 @@ object Curation {
     "curate_dp_release"  -> (dpRelease _),
     "curate_k_anonymity" -> (kAnonymity _),
     "curate_l_diversity" -> (lDiversity _),
+    "curate_t_closeness" -> (tCloseness _),
     "curate_deletion"    -> (deletionAudit _),
     "sample_weighted"    -> (sampleWeighted _),
     "text_bm25"          -> (bm25 _),
@@ -1799,6 +1856,29 @@ object Curation {
            CAST(coalesce(sum(gsz) FILTER (WHERE gsz < $KAnonK), 0) AS DOUBLE) /
              CAST(sum(gsz) AS DOUBLE) AS risk_frac
          FROM g GROUP BY 1""",
+    // the zero cells ride the explicit group×type grid; |p−q| terms
+    // floor onto the 1e-9 long grid so the per-group sum is order-free
+    "curate_t_closeness" ->
+      s"""WITH ev AS (
+           SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(floor(value / 25.0) AS BIGINT) AS vb
+           FROM events),
+         cell AS (SELECT h, vb, event_type, count(*) AS c FROM ev GROUP BY 1, 2, 3),
+         grp  AS (SELECT h, vb, CAST(sum(c) AS BIGINT) AS gsz FROM cell GROUP BY 1, 2),
+         tot  AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ev),
+         gshare AS (SELECT event_type, CAST(count(*) AS DOUBLE) / n AS q
+                    FROM ev, tot GROUP BY event_type, n),
+         grid AS (
+           SELECT g.h, g.vb, g.gsz,
+             CAST(floor(abs(CAST(coalesce(c.c, 0) AS DOUBLE) / CAST(g.gsz AS DOUBLE)
+               - gl.q) * 1000000000.0) AS BIGINT) AS tq
+           FROM grp g CROSS JOIN gshare gl
+           LEFT JOIN cell c
+             ON c.h = g.h AND c.vb = g.vb AND c.event_type = gl.event_type)
+         SELECT h, vb, gsz,
+           (CAST(sum(tq) AS DOUBLE) / 1000000000.0) * 0.5 AS t_dist,
+           (CAST(sum(tq) AS DOUBLE) / 1000000000.0) * 0.5 <= $TCloseT AS compliant
+         FROM grid GROUP BY 1, 2, 3""",
     "curate_l_diversity" ->
       """WITH g AS (
            SELECT CAST(hour(ts) AS BIGINT) AS h,

@@ -424,6 +424,43 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       s"fused output != driver recompute (${got.length} vs ${want.size} rows)")
   }
 
+  test("curate_t_closeness: 0 on a mirror group, hand-computed drift, leak l-diversity misses") {
+    import java.sql.Timestamp
+    def ev(h: Int, t: String) = (new Timestamp(h * 3600000L), t, 1.0)
+    // two identical groups: each mirrors the global distribution exactly,
+    // so t = 0 to the bit (p and q are the same correctly-rounded ratios)
+    val twin = Seq(ev(0, "A"), ev(0, "A"), ev(0, "B"),
+      ev(1, "A"), ev(1, "A"), ev(1, "B"))
+    val zeros = Curation.tClosenessOf(twin.toDF("ts", "event_type", "value"))
+      .select("h", "gsz", "t_dist", "compliant")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(zeros.toSet == Set((0L, 3L, 0.0, true), (1L, 3L, 0.0, true)), s"$zeros")
+    // drifted pair: global A = 5/6, B = 1/6; group 0 is (2/3, 1/3), group
+    // 1 is pure A — l-diversity's blind spot (skewed groups), hand-walked
+    // through the same 1e-9 floor grid
+    val mixed = Seq(ev(0, "A"), ev(0, "A"), ev(0, "B"))
+    val pureA = Seq(ev(1, "A"), ev(1, "A"), ev(1, "A"))
+    val got = Curation.tClosenessOf((mixed ++ pureA).toDF("ts", "event_type", "value"))
+      .select("h", "gsz", "t_dist", "compliant")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    val qA = 5.0 / 6.0; val qB = 1.0 / 6.0
+    def tOf(pA: Double, pB: Double): Double =
+      ((math.floor(math.abs(pA - qA) * 1e9) +
+        math.floor(math.abs(pB - qB) * 1e9)) / 1e9) * 0.5
+    // with 2 types TV collapses to |pA - qA|, so BOTH groups land at 1/6
+    // (the pure group and the mixed one sit symmetrically around q) —
+    // the hand equalities below pin that, including the zero cell
+    assert(got(0L)._3 == tOf(2.0 / 3.0, 1.0 / 3.0), s"mixed group: ${got(0L)}")
+    assert(got(1L)._3 == tOf(1.0, 0.0), s"pure group: ${got(1L)}")
+    // real data: t in [0,1], flag consistent with the threshold
+    val real = Curation.tCloseness(spark, Sf0001)
+      .select("t_dist", "compliant").as[(Double, Boolean)].collect()
+    assert(real.nonEmpty)
+    assert(real.forall { case (t, c) =>
+      t >= 0.0 && t <= 1.0 && c == (t <= Curation.TCloseT)
+    })
+  }
+
   test("kmv overlap: exact 1.0 on identical sources, exact 0.0 on disjoint ones") {
     import graft.text.Tokenize
     // three sources: A and B share every document verbatim; C is disjoint

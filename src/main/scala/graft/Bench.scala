@@ -62,40 +62,57 @@ object Bench {
         val t =
           try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
           catch {
-            case e: Throwable =>
+            case scala.util.control.NonFatal(e) =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               None
           }
         name -> t
       }
     }
-    // Adaptive tail re-sampling: queries whose 3-run spread exceeds
-    // SpreadTarget get ExtraRuns more samples before the median is taken
-    // — a transient load spike then has to corrupt 3 of 5 samples
-    // instead of 2 of 3 to move the reported number. Bounded cost: only
-    // the noisy tail (historically 2-4 queries) pays the extra runs.
+    // Adaptive tail re-sampling: the TOP-20 queries by 3-run median —
+    // the rows a perf reader actually compares round-to-round — plus any
+    // query whose spread exceeds SpreadTarget get ExtraRuns more samples
+    // (5 total) before the median is taken. A transient load spike then
+    // has to corrupt 3 of 5 samples instead of 2 of 3 to move a headline
+    // number. Bounded cost: ~20 extra query runs. NonFatal only — an
+    // OOM/VM error must kill the bench loudly, not vanish as a dropped
+    // sample (r8 advice).
     val SpreadTarget = 2.0
     val ExtraRuns    = 2
+    val TopResample  = 20
+    def baseTimes(name: String): Seq[Double] =
+      samples.flatMap(_.collectFirst { case (`name`, Some(t)) => t })
+    val topByMedian: Set[String] = catalog
+      .map { case (n, _) => n -> baseTimes(n) }
+      .filter(_._2.size >= Runs)
+      .sortBy { case (_, ts) => -ts.sorted.apply(ts.size / 2) }
+      .take(TopResample).map(_._1).toSet
     val extra: Map[String, Seq[Double]] = catalog.flatMap { case (name, fn) =>
-      val times = samples.flatMap(_.collectFirst { case (`name`, Some(t)) => t })
-      if (times.size < Runs || times.max - times.min <= SpreadTarget) None
+      val times = baseTimes(name)
+      if (times.size < Runs ||
+          (!topByMedian.contains(name) && times.max - times.min <= SpreadTarget)) None
       else Some(name -> (1 to ExtraRuns).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name resample failed: ${e.getMessage}"); None }
       })
     }.toMap
-    // per query: (median, spread = max-min, min). The median is the
-    // headline; min is the low-noise estimator on an idle box (a loaded
-    // run can only inflate a sample, never deflate it), reported in
-    // BENCH_FULL.json so regressions can be split from machine load.
+    // per query: (median, spread, min). The median is the headline; min
+    // is the low-noise estimator on an idle box (a loaded run can only
+    // inflate a sample, never deflate it), reported in BENCH_FULL.json so
+    // regressions can be split from machine load. For 5-sample queries
+    // the spread is the TRIMMED range (drop one min + one max): more
+    // samples can only widen a raw max-min, which would punish exactly
+    // the queries we resample to stabilize — the trimmed range is the
+    // noise band around the median the reader should compare against.
     val results: Seq[(String, Double, Double, Double)] = catalog.map { case (name, _) =>
-      val times = samples.flatMap(_.collectFirst { case (`name`, Some(t)) => t }) ++
-        extra.getOrElse(name, Nil)
+      val times = baseTimes(name) ++ extra.getOrElse(name, Nil)
       if (times.size < Runs) (name, -1.0, -1.0, -1.0)
       else {
-        val sorted = times.sorted
-        (name, sorted(sorted.size / 2), sorted.last - sorted.head, sorted.head)
+        val sorted  = times.sorted
+        val trimmed = if (sorted.size >= 5) sorted.tail.init else sorted
+        (name, sorted(sorted.size / 2), trimmed.last - trimmed.head, sorted.head)
       }
     }
     // The driver stores only the LAST ~2000 chars of stdout and parses the
@@ -118,8 +135,10 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     def line(p: Double => String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(_._2, p)},"runs":$Runs,"sf":$sfNum}"""
+    val resampledJson = extra.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2, _.toString)},"runs":$Runs,"spread":${jmap(_._3, _.toString)},"min":${jmap(_._4, _.toString)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2, _.toString)},"runs":$Runs,"spread":${jmap(_._3, _.toString)},"min":${jmap(_._4, _.toString)},"resampled":$resampledJson,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY-restricted run must not clobber the committed
     // full-catalog artifact with a one-query subset
     if (only.isEmpty)

@@ -70,6 +70,23 @@ object DedupScaleProbe {
       .write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
   }
 
+  /** Recall@k of the three-tier ANN (`sim_ivfpq_rerank`) against the
+    * exact brute-force top-k, at a given scale. The point of running it
+    * at 10× is that the index geometry is NOT fixture-pinned: planesFor
+    * / centroidsFor re-derive from the actual table count
+    * (`Similarity.scala`), so this measures whether the
+    * occupancy-constant re-derivation preserves recall as the vector
+    * table grows — the property a fixed geometry silently loses.
+    */
+  private def annRecall(s: SparkSession, dir: String): (Long, Double) = {
+    val truth = ops.Similarity.topkBrute(s, dir).select(col("va"), col("vb"))
+    val got = ops.Similarity.ivfPqRerank(s, dir)
+      .select(col("q_vec").as("va"), col("vec_id").as("vb"), lit(1).as("hit"))
+    val r = truth.join(got, Seq("va", "vb"), "left")
+      .agg(count(lit(1)).as("n"), count(col("hit")).as("h")).collect()(0)
+    (r.getLong(0), r.getLong(1).toDouble / r.getLong(0))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -87,7 +104,13 @@ object DedupScaleProbe {
       if (args.nonEmpty) args.toSeq
       else Seq("dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_simhash", "dedup_fuzzy",
         "dedup_embedding")
-    for (q <- queries; (tag, dir) <- Seq("1x" -> Src, "10x" -> Out)) {
+    if (queries.contains("ann_recall"))
+      for ((tag, dir) <- Seq("1x" -> Src, "10x" -> Out)) {
+        val (n, rec) = annRecall(spark, dir)
+        println(f"[scale] ann_recall       $tag%-3s truth_pairs=$n%-8d recall=$rec%.4f")
+      }
+    for (q <- queries.filterNot(_ == "ann_recall");
+         (tag, dir) <- Seq("1x" -> Src, "10x" -> Out)) {
       // warm run (codegen/plan), then the timed run. Verdict-style
       // queries (is_dup column) count FLAGGED rows: a bare count() on
       // their row-preserving left join lets Catalyst eliminate the whole

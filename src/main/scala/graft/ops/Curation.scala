@@ -189,11 +189,15 @@ object Curation {
     // materialization instead of re-running tokenize→shingle→distinct
     // twice. Eager checkpoint; at cluster scale this becomes a persisted
     // intermediate table (see localCheckpoint note in Graph.scala).
-    val sh = withToks(s, dir)
-      .select(col("source"), explode(TextHash.shingles(col("toks"), 3)).as("shs"))
-      .select(col("source"), TextHash.hash60(col("shs")).as("sh"))
-      .distinct()
-      .transform(Ckpt.apply)
+    // memoized per application (Ckpt.cached): the returned frame scans
+    // this checkpoint lazily, so a per-invocation generation could never
+    // be freed and accumulated under repeated gate/bench runs (r8 advice)
+    val sh = Ckpt.cached(s, s"curate:overlap-sh:$dir") {
+      withToks(s, dir)
+        .select(col("source"), explode(TextHash.shingles(col("toks"), 3)).as("shs"))
+        .select(col("source"), TextHash.hash60(col("shs")).as("sh"))
+        .distinct()
+    }
     // sorted source set per shingle: collect_set dedupes, array_sort makes
     // the pair expansion deterministic and canonically ordered (a < b)
     val bySh = sh
@@ -208,8 +212,8 @@ object Curation {
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_inter"))
     // bounded by the source count — materialize once for both join sides
-    val sizes = sh.groupBy("source").agg(count_distinct(col("sh")).as("n"))
-      .transform(Ckpt.apply)
+    val sizes = Ckpt.cached(s, s"curate:overlap-sizes:$dir")(
+      sh.groupBy("source").agg(count_distinct(col("sh")).as("n")))
     inter
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
       .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
@@ -256,25 +260,34 @@ object Curation {
     * union, so the order is total).
     */
   def kmvOverlap(s: SparkSession, dir: String): DataFrame =
-    kmvOverlapOf(withToks(s, dir))
+    kmvOverlapOf(withToks(s, dir), cacheKey = Some(s"curate:kmv:$dir"))
 
   /** The k-row-per-source bottom-k sketch shared by [[kmvOverlapOf]] and
     * [[kmvSetAlgOf]] — the ONLY corpus-sized computation either makes.
     */
-  private def kmvSketch(toks: DataFrame): DataFrame = {
+  /** `cacheKey` (catalog path): BOTH kmv queries share one memoized
+    * sketch per application ([[graft.Ckpt.cached]]) — the returned
+    * frames scan it lazily, so per-invocation checkpoints could never
+    * be freed and accumulated under repeated gate/bench runs (r8
+    * advice). The sketch is k-per-source bounded, so one cached
+    * generation is tiny. Spec callers pass None.
+    */
+  private def kmvSketch(
+      toks: DataFrame, cacheKey: Option[String]): DataFrame = {
     val sh = toks
       .select(col("source"), explode(TextHash.shingles(col("toks"), 3)).as("shs"))
       .select(col("source"), TextHash.hash60(col("shs")).as("sh"))
       .distinct()
     val wSrc = Window.partitionBy("source").orderBy("sh")
-    sh.withColumn("rn", row_number().over(wSrc))
+    val sk = sh.withColumn("rn", row_number().over(wSrc))
       .filter(col("rn") <= KmvK)
       .select("source", "sh")
-      .transform(Ckpt.apply)
+    cacheKey.fold(Ckpt(sk))(k => Ckpt.cached(toks.sparkSession, k)(sk))
   }
 
-  private[ops] def kmvOverlapOf(toks: DataFrame): DataFrame = {
-    val sk = kmvSketch(toks)
+  private[ops] def kmvOverlapOf(
+      toks: DataFrame, cacheKey: Option[String] = None): DataFrame = {
+    val sk = kmvSketch(toks, cacheKey)
     val srcs = sk.select("source").distinct()
     val pairs = srcs.select(col("source").as("source_a"))
       .crossJoin(srcs.select(col("source").as("source_b")))
@@ -315,7 +328,7 @@ object Curation {
 
   /** Catalog entry: KMV set-algebra cardinalities across sources. */
   def kmvSetAlg(s: SparkSession, dir: String): DataFrame =
-    kmvSetAlgOf(withToks(s, dir))
+    kmvSetAlgOf(withToks(s, dir), cacheKey = Some(s"curate:kmv:$dir"))
 
   /** Set-ALGEBRA estimates from the same bottom-k sketches as
     * [[kmvOverlapOf]] — the planner's numbers rather than the analyst's
@@ -338,8 +351,9 @@ object Curation {
     * Scale shape: identical to [[kmvOverlapOf]] — everything after the
     * one sketch build is bounded by source_count·k rows.
     */
-  private[ops] def kmvSetAlgOf(toks: DataFrame): DataFrame = {
-    val sk = kmvSketch(toks)
+  private[ops] def kmvSetAlgOf(
+      toks: DataFrame, cacheKey: Option[String] = None): DataFrame = {
+    val sk = kmvSketch(toks, cacheKey)
     val sstats = sk.groupBy("source")
       .agg(count(lit(1)).as("cnt"), max("sh").as("maxh"))
     val srcs = sstats.select("source")

@@ -1046,11 +1046,13 @@ object Dedup {
     val k = Curation.centroidsFor(Tables.embeddingsCount(s, dir), SemTargetCluster)
     // Checkpoint the assignment: it feeds BOTH sides of the same-cluster
     // self-join, and without materialization the k-wide argmax projection
-    // executes twice (measured 3x slower at sf0.1 with k=32).
-    val a = Curation
+    // executes twice (measured 3x slower at sf0.1 with k=32). Memoized
+    // per application (Ckpt.cached) — the returned top-k scans it
+    // lazily, so a per-invocation generation could never be freed and
+    // accumulated under repeated gate/bench runs (r8 advice).
+    val a = graft.Ckpt.cached(s, s"dedup:sem-assign:$dir")(Curation
       .assignVectors(s, dir, literal = k <= Similarity.IvfLiteralBudget, k = k)
-      .select("vec_id", "centroid")
-      .transform(graft.Ckpt.apply)
+      .select("vec_id", "centroid"))
     val e = Similarity.withNorm(Tables.embeddings(s, dir))
     val va = a.join(e.select("vec_id", "embedding", "norm"), "vec_id")
     val left = va.select(col("centroid"), col("vec_id").as("va"),

@@ -17,6 +17,17 @@ import graft.Tables
 object Events {
   type Q = (SparkSession, String) => DataFrame
 
+  /** FLOOR-division hour bucket of `ts`, matching the DuckDB oracles'
+    * `epoch_us(ts) // 3600000000` (`//` floors). Spark's `div` truncates
+    * toward zero, which agrees only for post-epoch timestamps — a
+    * pre-1970 ts would silently land one bucket high (r8 advice).
+    * `pmod` is non-negative for a positive divisor, so
+    * `(a - pmod(a, b)) div b` is exact integer floor division at any
+    * epoch sign — no double rounding hazard near bucket boundaries.
+    */
+  private[ops] val hourFloor =
+    expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000")
+
   /** Tumbling-window aggregation: events per (hour, type) with exact sums. */
   def hourly(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -717,7 +728,7 @@ object Events {
     val s = events.sparkSession
     import s.implicits._
     val hm = events
-      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), Events.hourFloor.as("hr"))
       .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("sx"),
         count(lit(1)).as("cnt"))
       .select(col("event_type"), col("hr"), (col("sx") / col("cnt")).as("x"))
@@ -783,7 +794,7 @@ object Events {
     */
   private[graft] def holtOf(events: DataFrame): DataFrame = {
     val hm = events
-      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), Events.hourFloor.as("hr"))
       .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("sx"),
         count(lit(1)).as("cnt"))
       .select(col("event_type"), col("hr"), (col("sx") / col("cnt")).as("x"))
@@ -841,7 +852,7 @@ object Events {
     */
   private[graft] def changepointOf(events: DataFrame): DataFrame = {
     val hm = events
-      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), Events.hourFloor.as("hr"))
       .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("sx"),
         count(lit(1)).as("cnt"))
       .select(col("event_type"), col("hr"),

@@ -175,7 +175,8 @@ object Graph {
     * apart.
     */
   def trianglesNearDup(s: SparkSession, dir: String): DataFrame =
-    triangles(Dedup.minhash(s, dir).select(col("da"), col("db")))
+    triangles(Dedup.minhash(s, dir).select(col("da"), col("db")),
+      cacheKey = Some(s"graph:tri-pairs:$dir"))
 
   /** Per-node triangle counts from an ordered pair list (da < db).
     *
@@ -190,10 +191,15 @@ object Graph {
     *
     * The pair list is localCheckpoint'ed once: it feeds three scans, and
     * recomputing the MinHash pipeline per scan would triple the dominant
-    * cost.
+    * cost. On the catalog path the checkpoint is memoized per
+    * application (`cacheKey` → [[graft.Ckpt.cached]]): the returned
+    * counts scan it lazily, so a per-invocation generation could never
+    * be freed and accumulated under repeated gate/bench runs.
     */
-  def triangles(pairList: DataFrame): DataFrame = {
-    val p = pairList.toDF("da", "db").transform(Ckpt.apply)
+  def triangles(
+      pairList: DataFrame, cacheKey: Option[String] = None): DataFrame = {
+    val pl = pairList.toDF("da", "db")
+    val p  = cacheKey.fold(Ckpt(pl))(k => Ckpt.cached(pl.sparkSession, k)(pl))
     val tri = p.select(col("da").as("a"), col("db").as("b"))
       .join(p.select(col("da").as("b"), col("db").as("c")), "b")
       .join(p.select(col("da").as("a"), col("db").as("c")), Seq("a", "c"))
@@ -296,9 +302,31 @@ object Graph {
   /** Fixed LPA iteration count (unrolled in the oracle). */
   val LpaIterations = 3
 
+  /** Memoized symmetrized adjacency of the co-purchase graph — shared by
+    * the three LPA-family catalog entries. Built over the already-
+    * checkpointed [[coPurchaseEdges]], so the union's double scan reads
+    * materialized blocks; memoized itself ([[graft.Ckpt.cached]]) so
+    * repeated gate/bench invocations reuse one generation of executor
+    * blocks instead of checkpointing a fresh adjacency per call (r8
+    * advice: the per-invocation checkpoints were never freeable — the
+    * returned DataFrames scan them lazily).
+    */
+  private def coPurchaseAdj(s: SparkSession, dir: String): DataFrame =
+    Ckpt.cached(s, s"graph:adj:$dir") {
+      val p = coPurchaseEdges(s, dir).toDF("da", "db")
+      p.union(p.select(col("db"), col("da"))).toDF("u", "m")
+    }
+
+  /** Memoized LPA label assignment of the co-purchase graph: feeds
+    * communities, modularity, AND louvain_move — one 3-round LPA per
+    * session instead of one per catalog invocation.
+    */
+  private def coPurchaseLabels(s: SparkSession, dir: String): DataFrame =
+    Ckpt.cached(s, s"graph:lpa:$dir")(lpaLabels(coPurchaseAdj(s, dir)))
+
   /** Catalog entry: communities of the part co-purchase graph. */
   def communitiesCoPurchase(s: SparkSession, dir: String): DataFrame =
-    communities(coPurchaseEdges(s, dir))
+    communitiesOf(coPurchaseLabels(s, dir))
 
   /** Synchronous label-propagation community detection (LPA): every node
     * starts as its own label and, each round, adopts the most frequent
@@ -325,7 +353,12 @@ object Graph {
     // consumer (observed: 20 exchanges, zero reuse). With the checkpoint
     // the rounds run exactly once, mirroring modularity()'s discipline.
     val labels = lpaLabels(adj).transform(Ckpt.apply)
-    val sizes  = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    Dedup.freeCheckpoint(adj) // labels are materialized; the adjacency is dead
+    communitiesOf(labels)
+  }
+
+  private def communitiesOf(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
     labels
       .join(sizes, "lbl")
       .select(col("node").as("p_partkey"), col("lbl").as("community"), col("community_size"))
@@ -364,7 +397,7 @@ object Graph {
     * graph.
     */
   def modularityCoPurchase(s: SparkSession, dir: String): DataFrame =
-    modularity(coPurchaseEdges(s, dir))
+    modularityOf(coPurchaseAdj(s, dir), coPurchaseLabels(s, dir))
 
   /** Newman modularity of the [[communities]] label assignment:
     * `Q = Σ_c [ e_c/2m − (D_c/2m)² ]` where `e_c` counts DIRECTED
@@ -384,9 +417,12 @@ object Graph {
     * order-free final sum (the catalog rule).
     */
   def modularity(pairList: DataFrame): DataFrame = {
-    val adj    = symAdj(pairList)
-    val labels = lpaLabels(adj).transform(Ckpt.apply)
-    val m2     = adj.count().toDouble // directed edges = 2m; one scalar action
+    val adj = symAdj(pairList)
+    modularityOf(adj, lpaLabels(adj).transform(Ckpt.apply))
+  }
+
+  private def modularityOf(adj: DataFrame, labels: DataFrame): DataFrame = {
+    val m2 = adj.count().toDouble // directed edges = 2m; one scalar action
     val within = adj
       .join(labels.select(col("node").as("u"), col("lbl").as("lu")), "u")
       .join(labels.select(col("node").as("m"), col("lbl").as("lm")), "m")
@@ -412,7 +448,7 @@ object Graph {
     * the co-purchase graph.
     */
   def louvainMoveCoPurchase(s: SparkSession, dir: String): DataFrame =
-    louvainMove(coPurchaseEdges(s, dir))
+    louvainMoveOf(coPurchaseAdj(s, dir), coPurchaseLabels(s, dir))
 
   /** One SYNCHRONOUS Louvain local-move round (Blondel et al. 2008) —
     * the refinement step community pipelines run after a cheap seeding
@@ -438,9 +474,12 @@ object Graph {
     * struct-max mirrors ORDER BY gain DESC, c ASC.
     */
   def louvainMove(pairList: DataFrame): DataFrame = {
-    val adj    = symAdj(pairList)
-    val labels = lpaLabels(adj).transform(Ckpt.apply)
-    val m2     = adj.count().toDouble // directed edges = 2m
+    val adj = symAdj(pairList)
+    louvainMoveOf(adj, lpaLabels(adj).transform(Ckpt.apply))
+  }
+
+  private def louvainMoveOf(adj: DataFrame, labels: DataFrame): DataFrame = {
+    val m2 = adj.count().toDouble // directed edges = 2m
     val deg    = adj.groupBy("u").agg(count(lit(1)).as("deg"))
     val tot = deg
       .join(labels.select(col("node").as("u"), col("lbl")), "u")
@@ -901,18 +940,28 @@ object Graph {
            CAST(aa_dec AS DOUBLE) AS aa
          FROM ne JOIN deg x ON x.u = ne.a JOIN deg y ON y.u = ne.b
          ORDER BY cn DESC, da ASC, db ASC LIMIT $CnTopK""",
+    // The unrolled peel keeps only NODE-sized survivor sets s1..sR per
+    // round (the induced-subgraph degree is recomputed against the one
+    // materialized edge list each time, never re-materialized): the r8
+    // formulation materialized an edge-sized CTE per round, which
+    // ENOSPC'd DuckDB's temp space at sf0.1. Equivalence: s_i = nodes
+    // with degree >= K in the subgraph induced by s_{i-1}, and because
+    // survivor sets only shrink, that induced subgraph IS the r8 e_i.
     "graph_kcore" -> {
-      val rounds = (1 to KcoreRounds).map { i =>
-        s"""k$i AS (SELECT u FROM (SELECT u, count(*) AS c FROM e${i - 1} GROUP BY 1)
-             WHERE c >= $KcoreK),
-           e$i AS (SELECT e.u, e.m FROM e${i - 1} e
-             JOIN k$i a ON a.u = e.u JOIN k$i b ON b.u = e.m)"""
+      val rounds = (2 to KcoreRounds).map { i =>
+        s"""s$i AS (SELECT adj.u FROM adj
+             JOIN s${i - 1} a ON a.u = adj.u
+             JOIN s${i - 1} b ON b.u = adj.m
+             GROUP BY 1 HAVING count(*) >= $KcoreK)"""
       }.mkString(",\n")
       s"""WITH $duckCoPurchaseCte,
-         e0 AS (SELECT u, m FROM adj),
+         s1 AS (SELECT u FROM adj GROUP BY 1 HAVING count(*) >= $KcoreK),
          $rounds
-         SELECT u AS p_partkey, count(*) AS core_deg
-         FROM e$KcoreRounds GROUP BY 1"""
+         SELECT adj.u AS p_partkey, count(*) AS core_deg
+         FROM adj
+         JOIN s$KcoreRounds a ON a.u = adj.u
+         JOIN s$KcoreRounds b ON b.u = adj.m
+         GROUP BY 1"""
     },
     "graph_assortativity" ->
       s"""WITH $duckCoPurchaseCte,

@@ -970,7 +970,7 @@ object Stats {
     // half-up-vs-truncate rescales both leaked ulps into r)
     val grid = 65536L
     val hm = events
-      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), Events.hourFloor.as("hr"))
       .agg(dsum(col("value")).as("sx"), count(lit(1)).as("cnt"))
       .select(col("event_type"), col("hr"),
         floor(col("sx") / col("cnt") * grid).cast("long").as("x"))

@@ -35,6 +35,55 @@ object Storage {
 
   private val built = new ConcurrentHashMap[String, Boolean]()
 
+  /** Scratch dirs handed out by [[scratchDir]], removed best-effort at
+    * JVM exit so repeated bench passes don't accumulate tmp copies.
+    */
+  private val scratch = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratch.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
+        } catch { case _: Exception => () }
+      }
+    }))
+  }
+
+  /** PER-INVOCATION unique scratch dir for the interchange round-trips.
+    *
+    * History (rounds 7-9 of the driver gate): a path keyed by (sf) was
+    * world-shared mutable state across JVMs; a path keyed by
+    * (sf, applicationId) was still shared across INVOCATIONS within one
+    * session, and the returned summary DataFrame re-reads the scratch
+    * lazily on every action — so a second invocation's overwrite deleted
+    * the directory under the first handle's feet mid-read (group count
+    * survived, sums didn't: exactly the hash-only failure signature the
+    * gate recorded two rounds running). `Files.createTempDirectory` per
+    * call means no two executions — same session, parallel JVMs, driver
+    * retries, anything — can EVER share a path, so the handle each
+    * invocation returns reads bytes nothing else may rewrite.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-$prefix-")
+    scratch.add(p)
+    p.toString
+  }
+
+  /** Belt-and-braces tear guard for the round-trips: eagerly count the
+    * read-back and fail LOUDLY (err column in the gate, not a silent
+    * hash drift) if it doesn't match what was written. With
+    * per-invocation scratch this can only fire on a genuinely lossy
+    * write, which is precisely when the query must not return a result.
+    */
+  private def readBackGuard(name: String, expected: Long, back: DataFrame): DataFrame = {
+    val got = back.count()
+    require(got == expected,
+      s"$name round-trip torn: wrote $expected docs, read back $got")
+    back
+  }
+
   /** Deterministic short table-name tag per sf dir ("sf0.01" -> "sf0_01"). */
   private def tag(dir: String): String =
     dir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9]", "_")
@@ -222,23 +271,20 @@ object Storage {
     * lossless — including multi-line, quoted, and non-ASCII text, which
     * JSON escaping must carry through unchanged.
     *
-    * The sink directory is a per-sf temp location KEYED BY THE SPARK
-    * applicationId and written in overwrite mode: repeated catalog runs
-    * within one session (Bench runs each query 3x) rewrite in place
-    * rather than accumulating copies, while concurrent JVMs (bench
-    * overlapping verify, parallel shards) can never tear each other's
-    * read-back — a path keyed only by scale factor is world-shared
-    * mutable state and corrupts content_sig under concurrency. The write
-    * is deliberately INSIDE the measured query — this catalog entry is
-    * the sink's benchmark as much as the source's.
+    * The sink directory is a PER-INVOCATION unique temp location (see
+    * [[scratchDir]] for why anything weaker tears under re-invocation),
+    * removed at JVM exit so repeated catalog passes don't accumulate
+    * copies. The write is deliberately INSIDE the measured query — this
+    * catalog entry is the sink's benchmark as much as the source's —
+    * and [[readBackGuard]] pins the read-back row count eagerly so a
+    * lossy write fails the gate with an error, not a hash drift.
     */
   def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val out  = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-jsonl-${tag(dir)}-${s.sparkContext.applicationId}").toString
+    val out  = scratchDir("jsonl")
     graft.sources.JsonSources.writeJsonl(docs, out)
-    corpusSummary(graft.sources.JsonSources.readJsonl(s, out, docs.schema))
+    corpusSummary(readBackGuard("corpus_jsonl", docs.count(),
+      graft.sources.JsonSources.readJsonl(s, out, docs.schema)))
   }
 
   /** CSV twin of [[jsonlRoundtrip]]: write the documents table through the
@@ -250,11 +296,10 @@ object Storage {
     */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val out  = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-csv-${tag(dir)}-${s.sparkContext.applicationId}").toString
+    val out  = scratchDir("csv")
     graft.sources.CsvSources.writeCsv(docs, out)
-    corpusSummary(graft.sources.CsvSources.readCsv(s, out, docs.schema))
+    corpusSummary(readBackGuard("corpus_csv", docs.count(),
+      graft.sources.CsvSources.readCsv(s, out, docs.schema)))
   }
 
   /** ORC twin of [[jsonlRoundtrip]]/[[csvRoundtrip]] — the OTHER
@@ -265,15 +310,14 @@ object Storage {
     * escaping layer to prove out — what this pins is the binary
     * columnar path itself (dictionary/RLE encodings, stripe framing)
     * round-tripping corpus text losslessly, plus the same
-    * applicationId-keyed scratch discipline.
+    * per-invocation scratch discipline.
     */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-orc-${tag(dir)}-${s.sparkContext.applicationId}").toString
+    val out  = scratchDir("orc")
     docs.write.mode("overwrite").orc(out)
-    corpusSummary(s.read.schema(docs.schema).orc(out))
+    corpusSummary(readBackGuard("corpus_orc", docs.count(),
+      s.read.schema(docs.schema).orc(out)))
   }
 
   /** File count for the [[zorderAudit]] layout plan. */
@@ -299,15 +343,22 @@ object Storage {
     * paying for the one-time re-layout.
     *
     * Scale shape: the quantize + interleave is a scan-side projection
-    * (codegen'd native expression); the ntile is a global range sort —
-    * exactly the shuffle the real writer pays ([[writeZOrdered]]'s
-    * `repartitionByRange`), pinned here in its exact-rank form so the
-    * oracle can reproduce file boundaries bit-for-bit (a sampled range
-    * partitioner has nondeterministic cut points). Everything after the
-    * sort is a per-file partial aggregate: [[ZFiles]] output rows.
+    * (codegen'd native expression); the file cut is an EXACT GLOBAL RANK
+    * computed fully distributed by the `Curation.globalIds` pattern —
+    * `repartitionByRange` on the total sort key, per-partition
+    * row_number, plus a partitions-count-bounded offset table broadcast
+    * back in. `file_id = (rank-1)*ZFiles div N + 1` then cuts the
+    * ordered stream into ZFiles equal slices with plain integer
+    * arithmetic. No single-partition window or sort anywhere (the r8
+    * formulation ranked the whole table through one unpartitioned
+    * ntile — a one-task global sort that dies at scale;
+    * PlanAuditSpec now pins the distributed shape). Everything after
+    * the rank is a per-file partial aggregate: [[ZFiles]] output rows.
     *
-    * Determinism: the sort key (z, l_orderkey, l_linenumber) is total;
-    * ntile on a total order is exact rank arithmetic in both engines.
+    * Determinism: the sort key (z, l_orderkey, l_linenumber) is total,
+    * so the global rank — and therefore every file boundary — is exact
+    * integer arithmetic both engines reproduce bit-for-bit, independent
+    * of where the sampled range-partition bounds fall.
     */
   def zorderAudit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -318,9 +369,26 @@ object Storage {
       least(floor(col("l_extendedprice") / 500.0), lit(255L)).cast("long").as("qb"),
       col("l_orderkey"), col("l_linenumber"))
     val z = graft.functions.ZOrderFunctions.zorder2(s, col("qa"), col("qb"))
-    val w = Window.orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
-    li.withColumn("z", z)
-      .withColumn("file_id", ntile(ZFiles).over(w).cast("long"))
+    val parts = li.withColumn("z", z)
+      .repartitionByRange(col("z"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = parts
+      .groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum("cnt").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("total", sum("cnt").over(
+        Window.orderBy("pid").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("pid", "offset", "total")
+    val local = Window.partitionBy("pid")
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+    parts
+      .withColumn("rn", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), "pid")
+      .withColumn("file_id",
+        expr(s"(offset + rn - 1) * $ZFiles div total + 1"))
       .groupBy("file_id")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -410,8 +478,12 @@ object Storage {
            "CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text, '')")}
            AS DECIMAL(38,0))) AS content_sig
          FROM documents GROUP BY 1, 2""",
-    // same quantize -> Morton-order -> ntile file cut -> zone-map
+    // same quantize -> Morton-order -> equal-slice file cut -> zone-map
     // summary, with the interleave spelled out as shift/mask arithmetic
+    // and the file cut as the SAME exact-rank integer arithmetic the
+    // engine computes distributed ((rank-1)*ZFiles // N + 1 over the
+    // total sort key) — identical by construction, no ntile semantics
+    // to match
     "corpus_zorder" ->
       s"""WITH q AS (
            SELECT
@@ -423,8 +495,8 @@ object Storage {
            FROM lineitem),
          z AS (SELECT *, $duckZ AS z FROM q),
          f AS (SELECT qa, qb,
-             ntile($ZFiles) OVER (ORDER BY z, l_orderkey, l_linenumber)
-               AS file_id
+             (row_number() OVER (ORDER BY z, l_orderkey, l_linenumber) - 1)
+               * $ZFiles // (SELECT count(*) FROM z) + 1 AS file_id
            FROM z)
          SELECT CAST(file_id AS BIGINT) AS file_id,
            count(*) AS n_rows,

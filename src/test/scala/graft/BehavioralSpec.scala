@@ -120,6 +120,70 @@ class BehavioralSpec extends AnyFunSuite with SparkTestBase {
       s"failed job left committed output: ${committed.map(_.getName).mkString(", ")}")
   }
 
+  test("slow-reduce atomicity: output visible mid-job is complete-or-absent (early_exit probe)") {
+    // play.sh:210-265 runs early_exit.so — reduces for some keys sleep
+    // 3 s — snapshots `mr-out*` the moment ANY worker exits, and requires
+    // the snapshot to `cmp` equal to the final output: anything a reader
+    // can see is already final. The Spark twin: a concurrent reader polls
+    // the sink directory THROUGHOUT a slow-reduce job; every committed
+    // part file it ever observes must carry its final bytes (the v1
+    // FileOutputCommitter renames task output into place only at job
+    // commit — a mid-job reader sees either nothing or the finished
+    // result, never a torn file).
+    val slowWc: MRApp = new MRApp {
+      val name = "early-exit-wc"
+      // mirror early_exit.go:21-25: one KV per file
+      def map(filename: String, contents: String): Seq[KV] = Seq(KV(filename, "1"))
+      // mirror early_exit.go:32-40: sleep on a key subset, count values
+      def reduce(key: String, values: Seq[String]): Seq[String] = {
+        if (key.contains("f1") || key.contains("f3")) Thread.sleep(1500)
+        Seq(values.size.toString)
+      }
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-early-exit").toFile
+    out.delete()
+    val dir = out.getAbsolutePath
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val job = Future {
+      graft.sources.TextSources.writeKV(
+        MapReduceJob.runSecondarySort(spark, docs.toDF("filename", "contents"), slowWc, 4),
+        dir)
+    }
+    def visible(): Map[String, String] = {
+      val files = Option(out.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      files.map { f =>
+        f.getName -> new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      }.toMap
+    }
+    // poll while the job runs — the 1.5 s reduce sleeps guarantee many
+    // mid-job observations
+    var polls = 0
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    while (!job.isCompleted && polls < 200) {
+      snapshots += visible()
+      polls += 1
+      Thread.sleep(25)
+    }
+    Await.result(job, 60.seconds)
+    assert(polls >= 10, s"only $polls polls — job finished too fast to probe")
+    val finalOut = visible()
+    // the reference's cmp, strengthened to every observation: anything
+    // ever seen must already equal its final content
+    snapshots.zipWithIndex.foreach { case (snap, i) =>
+      snap.foreach { case (name, content) =>
+        assert(finalOut.get(name).contains(content),
+          s"poll $i saw non-final content in $name")
+      }
+    }
+    // and the final output itself is the exact word count
+    val got = finalOut.values.flatMap(_.split("\n")).filter(_.nonEmpty).toSeq.sorted
+    assert(got == Seq("f1 1", "f2 1", "f3 1", "f4 1"))
+  }
+
   test("map tasks run in parallel (mtiming analogue)") {
     BehavioralSpec.concurrent.set(0)
     BehavioralSpec.maxConcurrent.set(0)

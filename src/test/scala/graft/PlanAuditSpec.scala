@@ -52,6 +52,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         s"fact $fact is broadcast in q5: $broadcastScans")
   }
 
+  test("corpus_zorder ranks distributed: no single-partition window or sort over lineitem") {
+    // r8 cut files with ntile over an UNPARTITIONED window — a one-task
+    // global sort of the whole table. The exact-rank rewrite must keep
+    // the lineitem-sized stream out of any unpartitioned Window/Sort:
+    // the only global windows allowed are the offset/total scans over
+    // the pid-grouped count, whose input is bounded by partition count.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = SparkEntry.queries("corpus_zorder")(spark, Sf0001)
+      .queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExec => w }
+    val (global, partitioned) = wins.partition(_.partitionSpec.isEmpty)
+    assert(partitioned.nonEmpty, s"expected the per-pid row_number window:\n$sp")
+    global.foreach { w =>
+      val bounded = w.collect { case a: BaseAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("pid")) => a }
+      assert(bounded.nonEmpty,
+        s"unpartitioned window over an unbounded input:\n$w")
+    }
+  }
+
+  test("mr_indexer's reduce is the Catalyst-native secondary-sort exec") {
+    // the catalog path must plan shuffle + (key, value) sort inside the
+    // SQL engine under SortedGroupReduceExec — not the RDD
+    // repartitionAndSortWithinPartitions path (opaque to AQE/metrics)
+    val p = plan("mr_indexer")
+    assert(p.contains("SortedGroupReduce"), p)
+    assert(p.contains("Sort ["), p)
+    assert(p.contains("hashpartitioning(key"), p)
+  }
+
   test("topk_global is TakeOrderedAndProject, not sort+limit") {
     val p = plan("topk_global")
     assert(p.contains("TakeOrderedAndProject"), p)

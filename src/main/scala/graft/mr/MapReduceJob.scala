@@ -50,6 +50,29 @@ object MapReduceJob {
       .toDF("key", "value")
   }
 
+  /** Catalyst-native secondary-sort path: the same streaming KVIterator
+    * semantics as [[runSecondarySort]], with the shuffle and the (key,
+    * value) sort planned INSIDE the SQL engine
+    * ([[graft.plans.SortedGroupReduce]] declares the distribution +
+    * ordering requirements; EnsureRequirements inserts the Exchange and
+    * Tungsten SortExec). The reduce-side sort — the dominant cost of a
+    * MapReduce job — then runs on UnsafeRow bytes with radix prefixes and
+    * the SQL spill machinery, AQE can coalesce reduce partitions, and the
+    * whole pipeline is visible to `.explain`/SQL metrics. Differential
+    * spec pins bit-equality with the RDD path; this is the catalog path.
+    */
+  def runSecondarySortNative(
+      spark: SparkSession,
+      docs: DataFrame,
+      app: MRApp): DataFrame = {
+    import spark.implicits._
+    val kvs = docs
+      .as[(String, String)]
+      .flatMap { case (f, c) => app.map(f, c) }
+      .toDF("key", "value")
+    graft.plans.SortedGroupReduce.reduce(kvs, app)
+  }
+
   /** Streaming secondary-sort path: constant memory per group. */
   def runSecondarySort(
       spark: SparkSession,

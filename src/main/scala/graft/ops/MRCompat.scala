@@ -9,8 +9,10 @@ import graft.mr.{MapReduceJob, MRApps}
   * apps run through [[graft.mr.MapReduceJob]] over `documents` (doc_id
   * standing in for filename, text for contents — FIXTURES.md §3), verified
   * against relational DuckDB oracles. `mr_wc` takes the in-memory-group
-  * path; `mr_indexer` deliberately takes the streaming secondary-sort
-  * path so both executions are under the driver's correctness gate.
+  * path; `mr_indexer` deliberately takes the Catalyst-native streaming
+  * secondary-sort path ([[graft.plans.SortedGroupReduce]]) so both
+  * executions — and the custom exec — are under the driver's
+  * correctness gate.
   */
 object MRCompat {
   type Q = (SparkSession, String) => DataFrame
@@ -24,7 +26,7 @@ object MRCompat {
     MapReduceJob.run(s, docs(s, dir), MRApps.WordCount)
 
   def mrIndexer(s: SparkSession, dir: String): DataFrame =
-    MapReduceJob.runSecondarySort(s, docs(s, dir), MRApps.Indexer)
+    MapReduceJob.runSecondarySortNative(s, docs(s, dir), MRApps.Indexer)
 
   def mrMetadata(s: SparkSession, dir: String): DataFrame =
     MapReduceJob.run(s, docs(s, dir), MRApps.Metadata)

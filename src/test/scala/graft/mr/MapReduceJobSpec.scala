@@ -36,24 +36,50 @@ class MapReduceJobSpec extends AnyFunSuite with SparkTestBase {
     "doc-c" -> "cat dog cat — encore",
     "doc-d" -> "")
 
-  private def runBoth(app: MRApp): (Seq[KV], Seq[KV]) = {
+  private def runAll(app: MRApp): (Seq[KV], Seq[KV], Seq[KV]) = {
     val df = docs.toDF("filename", "contents")
-    val a = MapReduceJob
-      .run(spark, df, app)
+    def norm(out: org.apache.spark.sql.DataFrame): Seq[KV] = out
       .as[(String, String)].collect().map(t => KV(t._1, t._2)).sortBy(k => (k.key, k.value)).toSeq
-    val b = MapReduceJob
-      .runSecondarySort(spark, df, app, numPartitions = 3)
-      .as[(String, String)].collect().map(t => KV(t._1, t._2)).sortBy(k => (k.key, k.value)).toSeq
-    (a, b)
+    (norm(MapReduceJob.run(spark, df, app)),
+      norm(MapReduceJob.runSecondarySort(spark, df, app, numPartitions = 3)),
+      norm(MapReduceJob.runSecondarySortNative(spark, df, app)))
   }
 
   for (app <- MRApps.all.values) {
-    test(s"${app.name}: both paths match the sequential oracle") {
-      val expected = sequentialOracle(app, docs).sortBy(k => (k.key, k.value))
-      val (a, b)   = runBoth(app)
+    test(s"${app.name}: all three paths match the sequential oracle") {
+      val expected  = sequentialOracle(app, docs).sortBy(k => (k.key, k.value))
+      val (a, b, c) = runAll(app)
       assert(a == expected, s"flatMapGroups path diverged for ${app.name}")
       assert(b == expected, s"secondary-sort path diverged for ${app.name}")
+      assert(c == expected, s"native secondary-sort path diverged for ${app.name}")
     }
+  }
+
+  test("native secondary-sort plans the shuffle+sort inside the SQL engine") {
+    // the point of SortedGroupReduceExec: EnsureRequirements must insert a
+    // hash Exchange on key and a Tungsten SortExec on (key, value) UNDER
+    // the custom exec — and no RDD-boundary scan in between
+    val df = docs.toDF("filename", "contents")
+    val qe = MapReduceJob
+      .runSecondarySortNative(spark, df, MRApps.Indexer).queryExecution
+    // string-level audit: AQE's initialPlan (where EnsureRequirements has
+    // run) is what toString renders, but isn't reachable via collect()
+    // through the AdaptiveSparkPlanExec wrapper
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("SortedGroupReduce"), plan)
+    assert("Sort \\[key#\\d+ ASC NULLS FIRST, value#\\d+ ASC NULLS FIRST"
+      .r.findFirstIn(plan).nonEmpty, s"no (key, value) SortExec:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(key"),
+      s"no SQL Exchange on key:\n$plan")
+    // and the reduce must sit DIRECTLY on the sort — no RDD boundary
+    assert("SortedGroupReduce [^\\n]*\\n\\s*\\+- Sort "
+      .r.findFirstIn(plan).nonEmpty, plan)
+    // regression: a column-less consumer must not let ColumnPruning
+    // empty the child under the reduce (the node's references declare
+    // both columns consumed through the app closure) — count() planned
+    // an empty Project below the exec and keyAttr had nothing to bind to
+    assert(MapReduceJob.runSecondarySortNative(spark, df, MRApps.Indexer)
+      .count() > 0)
   }
 
   test("wc over reference Gutenberg input matches oracle") {

@@ -63,6 +63,17 @@ case class Mp3Probe(
     est_frames: Long,
     duration_ms: Long)
 
+/** FLAC STREAMINFO probe result ([[Multimodal.probeFlac]]). */
+case class FlacProbe(
+    doc_id: Long,
+    media_type: String,
+    format: String,
+    sample_rate: Long,
+    channels: Long,
+    bits: Long,
+    total_samples: Long,
+    duration_ms: Long)
+
 /** One planned audio frame window ([[Multimodal.probeAudioWindows]]). */
 case class AudioWindow(
     doc_id: Long,
@@ -330,6 +341,68 @@ object Multimodal extends Serializable {
   def mp3Probe(s: SparkSession, dir: String): DataFrame =
     probeMp3(mediaFromDocuments(s, dir)).toDF()
 
+  /** Fallback geometry for non-FLAC payloads, derived from the byte
+    * length like the WAV/MP4 fallbacks: deterministic, oracle-mirrored.
+    */
+  val FlacFallbackBits = 16L
+
+  /** FLAC STREAMINFO parse: `(sample_rate, channels, bits_per_sample,
+    * total_samples)` from the canonical file prefix — the "fLaC" magic,
+    * a first metadata-block header of type 0 (STREAMINFO) and length 34
+    * (xiph.org FLAC format §STREAM / §METADATA_BLOCK_STREAMINFO), then
+    * the BIT-PACKED field group at STREAMINFO bytes 10–17: a 20-bit
+    * sample rate, 3-bit channels−1, and 5-bit bps−1 straddling byte
+    * boundaries, and a 36-bit total-sample count whose top nibble
+    * shares a byte with the bps field. That bit-level unpacking (shifts
+    * and masks inside single bytes) is the decode shape none of the
+    * other probes exercise — WAV/MP4 read whole little/big-endian
+    * words, MP3 indexes lookup tables. A zero sample rate is invalid
+    * per spec and rejects to the fallback, as does any non-STREAMINFO
+    * first block — the canonical-subset-only discipline of
+    * [[decodeWav]]/[[decodeMp4]].
+    */
+  def decodeFlac(p: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def u8(i: Int)                 = p(i) & 0xff
+    def ascii(off: Int, s: String) = s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    if (p.length >= 42 && ascii(0, "fLaC") && (u8(4) & 0x7f) == 0 &&
+        ((u8(5) << 16) | (u8(6) << 8) | u8(7)) == 34) {
+      val sr = ((u8(18).toLong << 12) | (u8(19).toLong << 4) | (u8(20) >> 4).toLong)
+      val ch = ((u8(20) >> 1) & 7).toLong + 1
+      val bp = (((u8(20) & 1) << 4) | (u8(21) >> 4)).toLong + 1
+      val ts = ((u8(21) & 0xf).toLong << 32) | be32(22)
+      if (sr > 0) Some((sr, ch, bp, ts)) else None
+    } else None
+  }
+
+  /** Batched FLAC probe — bit-packed STREAMINFO fields, then the pure
+    * integer duration `total_samples · 1000 / sample_rate` ms, bit-equal
+    * across engines. Opaque payloads take the deterministic raw fallback
+    * (rate/channels from the byte length, samples = bytes) so fixture
+    * rows stay oracle-checkable; payloads never leave the scan.
+    */
+  def probeFlac(
+      records: Dataset[MediaRecord],
+      batchSize: Int = DefaultBatchSize): Dataset[FlacProbe] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val n = r.payload.length.toLong
+          val (fmt, sr, ch, bp, ts) = decodeFlac(r.payload) match {
+            case Some((sr, ch, bp, ts)) => ("flac", sr, ch, bp, ts)
+            case None => ("rawflac", 16000L + (n % 8) * 1000L, 1L + n % 2, FlacFallbackBits, n)
+          }
+          FlacProbe(r.doc_id, r.media_type, fmt, sr, ch, bp, ts, ts * 1000L / sr)
+        }
+      }
+    }
+  }
+
+  def flacProbe(s: SparkSession, dir: String): DataFrame =
+    probeFlac(mediaFromDocuments(s, dir)).toDF()
+
   /** The only mvhd size this probe accepts: a version-0 movie header is
     * exactly 108 bytes (ISO/IEC 14496-12 §8.2.2) — full box header (8) +
     * version/flags (4) + creation/modification/timescale/duration (16) +
@@ -533,7 +606,8 @@ object Multimodal extends Serializable {
     "multimodal_audio"    -> (audioProbe _),
     "multimodal_video"    -> (videoProbe _),
     "multimodal_audio_windows" -> (audioWindows _),
-    "multimodal_mp3"      -> (mp3Probe _)
+    "multimodal_mp3"      -> (mp3Probe _),
+    "multimodal_flac"     -> (flacProbe _)
   )
 
   // DuckDB mirror of [[decode]] over a hex-encoded payload `h` with byte
@@ -716,6 +790,58 @@ object Multimodal extends Serializable {
            CAST((n // (144000 * br // sr + pad)) * 1152 * 1000 // sr AS BIGINT) AS duration_ms
          FROM f"""
     },
+    // byte-exact mirror of decodeFlac over the hex payload: the "fLaC"
+    // magic + STREAMINFO block header, then the bit-packed 20/3/5/36-bit
+    // field group as integer div/mod arithmetic on single bytes —
+    // identical by construction, so a genuine FLAC prefix in a text
+    // fixture would diverge loudly rather than silently agree
+    "multimodal_flac" ->
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             hex(encode(text)) AS h
+           FROM documents),
+         b AS (
+           SELECT doc_id, media_type, n,
+             CASE WHEN n >= 42 THEN CAST('0x' || substr(h, 9, 2) AS BIGINT) ELSE 0 END AS b4,
+             CASE WHEN n >= 42 THEN CAST('0x' || substr(h, 11, 2) AS BIGINT) ELSE 0 END AS b5,
+             CASE WHEN n >= 42 THEN CAST('0x' || substr(h, 13, 2) AS BIGINT) ELSE 0 END AS b6,
+             CASE WHEN n >= 42 THEN CAST('0x' || substr(h, 15, 2) AS BIGINT) ELSE 0 END AS b7,
+             CASE WHEN n >= 42 THEN CAST('0x' || substr(h, 37, 2) AS BIGINT) ELSE 0 END AS b18,
+             CASE WHEN n >= 42 THEN CAST('0x' || substr(h, 39, 2) AS BIGINT) ELSE 0 END AS b19,
+             CASE WHEN n >= 42 THEN CAST('0x' || substr(h, 41, 2) AS BIGINT) ELSE 0 END AS b20,
+             CASE WHEN n >= 42 THEN CAST('0x' || substr(h, 43, 2) AS BIGINT) ELSE 0 END AS b21,
+             CASE WHEN n >= 42 THEN CAST('0x' || substr(h, 45, 2) AS BIGINT) ELSE 0 END AS b22,
+             CASE WHEN n >= 42 THEN CAST('0x' || substr(h, 47, 2) AS BIGINT) ELSE 0 END AS b23,
+             CASE WHEN n >= 42 THEN CAST('0x' || substr(h, 49, 2) AS BIGINT) ELSE 0 END AS b24,
+             CASE WHEN n >= 42 THEN CAST('0x' || substr(h, 51, 2) AS BIGINT) ELSE 0 END AS b25,
+             (n >= 42 AND substr(h, 1, 8) = '664C6143') AS magic
+           FROM m),
+         v AS (
+           SELECT doc_id, media_type, n,
+             b18 * 4096 + b19 * 16 + b20 // 16 AS sr0,
+             (magic AND b4 % 128 = 0 AND b5 * 65536 + b6 * 256 + b7 = 34
+              AND b18 * 4096 + b19 * 16 + b20 // 16 > 0) AS is_flac,
+             (b20 // 2) % 8 + 1 AS ch0,
+             (b20 % 2) * 16 + b21 // 16 + 1 AS bp0,
+             (b21 % 16) * 4294967296 + b22 * 16777216 + b23 * 65536 + b24 * 256 + b25 AS ts0
+           FROM b),
+         f AS (
+           SELECT doc_id, media_type,
+             CASE WHEN is_flac THEN 'flac' ELSE 'rawflac' END AS format,
+             CASE WHEN is_flac THEN sr0 ELSE 16000 + (n % 8) * 1000 END AS sr,
+             CASE WHEN is_flac THEN ch0 ELSE 1 + n % 2 END AS ch,
+             CASE WHEN is_flac THEN bp0 ELSE $FlacFallbackBits END AS bp,
+             CASE WHEN is_flac THEN ts0 ELSE n END AS ts
+           FROM v)
+         SELECT doc_id, media_type, format,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(bp AS BIGINT) AS bits,
+           CAST(ts AS BIGINT) AS total_samples,
+           CAST(ts * 1000 // sr AS BIGINT) AS duration_ms
+         FROM f""",
     "multimodal_audio" ->
       s"""WITH $duckAudioF
          SELECT doc_id, media_type, format,

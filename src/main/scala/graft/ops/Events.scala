@@ -765,6 +765,95 @@ object Events {
   /** Catalog entry: Holt double-exponential smoothing per event type. */
   def holt(s: SparkSession, dir: String): DataFrame = holtOf(Tables.events(s, dir))
 
+  /** Churn horizon for [[survivalKm]]: a user whose last event of a type
+    * sits at least this many whole hours before the corpus's final
+    * timestamp is an OBSERVED churn; anyone still active closer to the
+    * data edge is right-censored (their true lifetime extends past what
+    * the window can see).
+    */
+  val KmCensorHours = 72L
+
+  /** Catalog entry: Kaplan-Meier retention summary per event type. */
+  def survivalKm(s: SparkSession, dir: String): DataFrame =
+    survivalKmOf(Tables.events(s, dir))
+
+  /** Kaplan-Meier survival estimator (Kaplan & Meier 1958) over user
+    * lifetimes per event type — THE censoring-aware retention curve: a
+    * user's lifetime is the whole-hour span between their first and
+    * last event of the type, and users still active near the data edge
+    * are censored rather than counted as churned (naive retention
+    * metrics systematically understate survival by treating them as
+    * deaths). At each distinct lifetime t: S ← S · (n−d)/n with n the
+    * at-risk count and d the observed churns at t; censored subjects
+    * leave the risk set without moving the curve. Emitted per type: the
+    * 24 h/72 h survival probabilities, the median survival time (first
+    * t with S ≤ ½, −1 if the curve never falls that far), and the final
+    * S with the subject/event totals.
+    *
+    * Scale shape: one (type, user) aggregate over the fact table, then
+    * everything is bounded by the (type × distinct-lifetime) grid — the
+    * [[holtOf]] discipline, with the sequential product folded per type
+    * over the sorted grid array via `aggregate`. The at-risk count is
+    * carried IN the fold as exact integer bookkeeping (rem ← rem−d−c),
+    * so no second windowed pass over the grid exists. Determinism: each
+    * step is one IEEE divide and one multiply in fixed order, mirrored
+    * exactly by the oracle's recursive CTE — bit-equal doubles step for
+    * step, the [[holtOf]] argument; lifetimes and horizons are floor
+    * divisions of NON-NEGATIVE micro differences, where truncation and
+    * floor agree.
+    */
+  private[graft] def survivalKmOf(events: DataFrame): DataFrame = {
+    val gmax = events.agg(max(expr("unix_micros(ts)")).as("g"))
+    val per = events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        min(expr("unix_micros(ts)")).as("f"),
+        max(expr("unix_micros(ts)")).as("l"))
+      .crossJoin(broadcast(gmax))
+      .select(
+        col("event_type"),
+        expr("(l - f) div 3600000000").as("t"),
+        when(expr("(g - l) div 3600000000") >= KmCensorHours, 1L)
+          .otherwise(0L).as("obs"))
+    val grid = per
+      .groupBy("event_type", "t")
+      .agg(sum(col("obs")).as("d"), (count(lit(1)) - sum(col("obs"))).as("c"))
+    val series = grid
+      .groupBy("event_type")
+      .agg(
+        array_sort(collect_list(struct(col("t"), col("d"), col("c")))).as("sv"),
+        sum(col("d") + col("c")).as("n_subjects"),
+        sum(col("d")).as("n_events"))
+    val init = struct(
+      col("n_subjects").as("rem"),
+      lit(1.0).as("s"), lit(1.0).as("s24"), lit(1.0).as("s72"),
+      lit(-1L).as("med"))
+    val fin = aggregate(
+      col("sv"),
+      init,
+      (st, e) => {
+        val q   = (st.getField("rem") - e.getField("d")).cast("double") /
+          st.getField("rem").cast("double")
+        val s1  = st.getField("s") * q
+        val t   = e.getField("t")
+        struct(
+          (st.getField("rem") - (e.getField("d") + e.getField("c"))).as("rem"),
+          s1.as("s"),
+          when(t <= 24L, s1).otherwise(st.getField("s24")).as("s24"),
+          when(t <= 72L, s1).otherwise(st.getField("s72")).as("s72"),
+          when(st.getField("med") === -1L && s1 <= 0.5, t)
+            .otherwise(st.getField("med")).as("med"))
+      })
+    series.select(
+      col("event_type"),
+      col("n_subjects"),
+      col("n_events"),
+      fin.getField("s24").as("surv_24h"),
+      fin.getField("s72").as("surv_72h"),
+      fin.getField("med").as("median_t"),
+      fin.getField("s").as("final_surv"))
+  }
+
   /** Holt's linear-trend (double exponential) smoothing over each
     * type's hourly mean series — the forecasting step [[ewmaOf]] cannot
     * take: a single EWMA lags any trending series by a constant offset,
@@ -957,6 +1046,7 @@ object Events {
     "events_transitions"    -> (transitions _),
     "events_ewma"           -> (ewma _),
     "events_holt"           -> (holt _),
+    "events_survival_km"    -> (survivalKm _),
     "events_changepoint"    -> (changepoint _),
     "events_session_dyngap" -> (sessionDynamicGap _),
     "events_concurrency"    -> (sessionConcurrency _),
@@ -1207,6 +1297,49 @@ object Events {
     },
     // integer prefix sums over the quantized hourly grid, one fixed IEEE
     // score tree, argmax by (score desc, hr asc) — identical on both sides
+    // recursive-CTE mirror of the survivalKmOf fold: same step order
+    // (one divide, one multiply), same integer at-risk bookkeeping —
+    // bit-equal doubles step for step, the events_holt discipline
+    "events_survival_km" ->
+      s"""WITH RECURSIVE mx AS (SELECT max(epoch_us(ts)) AS g FROM events),
+         per AS (SELECT event_type, user_id,
+             min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+           FROM events GROUP BY 1, 2),
+         du AS (SELECT event_type, (l - f) // 3600000000 AS t,
+             CASE WHEN (g - l) // 3600000000 >= $KmCensorHours THEN 1 ELSE 0 END AS obs
+           FROM per CROSS JOIN mx),
+         grid AS (SELECT event_type, t, CAST(sum(obs) AS BIGINT) AS d,
+             CAST(count(*) - sum(obs) AS BIGINT) AS c
+           FROM du GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY t)
+               AS BIGINT) AS rn
+           FROM grid),
+         n AS (SELECT event_type, CAST(sum(d + c) AS BIGINT) AS n0,
+             CAST(sum(d) AS BIGINT) AS de, CAST(count(*) AS BIGINT) AS steps
+           FROM r GROUP BY 1),
+         it AS (
+           SELECT event_type, CAST(0 AS BIGINT) AS i, n0 AS rem,
+             CAST(1.0 AS DOUBLE) AS s, CAST(1.0 AS DOUBLE) AS s24,
+             CAST(1.0 AS DOUBLE) AS s72, CAST(-1 AS BIGINT) AS med
+           FROM n
+           UNION ALL
+           SELECT it.event_type, it.i + 1, it.rem - (r.d + r.c),
+             it.s * (CAST(it.rem - r.d AS DOUBLE) / CAST(it.rem AS DOUBLE)),
+             CASE WHEN r.t <= 24 THEN
+               it.s * (CAST(it.rem - r.d AS DOUBLE) / CAST(it.rem AS DOUBLE))
+             ELSE it.s24 END,
+             CASE WHEN r.t <= 72 THEN
+               it.s * (CAST(it.rem - r.d AS DOUBLE) / CAST(it.rem AS DOUBLE))
+             ELSE it.s72 END,
+             CASE WHEN it.med = -1 AND
+               it.s * (CAST(it.rem - r.d AS DOUBLE) / CAST(it.rem AS DOUBLE)) <= 0.5
+             THEN r.t ELSE it.med END
+           FROM it JOIN r ON r.event_type = it.event_type AND r.rn = it.i + 1)
+         SELECT it.event_type, n.n0 AS n_subjects, n.de AS n_events,
+           it.s24 AS surv_24h, it.s72 AS surv_72h,
+           it.med AS median_t, it.s AS final_surv
+         FROM it JOIN n ON n.event_type = it.event_type
+         WHERE it.i = n.steps""",
     "events_changepoint" ->
       """WITH hm AS (
            SELECT event_type, epoch_us(ts) // 3600000000 AS hr,

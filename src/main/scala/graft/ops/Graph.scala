@@ -200,6 +200,14 @@ object Graph {
       pairList: DataFrame, cacheKey: Option[String] = None): DataFrame = {
     val pl = pairList.toDF("da", "db")
     val p  = cacheKey.fold(Ckpt(pl))(k => Ckpt.cached(pl.sparkSession, k)(pl))
+    triCounts(p)
+  }
+
+  /** Per-node triangle counts over an ALREADY-MATERIALIZED ordered pair
+    * list (the caller owns the checkpoint — the three scans below must
+    * read blocks, not recompute a pipeline).
+    */
+  private def triCounts(p: DataFrame): DataFrame = {
     val tri = p.select(col("da").as("a"), col("db").as("b"))
       .join(p.select(col("da").as("b"), col("db").as("c")), "b")
       .join(p.select(col("da").as("a"), col("db").as("c")), Seq("a", "c"))
@@ -207,6 +215,42 @@ object Graph {
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Catalog entry: local clustering coefficient of every co-purchase
+    * node — cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the fraction of a
+    * node's neighbor pairs that are themselves connected (Watts &
+    * Strogatz 1998). Over co-purchase this separates parts bought in
+    * tight bundles (cc → 1: any two co-purchased partners are also
+    * co-purchased) from hub parts bridging unrelated baskets (cc → 0) —
+    * the per-node refinement of the global triangle count.
+    *
+    * Scale shape: the wedge-closing join is [[triCounts]] over the
+    * memoized co-purchase checkpoint (Σ deg² bounded, degree flat
+    * across SFs — the [[commonNeighbors]] argument); degrees come from
+    * the memoized symmetrized adjacency; one left join stitches them.
+    * Determinism: cc is a single IEEE divide of exact integers — no
+    * quantization needed; deg < 2 nodes get cc = 0 (no neighbor pair
+    * to close), mirroring the oracle's CASE.
+    */
+  def clusteringCoeffCoPurchase(s: SparkSession, dir: String): DataFrame =
+    clusteringCoeffOf(coPurchaseEdges(s, dir).toDF("da", "db"), coPurchaseAdj(s, dir))
+
+  /** The cc computation over a materialized ordered pair list + its
+    * symmetrized adjacency (spec callers pass small fixtures).
+    */
+  private[ops] def clusteringCoeffOf(p: DataFrame, adj: DataFrame): DataFrame = {
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    deg
+      .join(triCounts(p).select(col("doc_id").as("u"), col("n_triangles")),
+        Seq("u"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(
+        col("u").as("p_partkey"), col("deg"), col("n_triangles").as("tri"),
+        when(col("deg") >= 2,
+          col("n_triangles").cast("double") * 2.0 /
+            (col("deg").cast("double") * (col("deg").cast("double") - 1.0)))
+          .otherwise(lit(0.0)).as("cc"))
   }
 
   /** Result cap for [[commonNeighbors]] — the ranking is total (cn desc,
@@ -731,6 +775,7 @@ object Graph {
     "graph_louvain_move" -> (louvainMoveCoPurchase _),
     "graph_kcore"     -> (kcoreCoPurchase _),
     "graph_assortativity" -> (assortativityCoPurchase _),
+    "graph_clustering_coeff" -> (clusteringCoeffCoPurchase _),
     "graph_modularity" -> (modularityCoPurchase _),
     "graph_bfs"       -> (bfsCoPurchase _),
     "graph_sssp"      -> (ssspCoPurchase _)
@@ -978,6 +1023,26 @@ object Graph {
             sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              AS assortativity
          FROM s""",
+    // wedge-closing triangle count + adjacency degree over the shared
+    // co-purchase CTE; cc is one IEEE divide of exact integers
+    "graph_clustering_coeff" ->
+      s"""WITH $duckCoPurchaseCte,
+         tri AS (SELECT p1.da AS a, p1.db AS b, p2.db AS c
+                 FROM pairs p1
+                 JOIN pairs p2 ON p2.da = p1.db
+                 JOIN pairs p3 ON p3.da = p1.da AND p3.db = p2.db),
+         corners AS (SELECT a AS u FROM tri
+                     UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri),
+         tc AS (SELECT u, count(*) AS tri FROM corners GROUP BY 1),
+         deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1)
+         SELECT deg.u AS p_partkey, CAST(deg.deg AS BIGINT) AS deg,
+           CAST(coalesce(tc.tri, 0) AS BIGINT) AS tri,
+           CASE WHEN deg.deg >= 2 THEN
+             CAST(coalesce(tc.tri, 0) AS DOUBLE) * 2.0 /
+               (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0))
+           ELSE 0.0 END AS cc
+         FROM deg LEFT JOIN tc ON tc.u = deg.u""",
     "graph_triangles" ->
       s"""WITH ${Dedup.duckMinhashPairsCte},
          tri AS (SELECT p1.da AS a, p1.db AS b, p2.db AS c

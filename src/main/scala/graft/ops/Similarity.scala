@@ -216,6 +216,41 @@ object Similarity {
         (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall_at_k"))
   }
 
+  /** NDCG@k of the LSH ANN against the exact brute-force ranking — the
+    * rank-WEIGHTED companion of [[recallAudit]]: recall treats a true
+    * neighbor surfaced at rank 1 and rank k identically, while NDCG
+    * discounts each hit by 1/log₂(rank+1) (Järvelin & Kekäläinen 2002),
+    * so an index that returns the right set in the wrong order scores
+    * below one that ranks them as the exact search would. Binary
+    * relevance (membership in the true top-k); ideal DCG is the truth
+    * list's own discount sum, so ndcg ∈ [0, 1] with 1 = exact-order
+    * agreement.
+    *
+    * Scale shape: both inputs are the already-bounded |Q|·k top-k
+    * tables; one equi-join + two grouped sums. Determinism: each
+    * discount quantizes to decimal(38,9) before the order-free decimal
+    * sum (log₂ is StrictMath vs libm — the llrTop last-ulp rule); the
+    * final ratio is one IEEE divide of the two decimal-cast doubles.
+    */
+  def ndcgAudit(s: SparkSession, dir: String): DataFrame = {
+    def disc(r: Column): Column =
+      (lit(1.0) / log2(r.cast("double") + lit(1.0))).cast("decimal(38,9)")
+    val truth = topkBrute(s, dir).select(col("va"), col("vb"), col("rn").as("tr"))
+    val ann   = annLsh(s, dir).select(col("va"), col("vb"), col("rn"))
+    val idcg = truth.groupBy("va")
+      .agg(sum(disc(col("tr"))).as("idcg"), count(lit(1)).as("n_true"))
+    val dcg = truth.join(ann, Seq("va", "vb"))
+      .groupBy("va")
+      .agg(sum(disc(col("rn"))).as("dcg"), count(lit(1)).as("n_hit"))
+    idcg
+      .join(dcg, Seq("va"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(
+        col("va"), col("n_true"), col("n_hit"),
+        (coalesce(col("dcg"), lit(0).cast("decimal(38,9)")).cast("double") /
+          col("idcg").cast("double")).as("ndcg_at_k"))
+  }
+
   /** Hard-negative mining for contrastive training — each query
     * vector's top-k most-similar vectors with a DIFFERENT label: the
     * negatives nearest the decision boundary, which embedding-model
@@ -670,6 +705,7 @@ object Similarity {
     "sim_topk"       -> (topkBrute _),
     "sim_ann_lsh"    -> (annLsh _),
     "sim_recall_audit" -> (recallAudit _),
+    "sim_ndcg_audit"   -> (ndcgAudit _),
     "sim_hard_negatives" -> (hardNegatives _),
     "embed_rp_audit" -> (rpAudit _),
     "sim_ivf"        -> (ivf _),
@@ -868,6 +904,41 @@ object Similarity {
            CAST(count(a.vb) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
          FROM truth t LEFT JOIN ann a ON a.va = t.va AND a.vb = t.vb
          GROUP BY 1""",
+    // same truth/ann CTEs as sim_recall_audit, rank-discounted: each
+    // 1/log2(rank+1) quantizes to decimal(38,9) before the order-free
+    // sum (StrictMath-vs-libm log rule); ndcg is one IEEE divide
+    "sim_ndcg_audit" ->
+      s"""WITH $duckNorm,
+         ${duckSigDynamic(NumTables, AnnTargetBucket)},
+         truth AS (SELECT va, vb, rn FROM (
+             SELECT a.vec_id va, b.vec_id vb,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) DESC,
+                   b.vec_id ASC) AS rn
+             FROM e a JOIN e b ON a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id)
+           WHERE rn <= $TopK),
+         cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
+                  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                  WHERE a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id),
+         ann AS (SELECT va, vb, rn FROM (
+             SELECT va, vb,
+               row_number() OVER (PARTITION BY va
+                 ORDER BY list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) DESC,
+                   vb ASC) AS rn
+             FROM cand JOIN e qa ON qa.vec_id = va JOIN e qb ON qb.vec_id = vb)
+           WHERE rn <= $TopK),
+         ideal AS (SELECT va,
+             sum(CAST(1.0 / log2(CAST(rn + 1 AS DOUBLE)) AS DECIMAL(38,9))) AS idcg,
+             CAST(count(*) AS BIGINT) AS n_true
+           FROM truth GROUP BY 1),
+         got AS (SELECT t.va,
+             sum(CAST(1.0 / log2(CAST(a.rn + 1 AS DOUBLE)) AS DECIMAL(38,9))) AS dcg,
+             CAST(count(*) AS BIGINT) AS n_hit
+           FROM truth t JOIN ann a ON a.va = t.va AND a.vb = t.vb
+           GROUP BY 1)
+         SELECT ideal.va, n_true, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(dcg, 0) AS DOUBLE) / CAST(idcg AS DOUBLE) AS ndcg_at_k
+         FROM ideal LEFT JOIN got ON got.va = ideal.va""",
     "sim_hard_negatives" ->
       s"""WITH $duckNorm,
          ${duckSigDynamic(NumTables, AnnTargetBucket)},

@@ -656,9 +656,21 @@ object Stats {
     * final sum (the exact-commutative-sum rule), so χ² is bit-stable at
     * any partitioning.
     */
-  def chi2(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), hour(col("ts")).cast("long").as("h"))
+  def chi2(s: SparkSession, dir: String): DataFrame =
+    chi2Cells(s, dir).agg(
+      sum(col("cell")).cast("double").as("chi2"),
+      ((max(col("nr")) - 1) * (max(col("nc")) - 1)).as("dof"),
+      max(col("n")).as("n"))
+
+  /** The quantized χ² term grid shared by [[chi2]] and [[cramersV]]: one
+    * row per contingency cell with the decimal(38,9) χ² contribution
+    * plus the (broadcast) table geometry.
+    */
+  private def chi2Cells(s: SparkSession, dir: String): DataFrame =
+    chi2CellsOf(Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("h")))
+
+  private[ops] def chi2CellsOf(ev: DataFrame): DataFrame = {
     val cells = ev.groupBy("event_type", "h").agg(count(lit(1)).as("o"))
     val rows  = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
     val cols  = cells.groupBy("h").agg(sum(col("o")).as("ct"))
@@ -674,10 +686,45 @@ object Stats {
       .na.fill(0L, Seq("o"))
       .crossJoin(broadcast(tot))
       .select(term.cast("decimal(38,9)").as("cell"), col("n"), col("nr"), col("nc"))
-      .agg(
-        sum(col("cell")).cast("double").as("chi2"),
-        ((max(col("nr")) - 1) * (max(col("nc")) - 1)).as("dof"),
-        max(col("n")).as("n"))
+  }
+
+  /** Cramér's V — the [0, 1] effect-size normalization of [[chi2]]
+    * (V = √(φ²/min(r−1, c−1)), φ² = χ²/n), plus the Bergsma
+    * bias-corrected variant that de-inflates V on small samples /
+    * large tables (φ²₋ = max(0, φ² − (r−1)(c−1)/(n−1)) over shrunk
+    * row/column counts). A χ² alone says "dependent"; V says HOW
+    * dependent on a scale comparable across grids — the number a
+    * curation pipeline thresholds when deciding whether a metadata
+    * field is informative enough to stratify on.
+    *
+    * Scale shape: identical to [[chi2]] — the term grid is
+    * nr·nc-bounded, geometry rides as a 1-row broadcast, one partial
+    * aggregate. Determinism: χ² arrives through the decimal(38,9) cell
+    * sum; everything after is a fixed-order chain of IEEE
+    * divide/multiply/sqrt on that one double and exact integers, which
+    * both engines round identically — no further quantization needed.
+    */
+  def cramersV(s: SparkSession, dir: String): DataFrame =
+    cramersVOf(chi2Cells(s, dir))
+
+  private[ops] def cramersVOf(cells: DataFrame): DataFrame = {
+    val agg = cells.agg(
+      sum(col("cell")).cast("double").as("chi2"),
+      max(col("n")).as("n"),
+      max(col("nr")).as("r"),
+      max(col("nc")).as("c"))
+    val nD   = col("n").cast("double")
+    val rD   = col("r").cast("double")
+    val cD   = col("c").cast("double")
+    val phi2 = col("chi2") / nD
+    val phi2c = greatest(
+      lit(0.0), phi2 - (rD - 1.0) * (cD - 1.0) / (nD - 1.0))
+    val rCorr = rD - (rD - 1.0) * (rD - 1.0) / (nD - 1.0)
+    val cCorr = cD - (cD - 1.0) * (cD - 1.0) / (nD - 1.0)
+    agg.select(
+      col("chi2"), col("n"), col("r"), col("c"),
+      sqrt(phi2 / least(rD - 1.0, cD - 1.0)).as("v"),
+      sqrt(phi2c / (least(rCorr, cCorr) - 1.0)).as("v_bc"))
   }
 
   /** Poisson bootstrap geometry for [[bootstrap]]: replica count, and the
@@ -1225,6 +1272,7 @@ object Stats {
     "stats_psi"          -> (psi _),
     "stats_bootstrap"    -> (bootstrap _),
     "stats_chi2"         -> (chi2 _),
+    "stats_cramers_v"    -> (cramersV _),
     "stats_welch"        -> (welchT _),
     "stats_mad"          -> (madExact _),
     "stats_ks"           -> (ksTest _),
@@ -1494,6 +1542,38 @@ object Stats {
            CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
            max(n) AS n
          FROM terms""",
+    // same quantized cell grid as stats_chi2; V and the Bergsma
+    // bias-corrected V are fixed-order IEEE arithmetic on the one
+    // decimal-summed chi2 double — identical rounding in both engines
+    "stats_cramers_v" ->
+      """WITH ev AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h FROM events),
+         cells AS (SELECT event_type, h, count(*) AS o FROM ev GROUP BY 1, 2),
+         rws AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         cls AS (SELECT h, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   count(DISTINCT event_type) AS nr, count(DISTINCT h) AS nc
+                 FROM cells),
+         grid AS (SELECT rws.event_type, cls.h, rt, ct, coalesce(o, 0) AS o
+                  FROM rws CROSS JOIN cls
+                  LEFT JOIN cells ON cells.event_type = rws.event_type AND cells.h = cls.h),
+         terms AS (SELECT CAST(
+                     (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) *
+                     (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) /
+                     (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     AS DECIMAL(38,9)) AS cell, n, nr, nc
+                   FROM grid CROSS JOIN tot),
+         agg AS (SELECT CAST(sum(cell) AS DOUBLE) AS chi2,
+                   max(n) AS n, CAST(max(nr) AS BIGINT) AS r, CAST(max(nc) AS BIGINT) AS c
+                 FROM terms)
+         SELECT chi2, n, r, c,
+           sqrt((chi2 / CAST(n AS DOUBLE)) /
+             least(CAST(r AS DOUBLE) - 1.0, CAST(c AS DOUBLE) - 1.0)) AS v,
+           sqrt(greatest(0.0, chi2 / CAST(n AS DOUBLE) -
+               (CAST(r AS DOUBLE) - 1.0) * (CAST(c AS DOUBLE) - 1.0) / (CAST(n AS DOUBLE) - 1.0)) /
+             (least(
+               CAST(r AS DOUBLE) - (CAST(r AS DOUBLE) - 1.0) * (CAST(r AS DOUBLE) - 1.0) / (CAST(n AS DOUBLE) - 1.0),
+               CAST(c AS DOUBLE) - (CAST(c AS DOUBLE) - 1.0) * (CAST(c AS DOUBLE) - 1.0) / (CAST(n AS DOUBLE) - 1.0)) - 1.0)) AS v_bc
+         FROM agg""",
     "stats_welch" ->
       s"""WITH per AS (
            SELECT event_type, count(*) AS n,

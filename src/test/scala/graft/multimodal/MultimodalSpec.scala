@@ -246,6 +246,52 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("flac probe unpacks bit-packed STREAMINFO fields; near-misses fall back") {
+    // build a canonical fLaC prefix: magic + STREAMINFO block header
+    // (type 0, length 34) + 34 info bytes with the bit-packed group at
+    // info offsets 10-17 assembled from (sr 20 bits | ch-1 3 | bps-1 5 |
+    // total 36)
+    def flac(sr: Long, ch: Int, bps: Int, total: Long,
+        blockType: Int = 0, blockLen: Int = 34): Array[Byte] = {
+      val info = Array.fill[Byte](34)(0)
+      info(10) = ((sr >> 12) & 0xff).toByte
+      info(11) = ((sr >> 4) & 0xff).toByte
+      info(12) = ((((sr & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)) & 0xff).toByte
+      info(13) = ((((bps - 1) & 0xf) << 4) | ((total >> 32) & 0xf)).toByte
+      info(14) = ((total >> 24) & 0xff).toByte
+      info(15) = ((total >> 16) & 0xff).toByte
+      info(16) = ((total >> 8) & 0xff).toByte
+      info(17) = (total & 0xff).toByte
+      "fLaC".getBytes("US-ASCII") ++
+        Array[Byte](blockType.toByte,
+          ((blockLen >> 16) & 0xff).toByte, ((blockLen >> 8) & 0xff).toByte,
+          (blockLen & 0xff).toByte) ++ info
+    }
+    // 44.1k/2ch/16bit is the canonical CD shape; 96k/6ch/24bit exercises
+    // every field's high bits; total straddles the 32-bit boundary
+    assert(Multimodal.decodeFlac(flac(44100, 2, 16, 1234567))
+      .contains((44100L, 2L, 16L, 1234567L)))
+    assert(Multimodal.decodeFlac(flac(96000, 6, 24, 0x123456789L))
+      .contains((96000L, 6L, 24L, 0x123456789L)))
+    val got = Multimodal.probeFlac(spark.createDataset(Seq(
+      MediaRecord(1L, "audio", flac(44100, 2, 16, 44100L * 10)),
+      MediaRecord(2L, "audio", flac(44100, 2, 16, 100, blockType = 4)), // VORBIS_COMMENT first
+      MediaRecord(3L, "audio", flac(44100, 2, 16, 100, blockLen = 20)), // wrong length
+      MediaRecord(4L, "audio", flac(0, 2, 16, 100)),                    // invalid zero rate
+      MediaRecord(5L, "audio", "not flac at all".getBytes)
+    ))).collect().map(p => p.doc_id -> p).toMap
+    val p1 = got(1L)
+    assert(p1.format == "flac" && p1.sample_rate == 44100 && p1.channels == 2)
+    assert(p1.bits == 16 && p1.total_samples == 441000 && p1.duration_ms == 10000)
+    for (id <- 2L to 5L)
+      assert(got(id).format == "rawflac" && got(id).bits == Multimodal.FlacFallbackBits,
+        s"doc $id must take the fallback: ${got(id)}")
+    // a last-metadata-block STREAMINFO (bit 7 set) is still STREAMINFO
+    val last = flac(48000, 1, 8, 48000)
+    last(4) = 0x80.toByte
+    assert(Multimodal.decodeFlac(last).contains((48000L, 1L, 8L, 48000L)))
+  }
+
   test("batching covers all rows regardless of partition layout") {
     val recs = (1L to 100L).map(i => MediaRecord(i, "image", Array.fill(i.toInt)(7.toByte)))
     val ds   = spark.createDataset(recs).repartition(7)

@@ -272,6 +272,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(perQuery.values.forall(_.length <= Similarity.TopK))
   }
 
+  test("sim_ndcg_audit: bounded by 1, recall-consistent, exact independent recompute") {
+    val ndcg = Similarity.ndcgAudit(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val recall = Similarity.recallAudit(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(ndcg.nonEmpty && ndcg.keySet == recall.keySet)
+    // same truth/ann inputs -> identical hit accounting, and a perfect
+    // set in any order can't beat the ideal ranking
+    ndcg.foreach { case (va, (_, nTrue, nHit, v)) =>
+      assert((nTrue, nHit) == ((recall(va)._2, recall(va)._3)), s"q$va counts")
+      assert(v >= 0.0 && v <= 1.0, s"q$va ndcg=$v")
+      if (nHit == 0) assert(v == 0.0, s"q$va: no hits must score 0")
+    }
+    // independent recompute through the same quantized-discount path
+    def disc(r: Long): BigDecimal =
+      BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val truth = Similarity.topkBrute(spark, Sf0001)
+      .select("va", "vb", "rn").as[(Long, Long, Long)].collect()
+    val ann = Similarity.annLsh(spark, Sf0001)
+      .select("va", "vb", "rn").as[(Long, Long, Long)].collect()
+      .map { case (a, b, r) => (a, b) -> r }.toMap
+    truth.groupBy(_._1).foreach { case (va, rows) =>
+      val idcg = rows.map(r => disc(r._3)).sum
+      val dcg  = rows.flatMap(r => ann.get((r._1, r._2)).map(disc)).sum
+      val expect = dcg.toDouble / idcg.toDouble
+      assert(ndcg(va)._4 == expect, s"q$va: ${ndcg(va)._4} vs $expect")
+    }
+  }
+
   test("embedding near-dup: LSH candidates recover the exact all-pairs top-20") {
     // the exact all-pairs ranking (the pre-round-3 catalog query) lives on
     // here as the recall oracle for the LSH-bucketed production query

@@ -136,6 +136,30 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("clustering coefficient: triangle+pendant fixture, real-data brute parity") {
+    import org.apache.spark.sql.functions.col
+    // triangle 1-2-3 with pendant 4 on node 3: cc(1)=cc(2)=1 (their one
+    // neighbor pair is closed), cc(3)=2*1/(3*2)=1/3, cc(4)=0 (deg<2)
+    val p   = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("da", "db")
+    val adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
+    val got = Graph.clusteringCoeffOf(p, adj)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 3L, 1L, 1.0 * 2.0 / (3.0 * 2.0))))
+    assert(got(4L) == ((4L, 1L, 0L, 0.0)))
+    // real co-purchase graph: cc in [0, 1] and exactly 2t/(d(d-1))
+    val real = Graph.clusteringCoeffCoPurchase(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (node, d, t, cc) =>
+      if (d >= 2)
+        assert(cc == t.toDouble * 2.0 / (d.toDouble * (d.toDouble - 1.0)), s"$node")
+      else assert(cc == 0.0 && t == 0, s"$node")
+      assert(cc >= 0.0 && cc <= 1.0, s"$node: $cc")
+    }
+  }
+
   test("kcore: a clique with pendant chains peels down to exactly the clique") {
     // 4-clique {1,2,3,4} + chain 4-5-6 + pendant 2-7: every chain node
     // has degree ≤ 2, so the 3-core is the clique with in-core degree 3

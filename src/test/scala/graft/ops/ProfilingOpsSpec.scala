@@ -989,6 +989,62 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(real.forall { case (k, n, sc) => k >= 1 && k < n && sc >= 0.0 })
   }
 
+  test("events_survival_km: hand-computed curve with censoring, real-data monotonicity") {
+    import java.sql.Timestamp
+    def ev(t: String, u: Long, h: Int) = (new Timestamp(h * 3600000L), t, u)
+    // type "a", horizon 72h, gmax anchored at h=1000 by type "z":
+    //  u1,u2: lifetime 10h observed; u3: 20h observed; u5: 0h observed;
+    //  u4: 990h, last event 10h from the edge -> CENSORED
+    val rows =
+      Seq(ev("a", 1, 0), ev("a", 1, 10), ev("a", 2, 0), ev("a", 2, 10),
+        ev("a", 3, 0), ev("a", 3, 20), ev("a", 4, 0), ev("a", 4, 990),
+        ev("a", 5, 5), ev("z", 9, 1000))
+    val got = Events.survivalKmOf(rows.toDF("ts", "event_type", "user_id"))
+      .as[(String, Long, Long, Double, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // mirror the fold's exact IEEE step order
+    val s0 = 1.0 * (4.0 / 5.0)  // t=0:  d=1 of n=5
+    val s1 = s0 * (2.0 / 4.0)   // t=10: d=2 of n=4
+    val s2 = s1 * (1.0 / 2.0)   // t=20: d=1 of n=2
+    val s3 = s2 * (1.0 / 1.0)   // t=990: censor-only step, curve flat
+    assert(got("a") == (("a", 5L, 4L, s2, s2, 10L, s3)), s"${got("a")}")
+    // the censored-only type: curve never moves, median never reached
+    assert(got("z") == (("z", 1L, 0L, 1.0, 1.0, -1L, 1.0)))
+    // real data: S non-increasing over horizons, probabilities in [0,1],
+    // median only when the curve actually crossed 1/2
+    val real = Events.survivalKm(spark, Sf0001)
+      .as[(String, Long, Long, Double, Double, Long, Double)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (t, n, d, s24, s72, med, fin) =>
+      assert(n >= d && d >= 0, s"$t: counts")
+      assert(s24 >= s72 && s72 >= fin && fin >= 0.0 && s24 <= 1.0, s"$t: monotone")
+      assert(med == -1L || fin <= 0.5 + 1e-12 || s72 <= 0.5 + 1e-12 || med >= 0, s"$t: median")
+    }
+  }
+
+  test("stats_cramers_v: 1 under perfect association, 0 under independence, chi2-consistent") {
+    // perfect 2x2 association: type A only in hour 1, type B only in hour 2
+    val assoc = (Seq.fill(10)(("A", 1L)) ++ Seq.fill(10)(("B", 2L)))
+      .toDF("event_type", "h")
+    val va = Stats.cramersVOf(Stats.chi2CellsOf(assoc))
+      .as[(Double, Long, Long, Long, Double, Double)].collect().head
+    assert(va._1 == 20.0 && va._2 == 20L && va._5 == 1.0, s"$va")
+    // independence: uniform 2x2 grid -> chi2 = 0 -> V = 0 (and V_bc = 0)
+    val indep = (for (t <- Seq("A", "B"); h <- Seq(1L, 2L); _ <- 1 to 5)
+      yield (t, h)).toDF("event_type", "h")
+    val vi = Stats.cramersVOf(Stats.chi2CellsOf(indep))
+      .as[(Double, Long, Long, Long, Double, Double)].collect().head
+    assert(vi._1 == 0.0 && vi._5 == 0.0 && vi._6 == 0.0, s"$vi")
+    // real data: V recomputes bit-for-bit from the stats_chi2 row
+    val (chi2, dof, n) = Stats.chi2(spark, Sf0001)
+      .as[(Double, Long, Long)].collect().head
+    val (c2, n2, r, c, v, vbc) = Stats.cramersV(spark, Sf0001)
+      .as[(Double, Long, Long, Long, Double, Double)].collect().head
+    assert(c2 == chi2 && n2 == n && (r - 1) * (c - 1) == dof)
+    assert(v == math.sqrt((chi2 / n.toDouble) / math.min(r - 1.0, c - 1.0)))
+    assert(v >= 0.0 && v <= 1.0 && vbc >= 0.0 && vbc <= 1.0)
+  }
+
   test("events_holt: tracks a linear series exactly, drops single-hour types") {
     import java.sql.Timestamp
     // x_h = 10 + 2.5h on hours 0..9 — halves, so every step is exact in

@@ -57,7 +57,14 @@ object Similarity {
     VectorFunctions.dotF(s, ea, eb) / (na * nb)
 
   /** Brute-force exact top-k neighbors for the first `NumQueryVecs` ids. */
-  def topkBrute(s: SparkSession, dir: String): DataFrame = {
+  def topkBrute(s: SparkSession, dir: String): DataFrame =
+    bruteRanked(s, dir, TopK)
+
+  /** The brute exact-cosine ranking at an arbitrary depth `k` — shared
+    * by [[topkBrute]] (k = [[TopK]]) and [[mmrRerank]]'s candidate pool
+    * (k = [[MmrPool]]).
+    */
+  private def bruteRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir))
     val q = e
       .filter(col("vec_id") < NumQueryVecs)
@@ -68,7 +75,7 @@ object Similarity {
       .join(c, col("va") =!= col("vb"))
       .withColumn("cos", cosine(s, col("ea"), col("eb"), col("na"), col("nb")))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= TopK)
+      .filter(col("rn") <= k)
       .select("va", "vb", "cos", "rn")
   }
 
@@ -214,6 +221,79 @@ object Similarity {
       .select(
         col("va"), col("n_true"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall_at_k"))
+  }
+
+  /** MMR geometry: candidate-pool depth, selections per query, and the
+    * relevance/diversity mix. `MmrMu` is its OWN literal, not computed
+    * as 1−λ: `1 − 0.7` is 0.30000000000000004 in IEEE, and both engines
+    * must score with the identical constant.
+    */
+  val MmrPool   = 12
+  val MmrK      = 6
+  val MmrLambda = 0.7
+  val MmrMu     = 0.3
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversity-aware selection every RAG retriever runs after ANN:
+    * from each query's exact top-[[MmrPool]] pool, greedily pick
+    * [[MmrK]] results maximizing `λ·rel(q,d) − μ·max_{s∈selected}
+    * cos(d,s)`, so near-duplicate hits (which a corpus full of near-dups
+    * produces constantly) stop crowding out coverage. Emits the picks
+    * with their selection order, relevance, and the score that won the
+    * round.
+    *
+    * Scale shape: everything after the brute ranking is bounded by the
+    * |Q|·pool candidate table and its |Q|·pool² pairwise-cosine grid;
+    * the greedy rounds are [[MmrK]]−1 unrolled argmaxes over those
+    * bounded tables (per-round checkpoint, previous generation freed —
+    * the kcore loop discipline; the pool/cc checkpoints free once the
+    * final selection materializes). Determinism: rel and cc are the
+    * established exact-cosine values, the score is a fixed-order IEEE
+    * expression of them with vb as total tiebreak, and the oracle
+    * unrolls the identical rounds.
+    */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val cand = bruteRanked(s, dir, MmrPool)
+      .select(col("va"), col("vb"), col("cos").as("rel"))
+      .transform(graft.Ckpt.apply)
+    val e = withNorm(Tables.embeddings(s, dir))
+    val cc = cand.select(col("va"), col("vb").as("v1"))
+      .join(cand.select(col("va"), col("vb").as("v2")), "va")
+      .filter(col("v1") =!= col("v2"))
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("norm").as("n1")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("norm").as("n2")), "v2")
+      .withColumn("cc", cosine(s, col("e1"), col("e2"), col("n1"), col("n2")))
+      .select("va", "v1", "v2", "cc")
+      .transform(graft.Ckpt.apply)
+    val w1 = Window.partitionBy("va").orderBy(desc("rel"), asc("vb"))
+    var sel = cand
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("va"), col("vb"), lit(1L).as("pick"), col("rel"), col("rel").as("score"))
+      .transform(graft.Ckpt.apply)
+    for (r <- 2 to MmrK) {
+      val ms = cc
+        .join(sel.select(col("va"), col("vb").as("v2")), Seq("va", "v2"))
+        .groupBy(col("va"), col("v1"))
+        .agg(max(col("cc")).as("maxsim"))
+        .select(col("va"), col("v1").as("vb"), col("maxsim"))
+      val wr = Window.partitionBy("va").orderBy(desc("score"), asc("vb"))
+      val pick = cand
+        .join(sel.select("va", "vb"), Seq("va", "vb"), "left_anti")
+        .join(ms, Seq("va", "vb"))
+        .withColumn("score", lit(MmrLambda) * col("rel") - lit(MmrMu) * col("maxsim"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("va"), col("vb"), lit(r.toLong).as("pick"), col("rel"), col("score"))
+      val next = sel.union(pick).transform(graft.Ckpt.apply)
+      Dedup.freeCheckpoint(sel)
+      sel = next
+    }
+    // the final selection is materialized; the pool and pair grids are
+    // dead weight for the returned handle
+    Dedup.freeCheckpoint(cand)
+    Dedup.freeCheckpoint(cc)
+    sel
   }
 
   /** NDCG@k of the LSH ANN against the exact brute-force ranking — the
@@ -706,6 +786,7 @@ object Similarity {
     "sim_ann_lsh"    -> (annLsh _),
     "sim_recall_audit" -> (recallAudit _),
     "sim_ndcg_audit"   -> (ndcgAudit _),
+    "sim_mmr"          -> (mmrRerank _),
     "sim_hard_negatives" -> (hardNegatives _),
     "embed_rp_audit" -> (rpAudit _),
     "sim_ivf"        -> (ivf _),
@@ -939,6 +1020,46 @@ object Similarity {
          SELECT ideal.va, n_true, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
            CAST(coalesce(dcg, 0) AS DOUBLE) / CAST(idcg AS DOUBLE) AS ndcg_at_k
          FROM ideal LEFT JOIN got ON got.va = ideal.va""",
+    // unrolled greedy MMR rounds over the exact-cosine pool — identical
+    // argmax (score desc, vb asc) and the SAME lambda/mu literals as the
+    // engine (mu is NOT 1-lambda: that differs in the last IEEE bit)
+    "sim_mmr" -> {
+      val rounds = (2 to MmrK).map { r =>
+        s"""ms$r AS (SELECT cc.va, cc.v1 AS vb, max(cc.cc) AS maxsim
+             FROM cc JOIN sel${r - 1} s ON s.va = cc.va AND s.vb = cc.v2
+             GROUP BY 1, 2),
+           s$r AS (SELECT va, vb, CAST($r AS BIGINT) AS pick, rel, score FROM (
+               SELECT c.va, c.vb, c.rel,
+                 $MmrLambda * c.rel - $MmrMu * m.maxsim AS score,
+                 row_number() OVER (PARTITION BY c.va
+                   ORDER BY ($MmrLambda * c.rel - $MmrMu * m.maxsim) DESC,
+                     c.vb ASC) AS rn
+               FROM cand c JOIN ms$r m ON m.va = c.va AND m.vb = c.vb
+               WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
+                 WHERE x.va = c.va AND x.vb = c.vb))
+             WHERE rn = 1),
+           sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)"""
+      }.mkString(",\n")
+      s"""WITH $duckNorm,
+         cand AS (SELECT va, vb, rel FROM (
+             SELECT a.vec_id va, b.vec_id vb,
+               list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) AS rel,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm) DESC,
+                   b.vec_id ASC) AS rn
+             FROM e a JOIN e b ON a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id)
+           WHERE rn <= $MmrPool),
+         cc AS (SELECT a.va, a.vb AS v1, b.vb AS v2,
+             list_inner_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) AS cc
+           FROM cand a JOIN cand b ON a.va = b.va AND a.vb <> b.vb
+           JOIN e ea ON ea.vec_id = a.vb JOIN e eb ON eb.vec_id = b.vb),
+         sel1 AS (SELECT va, vb, CAST(1 AS BIGINT) AS pick, rel, rel AS score FROM (
+             SELECT va, vb, rel, row_number() OVER (PARTITION BY va
+               ORDER BY rel DESC, vb ASC) AS rn FROM cand)
+           WHERE rn = 1),
+         $rounds
+         SELECT va, vb, pick, rel, score FROM sel$MmrK"""
+    },
     "sim_hard_negatives" ->
       s"""WITH $duckNorm,
          ${duckSigDynamic(NumTables, AnnTargetBucket)},

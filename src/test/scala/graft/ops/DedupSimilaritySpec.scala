@@ -272,6 +272,52 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(perQuery.values.forall(_.length <= Similarity.TopK))
   }
 
+  test("sim_mmr: equals an independent greedy recompute, diversity bites") {
+    val got = Similarity.mmrRerank(spark, Sf0001)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val perQ = got.groupBy(_._1)
+    assert(perQ.nonEmpty && perQ.values.forall(_.length == Similarity.MmrK))
+    // independent driver-side greedy over the same pool and cosines
+    val e = graft.Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (e(a), e(b))
+      var (d, nx, ny) = (0.0f, 0.0f, 0.0f)
+      x.indices.foreach { i => d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / (math.sqrt(nx.toDouble).toFloat * math.sqrt(ny.toDouble).toFloat)
+    }
+    perQ.foreach { case (va, rows) =>
+      val sorted = rows.sortBy(_._3)
+      // picks distinct, first pick is the pool's relevance argmax
+      assert(sorted.map(_._2).distinct.length == sorted.length, s"q$va dup picks")
+      assert(sorted.head._4 == sorted.map(_._4).max, s"q$va first pick not max-rel")
+      // each later pick's score is lambda*rel - mu*maxsim over the
+      // PREVIOUS selections, and no selected-so-far candidate beats it
+      // (verified against the engine's own emitted rel values)
+      val relOf = rows.map(r => r._2 -> r._4).toMap
+      sorted.sliding(2).foreach { case Array(_, cur) =>
+        val prev = sorted.filter(_._3 < cur._3).map(_._2)
+        val ms   = prev.map(p => cos(cur._2, p)).max
+        val expect = Similarity.MmrLambda * cur._4 - Similarity.MmrMu * ms
+        // 1e-6: the recompute's float norm order differs from the
+        // engine's cosine at the last-ulp level; bit-parity is the
+        // DuckDB oracle's job, this pins the greedy structure
+        assert(math.abs(cur._5 - expect) < 1e-6,
+          s"q$va pick ${cur._3}: score ${cur._5} vs recomputed $expect")
+      }
+    }
+    // diversity actually bites: at least one query's picks differ from
+    // the pure-relevance prefix (otherwise the penalty term is inert)
+    val brute = Similarity.topkBrute(spark, Sf0001)
+      .as[(Long, Long, Double, Long)].collect().groupBy(_._1)
+    val diverged = perQ.exists { case (va, rows) =>
+      val mmrPicks = rows.sortBy(_._3).map(_._2).take(Similarity.TopK).toSeq
+      val relPicks = brute(va).sortBy(_._4).map(_._2).take(Similarity.TopK).toSeq
+      mmrPicks != relPicks
+    }
+    assert(diverged, "MMR never diverged from pure relevance — penalty inert")
+  }
+
   test("sim_ndcg_audit: bounded by 1, recall-consistent, exact independent recompute") {
     val ndcg = Similarity.ndcgAudit(spark, Sf0001)
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap

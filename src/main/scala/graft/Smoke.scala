@@ -69,7 +69,22 @@ object Smoke {
     // curate_t_closeness: the zero-fill cross of two GRID-bounded tables
     // (hours x value-buckets groups, sensitive types) plus the 1-row
     // total broadcast — never the corpus
-    "curate_t_closeness")
+    "curate_t_closeness",
+    // events_survival_km: the 1-row global-max-timestamp broadcast
+    // against the (type, user) aggregate — never the fact table
+    "events_survival_km",
+    // stats_cramers_v: the stats_chi2 cell grid verbatim (row x column
+    // marginal cross bounded by the contingency grid, 1-row geometry
+    // broadcast)
+    "stats_cramers_v",
+    // sim_ndcg_audit: its ground-truth side IS sim_topk's brute-force
+    // path — the same sanctioned |Q|-row broadcast sim_recall_audit
+    // inherits; the audit joins above it are equi-joins on (va, vb)
+    "sim_ndcg_audit",
+    // sim_mmr: the candidate pool is the sanctioned |Q|-row brute
+    // broadcast; every greedy round above it is equi-joined over the
+    // |Q|*pool-bounded checkpointed tables
+    "sim_mmr")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

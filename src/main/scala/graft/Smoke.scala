@@ -84,7 +84,10 @@ object Smoke {
     // sim_mmr: the candidate pool is the sanctioned |Q|-row brute
     // broadcast; every greedy round above it is equi-joined over the
     // |Q|*pool-bounded checkpointed tables
-    "sim_mmr")
+    "sim_mmr",
+    // text_vocab_coverage: the 1-row corpus-total broadcast against the
+    // three 1-row top-N aggregates — never the corpus or the vocab
+    "text_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

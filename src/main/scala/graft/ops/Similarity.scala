@@ -331,6 +331,61 @@ object Similarity {
           col("idcg").cast("double")).as("ndcg_at_k"))
   }
 
+  /** Margin threshold for [[tripletAudit]]: a triplet is training-ready
+    * when cos(anchor, positive) exceeds cos(anchor, hard negative) by at
+    * least this much — under it, the pair sits inside the loss margin
+    * and carries gradient.
+    */
+  val TripletMargin = 0.2
+
+  /** Triplet-margin audit for contrastive training — the QA pass over
+    * the (anchor, positive, hard-negative) triplets an embedding
+    * fine-tune consumes: for each query anchor, the nearest SAME-label
+    * candidate (the positive a sampler would pick) and the nearest
+    * DIFFERENT-label candidate (the hard negative, [[hardNegatives]]'
+    * top-1), with the margin between them and whether it clears
+    * [[TripletMargin]]. Anchors whose margin is negative are mislabeled
+    * or boundary cases — exactly the rows a data pipeline routes to
+    * review before training on them.
+    *
+    * Scale shape: both branches ride the shared LSH-bucketed candidate
+    * join (bounded, never all-pairs); each is a WindowGroupLimit top-1;
+    * one |Q|-bounded equi-join stitches them. Determinism: cosines are
+    * the established exact values, the margin is one IEEE subtract,
+    * ties break on candidate id.
+    */
+  def tripletAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(
+      col("vec_id"), col("embedding"), col("label"),
+      sqrt(VectorFunctions.dotF(s, col("embedding"), col("embedding"))).as("norm"))
+    val q = e
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("norm").as("na"), col("label").as("label_q"))
+    val c = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("norm").as("nb"), col("label").as("label_n"))
+    val scored = lshCandidates(s, dir)
+      .join(broadcast(q), "va")
+      .join(c, "vb")
+      .withColumn("cos", cosine(s, col("ea"), col("eb"), col("na"), col("nb")))
+    val w = Window.partitionBy("va").orderBy(desc("cos"), asc("vb"))
+    def top1(side: DataFrame): DataFrame = side
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val pos = top1(scored.filter(col("label_q") === col("label_n")))
+      .select(col("va"), col("label_q"), col("vb").as("pos_vb"), col("cos").as("pos_cos"))
+    val neg = top1(scored.filter(col("label_q") =!= col("label_n")))
+      .select(col("va"), col("vb").as("neg_vb"), col("cos").as("neg_cos"))
+    pos
+      .join(neg, "va")
+      .select(
+        col("va"), col("label_q"), col("pos_vb"), col("pos_cos"),
+        col("neg_vb"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"),
+        when(col("pos_cos") - col("neg_cos") >= TripletMargin, 1L)
+          .otherwise(0L).as("clears_margin"))
+  }
+
   /** Hard-negative mining for contrastive training — each query
     * vector's top-k most-similar vectors with a DIFFERENT label: the
     * negatives nearest the decision boundary, which embedding-model
@@ -787,6 +842,7 @@ object Similarity {
     "sim_recall_audit" -> (recallAudit _),
     "sim_ndcg_audit"   -> (ndcgAudit _),
     "sim_mmr"          -> (mmrRerank _),
+    "embed_triplet_audit" -> (tripletAudit _),
     "sim_hard_negatives" -> (hardNegatives _),
     "embed_rp_audit" -> (rpAudit _),
     "sim_ivf"        -> (ivf _),
@@ -1060,6 +1116,36 @@ object Similarity {
          $rounds
          SELECT va, vb, pick, rel, score FROM sel$MmrK"""
     },
+    // the two top-1 branches of the hard-negatives CTE (same-label
+    // positive, cross-label negative) stitched on the anchor; margin is
+    // one IEEE subtract of the established exact cosines
+    "embed_triplet_audit" ->
+      s"""WITH $duckNorm,
+         ${duckSigDynamic(NumTables, AnnTargetBucket)},
+         cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb
+                  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                  WHERE a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         scored AS (
+           SELECT va, la.label AS label_q, vb, lb.label AS label_n,
+             list_inner_product(qa.emb, qb.emb) / (qa.nrm * qb.nrm) AS cos
+           FROM cand JOIN e qa ON qa.vec_id = va JOIN e qb ON qb.vec_id = vb
+           JOIN lab la ON la.vec_id = va JOIN lab lb ON lb.vec_id = vb),
+         pos AS (SELECT va, label_q, vb AS pos_vb, cos AS pos_cos FROM (
+             SELECT va, label_q, vb, cos,
+               row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb ASC) AS rn
+             FROM scored WHERE label_q = label_n)
+           WHERE rn = 1),
+         neg AS (SELECT va, vb AS neg_vb, cos AS neg_cos FROM (
+             SELECT va, vb, cos,
+               row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb ASC) AS rn
+             FROM scored WHERE label_q <> label_n)
+           WHERE rn = 1)
+         SELECT pos.va, label_q, pos_vb, pos_cos, neg_vb, neg_cos,
+           pos_cos - neg_cos AS margin,
+           CAST(CASE WHEN pos_cos - neg_cos >= $TripletMargin THEN 1 ELSE 0 END
+             AS BIGINT) AS clears_margin
+         FROM pos JOIN neg ON neg.va = pos.va""",
     "sim_hard_negatives" ->
       s"""WITH $duckNorm,
          ${duckSigDynamic(NumTables, AnnTargetBucket)},

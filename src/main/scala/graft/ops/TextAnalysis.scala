@@ -914,7 +914,111 @@ object TextAnalysis {
         (col("n_novel").cast("double") / col("n_tri").cast("double")).as("novelty"))
   }
 
+  /** Result size for [[rake]] — total order (score desc, phrase asc),
+    * so the cap compiles to TakeOrderedAndProject.
+    */
+  val RakeTopN = 40
+
+  /** Vocabulary-size design points for [[vocabCoverage]]. */
+  val CoverageNs: Seq[Long] = Seq(100L, 1000L, 10000L)
+
+  /** Vocabulary coverage curve — the question a tokenizer design starts
+    * with: what fraction of corpus token OCCURRENCES does a top-N
+    * frequency vocabulary cover, at each design point in [[CoverageNs]]?
+    * The complement is the OOV rate a closed vocab of that size would
+    * pay; the curve's knee is where BPE merges stop earning their keep.
+    *
+    * Scale shape: one tokenize+count builds the vocab table (memoized
+    * checkpoint — three design points scan it, not the corpus); each
+    * top-N is a TakeOrderedAndProject over (cnt desc, token asc) — the
+    * sanctioned global top-k shape, N-bounded — feeding a 1-row partial
+    * aggregate; totals ride as a 1-row broadcast. Determinism: coverage
+    * is one IEEE divide of exact longs; the rank-N boundary tie breaks
+    * on the token string, total in both engines.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Ckpt.cached(s, s"text:vocab-cov:$dir")(
+      toks(s, dir).groupBy("t").agg(count(lit(1)).as("cnt")))
+    val tot = vocab.agg(
+      sum(col("cnt")).as("total"), count(lit(1)).as("vocab_size"))
+    val tops = CoverageNs.map { n =>
+      vocab
+        .orderBy(desc("cnt"), asc("t"))
+        .limit(n.toInt)
+        .agg(sum(col("cnt")).as("covered"), count(lit(1)).as("n_vocab_used"))
+        .select(lit(n).as("top_n"), col("n_vocab_used"), col("covered"))
+    }.reduce(_ union _)
+    tops
+      .crossJoin(broadcast(tot))
+      .select(
+        col("top_n"), col("n_vocab_used"), col("covered"),
+        col("total"), col("vocab_size"),
+        (col("covered").cast("double") / col("total").cast("double")).as("coverage"))
+  }
+
+  /** Catalog entry: RAKE keywords over the documents table. */
+  def rake(s: SparkSession, dir: String): DataFrame =
+    rakeOf(Tables.documents(s, dir))
+
+  /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase scorer curation pipelines run to label corpus slices:
+    * candidate phrases are maximal stopword-free token runs, each word
+    * scores degree/frequency (degree = Σ length of phrases containing
+    * it, so words living in long phrases outscore equally-frequent
+    * words living alone), and a phrase scores the sum of its words'
+    * scores. Identical phrases collapse with their occurrence count;
+    * top [[RakeTopN]] by (score, phrase).
+    *
+    * Scale shape: tokenize + stopword-run segmentation is scan-side
+    * except one PER-DOCUMENT window (bounded by document length — the
+    * catalog's sanctioned window partitioning); word scores are one
+    * grouped aggregate over the phrase-word stream; phrase assembly
+    * sorts only within (doc, phrase) groups. Determinism: word scores
+    * are int ratios quantized to decimal(38,9) BEFORE the order-free
+    * phrase sum (the composite-sum rule); the final ranking never
+    * consults an unquantized double.
+    */
+  private[ops] def rakeOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(filter(Tokenize.tokenCol(col("text")), _ =!= "")))
+      .withColumnRenamed("col", "t")
+      .withColumn("stop", col("t").isin(Stopwords: _*))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val phrased = toks
+      .withColumn("pid", sum(when(col("stop"), 1L).otherwise(0L)).over(w))
+      .filter(!col("stop"))
+      .select("doc_id", "pid", "pos", "t")
+    val phrases = phrased
+      .groupBy("doc_id", "pid")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+    val words = phrased.join(phrases.select("doc_id", "pid", "len"), Seq("doc_id", "pid"))
+    val wscore = words
+      .groupBy("t")
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("t"),
+        (col("deg").cast("double") / col("freq").cast("double"))
+          .cast("decimal(38,9)").as("wscore"))
+    val pscore = words
+      .join(wscore, "t")
+      .groupBy("doc_id", "pid")
+      .agg(sum(col("wscore")).as("pscore"))
+    phrases
+      .join(pscore, Seq("doc_id", "pid"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max(col("pscore")).as("ps"))
+      .select(col("phrase"), col("n_occurrences"), col("ps").cast("double").as("score"))
+      .orderBy(desc("score"), asc("phrase"))
+      .limit(RakeTopN)
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_rake"        -> (rake _),
+    "text_vocab_coverage" -> (vocabCoverage _),
     "text_novelty"     -> (novelty _),
     "text_quality_clf" -> (qualityClf _),
     "text_bpe_train"   -> (bpeTrain _),
@@ -1031,6 +1135,66 @@ object TextAnalysis {
        JOIN documents d USING (doc_id)"""
 
   val oracle: Map[String, String] = Map(
+    // same phrase segmentation (stopword-prefix-count window), the same
+    // quantized word scores, the same exact decimal phrase sums; token
+    // positions may have gaps (raw-split subscripts vs filtered-array
+    // indexes) but only their ORDER is consumed
+    "text_rake" -> {
+      val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH toks AS (
+           SELECT doc_id, i AS pos, t, t IN ($stopList) AS stop FROM (
+             SELECT doc_id,
+               generate_subscripts(regexp_split_to_array(text, '[^\\p{L}]+'), 1) AS i,
+               unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS t
+             FROM documents)
+           WHERE t <> ''),
+         phrased AS (
+           SELECT doc_id, pos, t,
+             sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+           FROM toks QUALIFY NOT stop),
+         phrases AS (
+           SELECT doc_id, pid,
+             string_agg(t, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS len
+           FROM phrased GROUP BY 1, 2),
+         words AS (
+           SELECT p.doc_id, p.pid, p.t, ph.len
+           FROM phrased p JOIN phrases ph
+             ON ph.doc_id = p.doc_id AND ph.pid = p.pid),
+         wscore AS (
+           SELECT t, CAST(CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS DECIMAL(38,9)) AS wscore
+           FROM words GROUP BY 1),
+         pscore AS (
+           SELECT w.doc_id, w.pid, sum(ws.wscore) AS pscore
+           FROM words w JOIN wscore ws ON ws.t = w.t
+           GROUP BY 1, 2)
+         SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(s.pscore) AS DOUBLE) AS score
+         FROM phrases ph JOIN pscore s
+           ON s.doc_id = ph.doc_id AND s.pid = ph.pid
+         GROUP BY 1
+         ORDER BY score DESC, phrase ASC LIMIT $RakeTopN"""
+    },
+    // one vocab CTE, three ORDER BY cnt DESC, t ASC LIMIT N prefixes —
+    // the same boundary tiebreak the engine's TakeOrderedAndProject uses
+    "text_vocab_coverage" -> {
+      val tops = CoverageNs.map { n =>
+        s"""SELECT CAST($n AS BIGINT) AS top_n,
+             CAST(count(*) AS BIGINT) AS n_vocab_used,
+             CAST(sum(cnt) AS BIGINT) AS covered
+           FROM (SELECT cnt FROM v ORDER BY cnt DESC, t ASC LIMIT $n)"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT t, count(*) AS cnt FROM ($duckToks) GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS vocab_size FROM v),
+         tops AS ($tops)
+         SELECT top_n, n_vocab_used, covered, total, vocab_size,
+           CAST(covered AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+         FROM tops CROSS JOIN tot"""
+    },
     "text_novelty" ->
       s"""WITH sh AS (${Dedup.duckShingles}),
          f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)

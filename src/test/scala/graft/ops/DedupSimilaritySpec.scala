@@ -318,6 +318,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(diverged, "MMR never diverged from pure relevance — penalty inert")
   }
 
+  test("embed_triplet_audit: negatives equal hard-negative top-1, margins consistent") {
+    val trip = Similarity.tripletAudit(spark, Sf0001)
+      .as[(Long, Long, Long, Double, Long, Double, Double, Long)].collect()
+    assert(trip.nonEmpty)
+    val hn1 = Similarity.hardNegatives(spark, Sf0001)
+      .filter($"rn" === 1L)
+      .select("va", "vb", "cos").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    trip.foreach { case (va, _, posVb, posCos, negVb, negCos, margin, ok) =>
+      // the negative branch IS hard-negatives' rank 1
+      assert(hn1(va) == ((negVb, negCos)), s"q$va negative mismatch")
+      assert(margin == posCos - negCos, s"q$va margin")
+      assert(ok == (if (margin >= Similarity.TripletMargin) 1L else 0L), s"q$va flag")
+      assert(posVb != negVb, s"q$va pos==neg")
+    }
+  }
+
   test("sim_ndcg_audit: bounded by 1, recall-consistent, exact independent recompute") {
     val ndcg = Similarity.ndcgAudit(spark, Sf0001)
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap

@@ -989,6 +989,41 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(real.forall { case (k, n, sc) => k >= 1 && k < n && sc >= 0.0 })
   }
 
+  test("text_rake: hand-computed degree/frequency scores on a two-doc fixture") {
+    // stopwords {the, a, and, of, to, in}; doc 1 yields phrases
+    // "quick brown fox" (len 3) and "lazy dog" (len 2), doc 2 "quick dog"
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog"),
+      (2L, "quick dog")).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeOf(docs)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // freq: quick 2, dog 2, brown/fox/lazy 1; deg: quick 3+2=5, dog
+    // 2+2=4, brown/fox 3, lazy 2 -> wscores 2.5, 2, 3, 3, 2 (all exact)
+    assert(got("quick brown fox") == (("quick brown fox", 1L, 2.5 + 3.0 + 3.0)))
+    assert(got("quick dog") == (("quick dog", 1L, 2.5 + 2.0)))
+    assert(got("lazy dog") == (("lazy dog", 1L, 2.0 + 2.0)))
+    assert(got.size == 3)
+    // real data: capped output, scores positive and ranked
+    val real = TextAnalysis.rake(spark, Sf0001)
+      .as[(String, Long, Double)].collect()
+    assert(real.nonEmpty && real.length <= TextAnalysis.RakeTopN)
+    assert(real.forall(r => r._3 > 0.0 && r._2 >= 1))
+    assert(real.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("text_vocab_coverage: monotone curve, exact edge cases") {
+    val rows = TextAnalysis.vocabCoverage(spark, Sf0001)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == TextAnalysis.CoverageNs)
+    rows.foreach { case (n, used, cov, tot, vs, c) =>
+      assert(used == math.min(n, vs), s"top-$n used $used of vocab $vs")
+      assert(cov <= tot && c == cov.toDouble / tot.toDouble)
+      if (n >= vs) assert(cov == tot && c == 1.0, s"full vocab must cover all")
+    }
+    // coverage non-decreasing in N
+    assert(rows.map(_._6).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   test("events_survival_km: hand-computed curve with censoring, real-data monotonicity") {
     import java.sql.Timestamp
     def ev(t: String, u: Long, h: Int) = (new Timestamp(h * 3600000L), t, u)

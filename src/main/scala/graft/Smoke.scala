@@ -87,7 +87,10 @@ object Smoke {
     "sim_mmr",
     // text_vocab_coverage: the 1-row corpus-total broadcast against the
     // three 1-row top-N aggregates — never the corpus or the vocab
-    "text_vocab_coverage")
+    "text_vocab_coverage",
+    // stats_cohens_d: the type-count-bounded moment-table pair grid
+    // (broadcast non-equi self-join) — never the fact table
+    "stats_cohens_d")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

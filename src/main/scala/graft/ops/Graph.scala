@@ -716,8 +716,14 @@ object Graph {
       Dedup.freeCheckpoint(adj)
       adj = next
     }
-    adj.groupBy("u").agg(count(lit(1)).as("core_deg"))
+    // materialize the NODE-sized result so the |E|-sized final adjacency
+    // generation can be freed — a returned handle over adj would pin an
+    // edge-sized block generation per invocation under gate/bench reruns
+    val res = adj.groupBy("u").agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("p_partkey"), col("core_deg"))
+      .transform(Ckpt.apply)
+    Dedup.freeCheckpoint(adj)
+    res
   }
 
   /** Catalog entry: degree assortativity of the part co-purchase graph. */

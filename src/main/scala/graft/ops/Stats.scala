@@ -645,6 +645,46 @@ object Stats {
         .as("df_welch"))
   }
 
+  /** Pairwise Cohen's d and Hedges' g between EVERY event-type pair —
+    * the effect-size grid next to [[welchT]]'s two-group significance
+    * test: t says "the means differ beyond noise", d says BY HOW MUCH
+    * in pooled-standard-deviation units, comparable across metrics and
+    * sample sizes; g applies the small-sample de-bias factor
+    * (1 − 3/(4n−9), Hedges 1981). The table a pipeline scans to decide
+    * which segment differences are real enough to stratify on.
+    *
+    * Scale shape: one partial-aggregated pass builds the per-type
+    * moment table; the pair grid is a type-count-bounded non-equi
+    * self-join (broadcast — never the fact table). Determinism: moments
+    * arrive through decimal sums cast to double; everything after is a
+    * fixed-order IEEE chain mirrored verbatim in the oracle.
+    */
+  def cohensD(s: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    val per = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(v).as("sx"), dsum(v * v).as("sxx"))
+    val a = per.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val b = per.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("sx").as("sxb"), col("sxx").as("sxxb"))
+    val naD    = col("na").cast("double")
+    val nbD    = col("nb").cast("double")
+    val ma     = col("sxa") / naD
+    val mb     = col("sxb") / nbD
+    val ssa    = col("sxxa") - col("sxa") * col("sxa") / naD
+    val ssb    = col("sxxb") - col("sxb") * col("sxb") / nbD
+    val pooled = (ssa + ssb) / (naD + nbD - lit(2.0))
+    val d      = (ma - mb) / sqrt(pooled)
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(
+        col("type_a"), col("type_b"), col("na").as("n_a"), col("nb").as("n_b"),
+        ma.as("mean_a"), mb.as("mean_b"),
+        d.as("cohens_d"),
+        (d * (lit(1.0) - lit(3.0) / (lit(4.0) * (naD + nbD) - lit(9.0))))
+          .as("hedges_g"))
+  }
+
   /** Chi-squared independence test between event type and hour-of-day —
     * "is this metric's traffic mix diurnal?", the categorical drift
     * check beside [[ksTest]] (continuous shape) and [[welchT]] (means).
@@ -1273,6 +1313,7 @@ object Stats {
     "stats_bootstrap"    -> (bootstrap _),
     "stats_chi2"         -> (chi2 _),
     "stats_cramers_v"    -> (cramersV _),
+    "stats_cohens_d"     -> (cohensD _),
     "stats_welch"        -> (welchT _),
     "stats_mad"          -> (madExact _),
     "stats_ks"           -> (ksTest _),
@@ -1542,6 +1583,30 @@ object Stats {
            CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
            max(n) AS n
          FROM terms""",
+    // the per-type decimal moment table crossed over type pairs; d and g
+    // are the identical fixed-order IEEE chain
+    "stats_cohens_d" -> {
+      val sx  = DSUM.format("value")
+      val sxx = DSUM.format("value * value")
+      s"""WITH per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             $sx AS sx, $sxx AS sxx
+           FROM events GROUP BY 1)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           a.sx / CAST(a.n AS DOUBLE) AS mean_a,
+           b.sx / CAST(b.n AS DOUBLE) AS mean_b,
+           (a.sx / CAST(a.n AS DOUBLE) - b.sx / CAST(b.n AS DOUBLE)) /
+             sqrt(((a.sxx - a.sx * a.sx / CAST(a.n AS DOUBLE)) +
+                   (b.sxx - b.sx * b.sx / CAST(b.n AS DOUBLE))) /
+                  (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0)) AS cohens_d,
+           ((a.sx / CAST(a.n AS DOUBLE) - b.sx / CAST(b.n AS DOUBLE)) /
+             sqrt(((a.sxx - a.sx * a.sx / CAST(a.n AS DOUBLE)) +
+                   (b.sxx - b.sx * b.sx / CAST(b.n AS DOUBLE))) /
+                  (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0))) *
+             (1.0 - 3.0 / (4.0 * (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)) - 9.0))
+             AS hedges_g
+         FROM per a JOIN per b ON a.event_type < b.event_type"""
+    },
     // same quantized cell grid as stats_chi2; V and the Bergsma
     // bias-corrected V are fixed-order IEEE arithmetic on the one
     // decimal-summed chi2 double — identical rounding in both engines

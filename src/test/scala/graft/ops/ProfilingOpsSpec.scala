@@ -1057,6 +1057,27 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stats_cohens_d: full pair grid, welch-consistent means, g shrinks d") {
+    val rows = Stats.cohensD(spark, Sf0001)
+      .as[(String, String, Long, Long, Double, Double, Double, Double)].collect()
+    val types = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    assert(rows.length == types.length * (types.length - 1) / 2, "not the full pair grid")
+    rows.foreach { case (ta, tb, na, nb, ma, mb, d, g) =>
+      assert(ta < tb && na > 1 && nb > 1)
+      // d carries the sign of the mean difference; g is the same sign
+      // strictly shrunk toward zero (4(na+nb)-9 > 3 for any real pair)
+      assert(math.signum(d) == math.signum(ma - mb) || d == 0.0, s"$ta/$tb sign")
+      assert(math.abs(g) < math.abs(d) || d == 0.0, s"$ta/$tb |g| !< |d|")
+      assert(g * d >= 0.0, s"$ta/$tb g flipped sign")
+    }
+    // the welch pair's means come from the same decimal-sum path
+    val (_, _, meanA, meanB, _, _) = Stats.welchT(spark, Sf0001)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    val wp = rows.find(r => Set(r._1, r._2) == Set(Stats.KsGroupA, Stats.KsGroupB)).get
+    val (gotA, gotB) = if (wp._1 == Stats.KsGroupA) (wp._5, wp._6) else (wp._6, wp._5)
+    assert(gotA == meanA && gotB == meanB, "welch/cohens mean mismatch")
+  }
+
   test("stats_cramers_v: 1 under perfect association, 0 under independence, chi2-consistent") {
     // perfect 2x2 association: type A only in hour 1, type B only in hour 2
     val assoc = (Seq.fill(10)(("A", 1L)) ++ Seq.fill(10)(("B", 2L)))

@@ -802,13 +802,23 @@ object Events {
     * divisions of NON-NEGATIVE micro differences, where truncation and
     * floor agree.
     */
-  private[graft] def survivalKmOf(events: DataFrame): DataFrame = {
-    val gmax = events.agg(max(expr("unix_micros(ts)")).as("g"))
-    val per = events
-      .groupBy(col("event_type"), col("user_id"))
-      .agg(
-        min(expr("unix_micros(ts)")).as("f"),
-        max(expr("unix_micros(ts)")).as("l"))
+  private[graft] def survivalKmOf(events: DataFrame): DataFrame =
+    survivalKmFromLifetimes(
+      events
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(
+          min(expr("unix_micros(ts)")).as("f"),
+          max(expr("unix_micros(ts)")).as("l")),
+      events.agg(max(expr("unix_micros(ts)")).as("g")))
+
+  /** The KM computation over an already-aggregated per-(type, user)
+    * lifetime table — the seam the streaming twin
+    * ([[graft.streaming.EventStream.lifetimes]]) plugs its stateful
+    * first/last aggregation into.
+    */
+  private[graft] def survivalKmFromLifetimes(
+      lifetimes: DataFrame, gmax: DataFrame): DataFrame = {
+    val per = lifetimes
       .crossJoin(broadcast(gmax))
       .select(
         col("event_type"),

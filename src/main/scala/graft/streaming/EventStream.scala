@@ -31,6 +31,9 @@ case class AnomalyCount(event_type: String, n_seen: Long, n_flagged: Long)
 /** An event type's running HLL distinct-user estimate. */
 case class HllEstimate(event_type: String, n_seen: Long, v_zero: Long, est_hll: Double)
 
+/** Running (user, type) lifetime emitted by [[EventStream.lifetimes]]. */
+case class Lifetime(user_id: Long, event_type: String, first_us: Long, last_us: Long)
+
 /** Per-type HLL register array (the mergeable sketch state). */
 private case class HllRegs(nSeen: Long, regs: Array[Byte])
 
@@ -330,6 +333,39 @@ object EventStream extends Serializable {
 
     events
       .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Stateful per-(user, type) lifetime tracking — the streaming side
+    * of `events_survival_km`: state per key is two longs (first/last
+    * event micros), updated by min/max — commutative idempotent
+    * monoids, so ANY delivery order and any batch split converge to
+    * the same final state (the [[hllUsers]] argument; contrast the
+    * order-ENFORCING attribution/funnel twins). Each micro-batch emits
+    * the key's running lifetime; once the stream drains, the latest
+    * row per key equals the batch per-(type, user) min/max aggregate
+    * bit-for-bit, and feeding those lifetimes through the SAME
+    * Kaplan-Meier fold (`Events.survivalKmFromLifetimes`) reproduces
+    * the batch survival summary exactly — an incremental retention
+    * curve whose state is 16 bytes per (user, type).
+    */
+  def lifetimes(events: Dataset[Event]): Dataset[Lifetime] = {
+    import events.sparkSession.implicits._
+
+    def fn(key: (Long, String), batch: Iterator[Event],
+        state: GroupState[(Long, Long)]): Lifetime = {
+      var (f, l) = state.getOption.getOrElse((Long.MaxValue, Long.MinValue))
+      batch.foreach { e =>
+        val us = tsMicros(e.ts)
+        if (us < f) f = us
+        if (us > l) l = us
+      }
+      state.update((f, l))
+      Lifetime(key._1, key._2, f, l)
+    }
+
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 

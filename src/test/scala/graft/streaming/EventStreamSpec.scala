@@ -495,6 +495,50 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want, s"streaming HLL $got != batch sketch $want")
   }
 
+  test("streaming lifetimes reproduce the batch Kaplan-Meier bit-for-bit, any delivery order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // adversarial delivery: deterministic shuffle + 3 batches that
+    // re-deliver keys — min/max state must be order-free and idempotent
+    val shuffled = all.sortBy(e => (e.event_id * 2654435761L) ^ e.user_id)
+    val third    = shuffled.length / 3
+    val stream   = MemoryStream[Event]
+    val q = EventStream.lifetimes(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("lt_out").outputMode("update").start()
+    try {
+      stream.addData(shuffled.take(third).toSeq)
+      q.processAllAvailable()
+      stream.addData(shuffled.slice(third, 2 * third).toSeq)
+      q.processAllAvailable()
+      stream.addData(shuffled.drop(2 * third).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest state per key: first_us only shrinks, last_us only grows
+    val finalLt = spark.table("lt_out")
+      .groupBy("user_id", "event_type")
+      .agg(min(col("first_us")).as("f"), max(col("last_us")).as("l"))
+    val wantLt = Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(expr("unix_micros(ts)")).as("f"), max(expr("unix_micros(ts)")).as("l"))
+      .select("user_id", "event_type", "f", "l")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(finalLt.select("user_id", "event_type", "f", "l")
+      .as[(Long, String, Long, Long)].collect().toSet == wantLt,
+      "streaming lifetimes diverge from the batch min/max aggregate")
+    // the SAME KM fold over the streaming state equals the batch query
+    val gmax = finalLt.agg(max(col("l")).as("g"))
+    val got = graft.ops.Events
+      .survivalKmFromLifetimes(
+        finalLt.select(col("event_type"), col("user_id"), col("f"), col("l")), gmax)
+      .as[(String, Long, Long, Double, Double, Long, Double)].collect().toSet
+    val want = graft.ops.Events.survivalKm(spark, Sf0001)
+      .as[(String, Long, Long, Double, Double, Long, Double)].collect().toSet
+    assert(got == want, s"streaming KM $got != batch $want")
+  }
+
   test("stateful sessionization converges to the batch gaps-and-islands answer") {
     val src = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")

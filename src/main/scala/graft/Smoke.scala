@@ -90,7 +90,10 @@ object Smoke {
     "text_vocab_coverage",
     // stats_cohens_d: the type-count-bounded moment-table pair grid
     // (broadcast non-equi self-join) — never the fact table
-    "stats_cohens_d")
+    "stats_cohens_d",
+    // stats_kruskal: the 1-row (N, tie-mass) broadcast against the 1-row
+    // term aggregate — never the corpus or the value grid
+    "stats_kruskal")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -986,6 +986,80 @@ object Stats {
       ((u - mu) / sqrt(sig2)).as("z_stat"))
   }
 
+  /** Kruskal-Wallis H test across ALL event types at once — the k-group
+    * generalization of [[mannWhitneyOf]]: are the k value distributions
+    * exchangeable, judged on midranks so no normality assumption? H =
+    * 12/(N(N+1)) · Σ R_i²/n_i − 3(N+1) with the tie-corrected variant
+    * H/C, C = 1 − Σ(t³−t)/(N³−N). The omnibus screen a pipeline runs
+    * BEFORE pairwise tests (k·(k−1)/2 Mann-Whitneys uncorrected is a
+    * multiple-comparison trap).
+    *
+    * Scale shape: the same distinct-value-histogram + [[rangeCum]]
+    * range-partitioned prefix sum as the Mann-Whitney — the corpus
+    * never sorts globally; per-type rank sums are one equi-join of the
+    * (type, value) counts against the grid. Determinism: midranks are
+    * .5-exact rationals carried as DOUBLED integers (2·(cum−c)+c+1) in
+    * exact decimal sums; the k per-type R²/n terms quantize to
+    * decimal(38,6) before their order-free sum; H is then a fixed IEEE
+    * chain over exact aggregates.
+    */
+  def kruskal(s: SparkSession, dir: String): DataFrame =
+    kruskalOf(Tables.events(s, dir))
+
+  private[ops] def kruskalOf(events: DataFrame): DataFrame = {
+    val ev   = events.select(col("event_type"), col("value").as("v"))
+    val vc   = ev.groupBy("v").agg(count(lit(1)).as("c"))
+    val grid = rangeCum(vc, Seq(), "v", "c", needTot = false)
+    val tv   = ev.groupBy("event_type", "v").agg(count(lit(1)).as("ci"))
+    val r = tv
+      .join(grid.select("v", "c", "cum"), "v")
+      .groupBy("event_type")
+      .agg(
+        sum(col("ci")).as("ni"),
+        sum((col("ci") * (lit(2) * (col("cum") - col("c")) + col("c") + lit(1)))
+          .cast("decimal(38,0)")).as("r2"))
+    val tot = grid.agg(
+      sum(col("c")).as("n"),
+      sum((col("c") * col("c") * col("c") - col("c")).cast("decimal(38,0)")).as("t3"))
+    // CENTERED form: with D_i = R_i − n_i(N+1)/2 the cross term vanishes
+    // exactly (ΣR_i = N(N+1)/2), so H = 12/(N(N+1)) · Σ D_i²/n_i with NO
+    // subtraction of near-equal magnitudes. The raw Σ R_i²/n_i form puts
+    // an ~N²-sized decimal through the decimal→double cast, where the
+    // two engines' conversions diverge by an ulp once the scaled integer
+    // image passes 2^53 (observed at sf0.01 with (38,6) and sf0.1 with
+    // (38,2)); the centered deviations stay deviation-sized instead.
+    // D2 = 2·D_i = r2 − n_i(N+1), exact integer decimal arithmetic.
+    // INTEGER quantization (floor(x·10⁶) as decimal(38,0)), not a
+    // fractional decimal: a non-integer decimal→double cast is a
+    // reciprocal MULTIPLY in one engine and a true divide in the other —
+    // 1-ulp double-rounding skew (bit-level divergence observed at both
+    // sf0.01 and sf0.1). An integer image converts exactly below 2^53
+    // and the single explicit /1e6 divide is correctly rounded in both.
+    val terms = r
+      .crossJoin(broadcast(tot))
+      .select(
+        col("n"), col("t3"),
+        floor(
+          ((col("r2") - (col("ni") * (col("n") + lit(1))).cast("decimal(38,0)"))
+            .cast("double") / 2.0) *
+            ((col("r2") - (col("ni") * (col("n") + lit(1))).cast("decimal(38,0)"))
+              .cast("double") / 2.0) /
+            col("ni").cast("double") * lit(1000000.0))
+          .cast("decimal(38,0)").as("term"))
+    val agg = terms
+      .groupBy("n", "t3")
+      .agg(
+        (sum(col("term")).cast("double") / lit(1000000.0)).as("s"),
+        count(lit(1)).as("k"))
+    val nD  = col("n").cast("double")
+    val t3D = col("t3").cast("double")
+    val h   = lit(12.0) / (nD * (nD + lit(1.0))) * col("s")
+    agg.select(
+      col("n"), col("k"), (col("k") - 1).as("dof"),
+      h.as("h"),
+      (h / (lit(1.0) - t3D / (nD * nD * nD - nD))).as("h_tie_corrected"))
+  }
+
   /** Interpolated (type-7 / `quantile_cont`) quartiles of `value` per
     * event type — the continuous-quantile companion to
     * [[percentilesExact]]'s nearest-rank picks: position h = (n−1)·p/100,
@@ -1314,6 +1388,7 @@ object Stats {
     "stats_chi2"         -> (chi2 _),
     "stats_cramers_v"    -> (cramersV _),
     "stats_cohens_d"     -> (cohensD _),
+    "stats_kruskal"      -> (kruskal _),
     "stats_welch"        -> (welchT _),
     "stats_mad"          -> (madExact _),
     "stats_ks"           -> (ksTest _),
@@ -1456,6 +1531,36 @@ object Stats {
             + min(CASE WHEN cum - c < tot // 2 + 1 AND cum >= tot // 2 + 1 THEN s END)) / 2
              AS slope
          FROM cc GROUP BY 1""",
+    // same distinct-value rank grid; per-type rank sums as DOUBLED exact
+    // integers, R^2/n terms quantized to decimal(38,6) before the
+    // order-free sum, H the identical fixed IEEE chain
+    "stats_kruskal" ->
+      """WITH ev AS (SELECT event_type, value AS v FROM events),
+         vc AS (SELECT v, count(*) AS c FROM ev GROUP BY 1),
+         grid AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM vc),
+         tv AS (SELECT event_type, v, count(*) AS ci FROM ev GROUP BY 1, 2),
+         r AS (SELECT event_type, CAST(sum(ci) AS BIGINT) AS ni,
+             sum(CAST(ci * (2 * (cum - c) + c + 1) AS DECIMAL(38,0))) AS r2
+           FROM tv JOIN grid USING (v) GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             sum(CAST(c * c * c - c AS DECIMAL(38,0))) AS t3
+           FROM grid),
+         terms AS (SELECT n, t3,
+             CAST(floor(
+               (CAST(r2 - CAST(ni * (n + 1) AS DECIMAL(38,0)) AS DOUBLE) / 2.0) *
+               (CAST(r2 - CAST(ni * (n + 1) AS DECIMAL(38,0)) AS DOUBLE) / 2.0) /
+               CAST(ni AS DOUBLE) * 1000000.0) AS DECIMAL(38,0)) AS term
+           FROM r CROSS JOIN tot),
+         agg AS (SELECT n, t3, CAST(sum(term) AS DOUBLE) / 1000000.0 AS s,
+             CAST(count(*) AS BIGINT) AS k
+           FROM terms GROUP BY 1, 2)
+         SELECT n, k, CAST(k - 1 AS BIGINT) AS dof,
+           12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s AS h,
+           (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s) /
+             (1.0 - CAST(t3 AS DOUBLE) /
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+                CAST(n AS DOUBLE))) AS h_tie_corrected
+         FROM agg""",
     "stats_mannwhitney" ->
       s"""WITH vc AS (
            SELECT value AS v,

@@ -1057,6 +1057,22 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stats_kruskal: H >= 0, tie correction inflates, k=2 collapses to Mann-Whitney z^2") {
+    val (n, k, dof, h, hc) = Stats.kruskal(spark, Sf0001)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(n > 0 && dof == k - 1 && h >= 0.0)
+    assert(hc >= h, "the tie correction divides by C <= 1")
+    // algebraic identity: restricted to two groups, tie-corrected H
+    // equals the Mann-Whitney z² (same midranks, same tie mass)
+    val two = Stats.kruskalOf(graft.Tables.events(spark, Sf0001)
+      .filter(col("event_type").isin(Stats.KsGroupA, Stats.KsGroupB)))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    val z = Stats.mannWhitney(spark, Sf0001)
+      .select("z_stat").as[Double].collect().head
+    assert(math.abs(two._5 - z * z) < 1e-6,
+      s"k=2 H_c ${two._5} != z^2 ${z * z}")
+  }
+
   test("stats_cohens_d: full pair grid, welch-consistent means, g shrinks d") {
     val rows = Stats.cohensD(spark, Sf0001)
       .as[(String, String, Long, Long, Double, Double, Double, Double)].collect()

@@ -919,6 +919,78 @@ object TextAnalysis {
     */
   val RakeTopN = 40
 
+  /** MTLD factor threshold (the canonical 0.72 of McCarthy & Jarvis) and
+    * the per-document token window the walk runs over — the cap bounds
+    * BOTH engines' sequential state (the oracle unrolls the walk as a
+    * recursive CTE whose row count is Σ min(len, cap)).
+    */
+  val MtldTtr       = 0.72
+  val MtldMaxTokens = 120
+
+  /** Catalog entry: MTLD lexical diversity per document. */
+  def mtld(s: SparkSession, dir: String): DataFrame =
+    mtldOf(Tables.documents(s, dir))
+
+  /** MTLD — Measure of Textual Lexical Diversity (McCarthy & Jarvis
+    * 2010), the length-robust replacement for the raw type-token ratio
+    * already in [[quality]]: TTR decays mechanically with document
+    * length, so a threshold on it misranks long documents; MTLD instead
+    * walks the token stream counting how many times the RUNNING TTR
+    * drains below [[MtldTtr]] (each drain = one "factor"), plus a
+    * proportional partial factor for the leftover tail, and reports
+    * tokens-per-factor. High MTLD = sustained lexical variety; low =
+    * repetitive text (boilerplate, keyword stuffing) — a standard
+    * quality-filter feature. Computed over the first [[MtldMaxTokens]]
+    * tokens (a windowed estimate — the walk is inherently sequential,
+    * and the window bounds the per-doc state in both engines). Text
+    * that never drains (running TTR pinned at 1, zero factor mass)
+    * scores its full token count — pure variety must not rank below
+    * boilerplate.
+    *
+    * Scale shape: one tokenize, then a PER-DOCUMENT `aggregate` fold
+    * over the (capped) token array — embarrassingly parallel across
+    * documents, state bounded by the window. Determinism: the running
+    * TTR is one IEEE divide of exact small ints per step and the
+    * threshold compare uses the same literal in both engines; the
+    * oracle's recursive CTE replays the identical walk step for step.
+    */
+  private[ops] def mtldOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      slice(filter(Tokenize.tokenCol(col("text")), _ =!= ""),
+        1, MtldMaxTokens).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val emptyTypes = array().cast("array<string>")
+    val init = struct(
+      lit(0L).as("factors"), lit(0L).as("t"), emptyTypes.as("types"))
+    val fin = aggregate(
+      col("toks"),
+      init,
+      (st, tok) => {
+        val types1 = when(array_contains(st.getField("types"), tok),
+          st.getField("types"))
+          .otherwise(array_append(st.getField("types"), tok))
+        val t1    = st.getField("t") + lit(1L)
+        val ttr   = size(types1).cast("double") / t1.cast("double")
+        val drain = ttr < lit(MtldTtr)
+        struct(
+          (st.getField("factors") + when(drain, 1L).otherwise(0L)).as("factors"),
+          when(drain, 0L).otherwise(t1).as("t"),
+          when(drain, emptyTypes).otherwise(types1).as("types"))
+      })
+    val tailT   = fin.getField("t")
+    val tailTtr = size(fin.getField("types")).cast("double") / tailT.cast("double")
+    val partial = when(tailT > 0L,
+      (lit(1.0) - tailTtr) / (lit(1.0) - lit(MtldTtr))).otherwise(lit(0.0))
+    val denom = fin.getField("factors").cast("double") + partial
+    toks.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      fin.getField("factors").as("factors"),
+      when(denom > 0.0, size(col("toks")).cast("double") / denom)
+        .otherwise(size(col("toks")).cast("double")).as("mtld"))
+  }
+
   /** Vocabulary-size design points for [[vocabCoverage]]. */
   val CoverageNs: Seq[Long] = Seq(100L, 1000L, 10000L)
 
@@ -1018,6 +1090,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "text_rake"        -> (rake _),
+    "text_mtld"        -> (mtld _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_novelty"     -> (novelty _),
     "text_quality_clf" -> (qualityClf _),
@@ -1177,6 +1250,43 @@ object TextAnalysis {
            ON s.doc_id = ph.doc_id AND s.pid = ph.pid
          GROUP BY 1
          ORDER BY score DESC, phrase ASC LIMIT $RakeTopN"""
+    },
+    // recursive-CTE replay of the mtldOf fold — same per-step IEEE
+    // divide and 0.72 compare, same list state, same partial factor
+    "text_mtld" -> {
+      val types1 =
+        "CASE WHEN list_contains(it.types, r.tk) THEN it.types ELSE list_append(it.types, r.tk) END"
+      val drain =
+        s"CAST(len($types1) AS DOUBLE) / CAST(it.t + 1 AS DOUBLE) < $MtldTtr"
+      val partial =
+        s"""CASE WHEN it.t > 0 THEN
+             (1.0 - CAST(len(it.types) AS DOUBLE) / CAST(it.t AS DOUBLE)) / (1.0 - $MtldTtr)
+           ELSE 0.0 END"""
+      s"""WITH RECURSIVE toks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn, tk
+           FROM (SELECT doc_id,
+               generate_subscripts(regexp_split_to_array(text, '[^\\p{L}]+'), 1) AS i,
+               unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS tk
+             FROM documents)
+           WHERE tk <> ''
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY i) <= $MtldMaxTokens),
+         nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1),
+         it AS (
+           SELECT doc_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS factors,
+             CAST(0 AS BIGINT) AS t, CAST([] AS VARCHAR[]) AS types
+           FROM nt
+           UNION ALL
+           SELECT it.doc_id, it.i + 1,
+             it.factors + CASE WHEN $drain THEN 1 ELSE 0 END,
+             CASE WHEN $drain THEN 0 ELSE it.t + 1 END,
+             CASE WHEN $drain THEN CAST([] AS VARCHAR[]) ELSE $types1 END
+           FROM it JOIN toks r ON r.doc_id = it.doc_id AND r.rn = it.i + 1)
+         SELECT it.doc_id, nt.n_tokens, it.factors,
+           CASE WHEN CAST(it.factors AS DOUBLE) + $partial > 0.0
+             THEN CAST(nt.n_tokens AS DOUBLE) / (CAST(it.factors AS DOUBLE) + $partial)
+             ELSE CAST(nt.n_tokens AS DOUBLE) END AS mtld
+         FROM it JOIN nt ON nt.doc_id = it.doc_id
+         WHERE it.i = nt.n_tokens"""
     },
     // one vocab CTE, three ORDER BY cnt DESC, t ASC LIMIT N prefixes —
     // the same boundary tiebreak the engine's TakeOrderedAndProject uses

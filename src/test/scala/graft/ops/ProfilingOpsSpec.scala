@@ -989,6 +989,48 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(real.forall { case (k, n, sc) => k >= 1 && k < n && sc >= 0.0 })
   }
 
+  test("text_mtld: equals an independent sequential replay, ranks diversity correctly") {
+    // independent walk, same constants — the sequential oracle trick
+    def replay(tokens: Seq[String]): (Long, Double) = {
+      var factors = 0L; var t = 0L; var types = Set.empty[String]
+      tokens.take(TextAnalysis.MtldMaxTokens).foreach { tok =>
+        types += tok; t += 1
+        if (types.size.toDouble / t.toDouble < TextAnalysis.MtldTtr) {
+          factors += 1; t = 0; types = Set.empty
+        }
+      }
+      val partial =
+        if (t > 0) (1.0 - types.size.toDouble / t.toDouble) / (1.0 - TextAnalysis.MtldTtr)
+        else 0.0
+      val denom = factors.toDouble + partial
+      val n     = math.min(tokens.length, TextAnalysis.MtldMaxTokens)
+      // never-draining text (running TTR pinned at 1) carries at least
+      // its full length of diversity — n, not a 0 that would rank pure
+      // variety below boilerplate
+      (factors, if (denom > 0.0) n.toDouble / denom else n.toDouble)
+    }
+    val docs = Seq(
+      (1L, "the the the the the the the the"),                 // repetitive
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),   // all distinct
+      (3L, "a b a b c a d e f g h a b"),                       // mixed
+      (4L, ""))                                                // empty: dropped
+    val got = TextAnalysis.mtldOf(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(4L))
+    docs.filter(_._2.nonEmpty).foreach { case (id, text) =>
+      val toks = text.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+      val (f, m) = replay(toks)
+      assert(got(id) == ((id, toks.length.toLong, f, m)), s"doc $id: ${got(id)} vs ($f, $m)")
+    }
+    // repetitive text must score strictly below fully-diverse text
+    assert(got(1L)._4 < got(2L)._4)
+    // real data: n_tokens capped, mtld non-negative
+    val real = TextAnalysis.mtld(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r._2 <= TextAnalysis.MtldMaxTokens && r._4 >= 0.0))
+  }
+
   test("text_rake: hand-computed degree/frequency scores on a two-doc fixture") {
     // stopwords {the, a, and, of, to, in}; doc 1 yields phrases
     // "quick brown fox" (len 3) and "lazy dog" (len 2), doc 2 "quick dog"

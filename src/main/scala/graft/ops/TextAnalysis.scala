@@ -991,6 +991,48 @@ object TextAnalysis {
         .otherwise(size(col("toks")).cast("double")).as("mtld"))
   }
 
+  /** Catalog entry: readability scores per document. */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    readabilityOf(Tables.documents(s, dir))
+
+  /** Flesch reading ease + Flesch-Kincaid grade per document — the
+    * classic complexity features a quality mix balances on (a pretraining
+    * mix that skews too easy or too hard both hurt): words from the
+    * shared letter-run tokenizer, sentences as non-blank [.!?]+ segments,
+    * and syllables approximated by ASCII VOWEL RUNS — the standard
+    * dictionary-free proxy (one run ≈ one nucleus), chosen because it is
+    * bit-reproducible in both engines' regex dialects (Java and RE2
+    * agree on `[aeiou]+` extraction), unlike true hyphenation.
+    *
+    * Scale shape: pure scan-side projection — three regexp passes per
+    * document, one row out, no shuffle at all (the text_normalize
+    * discipline). Determinism: counts are exact ints; both scores are
+    * single fixed-order IEEE chains over two int ratios; zero-word /
+    * zero-sentence documents emit 0 for every ratio and score.
+    */
+  private[ops] def readabilityOf(docs: DataFrame): DataFrame = {
+    val words     = size(filter(Tokenize.tokenCol(col("text")), _ =!= ""))
+    val sentences = size(filter(split(col("text"), "[.!?]+"),
+      x => x.rlike("\\p{L}")))
+    val syllables = size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+    val base = docs.select(
+      col("doc_id"),
+      words.cast("long").as("n_words"),
+      sentences.cast("long").as("n_sentences"),
+      syllables.cast("long").as("n_syllables"))
+    val ok  = col("n_words") > 0L && col("n_sentences") > 0L
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    base.select(
+      col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+      when(ok, wps).otherwise(0.0).as("words_per_sentence"),
+      when(ok, spw).otherwise(0.0).as("syllables_per_word"),
+      when(ok, lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+        .otherwise(0.0).as("flesch_ease"),
+      when(ok, lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+        .otherwise(0.0).as("fk_grade"))
+  }
+
   /** Vocabulary-size design points for [[vocabCoverage]]. */
   val CoverageNs: Seq[Long] = Seq(100L, 1000L, 10000L)
 
@@ -1091,6 +1133,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "text_rake"        -> (rake _),
     "text_mtld"        -> (mtld _),
+    "text_readability" -> (readability _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_novelty"     -> (novelty _),
     "text_quality_clf" -> (qualityClf _),
@@ -1251,6 +1294,35 @@ object TextAnalysis {
          GROUP BY 1
          ORDER BY score DESC, phrase ASC LIMIT $RakeTopN"""
     },
+    // same three regex passes (RE2 and Java agree on these patterns),
+    // same guarded IEEE score chains
+    "text_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+               t -> t <> '')) AS BIGINT) AS n_words,
+             CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+               s -> regexp_matches(s, '\p{L}'))) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+               AS n_syllables
+           FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 AND n_sentences > 0
+             THEN CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+             ELSE 0.0 END AS words_per_sentence,
+           CASE WHEN n_words > 0 AND n_sentences > 0
+             THEN CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS syllables_per_word,
+           CASE WHEN n_words > 0 AND n_sentences > 0
+             THEN 206.835 -
+               1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+               84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             ELSE 0.0 END AS flesch_ease,
+           CASE WHEN n_words > 0 AND n_sentences > 0
+             THEN 0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) +
+               11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59
+             ELSE 0.0 END AS fk_grade
+         FROM c""",
     // recursive-CTE replay of the mtldOf fold — same per-step IEEE
     // divide and 0.72 compare, same list state, same partial factor
     "text_mtld" -> {

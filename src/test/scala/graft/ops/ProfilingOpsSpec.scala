@@ -989,6 +989,34 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(real.forall { case (k, n, sc) => k >= 1 && k < n && sc >= 0.0 })
   }
 
+  test("text_readability: hand-counted fixture, simple text reads easier than dense text") {
+    val docs = Seq(
+      // 6 words, 2 sentences, syllable runs: he-llo wo-rld this is ea-sy yes
+      (1L, "Hello world. This is easy, yes!"),
+      // no sentence punctuation at all -> 1 segment with letters
+      (2L, "just words no stops"),
+      (3L, "...!?"), // punctuation only: everything guards to 0
+      (4L, "Extraordinarily sophisticated terminology necessitates comprehension."))
+    val got = TextAnalysis.readabilityOf(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val d1 = got(1L)
+    assert(d1._2 == 6 && d1._3 == 2, s"$d1")
+    // vowel runs of lower("hello world. this is easy, yes!"):
+    // hello(e,o)=2, world(o)=1, this(i)=1, is(i)=1, easy(ea)=1 (y is not
+    // in [aeiou]), yes(e)=1 -> 7
+    assert(d1._4 == 7, s"syllable runs: $d1")
+    assert(d1._5 == 3.0 && d1._6 == 7.0 / 6.0)
+    assert(d1._7 == 206.835 - 1.015 * 3.0 - 84.6 * (7.0 / 6.0))
+    assert(got(2L)._3 == 1L, "unpunctuated text is one sentence segment")
+    assert(got(3L) == ((3L, 0L, 0L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    // the polysyllabic monster must grade harder than the easy one
+    assert(got(4L)._8 > got(1L)._8)
+    val real = TextAnalysis.readability(spark, Sf0001)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(real.nonEmpty && real.forall(r => r._2 >= 0 && r._3 >= 0))
+  }
+
   test("text_mtld: equals an independent sequential replay, ranks diversity correctly") {
     // independent walk, same constants — the sequential oracle trick
     def replay(tokens: Seq[String]): (Long, Double) = {

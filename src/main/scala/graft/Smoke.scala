@@ -93,7 +93,10 @@ object Smoke {
     "stats_cohens_d",
     // stats_kruskal: the 1-row (N, tie-mass) broadcast against the 1-row
     // term aggregate — never the corpus or the value grid
-    "stats_kruskal")
+    "stats_kruskal",
+    // graph_homophily: the 1-row edge-total broadcast against the
+    // language-pair-bounded grid
+    "graph_homophily")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -318,6 +318,38 @@ object Dedup {
       .select("doc_id", "lang", "n_chars")
   }
 
+  /** Dedup-bias audit: exact-dedup DROP RATES per (source, lang) slice —
+    * the fairness check a curation pipeline runs after any dedup pass,
+    * because deduplication is never uniform: a source whose docs are
+    * syndicated/mirrored loses far more than an original-content source,
+    * silently shifting the corpus mix. Per slice: docs, dropped
+    * (non-canonical exact copies, keeper = min doc_id per digest — the
+    * [[exactApply]] rule), and the drop rate.
+    *
+    * Scale shape: one digest aggregate (the exact-dedup shuffle) plus
+    * one per-slice count — both partial-aggregated; the verdict join is
+    * the digest-keyed left-semi inverted into a flag. Determinism: the
+    * rate is one IEEE divide of exact longs.
+    */
+  def dedupBias(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keep = docs
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("keeper"))
+    docs
+      .join(keep, Seq("doc_id"), "left")
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - count(col("keeper"))).as("n_dropped"))
+      .select(
+        col("source"), col("lang"), col("n_docs"), col("n_dropped"),
+        (col("n_dropped").cast("double") / col("n_docs").cast("double"))
+          .as("drop_rate"))
+  }
+
   /** The APPLY step of NEAR-dup dedup — the surviving corpus after the
     * MinHash pipeline's clustering pass: every doc except non-canonical
     * cluster members (each near-dup cluster keeps its smallest doc_id,
@@ -1085,6 +1117,7 @@ object Dedup {
     "dedup_clusters"  -> (clusters _),
     "dedup_fuzzy"     -> (fuzzy _),
     "dedup_apply"     -> (exactApply _),
+    "dedup_bias"      -> (dedupBias _),
     "text_span_dedup" -> (spanDedup _),
     "text_repeated_spans" -> (repeatedSpans _)
   )
@@ -1147,6 +1180,15 @@ object Dedup {
     "dedup_apply" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+    // per-slice drop accounting over the same keeper rule as dedup_apply
+    "dedup_bias" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(k.doc_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(k.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS drop_rate
+         FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id
+         GROUP BY 1, 2""",
     "dedup_clusters_apply" ->
       s"""WITH RECURSIVE
          $duckMinhashPairsCte,

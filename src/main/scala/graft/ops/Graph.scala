@@ -726,6 +726,41 @@ object Graph {
     res
   }
 
+  /** Language homophily of the near-dup graph — the metadata-level twin
+    * of [[assortativity]]: what fraction of near-duplicate edges connect
+    * SAME-language documents? Near-dups crossing languages are either
+    * translations (a real signal worth routing to a parallel-corpus
+    * pipeline) or tokenization/lang-ID failures — both things a curation
+    * run wants surfaced per language pair, not averaged away. Emits the
+    * canonicalized (lang_a ≤ lang_b) pair grid with edge counts and the
+    * fraction of all near-dup edges.
+    *
+    * Scale shape: two equi-joins attach endpoint languages to the
+    * |pairs| stream (bounded by genuine near-dup collisions, the
+    * [[Dedup.minhash]] argument); the grid is language-pair bounded and
+    * the 1-row total rides as a broadcast. Determinism: frac is one
+    * IEEE divide of exact longs.
+    */
+  def homophilyNearDup(s: SparkSession, dir: String): DataFrame = {
+    val p    = Dedup.minhash(s, dir).select(col("da"), col("db"))
+    val lang = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val grid = p
+      .join(lang.select(col("doc_id").as("da"), col("lang").as("la")), "da")
+      .join(lang.select(col("doc_id").as("db"), col("lang").as("lb")), "db")
+      .select(
+        least(col("la"), col("lb")).as("lang_a"),
+        greatest(col("la"), col("lb")).as("lang_b"))
+      .groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_edges"))
+    val tot = grid.agg(sum(col("n_edges")).as("total"))
+    grid
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang_a"), col("lang_b"), col("n_edges"),
+        (col("lang_a") === col("lang_b")).cast("long").as("same_lang"),
+        (col("n_edges").cast("double") / col("total").cast("double")).as("frac"))
+  }
+
   /** Catalog entry: degree assortativity of the part co-purchase graph. */
   def assortativityCoPurchase(s: SparkSession, dir: String): DataFrame =
     assortativity(coPurchaseEdges(s, dir))
@@ -782,6 +817,7 @@ object Graph {
     "graph_kcore"     -> (kcoreCoPurchase _),
     "graph_assortativity" -> (assortativityCoPurchase _),
     "graph_clustering_coeff" -> (clusteringCoeffCoPurchase _),
+    "graph_homophily" -> (homophilyNearDup _),
     "graph_modularity" -> (modularityCoPurchase _),
     "graph_bfs"       -> (bfsCoPurchase _),
     "graph_sssp"      -> (ssspCoPurchase _)
@@ -1049,6 +1085,22 @@ object Graph {
                (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0))
            ELSE 0.0 END AS cc
          FROM deg LEFT JOIN tc ON tc.u = deg.u""",
+    // endpoint languages over the shared near-dup pair CTE; frac is one
+    // IEEE divide of exact longs
+    "graph_homophily" ->
+      s"""WITH ${Dedup.duckMinhashPairsCte},
+         lg AS (SELECT doc_id, lang FROM documents),
+         grid AS (SELECT least(a.lang, b.lang) AS lang_a,
+             greatest(a.lang, b.lang) AS lang_b,
+             CAST(count(*) AS BIGINT) AS n_edges
+           FROM pairs JOIN lg a ON a.doc_id = pairs.da
+           JOIN lg b ON b.doc_id = pairs.db
+           GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n_edges) AS BIGINT) AS total FROM grid)
+         SELECT lang_a, lang_b, n_edges,
+           CAST(lang_a = lang_b AS BIGINT) AS same_lang,
+           CAST(n_edges AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+         FROM grid CROSS JOIN tot""",
     "graph_triangles" ->
       s"""WITH ${Dedup.duckMinhashPairsCte},
          tri AS (SELECT p1.da AS a, p1.db AS b, p2.db AS c

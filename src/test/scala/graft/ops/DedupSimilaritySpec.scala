@@ -318,6 +318,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(diverged, "MMR never diverged from pure relevance — penalty inert")
   }
 
+  test("dedup_bias: slice drops reconcile with dedup_apply's survivor count") {
+    val rows = Dedup.dedupBias(spark, Sf0001)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, lang, n, d, r) =>
+      assert(d >= 0 && d <= n, s"$src/$lang counts")
+      assert(r == d.toDouble / n.toDouble && r >= 0.0 && r <= 1.0, s"$src/$lang rate")
+    }
+    val survivors = Dedup.exactApply(spark, Sf0001).count()
+    assert(rows.map(r => r._3 - r._4).sum == survivors,
+      "per-slice survivors must sum to the dedup_apply corpus")
+  }
+
+  test("graph_homophily: edge accounting closes, fractions sum to 1") {
+    val rows = Graph.homophilyNearDup(spark, Sf0001)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (la, lb, n, same, f) =>
+      assert(la <= lb && n > 0, s"$la/$lb canonical order")
+      assert(same == (if (la == lb) 1L else 0L))
+      assert(f > 0.0 && f <= 1.0)
+    }
+    val totalPairs = Dedup.minhash(spark, Sf0001).count()
+    assert(rows.map(_._3).sum == totalPairs, "every near-dup edge is classified")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9)
+  }
+
   test("embed_triplet_audit: negatives equal hard-negative top-1, margins consistent") {
     val trip = Similarity.tripletAudit(spark, Sf0001)
       .as[(Long, Long, Long, Double, Long, Double, Double, Long)].collect()

@@ -765,6 +765,46 @@ object Events {
   /** Catalog entry: Holt double-exponential smoothing per event type. */
   def holt(s: SparkSession, dir: String): DataFrame = holtOf(Tables.events(s, dir))
 
+  /** Burstiness per event type — the Fano factor (index of dispersion,
+    * variance/mean) of the HOURLY COUNT series: 1 = Poisson arrivals,
+    * > 1 = bursty (traffic clumps — retry storms, batch jobs), < 1 =
+    * regular (throttled/scheduled). The one-number arrival-process
+    * fingerprint next to [[Events.hourly]]'s raw series and the
+    * seasonality decomposition; includes zero-count hours inside each
+    * type's observed span, which the naive groupBy silently drops and
+    * which change the variance materially.
+    *
+    * Scale shape: one (type, hour) count aggregate (grid-bounded), one
+    * per-type moment pass over the grid; the zero-hour correction is
+    * arithmetic on (span, observed-hours) — no generator join.
+    * Determinism: sums of counts and squared counts are exact longs
+    * through decimal; mean/variance/fano are a fixed IEEE chain, with
+    * the population variance over the FULL span computed as
+    * E[c²] − E[c]² on exact sums.
+    */
+  def fano(s: SparkSession, dir: String): DataFrame =
+    fanoOf(Tables.events(s, dir))
+
+  private[graft] def fanoOf(events: DataFrame): DataFrame = {
+    val hc = events
+      .groupBy(col("event_type"), Events.hourFloor.as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val per = hc.groupBy("event_type").agg(
+      (max(col("hr")) - min(col("hr")) + lit(1L)).as("span_hours"),
+      count(lit(1)).as("active_hours"),
+      sum(col("c").cast("decimal(38,0)")).as("sc"),
+      sum((col("c") * col("c")).cast("decimal(38,0)")).as("scc"))
+    val nD   = col("span_hours").cast("double")
+    val mean = col("sc").cast("double") / nD
+    val ex2  = col("scc").cast("double") / nD
+    per.select(
+      col("event_type"), col("span_hours"), col("active_hours"),
+      col("sc").cast("long").as("n_events"),
+      mean.as("mean_per_hour"),
+      (ex2 - mean * mean).as("var_per_hour"),
+      ((ex2 - mean * mean) / mean).as("fano"))
+  }
+
   /** Churn horizon for [[survivalKm]]: a user whose last event of a type
     * sits at least this many whole hours before the corpus's final
     * timestamp is an OBSERVED churn; anyone still active closer to the
@@ -1057,6 +1097,7 @@ object Events {
     "events_ewma"           -> (ewma _),
     "events_holt"           -> (holt _),
     "events_survival_km"    -> (survivalKm _),
+    "events_fano"           -> (fano _),
     "events_changepoint"    -> (changepoint _),
     "events_session_dyngap" -> (sessionDynamicGap _),
     "events_concurrency"    -> (sessionConcurrency _),
@@ -1307,6 +1348,31 @@ object Events {
     },
     // integer prefix sums over the quantized hourly grid, one fixed IEEE
     // score tree, argmax by (score desc, hr asc) — identical on both sides
+    // same floor-div hour grid, exact decimal count moments, identical
+    // IEEE mean/variance/fano chain over the full observed span
+    "events_fano" ->
+      """WITH hc AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         per AS (
+           SELECT event_type,
+             CAST(max(hr) - min(hr) + 1 AS BIGINT) AS span_hours,
+             CAST(count(*) AS BIGINT) AS active_hours,
+             sum(CAST(c AS DECIMAL(38,0))) AS sc,
+             sum(CAST(c * c AS DECIMAL(38,0))) AS scc
+           FROM hc GROUP BY 1)
+         SELECT event_type, span_hours, active_hours,
+           CAST(sc AS BIGINT) AS n_events,
+           CAST(sc AS DOUBLE) / CAST(span_hours AS DOUBLE) AS mean_per_hour,
+           CAST(scc AS DOUBLE) / CAST(span_hours AS DOUBLE) -
+             (CAST(sc AS DOUBLE) / CAST(span_hours AS DOUBLE)) *
+             (CAST(sc AS DOUBLE) / CAST(span_hours AS DOUBLE)) AS var_per_hour,
+           (CAST(scc AS DOUBLE) / CAST(span_hours AS DOUBLE) -
+             (CAST(sc AS DOUBLE) / CAST(span_hours AS DOUBLE)) *
+             (CAST(sc AS DOUBLE) / CAST(span_hours AS DOUBLE))) /
+             (CAST(sc AS DOUBLE) / CAST(span_hours AS DOUBLE)) AS fano
+         FROM per""",
     // recursive-CTE mirror of the survivalKmOf fold: same step order
     // (one divide, one multiply), same integer at-risk bookkeeping —
     // bit-equal doubles step for step, the events_holt discipline

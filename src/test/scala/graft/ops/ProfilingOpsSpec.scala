@@ -1094,6 +1094,33 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._6).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
 
+  test("events_fano: Poisson-regular fixture = 1 - 1/mean... exact dispersion arithmetic") {
+    import java.sql.Timestamp
+    def ev(t: String, h: Int, i: Int) = (new Timestamp(h * 3600000L + i), t, 0.0)
+    // "flat": exactly 4 events every hour for 6 hours -> variance 0, fano 0
+    val flat = for (h <- 0 until 6; i <- 0 until 4) yield ev("flat", h, i)
+    // "burst": 12 events in hour 0, then nothing until an anchor in hour
+    // 5 -> span 6, counts (12,0,0,0,0,1)
+    val burst = (0 until 12).map(ev("burst", 0, _)) :+ ev("burst", 5, 0)
+    val got = Events.fanoOf((flat ++ burst).toDF("ts", "event_type", "value"))
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("flat") == (("flat", 6L, 6L, 24L, 4.0, 0.0, 0.0)), s"${got("flat")}")
+    val b = got("burst")
+    // mean 13/6; E[c^2] = (144+1)/6; var = E[c^2]-mean^2 (exact chain)
+    val mean = 13.0 / 6.0; val ex2 = 145.0 / 6.0
+    assert(b == (("burst", 6L, 2L, 13L, mean, ex2 - mean * mean,
+      (ex2 - mean * mean) / mean)), s"$b")
+    assert(b._7 > 1.0, "a burst must be over-dispersed")
+    // real data: spans cover active hours, fano non-negative
+    val real = Events.fano(spark, Sf0001)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (t, span, active, n, m, v, f) =>
+      assert(span >= active && m > 0.0 && v >= 0.0 && f >= 0.0, s"$t")
+    }
+  }
+
   test("events_survival_km: hand-computed curve with censoring, real-data monotonicity") {
     import java.sql.Timestamp
     def ev(t: String, u: Long, h: Int) = (new Timestamp(h * 3600000L), t, u)

@@ -742,7 +742,10 @@ object Graph {
     * IEEE divide of exact longs.
     */
   def homophilyNearDup(s: SparkSession, dir: String): DataFrame = {
-    val p    = Dedup.minhash(s, dir).select(col("da"), col("db"))
+    // SAME memoized snapshot as trianglesNearDup — the MinHash pipeline
+    // is the dominant cost and both consumers need identical pairs
+    val p = Ckpt.cached(s, s"graph:tri-pairs:$dir")(
+      Dedup.minhash(s, dir).select(col("da"), col("db")))
     val lang = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
     val grid = p
       .join(lang.select(col("doc_id").as("da"), col("lang").as("la")), "da")

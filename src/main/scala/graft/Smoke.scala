@@ -96,7 +96,10 @@ object Smoke {
     "stats_kruskal",
     // graph_homophily: the 1-row edge-total broadcast against the
     // language-pair-bounded grid
-    "graph_homophily")
+    "graph_homophily",
+    // source_js_divergence: the sources × top-K-vocab zero-fill cross —
+    // both sides bounded (source count, JsVocabK), never the corpus
+    "source_js_divergence")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -262,6 +262,66 @@ object Curation {
   def kmvOverlap(s: SparkSession, dir: String): DataFrame =
     kmvOverlapOf(withToks(s, dir), cacheKey = Some(s"curate:kmv:$dir"))
 
+  /** Vocabulary depth for [[jsDivergence]] — the top-K global tokens the
+    * per-source distributions restrict to (total order: count desc,
+    * token asc → TakeOrderedAndProject).
+    */
+  val JsVocabK = 300
+
+  /** ln 2 spelled as ONE literal shared verbatim with the oracle — the
+    * engines' ln(2.0) calls need not agree in the last bit.
+    */
+  val Ln2 = 0.6931471805599453
+
+  /** Jensen-Shannon divergence between every source pair's token
+    * DISTRIBUTION over the global top-[[JsVocabK]] vocabulary — the
+    * distribution-level source-similarity matrix next to the set-level
+    * [[kmvOverlapOf]]: two sources can share most of their vocabulary
+    * (high KMV Jaccard) while USING it completely differently, and JS —
+    * symmetric, bounded by ln 2, defined at zeros — is the standard way
+    * a mixture designer measures that. Emitted in nats and bits
+    * (bits ∈ [0, 1]).
+    *
+    * Scale shape: one tokenize+count picks the vocabulary
+    * (TakeOrderedAndProject); per-source counts restrict to V (broadcast
+    * semi-join), the zero-filled grid is sources×V bounded, and the
+    * pair expansion is an equi-join on token with sources²·V rows —
+    * never corpus-sized. Determinism: each per-token contribution
+    * quantizes to decimal(38,9) before the order-free sum (x·ln x terms
+    * are sub-1 — the StrictMath-vs-libm rule, with the integer image far
+    * below 2^53); the final halving and bit conversion are two IEEE ops
+    * with [[Ln2]] as a shared literal.
+    */
+  def jsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val tok = withToks(s, dir).select(col("source"), explode(col("toks")).as("t"))
+    val v = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("t")).limit(JsVocabK).select("t")
+    val sc = tok.join(broadcast(v), "t")
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val ns = sc.groupBy("source").agg(sum(col("c")).as("n"))
+    val grid = ns
+      .crossJoin(broadcast(v))
+      .join(sc, Seq("source", "t"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("source"), col("t"),
+        (col("c").cast("double") / col("n").cast("double")).as("p"))
+    val pair = grid.select(col("source").as("source_a"), col("t"), col("p"))
+      .join(grid.select(col("source").as("source_b"), col("t"), col("p").as("q")), "t")
+      .filter(col("source_a") < col("source_b"))
+    val m = (col("p") + col("q")) / 2.0
+    val term =
+      (when(col("p") > 0.0, col("p") * log(col("p") / m)).otherwise(0.0) +
+        when(col("q") > 0.0, col("q") * log(col("q") / m)).otherwise(0.0))
+        .cast("decimal(38,9)")
+    pair
+      .groupBy("source_a", "source_b")
+      .agg(sum(term).as("s"))
+      .select(
+        col("source_a"), col("source_b"),
+        (col("s").cast("double") / 2.0).as("js_nats"),
+        (col("s").cast("double") / 2.0 / lit(Ln2)).as("js_bits"))
+  }
+
   /** The k-row-per-source bottom-k sketch shared by [[kmvOverlapOf]] and
     * [[kmvSetAlgOf]] — the ONLY corpus-sized computation either makes.
     */
@@ -1716,6 +1776,7 @@ object Curation {
     "corpus_mixture"     -> (mixture _),
     "embed_kmeans_iter"  -> (kmeansIter _),
     "source_overlap"     -> (sourceOverlap _),
+    "source_js_divergence" -> (jsDivergence _),
     "source_overlap_kmv" -> (kmvOverlap _),
     "source_setalg_kmv"  -> (kmvSetAlg _),
     "curate_dsir"        -> (dsir _)
@@ -2183,6 +2244,31 @@ object Curation {
          FROM best b JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) v USING (vec_id)
          WHERE rn = 1 GROUP BY 1, 2""",
+    // same top-K vocabulary cut, same zero-filled probability grid, the
+    // same per-token quantized x·ln-terms, and Ln2 as a shared literal
+    "source_js_divergence" ->
+      s"""WITH tok AS (SELECT source, unnest(l) AS t FROM ($duckToksList)),
+         v AS (SELECT t FROM (
+             SELECT t, count(*) AS c FROM tok GROUP BY 1
+             ORDER BY c DESC, t ASC LIMIT $JsVocabK)),
+         sc AS (SELECT source, tok.t, count(*) AS c
+           FROM tok JOIN v ON v.t = tok.t GROUP BY 1, 2),
+         ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY 1),
+         grid AS (SELECT ns.source, v.t,
+             CAST(coalesce(sc.c, 0) AS DOUBLE) / CAST(ns.n AS DOUBLE) AS p
+           FROM ns CROSS JOIN v
+           LEFT JOIN sc ON sc.source = ns.source AND sc.t = v.t),
+         pair AS (SELECT a.source AS source_a, b.source AS source_b, a.p, b.p AS q
+           FROM grid a JOIN grid b ON a.t = b.t AND a.source < b.source),
+         terms AS (SELECT source_a, source_b, CAST(
+             (CASE WHEN p > 0.0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END) +
+             (CASE WHEN q > 0.0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+             AS DECIMAL(38,9)) AS term
+           FROM pair)
+         SELECT source_a, source_b,
+           CAST(sum(term) AS DOUBLE) / 2.0 AS js_nats,
+           CAST(sum(term) AS DOUBLE) / 2.0 / $Ln2 AS js_bits
+         FROM terms GROUP BY 1, 2""",
     "source_overlap" ->
       s"""WITH toks AS ($duckToksList),
          sh AS (SELECT DISTINCT source, ${TextHash.duckHash60Of("g")} sh

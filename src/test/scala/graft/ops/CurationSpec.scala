@@ -9,6 +9,25 @@ import graft.{SparkTestBase, Tables}
   * independence) that make seq_pack's shards safe to feed a trainer.
   */
 class CurationSpec extends AnyFunSuite with SparkTestBase {
+
+  test("source_js_divergence: symmetric-positive, bounded by ln2, full pair grid") {
+    import spark.implicits._
+    val rows = Curation.jsDivergence(spark, Sf0001)
+      .as[(String, String, Double, Double)].collect()
+    val srcs = rows.flatMap(r => Seq(r._1, r._2)).distinct
+    assert(rows.length == srcs.length * (srcs.length - 1) / 2, "not the full pair grid")
+    rows.foreach { case (a, b, nats, bits) =>
+      assert(a < b, s"$a/$b not canonical")
+      // JS is non-negative and bounded by ln 2 (bits in [0, 1]); the
+      // per-token 1e-9 quantization can only dent, never exceed, either
+      assert(nats >= -1e-6 && nats <= Curation.Ln2 + 1e-6, s"$a/$b nats=$nats")
+      assert(bits >= -1e-6 && bits <= 1.0 + 1e-6, s"$a/$b bits=$bits")
+      assert(math.abs(bits - nats / Curation.Ln2) < 1e-12)
+    }
+    // sources draw from one synthetic distribution family — divergences
+    // must be small but strictly positive (distinct samples)
+    assert(rows.forall(_._3 > 0.0), "identical distributions are implausible")
+  }
   import spark.implicits._
 
   test("doc_global_ids: contiguous 1..n in key order, equal to the window twin") {

@@ -407,19 +407,30 @@ object Storage {
   /** The per-(lang, source) integrity summary shared by the batch
     * round-trip and its streaming-ingestion twin
     * ([[graft.streaming.CorpusStream.ingestProfile]]): counts, char
-    * sums, and an order-free decimal content signature. Works unchanged
-    * as a streaming aggregation -- every term is an incremental
-    * commutative sum.
+    * sums, and an order-free content signature (exact decimal sum of
+    * per-doc hashes, folded mod 2^61-1 to a BIGINT -- beyond-int64
+    * DECIMAL outputs canonicalize differently across engines at the
+    * hash-compare layer even when every value matches, and a 61-bit
+    * prime keeps the signature sensitive to any single-term change).
+    * Works unchanged as a streaming aggregation -- every term is an
+    * incremental commutative sum.
     */
   def corpusSummary(docs: DataFrame): DataFrame =
     docs.groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(graft.functions.TextHash.hash60(
+        (sum(graft.functions.TextHash.hash60(
             concat(col("doc_id").cast("string"), lit("\u0001"),
               coalesce(col("text"), lit(""))))
-          .cast("decimal(38,0)")).as("content_sig"))
+          .cast("decimal(38,0)")) % lit(SigMod))
+          .cast("long").as("content_sig"))
+
+  /** Content-signature modulus: the Mersenne prime 2^61 - 1. Applied to
+    * the exact DECIMAL(38,0) sum of per-doc hash60 terms so the output
+    * column is a plain BIGINT (driver-safe output type).
+    */
+  val SigMod = 2305843009213693951L
 
   val queries: Map[String, Q] = Map(
     "bucket_join" -> (bucketJoin _),
@@ -455,9 +466,9 @@ object Storage {
     "corpus_jsonl" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         sum(CAST(${graft.functions.TextHash.duckHash60Of(
+         CAST(sum(CAST(${graft.functions.TextHash.duckHash60Of(
            "CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text, '')")}
-           AS DECIMAL(38,0))) AS content_sig
+           AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS content_sig
          FROM documents GROUP BY 1, 2""",
     // identical oracle shape: reads the ORIGINAL parquet, so equality with
     // the Spark side (which reads its own escaped-CSV rewrite) proves the
@@ -465,18 +476,18 @@ object Storage {
     "corpus_csv" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         sum(CAST(${graft.functions.TextHash.duckHash60Of(
+         CAST(sum(CAST(${graft.functions.TextHash.duckHash60Of(
            "CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text, '')")}
-           AS DECIMAL(38,0))) AS content_sig
+           AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS content_sig
          FROM documents GROUP BY 1, 2""",
     // same original-parquet oracle: equality proves the ORC columnar
     // round trip lossless
     "corpus_orc" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         sum(CAST(${graft.functions.TextHash.duckHash60Of(
+         CAST(sum(CAST(${graft.functions.TextHash.duckHash60Of(
            "CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text, '')")}
-           AS DECIMAL(38,0))) AS content_sig
+           AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS content_sig
          FROM documents GROUP BY 1, 2""",
     // same quantize -> Morton-order -> equal-slice file cut -> zone-map
     // summary, with the interleave spelled out as shift/mask arithmetic

@@ -9,14 +9,10 @@ import org.apache.spark.sql.functions._
   * `target/scale10x`, then times each query at both scales and reports
   * wall time and result-row volume.
   *
-  * The synthetic 10× corpus is NOT naive replication (10 exact copies of
-  * every doc would make the whole corpus one duplicate cluster and
-  * measure the pathological regime, not scaling): replica r>0 of doc i
-  * splices the first half of doc i's tokens with the second half of doc
-  * (i + 131·r mod n) — documents stay mostly distinct, vocabulary and
-  * shingle distributions stay realistic, and genuine near-dup mass grows
-  * roughly linearly. Embedding replicas get a deterministic per-replica
-  * perturbation for the same reason.
+  * The synthetic 10× corpus is NOT naive replication — see
+  * [[ScaleData.buildDocs]]/[[ScaleData.buildEmbeddings]] (the shared
+  * splice/perturb builders this probe and the full-catalog
+  * [[ScaleSweep]] both use).
   *
   * Usage: `sbt "runMain graft.DedupScaleProbe [query ...]"` — no args
   * runs the dedup family; explicit args (e.g. `text_bm25 graph_pagerank
@@ -27,48 +23,6 @@ object DedupScaleProbe {
   val Src = "/root/testdata/sf0.1"
   val Out = "target/scale10x"
   val Reps = 10
-
-  private def buildDocs(s: SparkSession): Unit = {
-    val d = Tables.documents(s, Src)
-    val n = d.count()
-    val halves = d
-      .select(col("doc_id"), col("lang"), col("source"),
-        filter(graft.text.Tokenize.tokenCol(col("text")), _ =!= "").as("tk"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        expr("array_join(slice(tk, 1, int(size(tk) / 2)), ' ')").as("h1"),
-        expr("array_join(slice(tk, int(size(tk) / 2) + 1, size(tk)), ' ')").as("h2"))
-    val reps = s.range(1, Reps).select(col("id").as("r"))
-    val mixed = halves.as("a")
-      .crossJoin(reps)
-      .join(halves.as("b"), expr(s"b.doc_id = (a.doc_id + r * 131) % $n"))
-      .select(
-        (col("a.doc_id") + col("r") * n).as("doc_id"),
-        concat(col("a.h1"), lit(" "), col("b.h2")).as("text"),
-        col("a.lang").as("lang"),
-        col("a.source").as("source"))
-    d.select("doc_id", "text", "lang", "source")
-      .unionByName(mixed)
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$Out/documents.parquet")
-  }
-
-  private def buildEmbeddings(s: SparkSession): Unit = {
-    val e = s.read.parquet(s"$Src/embeddings.parquet")
-    val n = e.count()
-    val reps = s.range(1, Reps).select(col("id").as("r"))
-    val mixed = e
-      .crossJoin(reps)
-      .select(
-        (col("vec_id") + col("r") * n).as("vec_id"),
-        expr("transform(embedding, (x, i) -> float(x + 0.0001 * r * ((i % 7) - 3)))")
-          .as("embedding"),
-        col("label"))
-    e.select("vec_id", "embedding", "label")
-      .unionByName(mixed)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
-  }
 
   /** Recall@k of the three-tier ANN (`sim_ivfpq_rerank`) against the
     * exact brute-force top-k, at a given scale. The point of running it
@@ -96,8 +50,10 @@ object DedupScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$Out/documents.parquet").exists()) buildDocs(spark)
-    if (!new java.io.File(s"$Out/embeddings.parquet").exists()) buildEmbeddings(spark)
+    if (!new java.io.File(s"$Out/documents.parquet").exists())
+      ScaleData.buildDocs(spark, Src, Out, Reps)
+    if (!new java.io.File(s"$Out/embeddings.parquet").exists())
+      ScaleData.buildEmbeddings(spark, Src, Out, Reps)
     println(s"[scale] docs 1x=${Tables.documents(spark, Src).count()} " +
       s"10x=${Tables.documents(spark, Out).count()}")
     val queries =

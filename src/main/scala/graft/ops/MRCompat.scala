@@ -8,11 +8,13 @@ import graft.mr.{MapReduceJob, MRApps}
 /** The generic MapReduce surface exercised as catalog queries: reference
   * apps run through [[graft.mr.MapReduceJob]] over `documents` (doc_id
   * standing in for filename, text for contents — FIXTURES.md §3), verified
-  * against relational DuckDB oracles. `mr_wc` takes the in-memory-group
-  * path; `mr_indexer` deliberately takes the Catalyst-native streaming
-  * secondary-sort path ([[graft.plans.SortedGroupReduce]]) so both
-  * executions — and the custom exec — are under the driver's
-  * correctness gate.
+  * against relational DuckDB oracles. All three take the Catalyst-native
+  * streaming secondary-sort path ([[graft.plans.SortedGroupReduce]]) —
+  * the engine's F4-F7 showcase (shuffle as SQL Exchange, reduce-side sort
+  * as Tungsten SortExec) — so the custom exec carries every reference app
+  * under the driver's correctness gate. The in-memory-group RDD path
+  * stays as the differential twin (`MapReduceJobSpec` pins bit-equality
+  * across all apps and both paths).
   */
 object MRCompat {
   type Q = (SparkSession, String) => DataFrame
@@ -23,13 +25,13 @@ object MRCompat {
       .select(col("doc_id").cast("string").as("filename"), col("text").as("contents"))
 
   def mrWc(s: SparkSession, dir: String): DataFrame =
-    MapReduceJob.run(s, docs(s, dir), MRApps.WordCount)
+    MapReduceJob.runSecondarySortNative(s, docs(s, dir), MRApps.WordCount)
 
   def mrIndexer(s: SparkSession, dir: String): DataFrame =
     MapReduceJob.runSecondarySortNative(s, docs(s, dir), MRApps.Indexer)
 
   def mrMetadata(s: SparkSession, dir: String): DataFrame =
-    MapReduceJob.run(s, docs(s, dir), MRApps.Metadata)
+    MapReduceJob.runSecondarySortNative(s, docs(s, dir), MRApps.Metadata)
 
   val queries: Map[String, Q] = Map(
     "mr_wc"       -> (mrWc _),

@@ -210,17 +210,34 @@ object Similarity {
     * per-query count — free next to the pipelines it measures. The
     * recall ratio is a quotient of two small exact integers: no
     * quantization needed.
+    *
+    * `expected_coverage` (round-12 verdict item 5) makes the row
+    * self-documenting at every SF: the geometry-derived probability that
+    * a RANDOM candidate collides with the query in ≥1 hash table,
+    * 1 − (1 − 2^−planes)^tables — the noise floor of the index. A
+    * recall_at_k near this floor means the buckets return noise (an
+    * index regression); recall far above it is genuine locality. Both
+    * engines derive it from the same [[planesFor]] cell geometry with
+    * the power unrolled to repeated multiplication, so the doubles are
+    * bit-identical under the hash compare.
     */
+  def coverageFloor(planes: Int, tables: Int): Double = {
+    val q = 1.0 - 1.0 / (1L << planes).toDouble
+    1.0 - Seq.fill(tables)(q).product
+  }
+
   def recallAudit(s: SparkSession, dir: String): DataFrame = {
-    val truth = topkBrute(s, dir).select(col("va"), col("vb"))
-    val ann   = annLsh(s, dir).select(col("va"), col("vb"), lit(1).as("hit"))
+    val planes = planesFor(Tables.embeddingsCount(s, dir), AnnTargetBucket)
+    val truth  = topkBrute(s, dir).select(col("va"), col("vb"))
+    val ann    = annLsh(s, dir).select(col("va"), col("vb"), lit(1).as("hit"))
     truth
       .join(ann, Seq("va", "vb"), "left")
       .groupBy("va")
       .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
       .select(
         col("va"), col("n_true"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall_at_k"))
+        (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall_at_k"),
+        lit(coverageFloor(planes, NumTables)).as("expected_coverage"))
   }
 
   /** MMR geometry: candidate-pool depth, selections per query, and the
@@ -1038,7 +1055,10 @@ object Similarity {
              FROM cand JOIN e qa ON qa.vec_id = va JOIN e qb ON qb.vec_id = vb)
            WHERE rn <= $TopK)
          SELECT t.va, count(*) AS n_true, count(a.vb) AS n_hit,
-           CAST(count(a.vb) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
+           CAST(count(a.vb) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k,
+           (SELECT 1.0 - ${Seq.fill(NumTables)(
+             "(1.0 - 1.0 / CAST(1::BIGINT << planes AS DOUBLE))").mkString(" * ")}
+            FROM geo) AS expected_coverage
          FROM truth t LEFT JOIN ann a ON a.va = t.va AND a.vb = t.vb
          GROUP BY 1""",
     // same truth/ann CTEs as sim_recall_audit, rank-discounted: each

@@ -428,9 +428,10 @@ object Storage {
 
   /** Content-signature modulus: the Mersenne prime 2^61 - 1. Applied to
     * the exact DECIMAL(38,0) sum of per-doc hash60 terms so the output
-    * column is a plain BIGINT (driver-safe output type).
+    * column is a plain BIGINT (driver-safe output type). The oracle SQL
+    * below interpolates THIS constant, so the two engines cannot drift.
     */
-  val SigMod = 2305843009213693951L
+  val SigMod: Long = (1L << 61) - 1
 
   val queries: Map[String, Q] = Map(
     "bucket_join" -> (bucketJoin _),
@@ -468,7 +469,7 @@ object Storage {
          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          CAST(sum(CAST(${graft.functions.TextHash.duckHash60Of(
            "CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text, '')")}
-           AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS content_sig
+           AS DECIMAL(38,0))) % $SigMod AS BIGINT) AS content_sig
          FROM documents GROUP BY 1, 2""",
     // identical oracle shape: reads the ORIGINAL parquet, so equality with
     // the Spark side (which reads its own escaped-CSV rewrite) proves the
@@ -478,7 +479,7 @@ object Storage {
          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          CAST(sum(CAST(${graft.functions.TextHash.duckHash60Of(
            "CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text, '')")}
-           AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS content_sig
+           AS DECIMAL(38,0))) % $SigMod AS BIGINT) AS content_sig
          FROM documents GROUP BY 1, 2""",
     // same original-parquet oracle: equality proves the ORC columnar
     // round trip lossless
@@ -487,7 +488,7 @@ object Storage {
          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          CAST(sum(CAST(${graft.functions.TextHash.duckHash60Of(
            "CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text, '')")}
-           AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS content_sig
+           AS DECIMAL(38,0))) % $SigMod AS BIGINT) AS content_sig
          FROM documents GROUP BY 1, 2""",
     // same quantize -> Morton-order -> equal-slice file cut -> zone-map
     // summary, with the interleave spelled out as shift/mask arithmetic

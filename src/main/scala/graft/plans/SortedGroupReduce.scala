@@ -42,12 +42,17 @@ import graft.mr.MRApp
   * Same (c)-tier custom-operator pattern as [[GroupedTopK]]: LogicalPlan +
   * Strategy + UnaryExecNode, registered idempotently per session.
   */
-case class SortedGroupReduce(app: MRApp, child: LogicalPlan)
+case class SortedGroupReduce(
+    app: MRApp,
+    child: LogicalPlan,
+    // fresh output: the reduce rewrites both columns, nothing passes
+    // through. MUST be a constructor param, not a val — a val would mint
+    // NEW exprIds every time an optimizer rule copies the node
+    // (withNewChildInternal → copy), orphaning every upstream reference
+    // (surfaced as INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when `.rdd` adds a
+    // DeserializeToObject above the node).
+    override val output: Seq[Attribute] = SortedGroupReduce.freshOutput())
     extends UnaryNode {
-  // fresh output: the reduce rewrites both columns, nothing passes through
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("key", StringType, nullable = false)(),
-    AttributeReference("value", StringType, nullable = false)())
   override def producedAttributes: AttributeSet = AttributeSet(output)
   // the reduce consumes BOTH child columns through the app closure, which
   // Catalyst can't see — without this, ColumnPruning under a
@@ -145,13 +150,20 @@ case class SortedGroupReduceExec(
 
 object SortedGroupReduceStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case SortedGroupReduce(app, child) =>
+    case SortedGroupReduce(app, child, _) =>
       SortedGroupReduceExec(app, plan.output, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
 object SortedGroupReduce {
+
+  /** One (key, value) output pair, minted once per `reduce` call and then
+    * stable across every logical-plan copy.
+    */
+  def freshOutput(): Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
 
   /** Idempotent per-session strategy registration (the [[GroupedTopK]]
     * pattern).

@@ -73,14 +73,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("mr_indexer's reduce is the Catalyst-native secondary-sort exec") {
+  test("all three MR apps reduce through the Catalyst-native secondary-sort exec") {
     // the catalog path must plan shuffle + (key, value) sort inside the
     // SQL engine under SortedGroupReduceExec — not the RDD
-    // repartitionAndSortWithinPartitions path (opaque to AQE/metrics)
-    val p = plan("mr_indexer")
-    assert(p.contains("SortedGroupReduce"), p)
-    assert(p.contains("Sort ["), p)
-    assert(p.contains("hashpartitioning(key"), p)
+    // repartitionAndSortWithinPartitions path (opaque to AQE/metrics).
+    // All reference apps ride the custom exec (round-12: mr_wc and
+    // mr_metadata joined mr_indexer); the RDD and in-memory-group paths
+    // stay as differential twins in MapReduceJobSpec.
+    for (q <- Seq("mr_wc", "mr_indexer", "mr_metadata")) {
+      val p = plan(q)
+      assert(p.contains("SortedGroupReduce"), s"$q:\n$p")
+      assert(p.contains("Sort ["), s"$q:\n$p")
+      assert(p.contains("hashpartitioning(key"), s"$q:\n$p")
+    }
   }
 
   test("topk_global is TakeOrderedAndProject, not sort+limit") {
@@ -266,6 +271,67 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+
+  test("full catalog: every result schema is driver-safe (no DECIMAL/FLOAT output columns)") {
+    // the round-7-11 bug class, fenced: content_sig's DECIMAL(38,0)
+    // output hashed differently in Spark and DuckDB for five rounds even
+    // though every value matched. Internal decimal/float math stays
+    // unconstrained — only the RESULT schema is linted. Shared logic
+    // with the pre-commit smoke gate (Smoke.outputTypeViolation) so the
+    // two sweeps can't drift.
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, Sf0001)
+      Smoke.outputTypeViolation(df.schema).foreach { v =>
+        fail(s"$name has a driver-unsafe output column: $v (schema ${df.schema.simpleString})")
+      }
+    }
+  }
+
+  test("the two smoke audits actually fire on their target bug classes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // output-type lint: a DECIMAL result column (the cured content_sig
+    // class) and a FLOAT one must both be flagged; nested safe types pass
+    assert(Smoke.outputTypeViolation(
+      StructType(Seq(StructField("sig", DecimalType(38, 0))))).isDefined)
+    assert(Smoke.outputTypeViolation(
+      StructType(Seq(StructField("score", FloatType)))).isDefined)
+    assert(Smoke.outputTypeViolation(StructType(Seq(
+      StructField("k", StringType),
+      StructField("vs", ArrayType(LongType)),
+      StructField("nested", StructType(Seq(StructField("d", DoubleType))))))).isEmpty)
+    // global-window audit: an unpartitioned row_number over the lineitem
+    // fact table is the single-task-sort scale-killer it exists to catch
+    val w = org.apache.spark.sql.expressions.Window.orderBy("l_orderkey")
+    val df = Tables.lineitem(spark, Sf0001)
+      .withColumn("rn", row_number().over(w))
+    df.count()
+    assert(Smoke.unboundedGlobalWindow(df.queryExecution.executedPlan).isDefined,
+      s"audit missed a global window over a fact table:\n${df.queryExecution.executedPlan}")
+    // ...and the same window over a bounded (aggregated) input passes
+    val ok = Tables.lineitem(spark, Sf0001)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("n")))
+    ok.count()
+    assert(Smoke.unboundedGlobalWindow(ok.queryExecution.executedPlan).isEmpty)
+  }
+
+  test("full catalog: no unpartitioned window over an unbounded input") {
+    // an empty partitionSpec plans as AllTuples = ONE task; over a fact
+    // table that is the single-task-sort scale-killer. Bounded inputs
+    // (aggregate / limit / local scan beneath) are sanctioned
+    // structurally; everything else needs a boundedness argument in
+    // Smoke.GlobalWindowAllowed (same discipline as the nested-loop set).
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !Smoke.GlobalWindowAllowed(name)) {
+      val df = fn(spark, Sf0001)
+      df.count() // finalize AQE so the audited plan is the as-run plan
+      Smoke.unboundedGlobalWindow(df.queryExecution.executedPlan).foreach { w =>
+        fail(s"$name plans an unpartitioned window over an unbounded input: $w")
+      }
+    }
+  }
 
   test("text_bm25: partial+final WindowGroupLimit top-k, broadcast query maps, no pair shuffle") {
     val p = plan("text_bm25")

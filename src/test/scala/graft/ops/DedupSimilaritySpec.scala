@@ -365,8 +365,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
   test("sim_ndcg_audit: bounded by 1, recall-consistent, exact independent recompute") {
     val ndcg = Similarity.ndcgAudit(spark, Sf0001)
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
-    val recall = Similarity.recallAudit(spark, Sf0001)
+    val recallRows = Similarity.recallAudit(spark, Sf0001)
+    // expected_coverage: the geometry-derived noise floor, constant per
+    // SF, strictly below a sane measured recall (identical docs bucket
+    // together far above random collision)
+    val floor = Similarity.coverageFloor(
+      Similarity.planesFor(graft.Tables.embeddingsCount(spark, Sf0001),
+        Similarity.AnnTargetBucket),
+      Similarity.NumTables)
+    val covs = recallRows.select("expected_coverage").as[Double].collect().toSet
+    assert(covs == Set(floor), s"expected_coverage $covs != derived floor $floor")
+    assert(floor > 0.0 && floor < 1.0)
+    val recall = recallRows
+      .select("va", "n_true", "n_hit", "recall_at_k")
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val meanRecall = recall.values.map(_._4).sum / recall.size
+    assert(meanRecall > floor,
+      s"mean recall $meanRecall at the random-collision floor $floor — index returns noise")
     assert(ndcg.nonEmpty && ndcg.keySet == recall.keySet)
     // same truth/ann inputs -> identical hit accounting, and a perfect
     // set in any order can't beat the ideal ranking
@@ -723,6 +738,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall > 0.0)
     // the catalog's recall audit must report EXACTLY this set arithmetic
     val audit = Similarity.recallAudit(spark, Sf0001)
+      .select("va", "n_true", "n_hit", "recall_at_k")
       .as[(Long, Long, Long, Double)].collect()
     assert(audit.map(_._1).toSet == brute.map(_._1).toSet)
     audit.foreach { case (va, nTrue, nHit, r) =>

@@ -1555,7 +1555,11 @@ object Curation {
         col("q")) * lit(1e9)).cast("long")
     grp
       .crossJoin(broadcast(glob))
-      .join(cell, Seq("h", "vb", "event_type"), "left")
+      // cell is the (hour-of-day × value-bucket × type) grid — bounded
+      // by the bucket geometry, not the corpus; hinted so the zero-fill
+      // join stays broadcast at every SF (sf1 sweep: flipped to SMJ on
+      // the planner's crude estimate)
+      .join(broadcast(cell), Seq("h", "vb", "event_type"), "left")
       .select(col("h"), col("vb"), col("gsz"), tq.as("tq"))
       .groupBy("h", "vb", "gsz")
       .agg(sum("tq").as("stq"))

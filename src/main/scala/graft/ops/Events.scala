@@ -340,7 +340,9 @@ object Events {
         max(when(col("rn") === 1, col("m"))).as("peak_mean"))
       .withColumn("bsum",
         aggregate(sort_array(col("cells")), lit(0.0), (acc, x) => acc + x.getField("t")))
-      .join(tot, "event_type")
+      // tot: one row per event type — same sf1-sweep broadcast pin as
+      // changepointOf's total join
+      .join(broadcast(tot), "event_type")
       .select(
         col("event_type"), col("n"),
         ((col("bsum") - col("sx") * col("sx") / col("n").cast("double")) /
@@ -1009,7 +1011,10 @@ object Events {
     val mr  = ((col("st") - col("sk")).cast("double") / lit(1e9)) /
       (col("tt") - col("k")).cast("double")
     val scored = pre
-      .join(tot, "event_type")
+      // tot: one row per event type — hinted so the grid never
+      // re-shuffles to meet it (the sf1 sweep saw the unhinted plan flip
+      // to SMJ on the planner's crude aggregate-size estimate)
+      .join(broadcast(tot), "event_type")
       .filter(col("k") < col("tt"))
       .select(col("event_type"), col("hr"), col("k"), col("tt"),
         ml.as("mean_left"), mr.as("mean_right"),

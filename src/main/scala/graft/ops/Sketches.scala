@@ -256,7 +256,9 @@ object Sketches {
     val grid2 = belows.select(col("event_type"),
       explode(typedLit(QTargets)).as("pct"))
     grid2
-      .join(sel, Seq("event_type", "pct"), "left")
+      // sel: ≤ types × QTargets rows — hinted so the guard join stays
+      // broadcast at every SF (sf1 sweep: flipped to SMJ unhinted)
+      .join(broadcast(sel), Seq("event_type", "pct"), "left")
       .select(
         col("event_type"),
         col("pct"),

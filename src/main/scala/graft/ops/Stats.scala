@@ -722,7 +722,10 @@ object Stats {
     val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
     rows
       .crossJoin(broadcast(cols))
-      .join(cells, Seq("event_type", "h"), "left")
+      // cells is the contingency grid itself — ≤ types × 24 hour-of-day
+      // rows at ANY volume; hinted so the zero-fill join stays broadcast
+      // at every SF (sf1 sweep: the unhinted plan flipped to SMJ)
+      .join(broadcast(cells), Seq("event_type", "h"), "left")
       .na.fill(0L, Seq("o"))
       .crossJoin(broadcast(tot))
       .select(term.cast("decimal(38,9)").as("cell"), col("n"), col("nr"), col("nc"))
@@ -856,7 +859,12 @@ object Stats {
       ((col("cn") + 1) * (col("nd") + col("b"))).cast("double"))
       .cast("decimal(38,9)").cast("double")
     cells
-      .join(tot, "event_type")
+      // tot is one row per event type (app-bounded at ANY corpus size):
+      // explicit hint so the plan stays broadcast at every SF — the
+      // static planner's crude aggregate-size estimate flipped this to
+      // SMJ at sf1 (round-12 sweep), re-shuffling the bin grid for
+      // nothing
+      .join(broadcast(tot), "event_type")
       .select(col("event_type"), col("b"),
         ((p - q) * lnpq).cast("decimal(38,9)").as("term"))
       .groupBy("event_type")

@@ -344,21 +344,37 @@ object Storage {
     *
     * Scale shape: the quantize + interleave is a scan-side projection
     * (codegen'd native expression); the file cut is an EXACT GLOBAL RANK
-    * computed fully distributed by the `Curation.globalIds` pattern —
-    * `repartitionByRange` on the total sort key, per-partition
-    * row_number, plus a partitions-count-bounded offset table broadcast
-    * back in. `file_id = (rank-1)*ZFiles div N + 1` then cuts the
-    * ordered stream into ZFiles equal slices with plain integer
-    * arithmetic. No single-partition window or sort anywhere (the r8
-    * formulation ranked the whole table through one unpartitioned
-    * ntile — a one-task global sort that dies at scale;
-    * PlanAuditSpec now pins the distributed shape). Everything after
-    * the rank is a per-file partial aggregate: [[ZFiles]] output rows.
+    * with NO partition-identity dependence — rank = (prefix count of
+    * strictly-smaller z cells, read from the GRID HISTOGRAM) + (row
+    * number within the row's own z cell). The histogram is ≤ 2^16 rows
+    * at ANY corpus size (it's the quantizer grid, not the data), so its
+    * prefix sum is a window over a bounded aggregate and it broadcasts
+    * back onto the fact stream; the within-cell rank is a window
+    * PARTITIONED BY z — distributed across cells, each task sorting one
+    * cell's rows (occupancy-bounded; a skewed cell means the grid is
+    * too coarse — raise the quantizer resolution). `file_id =
+    * (rank-1)*ZFiles div N + 1` then cuts the ordered stream into
+    * ZFiles equal slices with plain integer arithmetic. Everything
+    * after the rank is a per-file partial aggregate: [[ZFiles]] output
+    * rows.
     *
-    * Determinism: the sort key (z, l_orderkey, l_linenumber) is total,
-    * so the global rank — and therefore every file boundary — is exact
-    * integer arithmetic both engines reproduce bit-for-bit, independent
-    * of where the sampled range-partition bounds fall.
+    * History: the r8 formulation ranked through one unpartitioned ntile
+    * (a one-task global sort); the r9-r11 formulation ranked via
+    * `repartitionByRange` + `spark_partition_id()` consumed by TWO
+    * branches — whose range exchanges AQE coalesced DIFFERENTLY at
+    * local[32] sf0.1, putting the two branches' pid spaces out of
+    * register and corrupting the file cut (caught by the round-12 full
+    * sf0.1 oracle check; invisible at sf0.01 and at low parallelism,
+    * where both branches coalesce identically). `spark_partition_id()`
+    * is only safe when every consumer reads ONE materialization of the
+    * exchange (the rangeCum identical-subtree discipline, or a
+    * checkpoint); deriving the rank from the value grid removes the
+    * dependence entirely.
+    *
+    * Determinism: ranks within a (z, l_orderkey, l_linenumber) tie are
+    * interchangeable — equal z means equal (qa, qb), so every output
+    * statistic is tie-order-free; everything else is exact integer
+    * arithmetic both engines reproduce bit-for-bit at any parallelism.
     */
   def zorderAudit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -369,24 +385,25 @@ object Storage {
       least(floor(col("l_extendedprice") / 500.0), lit(255L)).cast("long").as("qb"),
       col("l_orderkey"), col("l_linenumber"))
     val z = graft.functions.ZOrderFunctions.zorder2(s, col("qa"), col("qb"))
-    val parts = li.withColumn("z", z)
-      .repartitionByRange(col("z"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("pid", spark_partition_id())
-    val offsets = parts
-      .groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val withZ = li.withColumn("z", z)
+    // grid histogram: one row per occupied z cell (≤ 2^16 — bounded by
+    // the quantizer, not the corpus); its global windows sit over the
+    // aggregate, the structurally-sanctioned bounded shape
+    val hist = withZ.groupBy("z").agg(count(lit(1)).as("cnt"))
+    val cells = hist
       .withColumn("offset", coalesce(
         sum("cnt").over(
-          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          Window.orderBy("z").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("total", sum("cnt").over(
-        Window.orderBy("pid").rowsBetween(
+        Window.orderBy("z").rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select("pid", "offset", "total")
-    val local = Window.partitionBy("pid")
-      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
-    parts
-      .withColumn("rn", row_number().over(local).cast("long"))
-      .join(broadcast(offsets), "pid")
+      .select("z", "offset", "total")
+    val inCell = Window.partitionBy("z")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    withZ
+      .withColumn("rn", row_number().over(inCell).cast("long"))
+      .join(broadcast(cells), "z")
       .withColumn("file_id",
         expr(s"(offset + rn - 1) * $ZFiles div total + 1"))
       .groupBy("file_id")

@@ -54,22 +54,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   test("corpus_zorder ranks distributed: no single-partition window or sort over lineitem") {
     // r8 cut files with ntile over an UNPARTITIONED window — a one-task
-    // global sort of the whole table. The exact-rank rewrite must keep
-    // the lineitem-sized stream out of any unpartitioned Window/Sort:
-    // the only global windows allowed are the offset/total scans over
-    // the pid-grouped count, whose input is bounded by partition count.
+    // global sort of the whole table. The exact-rank formulation must
+    // keep the lineitem-sized stream out of any unpartitioned
+    // Window/Sort: the within-cell rank windows PARTITIONED BY z, and
+    // the only global windows allowed are the offset/total prefix sums
+    // over the z-grid HISTOGRAM, whose input is the grid-bounded
+    // aggregate (≤ 2^16 rows at any corpus size).
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     val sp = SparkEntry.queries("corpus_zorder")(spark, Sf0001)
       .queryExecution.sparkPlan
     val wins = sp.collect { case w: WindowExec => w }
     val (global, partitioned) = wins.partition(_.partitionSpec.isEmpty)
-    assert(partitioned.nonEmpty, s"expected the per-pid row_number window:\n$sp")
+    assert(partitioned.nonEmpty, s"expected the per-cell row_number window:\n$sp")
     global.foreach { w =>
       val bounded = w.collect { case a: BaseAggregateExec
-        if a.groupingExpressions.exists(_.toString.contains("pid")) => a }
+        if a.groupingExpressions.exists(_.toString.contains("z")) => a }
       assert(bounded.nonEmpty,
         s"unpartitioned window over an unbounded input:\n$w")
+    }
+    // the rank must NOT depend on partition identity: the r9-r11
+    // spark_partition_id() formulation broke at local[32]/sf0.1 when AQE
+    // coalesced its two consumer branches differently
+    assert(!sp.toString.contains("SPARK_PARTITION_ID"),
+      s"corpus_zorder ranks via partition identity again:\n$sp")
+  }
+
+  test("doc_global_ids: both pid consumers read ONE materialization of the range exchange") {
+    // globalIds DOES rank via spark_partition_id() — which is only safe
+    // when the offsets branch and the rank branch read the SAME exchange
+    // materialization. Its single-column discipline (parts carries
+    // exactly the range key) keeps the two subtrees canonically
+    // identical, so ReuseExchange fires; this pin is the guard that the
+    // discipline survives refactors (corpus_zorder lost it by carrying
+    // extra payload columns, and its two diverged exchanges coalesced
+    // differently under AQE at sf0.1 — the round-12 oracle-check catch).
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val p = plan("doc_global_ids")
+      assert(p.contains("ReusedExchange"),
+        s"globalIds' two branches materialize separate range exchanges:\n$p")
     }
   }
 

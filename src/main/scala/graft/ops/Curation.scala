@@ -1695,14 +1695,20 @@ object Curation {
     * chain, and the (score, id) order is total.
     */
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    // quality_score rides INSIDE the ord struct behind the unique
+    // (nq, id) prefix — the rangeCum frame carries EXACTLY
+    // (ok, n_tokens), the pid-alignment discipline (see shuffleShards)
     val q = TextAnalysis.quality(s, dir)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-      .withColumn("ok",
-        struct((-col("quality_score")).as("nq"), col("doc_id").as("id")))
+      .select(
+        struct(
+          (-col("quality_score")).as("nq"),
+          col("doc_id").as("id"),
+          col("quality_score").as("qs")).as("ok"),
+        col("n_tokens"))
     Stats.rangeCum(q, Seq(), "ok", "n_tokens", needTot = false)
       .select(
-        col("doc_id"),
-        col("quality_score"),
+        col("ok.id").as("doc_id"),
+        col("ok.qs").as("quality_score"),
         col("n_tokens"),
         col("cum").cast("long").as("cum_tokens"),
         (col("cum") <= TokenBudget).as("selected"))
@@ -1731,19 +1737,24 @@ object Curation {
     * written identically in both engines.
     */
   def shuffleShards(s: SparkSession, dir: String): DataFrame = {
+    // n_chars rides INSIDE the ord struct: (h, id) is a unique ordering
+    // prefix, so the extra field never affects the order — and the
+    // rangeCum frame carries EXACTLY (sk, one), keeping its two range
+    // exchanges canonically identical (the pid-alignment discipline;
+    // payload columns here were the corpus_zorder bug class)
     val d = Tables
       .documents(s, dir)
       .select(
-        col("doc_id"),
-        col("n_chars"),
-        TextHash.hash60(concat(col("doc_id").cast("string"), lit(":shard"))).as("shuffle_key"))
-      .withColumn("sk", struct(col("shuffle_key").as("h"), col("doc_id").as("id")))
-      .withColumn("one", lit(1L))
+        struct(
+          TextHash.hash60(concat(col("doc_id").cast("string"), lit(":shard"))).as("h"),
+          col("doc_id").as("id"),
+          col("n_chars").as("nc")).as("sk"),
+        lit(1L).as("one"))
     Stats.rangeCum(d, Seq(), "sk", "one", needTot = false)
       .select(
-        col("doc_id"),
-        col("n_chars"),
-        col("shuffle_key"),
+        col("sk.id").as("doc_id"),
+        col("sk.nc").as("n_chars"),
+        col("sk.h").as("shuffle_key"),
         col("cum").as("shuffle_pos"),
         expr(s"(cum - 1) div $ShardSize").as("shard_id"),
         expr(s"(cum - 1) % $ShardSize").as("pos_in_shard"))

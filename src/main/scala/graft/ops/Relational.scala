@@ -1054,16 +1054,26 @@ object Relational {
     val rev = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(38,6)")).as("c"))
+        .cast("decimal(38,6)")).as("own"))
+      .withColumn("v", negate(col("own")))
+    // rangeCum runs on the DISTINCT-revenue histogram — exactly
+    // (g, v, c), the pid-alignment discipline (the part key can't ride
+    // the ord struct here: revenue ties must SHARE a cumulative value,
+    // RANGE-frame semantics, and a unique ordering prefix would split
+    // them). The per-part rows equi-join back on the revenue value —
+    // tie-inclusive cum is identical by construction.
+    val hv = rev.groupBy(col("v"))
+      .agg(sum(col("own")).as("c"))
       .withColumn("g", lit(0))
-      .withColumn("v", negate(col("c")))
-    Stats.rangeCum(rev, Seq("g"), "v", "c")
+    val cumv = Stats.rangeCum(hv, Seq("g"), "v", "c")
+      .select(col("v"), col("cum"), col("tot"))
+    rev.join(cumv, "v")
       .select(
         col("l_partkey").as("p_partkey"),
-        col("c").cast("double").as("revenue"),
+        col("own").cast("double").as("revenue"),
         (col("cum").cast("double") / col("tot").cast("double")).as("cum_share"),
-        when((col("cum") - col("c")) * 5 < col("tot") * 4, "A")
-          .when((col("cum") - col("c")) * 20 < col("tot") * 19, "B")
+        when((col("cum") - col("own")) * 5 < col("tot") * 4, "A")
+          .when((col("cum") - col("own")) * 20 < col("tot") * 19, "B")
           .otherwise("C").as("abc_class"))
   }
 

@@ -62,6 +62,18 @@ object Stats {
       ord: String,
       cName: String,
       needTot: Boolean = true): DataFrame = {
+    // LOUD guard for the identical-subtree discipline the scaladoc
+    // describes: a payload column gets pruned out of the subtotal
+    // branch, the two range exchanges stop being canonically identical,
+    // ReuseExchange/AQE can no longer dedupe them — and two independent
+    // materializations can coalesce DIFFERENTLY, putting the pid spaces
+    // out of register (the corpus_zorder round-12 failure mode, caught
+    // live at sf0.1/local[32]). Callers pack payload INTO the ord
+    // struct (a unique ordering prefix makes extra fields inert).
+    require(hist.columns.toSet == (groups :+ ord :+ cName).toSet,
+      s"rangeCum needs EXACTLY (${(groups :+ ord :+ cName).mkString(", ")}) — " +
+        s"payload columns diverge the two range-exchange subtrees and break " +
+        s"pid alignment under AQE coalescing; got ${hist.columns.mkString(", ")}")
     val gc = groups.map(col)
     val ranged = hist
       .repartitionByRange((groups :+ ord).map(col): _*)

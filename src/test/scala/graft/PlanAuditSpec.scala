@@ -80,6 +80,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"corpus_zorder ranks via partition identity again:\n$sp")
   }
 
+  test("corpus_shards / curate_token_budget: rangeCum exchanges dedupe (pid alignment)") {
+    // these two callers carried payload columns into rangeCum until
+    // round 12 — the diverged-exchange bug class corpus_zorder hit live;
+    // they now pack payload into the ord struct and must show the same
+    // ReusedExchange the histogram callers pin (rangeCum itself also
+    // REQUIREs the exact column set, so this is belt and braces)
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      for (q <- Seq("corpus_shards", "curate_token_budget")) {
+        val p = plan(q)
+        assert(p.contains("ReusedExchange"),
+          s"$q's rangeCum branches materialize separate range exchanges:\n$p")
+      }
+    }
+  }
+
   test("doc_global_ids: both pid consumers read ONE materialization of the range exchange") {
     // globalIds DOES rank via spark_partition_id() — which is only safe
     // when the offsets branch and the rank branch read the SAME exchange

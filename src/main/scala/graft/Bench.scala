@@ -25,13 +25,21 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_LOCAL_DIR: scratch dir for shuffle files and spilled
+    // localCheckpoint blocks — the round-13 checkpoint-I/O variance probe
+    // points this at a tmpfs (harness-only knob; on a real cluster
+    // spark.local.dir is owned by the cluster manager)
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach { d =>
+      new java.io.File(d).mkdirs()
+      builder.config("spark.local.dir", d)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     spark.range(1000000).selectExpr("sum(id)").collect()

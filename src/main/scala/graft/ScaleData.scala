@@ -121,9 +121,13 @@ object ScaleData {
       Map("o_orderkey" -> orderS, "o_custkey" -> custS)))
     write("lineitem")(replicate(Tables.lineitem(s, src), reps,
       Map("l_orderkey" -> orderS, "l_partkey" -> partS, "l_suppkey" -> suppS)))
+    // events.user_id is drawn from the CUSTOMER key space (the streaming
+    // enrichment joins user_id = c_custkey), so it replicates with the
+    // customer stride — replica-r events point at replica-r customers,
+    // like every other foreign key here (ScaleDataSpec pins zero orphans)
     write("events")(replicate(Tables.events(s, src), reps,
       Map("event_id" -> stride(Tables.events(s, src), "event_id"),
-          "user_id"  -> stride(Tables.events(s, src), "user_id"))))
+          "user_id"  -> custS)))
     if (missing("documents")) { buildDocs(s, src, out, reps); println("[scale] built documents") }
     if (missing("embeddings")) { buildEmbeddings(s, src, out, reps); println("[scale] built embeddings") }
   }

@@ -17,12 +17,25 @@ import org.apache.spark.sql.SparkSession
   * Prints one line per query plus a summary: total, slowest-10, and the
   * flip list. Results are pasted into SCALING.md.
   *
+  * Round 13 pins the profile (verdict item 3): the committed expectation
+  * file [[ProfileFile]] records every query's (sf0.1, sf1) join profile;
+  * a full sweep FAILS (exit 2) on any drift from it — a NEW flip, a
+  * nested loop outside [[Smoke.NestedLoopAllowed]], or a query missing
+  * from the expectation. Adjudicated changes are re-recorded by running
+  * with `SPARK_GRAFT_WRITE_PROFILE=1`. Partial sweeps (query args) skip
+  * both the check and the write — the file stays whole-catalog.
+  *
+  * `SPARK_GRAFT_RUNS=n` (default 1) re-runs each query's sf1 pass n
+  * times and reports the MEDIAN — the verdict-item-4 mode for making
+  * slow-query regressions attributable against checkpoint-I/O variance.
+  *
   * Usage: `tools/scalesweep.sh [query ...]` — no args sweeps the whole
   * catalog.
   */
 object ScaleSweep {
   val Src = "/root/testdata/sf0.1"
   val Out = "target/sf1"
+  val ProfileFile = "tools/sf1_profile.tsv"
 
   private val JoinNodes = Seq(
     "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
@@ -74,6 +87,7 @@ object ScaleSweep {
                    err: Option[String]) {
       def flipped: Boolean = err.isEmpty && p01 != p1
     }
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(1)
     val rows = catalog.map { case (name, fn) =>
       try {
         // sf0.1 reference pass: cheap, gives the baseline join profile
@@ -81,14 +95,21 @@ object ScaleSweep {
         val d01 = fn(spark, Src)
         d01.count()
         val prof01 = joinProfile(d01)
-        val t0 = System.nanoTime()
-        val d1 = fn(spark, Out)
-        d1.count()
-        val sec = (System.nanoTime() - t0) / 1e9
+        val samples = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val d1 = fn(spark, Out)
+          d1.count()
+          ((System.nanoTime() - t0) / 1e9, d1)
+        }
+        // median of the wall times; profile from the median run's plan
+        val (sec, d1) = samples.sortBy(_._1).apply((runs - 1) / 2)
         val prof1 = joinProfile(d1)
         val r = Row(name, sec, prof01, prof1, None)
+        val spread = if (runs > 1)
+          f"  [min ${samples.map(_._1).min}%.2f max ${samples.map(_._1).max}%.2f n=$runs]"
+        else ""
         println(f"[sweep] $name%-24s ${r.sec1}%7.2f s  sf0.1[${fmtProfile(prof01)}]  sf1[${fmtProfile(prof1)}]" +
-          (if (r.flipped) "  FLIP" else ""))
+          (if (r.flipped) "  FLIP" else "") + spread)
         r
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -109,7 +130,46 @@ object ScaleSweep {
     println(s"[sweep] plan flips at 10x: ${flips.size}")
     for (r <- flips)
       println(s"[sweep]   ${r.name}: sf0.1[${fmtProfile(r.p01)}] -> sf1[${fmtProfile(r.p1)}]")
+
+    // ---- committed plan-profile pin (full sweeps only) ----------------
+    var drift = 0
+    val fullSweep = only.isEmpty
+    if (fullSweep && sys.env.get("SPARK_GRAFT_WRITE_PROFILE").contains("1")) {
+      val lines = ok.sortBy(_.name).map(r =>
+        s"${r.name}\t${fmtProfile(r.p01)}\t${fmtProfile(r.p1)}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(ProfileFile),
+        (("# query\tsf0.1_profile\tsf1_profile  (regenerate: SPARK_GRAFT_WRITE_PROFILE=1 tools/scalesweep.sh)"
+          +: lines).mkString("", "\n", "\n")).getBytes("UTF-8"))
+      println(s"[sweep] wrote ${lines.size} profiles to $ProfileFile")
+    } else if (fullSweep && new java.io.File(ProfileFile).exists()) {
+      val expected = scala.io.Source.fromFile(ProfileFile).getLines()
+        .filterNot(l => l.startsWith("#") || l.isEmpty)
+        .map { l => val f = l.split("\t"); f(0) -> (f(1), f(2)) }.toMap
+      for (r <- ok) {
+        val got = (fmtProfile(r.p01), fmtProfile(r.p1))
+        expected.get(r.name) match {
+          case None =>
+            println(s"[sweep] DRIFT ${r.name}: not in $ProfileFile (new query? " +
+              "re-record with SPARK_GRAFT_WRITE_PROFILE=1)")
+            drift += 1
+          case Some(exp) if exp != got =>
+            println(s"[sweep] DRIFT ${r.name}: expected sf0.1[${exp._1}] sf1[${exp._2}], " +
+              s"got sf0.1[${got._1}] sf1[${got._2}]")
+            drift += 1
+          case _ =>
+        }
+        // a nested loop at sf1 outside the sanctioned set fails even if
+        // the expectation file were stale enough to contain one
+        if (!Smoke.NestedLoopAllowed(r.name) &&
+            (r.p1.contains("BroadcastNestedLoopJoin") || r.p1.contains("CartesianProduct"))) {
+          println(s"[sweep] NESTED-LOOP at sf1: ${r.name} [${fmtProfile(r.p1)}]")
+          drift += 1
+        }
+      }
+      println(s"[sweep] profile check vs $ProfileFile: $drift drift(s)")
+    }
     spark.stop()
     if (rows.exists(_.err.isDefined)) sys.exit(1)
+    if (drift > 0) sys.exit(2)
   }
 }

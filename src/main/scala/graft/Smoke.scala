@@ -29,7 +29,10 @@ import org.apache.spark.sql.types._
   *  - unpartitioned-window pin ([[unboundedGlobalWindow]]): an empty
   *    partitionSpec plans as ONE task; it must sit over a bounded
   *    (aggregate/limit/local) input or carry a [[GlobalWindowAllowed]]
-  *    boundedness argument.
+  *    boundedness argument. Round 13 tightened [[bounded]] to a
+  *    cardinality-path walk: id-grouped aggregates no longer bound (their
+  *    output grows with the corpus), and a bounding node on the small
+  *    side of a join no longer sanctions the fact-sized join output.
   */
 object Smoke {
 
@@ -160,37 +163,94 @@ object Smoke {
 
   /** Collect every node of the FINAL physical plan, descending through
     * AQE wrappers and query-stage boundaries (after execution,
-    * AdaptiveSparkPlanExec.executedPlan is the as-run plan).
+    * AdaptiveSparkPlanExec.executedPlan is the as-run plan). Wrapper
+    * recursion and subquery recursion are independent — a subquery
+    * hanging directly off an AQE wrapper node is still collected
+    * (round-12 advice: the old mutually-exclusive match arms skipped it).
     */
   def finalPlanNodes(p: SparkPlan): Seq[SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val here = p.collect { case n => n }
-    here.flatMap {
-      case a: AdaptiveSparkPlanExec => finalPlanNodes(a.executedPlan)
-      case q: QueryStageExec        => finalPlanNodes(q.plan)
-      case r: ReusedExchangeExec    => finalPlanNodes(r.child)
-      case s if s.subqueries.nonEmpty => s.subqueries.flatMap(finalPlanNodes)
-      case _ => Nil
-    } ++ here
+    here ++ here.flatMap { n =>
+      val wrapped = n match {
+        case a: AdaptiveSparkPlanExec => finalPlanNodes(a.executedPlan)
+        case q: QueryStageExec        => finalPlanNodes(q.plan)
+        case r: ReusedExchangeExec    => finalPlanNodes(r.child)
+        case _                        => Nil
+      }
+      wrapped ++ n.subqueries.flatMap(finalPlanNodes)
+    }
+  }
+
+  /** Attribute names that look like per-entity keys: an aggregate GROUPED
+    * on one of these has output that grows with the corpus (one row per
+    * document/order/vector/...), so it does NOT bound a global window the
+    * way a grid/scalar aggregate does. Name-based by necessity — plans
+    * carry no cardinality proof — with [[GlobalWindowAllowed]] as the
+    * documented escape for a key-grouped aggregate that IS bounded.
+    * Grid keys like `pid` (partition id), `z` (z-order cell), `hour`
+    * deliberately do not match.
+    */
+  def corpusKeyedName(name: String): Boolean = {
+    val n = name.toLowerCase(java.util.Locale.ROOT)
+    n == "id" || n.endsWith("_id") || n.endsWith("key") || n.endsWith("_key") ||
+      n == "da" || n == "db" || n == "va" || n == "vb" ||
+      n == "sh" || n == "sig" || n == "digest"
+  }
+
+  /** Structural row-boundedness of a plan subtree — the input-cardinality
+    * walk behind [[unboundedGlobalWindow]]. Walks the CARDINALITY PATH
+    * only (round-12 advice: the old any-node-beneath search sanctioned a
+    * fact.join(aggregated_dim) input because the bounding aggregate sat on
+    * the join's small side):
+    *
+    *  - aggregates bound only when grouped on grid/scalar keys (no
+    *    [[corpusKeyedName]] columns — a `groupBy(doc_id)` output grows
+    *    with the corpus) or when their own input is bounded;
+    *  - limits / top-k / local scans / literal ranges bound;
+    *  - joins: semi/anti emit ≤ |left| (left bounded suffices); all other
+    *    types can emit up to |left|·|right|, so BOTH sides must bound;
+    *  - unions need every branch bounded; unary nodes pass through
+    *    (known residual: a Generate exploding an aggregate-collected
+    *    corpus array passes — but the collect itself is the scale bug a
+    *    plan review catches first); leaves (file/RDD scans) do not bound.
+    */
+  def bounded(n: SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftAnti, LeftSemi}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+      LocalTableScanExec, RangeExec, TakeOrderedAndProjectExec, UnionExec}
+    n match {
+      case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case q: QueryStageExec        => bounded(q.plan)
+      case r: ReusedExchangeExec    => bounded(r.child)
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.isEmpty ||
+          !a.groupingExpressions.exists(_.references.exists(r => corpusKeyedName(r.name))) ||
+          bounded(a.child)
+      case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec |
+           _: LocalTableScanExec | _: RangeExec => true
+      case j: BaseJoinExec => j.joinType match {
+        case LeftSemi | LeftAnti | _: ExistenceJoin => bounded(j.left)
+        case _ => bounded(j.left) && bounded(j.right)
+      }
+      case u: UnionExec => u.children.forall(bounded)
+      case p if p.children.size == 1 => bounded(p.children.head)
+      case _ => false
+    }
   }
 
   /** Unpartitioned-window audit: every WindowExec / WindowGroupLimitExec
-    * with an empty partitionSpec must have a row-bounding node (aggregate,
-    * limit, local scan) beneath it in the traversable plan — otherwise the
-    * single AllTuples task sorts an input that grows with the corpus.
-    * Returns the offending node's name, or None.
+    * with an empty partitionSpec must have a row-[[bounded]] input —
+    * otherwise the single AllTuples task sorts an input that grows with
+    * the corpus. Returns the offending node's name, or None.
     */
   def unboundedGlobalWindow(plan: SparkPlan): Option[String] = {
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
-      LocalTableScanExec, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    def bounded(n: SparkPlan): Boolean = finalPlanNodes(n).exists {
-      case _: BaseAggregateExec | _: GlobalLimitExec | _: LocalLimitExec |
-           _: LocalTableScanExec | _: TakeOrderedAndProjectExec => true
-      case _ => false
-    }
     finalPlanNodes(plan).collectFirst {
       case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
         s"WindowExec(${w.windowExpression.mkString(",").take(80)})"

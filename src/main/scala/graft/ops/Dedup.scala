@@ -469,6 +469,50 @@ object Dedup {
       .filter(col("contain_a") >= ContainMin || col("contain_b") >= ContainMin)
   }
 
+  /** Family-mass-capped containment — the 100 TB-safe twin of
+    * [[containment]], same discipline as [[fuzzyCapped]]: the all-pairs
+    * screen is Ω(true-pair mass) = O(m²) in near-dup family size, so this
+    * variant elects a canonical per rare shingle (min doc_id among the
+    * ≤ [[DfCap]] docs carrying it) and recounts the FULL intersection
+    * only for member↔canonical pairs. Candidate volume is ≤ the rare
+    * shingle row count — linear in the corpus under any family-mass
+    * distribution — and the emitted containments stay exact (the recount
+    * runs over ALL shingles, as in [[containment]]). `skipped` audits,
+    * per member db, the (shingle, mate) pairing slots not verified
+    * (Σ over its rare shingles of df−2; mates shared through several
+    * shingles count once per shingle).
+    *
+    * Output: (da, db, contain_a, contain_b, skipped), rows passing
+    * either directional containment ≥ [[ContainMin]].
+    */
+  def containmentCapped(s: SparkSession, dir: String): DataFrame =
+    containmentCappedOf(Tables.documents(s, dir))
+
+  def containmentCappedOf(docs: DataFrame): DataFrame = {
+    // sh feeds the df/rep aggregate, the member join, the size table and
+    // both recount sides — materialize the tokenize+hash+distinct once
+    // (the ngramOf tradeoff)
+    val sh  = docShinglesOf(docs).transform(Ckpt.apply)
+    val rsz = sh.groupBy("sh")
+      .agg(count(lit(1)).as("m"), min("doc_id").as("rep"))
+      .filter(col("m") <= DfCap)
+    val memb = sh.join(rsz, Seq("sh"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("da"), col("doc_id").as("db"), col("m"))
+    val cand  = memb.select("da", "db").distinct()
+    val skip  = memb.groupBy("db").agg(sum(col("m") - 2).as("skipped"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ca = col("i").cast("double") / col("na").cast("double")
+    val cb = col("i").cast("double") / col("nb").cast("double")
+    interCounts(cand, sh)
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), ca.as("contain_a"), cb.as("contain_b"))
+      .filter(col("contain_a") >= ContainMin || col("contain_b") >= ContainMin)
+      .join(skip, "db")
+      .select("da", "db", "contain_a", "contain_b", "skipped")
+  }
+
   /** Snapshot diff between two corpus versions — the audit a versioned
     * data pipeline emits with every release: which documents were
     * removed, which changed, which survived untouched. The "new
@@ -674,16 +718,78 @@ object Dedup {
     * boilerplate variants that token-set Jaccard scores too leniently.
     * Levenshtein is O(|a|·|b|) per pair, which is exactly why it runs
     * only on blocked candidates, never all pairs.
+    *
+    * Scale caveat (measured at sf1, SCALING.md): all-pairs-within-bucket
+    * semantics make verify work Ω(true near-dup pair mass) = O(m²) in
+    * family size m. Production boilerplate families (templates, headers)
+    * reach millions of members; use [[fuzzyCapped]] there — it verifies
+    * member↔canonical only, linear in m, and audits what it skipped.
     */
-  def fuzzy(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+  def fuzzy(s: SparkSession, dir: String): DataFrame =
+    fuzzyOf(Tables.documents(s, dir))
+
+  def fuzzyOf(docs: DataFrame): DataFrame = {
+    val d    = docs.select(col("doc_id"), col("text"))
     val dist = levenshtein(col("ta"), col("tb")).cast("long")
     val rel  = dist.cast("double") / greatest(length(col("ta")), length(col("tb"))).cast("double")
-    minhashCands(docShingles(s, dir))
-      .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), "da")
-      .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+    minhashCands(docShinglesOf(docs))
+      .join(d.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+      .join(d.select(col("doc_id").as("db"), col("text").as("tb")), "db")
       .select(col("da"), col("db"), dist.as("dist"), rel.as("rel"))
       .filter(col("rel") <= FuzzyMaxRel)
+  }
+
+  /** Family-mass-capped fuzzy dedup — the 100 TB-safe twin of [[fuzzy]].
+    *
+    * [[fuzzy]] (and every all-pairs-within-bucket verifier) does work
+    * proportional to TRUE near-dup pair mass, which is O(m²) in family
+    * size m — a million-member boilerplate family (site templates, legal
+    * headers) is a job-killer even though every per-bucket join is an
+    * equi-join. This variant caps verification at the blocking stage,
+    * BEFORE any pair forms: each LSH bucket elects a canonical
+    * representative (its smallest doc_id) and only member↔representative
+    * pairs are verified. A bucket of m docs emits m−1 candidate pairs
+    * instead of m(m−1)/2, so total verify work is ≤ bands × corpus rows —
+    * linear in the corpus no matter how the family mass is distributed
+    * (DedupCappedSpec proves linearity on a planted 1,000-member family).
+    *
+    * That is exactly the dedup decision a pipeline needs — members verify
+    * against the doc that would be KEPT — but it is not the full pair
+    * audit, so every emitted row carries a truncation-audit column:
+    * `skipped` = how many bucket-mate pairings of `db` were NOT verified
+    * (Σ over db's buckets of m−2; a mate shared through two bands counts
+    * twice, making the column the exact count of skipped (bucket, mate)
+    * slots rather than distinct mates — an upper bound on distinct
+    * skipped partners, cheap to compute at any scale).
+    *
+    * Output: (da, db, dist, rel, skipped) with da the bucket canonical,
+    * rows passing rel ≤ [[FuzzyMaxRel]] — the same verify rule as
+    * [[fuzzy]].
+    */
+  def fuzzyCapped(s: SparkSession, dir: String): DataFrame =
+    fuzzyCappedOf(Tables.documents(s, dir))
+
+  def fuzzyCappedOf(docs: DataFrame): DataFrame = {
+    val bands = bandSignatures(docShinglesOf(docs))
+    // per-bucket size + canonical; bands feeds the aggregate and the
+    // member join with the identical (band, sig) shuffle → ReusedExchange
+    val bsz = bands.groupBy("band", "sig")
+      .agg(count(lit(1)).as("m"), min("doc_id").as("rep"))
+    val memb = bands.join(bsz, Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("da"), col("doc_id").as("db"), col("m"))
+    val cand = memb.select("da", "db").distinct()
+    val skip = memb.groupBy("db").agg(sum(col("m") - 2).as("skipped"))
+    val d    = docs.select(col("doc_id"), col("text"))
+    val dist = levenshtein(col("ta"), col("tb")).cast("long")
+    val rel  = dist.cast("double") / greatest(length(col("ta")), length(col("tb"))).cast("double")
+    cand
+      .join(d.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+      .join(d.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+      .select(col("da"), col("db"), dist.as("dist"), rel.as("rel"))
+      .filter(col("rel") <= FuzzyMaxRel)
+      .join(skip, "db")
+      .select("da", "db", "dist", "rel", "skipped")
   }
 
   // ---------------------------------------------------------------- simhash
@@ -1109,6 +1215,7 @@ object Dedup {
     "dedup_exact"     -> (exact _),
     "dedup_ngram"     -> (ngram _),
     "dedup_containment" -> (containment _),
+    "dedup_containment_capped" -> (containmentCapped _),
     "corpus_diff"     -> (snapshotDiff _),
     "dedup_minhash"   -> (minhash _),
     "dedup_incremental" -> (incremental _),
@@ -1116,6 +1223,7 @@ object Dedup {
     "dedup_embedding" -> (embedding _),
     "dedup_clusters"  -> (clusters _),
     "dedup_fuzzy"     -> (fuzzy _),
+    "dedup_fuzzy_capped" -> (fuzzyCapped _),
     "dedup_apply"     -> (exactApply _),
     "dedup_bias"      -> (dedupBias _),
     "text_span_dedup" -> (spanDedup _),
@@ -1159,13 +1267,20 @@ object Dedup {
     * — shared by the Jaccard-verified pairs chain and the fuzzy
     * (edit-distance-verified) oracle.
     */
-  private[ops] val duckMinhashCandCte =
+  /** The minhash WITH-chain up to the per-doc band-signature table
+    * `bands(doc_id, band, sig)` — shared by the all-pairs candidate CTE
+    * and the capped (member↔bucket-canonical) fuzzy oracle.
+    */
+  private[ops] val duckBandsCte =
     s"""sh AS ($duckShingles),
        based AS (SELECT doc_id, sh % $ModP h32 FROM sh),
        mh AS (SELECT doc_id, j, min(((2*j+1)*h32 + 7919*j) % $ModP) mh
               FROM based CROSS JOIN (SELECT unnest(range(0, $NumHashes)) j) GROUP BY 1, 2),
        bands AS (SELECT doc_id, j // $BandRows band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) sig
-                 FROM mh GROUP BY 1, 2),
+                 FROM mh GROUP BY 1, 2)"""
+
+  private[ops] val duckMinhashCandCte =
+    s"""$duckBandsCte,
        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
                 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
 
@@ -1230,6 +1345,26 @@ object Dedup {
          FROM inter JOIN sizes x ON x.doc_id = da JOIN sizes y ON y.doc_id = db
          WHERE CAST(i AS DOUBLE) / CAST(x.n AS DOUBLE) >= $ContainMin
             OR CAST(i AS DOUBLE) / CAST(y.n AS DOUBLE) >= $ContainMin""",
+    "dedup_containment_capped" ->
+      s"""WITH sh AS ($duckShingles),
+         rsz AS (SELECT sh, count(*) m, min(doc_id) rep FROM sh GROUP BY 1
+                 HAVING count(*) <= $DfCap),
+         memb AS (SELECT r.rep da, a.doc_id db, r.m
+                  FROM sh a JOIN rsz r ON a.sh = r.sh WHERE a.doc_id <> r.rep),
+         cand AS (SELECT DISTINCT da, db FROM memb),
+         skip AS (SELECT db, CAST(sum(m - 2) AS BIGINT) AS skipped FROM memb GROUP BY 1),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.da, c.db, count(*) AS i
+                   FROM cand c JOIN sh x ON x.doc_id = c.da
+                               JOIN sh y ON y.doc_id = c.db AND y.sh = x.sh
+                   GROUP BY 1, 2)
+         SELECT da, db, contain_a, contain_b, skipped FROM (
+           SELECT da, db,
+             CAST(i AS DOUBLE) / CAST(x.n AS DOUBLE) AS contain_a,
+             CAST(i AS DOUBLE) / CAST(y.n AS DOUBLE) AS contain_b
+           FROM inter JOIN sizes x ON x.doc_id = da JOIN sizes y ON y.doc_id = db)
+         JOIN skip USING (db)
+         WHERE contain_a >= $ContainMin OR contain_b >= $ContainMin""",
     "dedup_minhash" ->
       s"""WITH $duckMinhashPairsCte
          SELECT da, db, jaccard FROM pairs""",
@@ -1251,6 +1386,21 @@ object Dedup {
              CAST(levenshtein(x.text, y.text) AS DOUBLE) /
                CAST(greatest(length(x.text), length(y.text)) AS DOUBLE) AS rel
            FROM cand JOIN documents x ON x.doc_id = da JOIN documents y ON y.doc_id = db)
+         WHERE rel <= $FuzzyMaxRel""",
+    "dedup_fuzzy_capped" ->
+      s"""WITH $duckBandsCte,
+         bsz AS (SELECT band, sig, count(*) m, min(doc_id) rep FROM bands GROUP BY 1, 2),
+         memb AS (SELECT b.rep da, a.doc_id db, b.m
+                  FROM bands a JOIN bsz b ON a.band = b.band AND a.sig = b.sig
+                  WHERE a.doc_id <> b.rep),
+         cand AS (SELECT DISTINCT da, db FROM memb),
+         skip AS (SELECT db, CAST(sum(m - 2) AS BIGINT) AS skipped FROM memb GROUP BY 1)
+         SELECT da, db, dist, rel, skipped FROM (
+           SELECT da, db, CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist,
+             CAST(levenshtein(x.text, y.text) AS DOUBLE) /
+               CAST(greatest(length(x.text), length(y.text)) AS DOUBLE) AS rel
+           FROM cand JOIN documents x ON x.doc_id = da JOIN documents y ON y.doc_id = db)
+         JOIN skip USING (db)
          WHERE rel <= $FuzzyMaxRel""",
     "dedup_simhash" ->
       s"""WITH tc AS (SELECT doc_id, t, count(*) c FROM

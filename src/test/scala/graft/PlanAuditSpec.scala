@@ -355,6 +355,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(Smoke.unboundedGlobalWindow(ok.queryExecution.executedPlan).isEmpty)
   }
 
+  test("round-13 lint closures: id-grouped aggregates and small-side joins do not bound") {
+    import org.apache.spark.sql.functions._
+    val gw = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    // an aggregate grouped on a per-entity key has output that grows with
+    // the corpus — one row per doc — so a global window over it is still
+    // the single-task sort (the round-12 boundedness hole)
+    val idGrouped = Tables.documents(spark, Sf0001)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(gw))
+    idGrouped.count()
+    assert(Smoke.unboundedGlobalWindow(idGrouped.queryExecution.executedPlan).isDefined,
+      "audit missed a global window over an id-grouped (corpus-sized) aggregate")
+    // a bounding aggregate on the SMALL side of a join does not bound the
+    // fact-sized join output (round-12 advice): fact.join(aggregated_dim)
+    // under a global window must still be flagged
+    val dim = Tables.lineitem(spark, Sf0001)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val factJoin = Tables.lineitem(spark, Sf0001)
+      .join(dim, "l_returnflag")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("l_orderkey")))
+    factJoin.count()
+    assert(Smoke.unboundedGlobalWindow(factJoin.queryExecution.executedPlan).isDefined,
+      "audit missed a global window over a fact.join(aggregated_dim) input")
+    // ...while a semi join against the fact keeps its bounded LEFT side
+    // bounded: output <= |left|
+    val semi = dim
+      .join(Tables.lineitem(spark, Sf0001), Seq("l_returnflag"), "left_semi")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("n")))
+    semi.count()
+    assert(Smoke.unboundedGlobalWindow(semi.queryExecution.executedPlan).isEmpty,
+      "semi join against a bounded left side is output-bounded and must pass")
+  }
+
   test("full catalog: no unpartitioned window over an unbounded input") {
     // an empty partitionSpec plans as AllTuples = ONE task; over a fact
     // table that is the single-task-sort scale-killer. Bounded inputs

@@ -39,6 +39,20 @@ class ScaleDataSpec extends AnyFunSuite with SparkTestBase {
     assert(orphans("lineitem", "l_suppkey", "supplier", "s_suppkey") == 0)
     assert(orphans("orders", "o_custkey", "customer", "c_custkey") == 0)
     assert(orphans("customer", "c_nationkey", "nation", "n_nationkey") == 0)
+    // events.user_id is drawn from the customer key space (the streaming
+    // enrichment joins user_id = c_custkey); replicas must point at their
+    // own replica's customers, not leak into another replica's key range
+    assert(orphans("events", "user_id", "customer", "c_custkey") == 0)
+  }
+
+  test("2x replica: events.user_id stays within its own replica's customer range") {
+    val custS = Tables.customer(spark, Sf0001)
+      .agg(max(col("c_custkey"))).collect()(0).getLong(0) + 1L
+    val crossReplica = Tables.events(spark, out)
+      .join(Tables.events(spark, Sf0001).select(col("event_id")), Seq("event_id"), "left_anti")
+      .filter(col("user_id") < custS) // a replica-1 event pointing at replica-0 customers
+      .count()
+    assert(crossReplica == 0, s"$crossReplica replica-1 events reference replica-0 customers")
   }
 
   test("2x replica: join fan-out scales exactly linearly, keys stay unique") {

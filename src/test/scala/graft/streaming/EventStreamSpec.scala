@@ -554,4 +554,43 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == want)
   }
+
+  test("every streaming twin's sink schema is driver-safe (output-type lint)") {
+    // round-13: the batch catalog's output-type lint (no DECIMAL/FLOAT
+    // result columns — the round-7-11 hash-compare bug class) extended to
+    // the streaming sinks, which live outside SparkEntry.queries and so
+    // outside the smoke gate. Schema derivation needs no query start.
+    import org.apache.spark.sql.Encoders
+    import graft.Smoke
+    val src = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(streamDir)
+    val untyped = Seq(
+      "hourly"            -> EventStream.hourly(src),
+      "sliding"           -> EventStream.sliding(src),
+      "sessions"          -> EventStream.sessions(src),
+      "sessionsDynamic"   -> EventStream.sessionsDynamic(src),
+      "clickPurchaseJoin" -> EventStream.clickPurchaseJoin(src),
+      "enrich"            -> EventStream.enrich(src, Tables.customer(spark, Sf0001)),
+      "dedup"             -> EventStream.dedup(src),
+      "moments"           -> EventStream.moments(src),
+      "ingestProfile"     -> CorpusStream.ingestProfile(
+        Tables.documents(spark, Sf0001)))
+    for ((n, df) <- untyped)
+      Smoke.outputTypeViolation(df.schema).foreach(v =>
+        fail(s"streaming sink $n has a driver-unsafe output column: $v"))
+    // typed transforms: the sink schema IS the result encoder's schema
+    val typed = Seq(
+      "AnomalyCount"   -> Encoders.product[AnomalyCount].schema,
+      "HllEstimate"    -> Encoders.product[HllEstimate].schema,
+      "Lifetime"       -> Encoders.product[Lifetime].schema,
+      "FunnelStage"    -> Encoders.product[FunnelStage].schema,
+      "AttributedConv" -> Encoders.product[AttributedConv].schema,
+      "Session"        -> Encoders.product[Session].schema,
+      "DocDiff"        -> Encoders.product[DocDiff].schema,
+      "DeltaMatch"     -> Encoders.product[DeltaMatch].schema)
+    for ((n, schema) <- typed)
+      Smoke.outputTypeViolation(schema).foreach(v =>
+        fail(s"streaming sink $n has a driver-unsafe output column: $v"))
+  }
 }

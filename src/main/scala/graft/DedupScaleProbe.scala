@@ -41,6 +41,35 @@ object DedupScaleProbe {
     (r.getLong(0), r.getLong(1).toDouble / r.getLong(0))
   }
 
+  /** Adversarial-family-mass probe (round-13): the 10× corpus augmented
+    * with ONE planted boilerplate family of `fam` near-identical docs —
+    * the million-member-template regime in miniature. Reports, on the
+    * SAME corpus, the capped path's candidate count and full verify wall
+    * time vs the exact twin's candidate count (counted, NOT verified:
+    * its Levenshtein bill is candidates × the same per-pair cost, i.e.
+    * ~fam/2 × the capped bill by construction). The capped candidates
+    * grow by ≤ bands × fam (linear); the exact twin's by fam²/2.
+    */
+  private def giantFamily(s: SparkSession, fam: Int): Unit = {
+    val base = Tables.documents(s, Out).select("doc_id", "text")
+    val n = base.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+    val words = (0 until 40)
+      .map(i => s"boiler${('a' + i % 26).toChar}${('a' + i / 26).toChar}").mkString(" ")
+    val planted = s.range(0, fam)
+      .select((col("id") + n).as("doc_id"), lit(words).as("text"))
+    val docs = base.unionByName(planted).transform(Ckpt.apply)
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] giant_family($fam) $what%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val cc = timed("capped_cands(count)") { ops.Dedup.fuzzyCappedCandCount(docs) }
+    val cv = timed("capped_verify(full)") { ops.Dedup.fuzzyCappedOf(docs).count() }
+    val ec = timed("exact_cands(count)") { ops.Dedup.minhashCandCount(docs) }
+    println(f"[scale] giant_family($fam) capped_cands=$cc%-10d capped_verified=$cv%-8d " +
+      f"exact_cands=$ec%-12d exact/capped=${ec.toDouble / cc}%.1fx")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -60,12 +89,14 @@ object DedupScaleProbe {
       if (args.nonEmpty) args.toSeq
       else Seq("dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_simhash", "dedup_fuzzy",
         "dedup_embedding")
+    if (queries.contains("giant_family"))
+      giantFamily(spark, args.find(_.startsWith("fam=")).map(_.drop(4).toInt).getOrElse(5000))
     if (queries.contains("ann_recall"))
       for ((tag, dir) <- Seq("1x" -> Src, "10x" -> Out)) {
         val (n, rec) = annRecall(spark, dir)
         println(f"[scale] ann_recall       $tag%-3s truth_pairs=$n%-8d recall=$rec%.4f")
       }
-    for (q <- queries.filterNot(_ == "ann_recall");
+    for (q <- queries.filterNot(q => q == "ann_recall" || q == "giant_family" || q.startsWith("fam="));
          (tag, dir) <- Seq("1x" -> Src, "10x" -> Out)) {
       // warm run (codegen/plan), then the timed run. Verdict-style
       // queries (is_dup column) count FLAGGED rows: a bare count() on

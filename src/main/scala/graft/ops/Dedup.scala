@@ -496,11 +496,15 @@ object Dedup {
     val rsz = sh.groupBy("sh")
       .agg(count(lit(1)).as("m"), min("doc_id").as("rep"))
       .filter(col("m") <= DfCap)
+    // one member pass: groupBy(da, db) is the candidate distinct, and the
+    // per-pair skipped mass re-aggregates to the per-doc audit (the
+    // fuzzyCapped discipline)
     val memb = sh.join(rsz, Seq("sh"))
       .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("da"), col("doc_id").as("db"), col("m"))
-    val cand  = memb.select("da", "db").distinct()
-    val skip  = memb.groupBy("db").agg(sum(col("m") - 2).as("skipped"))
+      .groupBy(col("rep").as("da"), col("doc_id").as("db"))
+      .agg(sum(col("m") - 2).as("part"))
+    val cand  = memb.select("da", "db")
+    val skip  = memb.groupBy("db").agg(sum(col("part")).as("skipped"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ca = col("i").cast("double") / col("na").cast("double")
     val cb = col("i").cast("double") / col("nb").cast("double")
@@ -734,10 +738,36 @@ object Dedup {
     val rel  = dist.cast("double") / greatest(length(col("ta")), length(col("tb"))).cast("double")
     minhashCands(docShinglesOf(docs))
       .join(d.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+      .transform(spreadVerify)
       .join(d.select(col("doc_id").as("db"), col("text").as("tb")), "db")
       .select(col("da"), col("db"), dist.as("dist"), rel.as("rel"))
       .filter(col("rel") <= FuzzyMaxRel)
   }
+
+  /** Parallelism pin for the Levenshtein verify stage. AQE coalesces
+    * post-shuffle partitions by BYTE size, but the verify stage's cost is
+    * the O(|a|·|b|) edit-distance DP — measured at sf1: the capped path's
+    * 91k candidate pairs (~58 MB with texts) coalesced to ONE partition
+    * and a single thread ran all 9.5e9 DP cell operations sequentially
+    * (99 s), while the exact path's 215 MB happened to stay wide (62 s
+    * for 3.7× the work).
+    *
+    * Placement matters: the rel-threshold FILTER contains the
+    * Levenshtein call and predicate-pushdown sinks it to just above the
+    * final (db) text join, so pinning must target THAT join's stage, not
+    * a repartition above it (tried first — the filter pushed straight
+    * through it back into the one-task stage). Repartitioning the
+    * pair stream by db with an explicit partition count BETWEEN the two
+    * text joins makes the db join consume the pinned distribution
+    * (EnsureRequirements adds no further exchange; AQE cannot coalesce a
+    * user-pinned count), so the join output stage — where the pushed
+    * filter actually evaluates — is guaranteed defaultParallelism wide.
+    * Cost: the da-side text join's output shuffles once more;
+    * proportional to verify input, which the blocking stage bounds.
+    */
+  private def spreadVerify(pairs: DataFrame): DataFrame =
+    pairs.repartition(
+      pairs.sparkSession.sparkContext.defaultParallelism, col("db"))
 
   /** Family-mass-capped fuzzy dedup — the 100 TB-safe twin of [[fuzzy]].
     *
@@ -775,21 +805,56 @@ object Dedup {
     // member join with the identical (band, sig) shuffle → ReusedExchange
     val bsz = bands.groupBy("band", "sig")
       .agg(count(lit(1)).as("m"), min("doc_id").as("rep"))
-    val memb = bands.join(bsz, Seq("band", "sig"))
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("da"), col("doc_id").as("db"), col("m"))
-    val cand = memb.select("da", "db").distinct()
-    val skip = memb.groupBy("db").agg(sum(col("m") - 2).as("skipped"))
+    // ONE member pass builds both outputs: the groupBy(da, db) IS the
+    // candidate distinct, and the per-pair skipped-slot mass re-aggregates
+    // to the per-doc audit — the band machinery is never traversed twice
+    val memb = fuzzyCappedCandsOf(bands, bsz)
+    val skip = memb.groupBy("db").agg(sum(col("part")).as("skipped"))
     val d    = docs.select(col("doc_id"), col("text"))
     val dist = levenshtein(col("ta"), col("tb")).cast("long")
     val rel  = dist.cast("double") / greatest(length(col("ta")), length(col("tb"))).cast("double")
-    cand
+    memb
+      .select("da", "db")
       .join(d.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+      .transform(spreadVerify)
       .join(d.select(col("doc_id").as("db"), col("text").as("tb")), "db")
       .select(col("da"), col("db"), dist.as("dist"), rel.as("rel"))
       .filter(col("rel") <= FuzzyMaxRel)
       .join(skip, "db")
       .select("da", "db", "dist", "rel", "skipped")
+  }
+
+  /** Capped candidate pairs (da = bucket canonical, db = member) with the
+    * member's skipped-slot mass from da's buckets: one aggregation over
+    * the member stream. Factored out so [[DedupScaleProbe]] can count
+    * candidate volume against the exact twin's [[minhashCandsOf]].
+    */
+  private def fuzzyCappedCandsOf(bands: DataFrame, bsz: DataFrame): DataFrame =
+    bands.join(bsz, Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("rep"))
+      .groupBy(col("rep").as("da"), col("doc_id").as("db"))
+      .agg(sum(col("m") - 2).as("part"))
+
+  /** Probe hooks: candidate-pair streams of the capped and exact fuzzy
+    * paths over an arbitrary docs frame (counting only — no verify).
+    */
+  private[graft] def fuzzyCappedCandCount(docs: DataFrame): Long = {
+    val bands = bandSignatures(docShinglesOf(docs))
+    val bsz = bands.groupBy("band", "sig")
+      .agg(count(lit(1)).as("m"), min("doc_id").as("rep"))
+    fuzzyCappedCandsOf(bands, bsz).count()
+  }
+
+  private[graft] def minhashCandCount(docs: DataFrame): Long =
+    minhashCands(docShinglesOf(docs)).count()
+
+  private[graft] def minhashCandsPub(sh: DataFrame): DataFrame = minhashCands(sh)
+
+  private[graft] def fuzzyCappedCandsPub(sh: DataFrame): DataFrame = {
+    val bands = bandSignatures(sh)
+    val bsz = bands.groupBy("band", "sig")
+      .agg(count(lit(1)).as("m"), min("doc_id").as("rep"))
+    fuzzyCappedCandsOf(bands, bsz).select("da", "db")
   }
 
   // ---------------------------------------------------------------- simhash
@@ -1349,10 +1414,11 @@ object Dedup {
       s"""WITH sh AS ($duckShingles),
          rsz AS (SELECT sh, count(*) m, min(doc_id) rep FROM sh GROUP BY 1
                  HAVING count(*) <= $DfCap),
-         memb AS (SELECT r.rep da, a.doc_id db, r.m
-                  FROM sh a JOIN rsz r ON a.sh = r.sh WHERE a.doc_id <> r.rep),
-         cand AS (SELECT DISTINCT da, db FROM memb),
-         skip AS (SELECT db, CAST(sum(m - 2) AS BIGINT) AS skipped FROM memb GROUP BY 1),
+         memb AS (SELECT r.rep da, a.doc_id db, sum(r.m - 2) part
+                  FROM sh a JOIN rsz r ON a.sh = r.sh WHERE a.doc_id <> r.rep
+                  GROUP BY 1, 2),
+         cand AS (SELECT da, db FROM memb),
+         skip AS (SELECT db, CAST(sum(part) AS BIGINT) AS skipped FROM memb GROUP BY 1),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          inter AS (SELECT c.da, c.db, count(*) AS i
                    FROM cand c JOIN sh x ON x.doc_id = c.da
@@ -1390,16 +1456,15 @@ object Dedup {
     "dedup_fuzzy_capped" ->
       s"""WITH $duckBandsCte,
          bsz AS (SELECT band, sig, count(*) m, min(doc_id) rep FROM bands GROUP BY 1, 2),
-         memb AS (SELECT b.rep da, a.doc_id db, b.m
+         memb AS (SELECT b.rep da, a.doc_id db, sum(b.m - 2) part
                   FROM bands a JOIN bsz b ON a.band = b.band AND a.sig = b.sig
-                  WHERE a.doc_id <> b.rep),
-         cand AS (SELECT DISTINCT da, db FROM memb),
-         skip AS (SELECT db, CAST(sum(m - 2) AS BIGINT) AS skipped FROM memb GROUP BY 1)
+                  WHERE a.doc_id <> b.rep GROUP BY 1, 2),
+         skip AS (SELECT db, CAST(sum(part) AS BIGINT) AS skipped FROM memb GROUP BY 1)
          SELECT da, db, dist, rel, skipped FROM (
            SELECT da, db, CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist,
              CAST(levenshtein(x.text, y.text) AS DOUBLE) /
                CAST(greatest(length(x.text), length(y.text)) AS DOUBLE) AS rel
-           FROM cand JOIN documents x ON x.doc_id = da JOIN documents y ON y.doc_id = db)
+           FROM memb JOIN documents x ON x.doc_id = da JOIN documents y ON y.doc_id = db)
          JOIN skip USING (db)
          WHERE rel <= $FuzzyMaxRel""",
     "dedup_simhash" ->

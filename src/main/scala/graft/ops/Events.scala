@@ -67,10 +67,12 @@ object Events {
     * session id → per-session rollup. One shuffle on user_id; every window
     * shares the same partitioning so the exchange is reused.
     */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeOf(Tables.events(s, dir))
+
+  def sessionizeOf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables
-      .events(s, dir)
+    events
       .withColumn("ts_us", unix_micros(col("ts")))
       .withColumn("prev_us", lag("ts_us", 1).over(byUser))
       .withColumn(
@@ -671,16 +673,28 @@ object Events {
     *
     * The DuckDB oracle runs the NAIVE range join (its IEJoin handles
     * it) — the decomposition must be semantically invisible.
+    *
+    * Cost model under growth (ConcurrencyScaleSpec pins this): work is
+    * Σ_bucket |sessions_b|·|events_b| — BUCKET-LOCAL pair mass. A corpus
+    * that grows by extending the time range (more hours, the way real
+    * event history grows) scales this linearly; density growth on a
+    * FIXED range (the sf1 replica, which packs 10× the events into the
+    * same January) is quadratic per bucket and shows up as true-output
+    * growth, not a plan failure. 100 TB safety rests on the time-range-
+    * extends-with-corpus assumption; a genuinely 10×-denser workload
+    * needs a narrower bucket, which the constant exposes.
     */
-  def sessionConcurrency(s: SparkSession, dir: String): DataFrame = {
+  def sessionConcurrency(s: SparkSession, dir: String): DataFrame =
+    sessionConcurrencyOf(Tables.events(s, dir))
+
+  def sessionConcurrencyOf(events: DataFrame): DataFrame = {
     val W = ConcurrencyBucketUs
-    val sess = sessionize(s, dir)
+    val sess = sessionizeOf(events)
       .select(
         col("user_id").as("s_user"), col("session_id"),
         col("start_us"), col("end_us"))
       .withColumn("bucket", explode(expr(s"sequence(start_us div $W, end_us div $W)")))
-    val ev = Tables
-      .events(s, dir)
+    val ev = events
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .withColumn("bucket", expr(s"ts_us div $W"))
     sess

@@ -224,9 +224,17 @@ object Dedup {
   /** Exact |A∩B| recount on blocked candidate pairs over the FULL shingle
     * table — the [[minhash]] (banded blocking) verification step. Cost ∝
     * candidates × doc size, never corpus².
+    *
+    * The candidate side is pinned wide ([[spreadVerify]] on da) before
+    * the expansion join: cand is BYTES-small (id pairs) so AQE coalesces
+    * it — down to ONE task for [[incremental]]'s delta-restricted pairs
+    * at sf1 (2.6 s serialized, the only hit in the round-13 full-catalog
+    * OneTaskAudit) — but the join EXPANDS each pair by the doc's shingle
+    * count, so the stage's cost is CPU, not bytes: the same
+    * byte-blind-coalescer class as the fuzzy Levenshtein stage.
     */
   private def interCounts(cand: DataFrame, sh: DataFrame): DataFrame =
-    cand
+    spreadVerify(cand, "da")
       .join(sh.select(col("doc_id").as("da"), col("sh")), "da")
       .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
       .groupBy("da", "db")
@@ -738,7 +746,7 @@ object Dedup {
     val rel  = dist.cast("double") / greatest(length(col("ta")), length(col("tb"))).cast("double")
     minhashCands(docShinglesOf(docs))
       .join(d.select(col("doc_id").as("da"), col("text").as("ta")), "da")
-      .transform(spreadVerify)
+      .transform(spreadVerify(_))
       .join(d.select(col("doc_id").as("db"), col("text").as("tb")), "db")
       .select(col("da"), col("db"), dist.as("dist"), rel.as("rel"))
       .filter(col("rel") <= FuzzyMaxRel)
@@ -765,9 +773,9 @@ object Dedup {
     * Cost: the da-side text join's output shuffles once more;
     * proportional to verify input, which the blocking stage bounds.
     */
-  private def spreadVerify(pairs: DataFrame): DataFrame =
+  private def spreadVerify(pairs: DataFrame, key: String = "db"): DataFrame =
     pairs.repartition(
-      pairs.sparkSession.sparkContext.defaultParallelism, col("db"))
+      pairs.sparkSession.sparkContext.defaultParallelism, col(key))
 
   /** Family-mass-capped fuzzy dedup — the 100 TB-safe twin of [[fuzzy]].
     *
@@ -816,7 +824,7 @@ object Dedup {
     memb
       .select("da", "db")
       .join(d.select(col("doc_id").as("da"), col("text").as("ta")), "da")
-      .transform(spreadVerify)
+      .transform(spreadVerify(_))
       .join(d.select(col("doc_id").as("db"), col("text").as("tb")), "db")
       .select(col("da"), col("db"), dist.as("dist"), rel.as("rel"))
       .filter(col("rel") <= FuzzyMaxRel)

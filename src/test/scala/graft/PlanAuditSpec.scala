@@ -140,6 +140,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
   }
 
+  test("fuzzy/intersection verify stages keep their pinned-parallelism repartition") {
+    // round-13: AQE coalesces post-shuffle partitions by BYTE size, and
+    // the Levenshtein verify (sunk into the db-join stage by predicate
+    // pushdown) serialized to ONE task at sf1 (99 s); the interCounts
+    // pair-shingle expansion hit the same cliff in dedup_incremental.
+    // The pinned repartition feeding the verify join is the fix; a
+    // refactor that drops it reintroduces the one-task cliff at some
+    // corpus size. Asserted on the OPTIMIZED LOGICAL plan: at this
+    // all-broadcast tiny SF Spark legitimately elides the physical
+    // exchange (nothing requires it under BHJ), while at sf1 — where the
+    // joins are SMJ — the pin holds (StageProbe: verify stage 32-wide;
+    // OneTaskAudit: 0/262 heavy one-task stages).
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    for (q <- Seq("dedup_fuzzy", "dedup_fuzzy_capped", "dedup_minhash", "dedup_incremental")) {
+      val pins = SparkEntry.queries(q)(spark, Sf0001)
+        .queryExecution.optimizedPlan
+        .collect { case r: RepartitionByExpression => r.optNumPartitions }
+      assert(pins.contains(Some(spark.sparkContext.defaultParallelism)),
+        s"$q lost the pinned verify-stage repartition (found: $pins)")
+    }
+  }
+
   test("dedup/sim candidate joins are hash joins, never nested-loop or cartesian") {
     // every approximate-dedup strategy must bound the pair space with an
     // equi-join; a BroadcastNestedLoop/CartesianProduct here is the

@@ -62,7 +62,13 @@ object Ckpt {
     */
   def cached(s: org.apache.spark.sql.SparkSession, key: String)(
       build: => DataFrame): DataFrame = cache.synchronized {
-    val k = (s.sparkContext.applicationId, key)
+    // the storage substrate is part of the entry's identity: a session
+    // that flips to reliable mode must NOT be handed blocks that a
+    // local-mode build materialized (they don't survive executor loss —
+    // the exact guarantee the flip buys), and vice versa
+    val reliable =
+      s.conf.getOption(ReliableKey).exists(_.equalsIgnoreCase("true"))
+    val k = (s.sparkContext.applicationId + (if (reliable) "#reliable" else ""), key)
     Option(cache.get(k)).getOrElse {
       val df = apply(build)
       cache.put(k, df)

@@ -486,7 +486,7 @@ object Curation {
     * oracle agrees bit-for-bit.
     */
   def preferencePairs(s: SparkSession, dir: String): DataFrame = {
-    val q = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality_score"))
+    val q = TextAnalysis.qualityShared(s, dir).select(col("doc_id"), col("quality_score"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"))
       .join(q, "doc_id")
@@ -534,7 +534,7 @@ object Curation {
     */
   def paretoFront(s: SparkSession, dir: String): DataFrame =
     paretoFrontOf(
-      TextAnalysis.quality(s, dir)
+      TextAnalysis.qualityShared(s, dir)
         .select(col("doc_id"), col("quality_score"))
         .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
         .select(
@@ -1697,7 +1697,14 @@ object Curation {
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     // quality_score rides INSIDE the ord struct behind the unique
     // (nq, id) prefix — the rangeCum frame carries EXACTLY
-    // (ok, n_tokens), the pid-alignment discipline (see shuffleShards)
+    // (ok, n_tokens), the pid-alignment discipline (see shuffleShards).
+    // Deliberately the RAW quality subtree, NOT the memoized checkpoint:
+    // rangeCum's pid alignment rests on its two range exchanges
+    // deduping to ONE materialization (ReusedExchange), and exchange
+    // reuse does NOT fire across duplicated LogicalRDD (checkpoint)
+    // scans — DeduplicateRelations re-instances the leaf and the
+    // canonicalized scans stop matching. Pinned by PlanAuditSpec's
+    // rangeCum-dedupe test, which fails on the memoized form.
     val q = TextAnalysis.quality(s, dir)
       .select(
         struct(

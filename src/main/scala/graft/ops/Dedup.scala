@@ -137,9 +137,29 @@ object Dedup {
     * 8-byte keys instead of ~30-char strings. The DuckDB oracle applies
     * the same hash pre-distinct, so the (astronomically unlikely, ~2^-61
     * per pair) hash collisions are mirrored exactly.
+    *
+    * Memoized per application ([[graft.Ckpt.cached]] — the
+    * coPurchaseEdges discipline): EIGHT catalog queries (ngram,
+    * containment ×2, fuzzy ×2, minhash, incremental, and everything
+    * downstream of minhash) start from this identical tokenize + hash +
+    * distinct over the corpus, and each used to build and checkpoint its
+    * own generation — at sf1 that is ~8 rebuilds of a 10⁸-row table per
+    * catalog pass, and the per-query checkpoints were never freeable
+    * (the returned frames scan them lazily). One generation per session
+    * now serves them all; consumers' AUDITED plans are unchanged (they
+    * already scanned a checkpoint's LogicalRDD — only the builder
+    * moved), and spec fixtures keep the uncached [[docShinglesOf]].
     */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
-    docShinglesOf(Tables.documents(s, dir))
+  private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
+    Ckpt.cached(s, s"dedup:shingles:$dir")(docShinglesOf(Tables.documents(s, dir)))
+
+  /** Memoized LSH band-signature table of the corpus — shared by
+    * minhash, incremental, fuzzy, and fuzzyCapped (same rationale as
+    * [[docShingles]]: the 36-lane MinHash aggregation is identical in
+    * all four and was rebuilt per query).
+    */
+  private def bandsShared(s: SparkSession, dir: String): DataFrame =
+    Ckpt.cached(s, s"dedup:bands:$dir")(bandSignatures(docShingles(s, dir)))
 
   def docShinglesOf(docs: DataFrame): DataFrame =
     docs
@@ -171,15 +191,38 @@ object Dedup {
   /** Exact Jaccard on candidate pairs: |A∩B| via the pair table, sizes via
     * a shingle-count side table.
     */
-  private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame): DataFrame = {
-    val sizes = shingleSets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame): DataFrame =
+    verifyJaccardSized(pairs,
+      shingleSets.groupBy("doc_id").agg(count(lit(1)).as("n")))
+
+  /** [[verifyJaccard]] over an already-built size table (catalog callers
+    * pass the memoized [[shingleSizes]]; fixture callers derive it).
+    */
+  private def verifyJaccardSized(pairs: DataFrame, sizes: DataFrame): DataFrame =
     pairs
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select("da", "db", "jaccard")
-  }
+
+  /** Memoized per-shingle stats of the corpus table: document frequency
+    * and the min-doc representative. Feeds the df-capped blocking of
+    * ngram/containment AND containmentCapped's canonical election — three
+    * queries re-ran the identical full-stream aggregation.
+    */
+  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+    Ckpt.cached(s, s"dedup:shdf:$dir")(
+      docShingles(s, dir).groupBy("sh")
+        .agg(count(lit(1)).as("df"), min("doc_id").as("rep")))
+
+  /** Memoized per-doc shingle-set sizes — every exact-verify consumer
+    * (minhash, incremental, ngram, containment ×2) needs the identical
+    * doc-bounded table.
+    */
+  private def shingleSizes(s: SparkSession, dir: String): DataFrame =
+    Ckpt.cached(s, s"dedup:shsizes:$dir")(
+      docShingles(s, dir).groupBy("doc_id").agg(count(lit(1)).as("n")))
 
   /** Document-frequency cap for exact-shingle blocking ([[ngram]],
     * [[containment]]). Candidate pairs are generated only from shingles
@@ -251,20 +294,63 @@ object Dedup {
     * doc contains, not its whole shingle set. `i = i_rare + i_hot` is
     * the exact |A∩B|, split by the df boundary.
     */
-  private def interCountsCapped(
-      sh: DataFrame,
-      viable: (Column, Column, Column) => Column): DataFrame = {
-    val withDf = sh.join(sh.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
-    val rare   = withDf.filter(col("df") <= DfCap).select("doc_id", "sh")
-    val hot    = withDf.filter(col("df") > DfCap).select("doc_id", "sh")
-    val hotN   = hot.groupBy("doc_id").agg(count(lit(1)).as("hn"))
-    val sizes  = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val iRare = rare
+  /** The viable-independent intermediates of [[interCountsCapped]]: the
+    * hot (df > cap) shingle stream, per-doc hot counts, per-doc sizes,
+    * and the rare-pair shared counts — identical across ngram and both
+    * containment variants, so the catalog path memoizes each
+    * ([[cappedBlocks]]) while fixtures derive them inline
+    * ([[cappedBlocksOf]]).
+    */
+  private[ops] final case class CappedBlocks(
+      hot: DataFrame, hotN: DataFrame, sizes: DataFrame, iRare: DataFrame)
+
+  private def rarePairCounts(rare: DataFrame): DataFrame =
+    rare
       .select(col("doc_id").as("da"), col("sh"))
       .join(rare.select(col("doc_id").as("db"), col("sh")), "sh")
       .filter(col("da") < col("db"))
       .groupBy("da", "db")
       .agg(count(lit(1)).as("i_rare"))
+
+  private def cappedBlocksOf(sh: DataFrame): CappedBlocks = {
+    val withDf = sh.join(sh.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
+    val rare   = withDf.filter(col("df") <= DfCap).select("doc_id", "sh")
+    val hot    = withDf.filter(col("df") > DfCap).select("doc_id", "sh")
+    CappedBlocks(
+      hot,
+      hot.groupBy("doc_id").agg(count(lit(1)).as("hn")),
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n")),
+      rarePairCounts(rare))
+  }
+
+  /** Catalog-path [[CappedBlocks]]: every piece is memoized per
+    * application, keyed off the shared [[docShingles]] / [[shingleDf]]
+    * checkpoints, so ngram + containment + containmentCapped build the
+    * blocking machinery once per session instead of three times.
+    */
+  private def cappedBlocks(s: SparkSession, dir: String): CappedBlocks = {
+    val sh  = docShingles(s, dir)
+    val dfT = shingleDf(s, dir)
+    val hot = Ckpt.cached(s, s"dedup:hot:$dir")(
+      sh.join(dfT.filter(col("df") > DfCap).select("sh"), Seq("sh"), "left_semi"))
+    CappedBlocks(
+      hot,
+      Ckpt.cached(s, s"dedup:hotn:$dir")(
+        hot.groupBy("doc_id").agg(count(lit(1)).as("hn"))),
+      shingleSizes(s, dir),
+      Ckpt.cached(s, s"dedup:irare:$dir")(rarePairCounts(
+        sh.join(dfT.filter(col("df") <= DfCap).select("sh"), Seq("sh"), "left_semi"))))
+  }
+
+  private def interCountsCapped(
+      sh: DataFrame,
+      viable: (Column, Column, Column) => Column): DataFrame =
+    interCountsCappedFrom(cappedBlocksOf(sh), viable)
+
+  private def interCountsCappedFrom(
+      b: CappedBlocks,
+      viable: (Column, Column, Column) => Column): DataFrame = {
+    val CappedBlocks(hot, hotN, sizes, iRare) = b
     // screen BEFORE the hot-remainder join: shared hot shingles are at
     // most min(|hotA|, |hotB|), so i ≤ i_rare + that bound. A candidate
     // whose upper bound can't reach the caller's threshold is exact-safe
@@ -401,7 +487,7 @@ object Dedup {
     */
   def clustersApplyQuality(s: SparkSession, dir: String): DataFrame = {
     val cl = clusters(s, dir).select(col("doc_id"), col("cluster_id"))
-    val q = graft.ops.TextAnalysis.quality(s, dir)
+    val q = graft.ops.TextAnalysis.qualityShared(s, dir)
       .select(col("doc_id"), col("quality_score"))
     // member feeds two consumers, but both shuffle it identically on
     // cluster_id, so ReusedExchange already materializes it once —
@@ -426,8 +512,17 @@ object Dedup {
     * intersection is recounted over all shingles so every emitted
     * Jaccard is exact.
     */
+  /** Screen predicate shared by ngram's blocking and its exact final
+    * filter: same expression shape as verifyJaccard's threshold, applied
+    * to the intersection upper bound.
+    */
+  private val ngramViable = (iub: Column, na: Column, nb: Column) =>
+    iub.cast("double") / (na + nb - iub) >= JaccardThreshold
+
   def ngram(s: SparkSession, dir: String): DataFrame =
-    ngramOf(Tables.documents(s, dir))
+    verifyJaccardSized(
+      interCountsCappedFrom(cappedBlocks(s, dir), ngramViable),
+      shingleSizes(s, dir))
 
   def ngramOf(docs: DataFrame): DataFrame = {
     // the shingle table feeds seven subtrees (df counts, both pair-join
@@ -436,11 +531,7 @@ object Dedup {
     // branch here (measured: the 10× probe dropped ~4× with the
     // checkpoint), same tradeoff as dedup_clusters' edge materialization
     val sh = docShinglesOf(docs).transform(Ckpt.apply)
-    // same expression shape as verifyJaccard's exact filter, applied to
-    // the intersection upper bound
-    val viable = (iub: Column, na: Column, nb: Column) =>
-      iub.cast("double") / (na + nb - iub) >= JaccardThreshold
-    verifyJaccard(interCountsCapped(sh, viable), sh)
+    verifyJaccard(interCountsCapped(sh, ngramViable), sh)
   }
 
   /** Minimum directional containment for [[containment]]. */
@@ -457,20 +548,29 @@ object Dedup {
     * intersection recounted on the candidates; sizes join back on
     * doc_id.
     */
-  def containment(s: SparkSession, dir: String): DataFrame =
-    containmentOf(Tables.documents(s, dir))
+  /** Either directional containment could clear the bar (same shape as
+    * containment's exact final filter).
+    */
+  private val containViable = (iub: Column, na: Column, nb: Column) =>
+    iub.cast("double") / na.cast("double") >= ContainMin ||
+      iub.cast("double") / nb.cast("double") >= ContainMin
+
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val b = cappedBlocks(s, dir)
+    containmentFinish(interCountsCappedFrom(b, containViable), b.sizes)
+  }
 
   def containmentOf(docs: DataFrame): DataFrame = {
-    val sh    = docShinglesOf(docs).transform(Ckpt.apply) // see ngramOf
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val ca    = col("i").cast("double") / col("na").cast("double")
-    val cb    = col("i").cast("double") / col("nb").cast("double")
-    // either directional containment could clear the bar (same shape as
-    // the exact final filter below)
-    val viable = (iub: Column, na: Column, nb: Column) =>
-      iub.cast("double") / na.cast("double") >= ContainMin ||
-        iub.cast("double") / nb.cast("double") >= ContainMin
-    interCountsCapped(sh, viable)
+    val sh = docShinglesOf(docs).transform(Ckpt.apply) // see ngramOf
+    containmentFinish(
+      interCountsCapped(sh, containViable),
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
+  }
+
+  private def containmentFinish(ic: DataFrame, sizes: DataFrame): DataFrame = {
+    val ca = col("i").cast("double") / col("na").cast("double")
+    val cb = col("i").cast("double") / col("nb").cast("double")
+    ic
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .select(col("da"), col("db"), ca.as("contain_a"), cb.as("contain_b"))
@@ -494,16 +594,27 @@ object Dedup {
     * either directional containment ≥ [[ContainMin]].
     */
   def containmentCapped(s: SparkSession, dir: String): DataFrame =
-    containmentCappedOf(Tables.documents(s, dir))
+    containmentCappedCore(
+      docShingles(s, dir),
+      shingleDf(s, dir).filter(col("df") <= DfCap)
+        .select(col("sh"), col("df").as("m"), col("rep")),
+      shingleSizes(s, dir))
 
   def containmentCappedOf(docs: DataFrame): DataFrame = {
     // sh feeds the df/rep aggregate, the member join, the size table and
     // both recount sides — materialize the tokenize+hash+distinct once
     // (the ngramOf tradeoff)
-    val sh  = docShinglesOf(docs).transform(Ckpt.apply)
-    val rsz = sh.groupBy("sh")
-      .agg(count(lit(1)).as("m"), min("doc_id").as("rep"))
-      .filter(col("m") <= DfCap)
+    val sh = docShinglesOf(docs).transform(Ckpt.apply)
+    containmentCappedCore(
+      sh,
+      sh.groupBy("sh")
+        .agg(count(lit(1)).as("m"), min("doc_id").as("rep"))
+        .filter(col("m") <= DfCap),
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
+  }
+
+  private def containmentCappedCore(
+      sh: DataFrame, rsz: DataFrame, sizes: DataFrame): DataFrame = {
     // one member pass: groupBy(da, db) is the candidate distinct, and the
     // per-pair skipped mass re-aggregates to the per-doc audit (the
     // fuzzyCapped discipline)
@@ -511,11 +622,10 @@ object Dedup {
       .filter(col("doc_id") =!= col("rep"))
       .groupBy(col("rep").as("da"), col("doc_id").as("db"))
       .agg(sum(col("m") - 2).as("part"))
-    val cand  = memb.select("da", "db")
-    val skip  = memb.groupBy("db").agg(sum(col("part")).as("skipped"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val ca = col("i").cast("double") / col("na").cast("double")
-    val cb = col("i").cast("double") / col("nb").cast("double")
+    val cand = memb.select("da", "db")
+    val skip = memb.groupBy("db").agg(sum(col("part")).as("skipped"))
+    val ca   = col("i").cast("double") / col("na").cast("double")
+    val cb   = col("i").cast("double") / col("nb").cast("double")
     interCounts(cand, sh)
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
@@ -586,15 +696,20 @@ object Dedup {
     * shingle table — the blocking stage shared by [[minhash]] (exact
     * Jaccard verify) and [[fuzzy]] (edit-distance verify).
     */
-  private def minhashCands(sh: DataFrame): DataFrame = {
-    val bands = bandSignatures(sh)
+  private def minhashCands(sh: DataFrame): DataFrame =
+    minhashCandsFromBands(bandSignatures(sh))
+
+  /** The banded candidate self-join, factored over an already-built
+    * signature table so catalog callers can feed the memoized
+    * [[bandsShared]] while fixtures derive bands inline.
+    */
+  private def minhashCandsFromBands(bands: DataFrame): DataFrame =
     bands
       .select(col("doc_id").as("da"), col("band"), col("sig"))
       .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("da") < col("db"))
       .select("da", "db")
       .distinct()
-  }
 
   /** Per-doc LSH band signatures (doc_id, band, sig) — the blocking key
     * table behind [[minhashCands]] and the delta-restricted join of
@@ -619,10 +734,22 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  def minhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir)
-    verifyJaccard(interCounts(minhashCands(sh), sh), sh)
-  }
+  def minhash(s: SparkSession, dir: String): DataFrame =
+    verifyJaccardSized(
+      interCounts(minhashCandsFromBands(bandsShared(s, dir)), docShingles(s, dir)),
+      shingleSizes(s, dir))
+
+  /** Memoized verified near-dup pair list — [[minhash]]'s full output,
+    * materialized once per application. SEVEN consumers re-ran the whole
+    * bands → candidates → intersection-recount pipeline from scratch:
+    * the three clusters-family queries, graph_pagerank, graph_ppr, the
+    * triangles/homophily pair snapshot, and pipeline_clean_corpus. The
+    * `dedup_minhash` catalog entry itself stays on the raw pipeline so
+    * its plan remains auditable (PlanAuditSpec pins the verify
+    * repartition and the no-cartesian rule on it).
+    */
+  private[graft] def minhashShared(s: SparkSession, dir: String): DataFrame =
+    Ckpt.cached(s, s"dedup:minhash:$dir")(minhash(s, dir))
 
   /** Delta split for [[incremental]]: documents with doc_id ≡ 0 (mod 4)
     * play the incoming batch; the rest are the already-deduplicated
@@ -647,8 +774,8 @@ object Dedup {
     */
   def incremental(s: SparkSession, dir: String): DataFrame = {
     val isDelta = (c: Column) => c % DeltaMod === 0
-    val sh = docShingles(s, dir).transform(Ckpt.apply) // consumed by bands + verify (4 subtrees)
-    val bands = bandSignatures(sh)
+    val sh    = docShingles(s, dir) // memoized checkpoint; consumed by the verify's 3 subtrees
+    val bands = bandsShared(s, dir)
     val cand = bands
       .filter(isDelta(col("doc_id")))
       .select(col("doc_id").as("da"), col("band"), col("sig"))
@@ -657,7 +784,7 @@ object Dedup {
       .filter(!isDelta(col("db")) || col("db") < col("da"))
       .select("da", "db")
       .distinct()
-    val matches = verifyJaccard(interCounts(cand, sh), sh)
+    val matches = verifyJaccardSized(interCounts(cand, sh), shingleSizes(s, dir))
       .groupBy(col("da").as("doc_id"))
       .agg(min("db").as("mp"))
     Tables.documents(s, dir)
@@ -738,13 +865,16 @@ object Dedup {
     * member↔canonical only, linear in m, and audits what it skipped.
     */
   def fuzzy(s: SparkSession, dir: String): DataFrame =
-    fuzzyOf(Tables.documents(s, dir))
+    fuzzyCore(Tables.documents(s, dir), minhashCandsFromBands(bandsShared(s, dir)))
 
-  def fuzzyOf(docs: DataFrame): DataFrame = {
+  def fuzzyOf(docs: DataFrame): DataFrame =
+    fuzzyCore(docs, minhashCands(docShinglesOf(docs)))
+
+  private def fuzzyCore(docs: DataFrame, cands: DataFrame): DataFrame = {
     val d    = docs.select(col("doc_id"), col("text"))
     val dist = levenshtein(col("ta"), col("tb")).cast("long")
     val rel  = dist.cast("double") / greatest(length(col("ta")), length(col("tb"))).cast("double")
-    minhashCands(docShinglesOf(docs))
+    cands
       .join(d.select(col("doc_id").as("da"), col("text").as("ta")), "da")
       .transform(spreadVerify(_))
       .join(d.select(col("doc_id").as("db"), col("text").as("tb")), "db")
@@ -805,10 +935,12 @@ object Dedup {
     * [[fuzzy]].
     */
   def fuzzyCapped(s: SparkSession, dir: String): DataFrame =
-    fuzzyCappedOf(Tables.documents(s, dir))
+    fuzzyCappedCore(Tables.documents(s, dir), bandsShared(s, dir))
 
-  def fuzzyCappedOf(docs: DataFrame): DataFrame = {
-    val bands = bandSignatures(docShinglesOf(docs))
+  def fuzzyCappedOf(docs: DataFrame): DataFrame =
+    fuzzyCappedCore(docs, bandSignatures(docShinglesOf(docs)))
+
+  private def fuzzyCappedCore(docs: DataFrame, bands: DataFrame): DataFrame = {
     // per-bucket size + canonical; bands feeds the aggregate and the
     // member join with the identical (band, sig) shuffle → ReusedExchange
     val bsz = bands.groupBy("band", "sig")
@@ -972,7 +1104,12 @@ object Dedup {
     * are small, which is exactly the regime near-dup graphs live in.
     */
   def clusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(minhash(s, dir).select(col("da"), col("db")))
+    // memoized twice over: the pair list via [[minhashShared]], the CC
+    // fixpoint itself per application — clusters feeds three catalog
+    // queries (clusters, clustersApply, clustersApplyQuality) and each
+    // used to re-run the whole checkpointed loop
+    Ckpt.cached(s, s"dedup:clusters:$dir")(
+      connectedComponents(minhashShared(s, dir).select(col("da"), col("db"))))
 
   /** The RDD a `localCheckpoint(true)` Dataset actually persisted: the
     * one inside its LogicalRDD leaf. (`queryExecution.toRdd` is a freshly

@@ -41,9 +41,12 @@ object Graph {
   val PrIterations = 5
   val PrDamping    = 0.85
 
-  /** Catalog entry: PageRank over the MinHash-verified near-dup pairs. */
+  /** Catalog entry: PageRank over the MinHash-verified near-dup pairs
+    * (the memoized snapshot — the MinHash pipeline is the dominant cost
+    * and five graph/pipeline consumers need identical pairs).
+    */
   def pagerankNearDup(s: SparkSession, dir: String): DataFrame =
-    pagerank(Dedup.minhash(s, dir).select(col("da"), col("db")))
+    pagerank(Dedup.minhashShared(s, dir).select(col("da"), col("db")))
 
   /** PageRank over an undirected pair list (da, db):
     * `r_{i+1}(v) = (1-d)/n + d · Σ_{u~v} r_i(u)/deg(u)` for the fixed
@@ -85,9 +88,11 @@ object Graph {
     */
   val PprSeeds = 8
 
-  /** Catalog entry: personalized PageRank over the near-dup graph. */
+  /** Catalog entry: personalized PageRank over the near-dup graph (the
+    * memoized pair snapshot, as in [[pagerankNearDup]]).
+    */
   def pprNearDup(s: SparkSession, dir: String): DataFrame =
-    ppr(Dedup.minhash(s, dir).select(col("da"), col("db")))
+    ppr(Dedup.minhashShared(s, dir).select(col("da"), col("db")))
 
   /** Personalized PageRank — the seed-anchored variant of [[pagerank]]
     * that powers graph-based data SELECTION rather than inspection:
@@ -175,7 +180,7 @@ object Graph {
     * apart.
     */
   def trianglesNearDup(s: SparkSession, dir: String): DataFrame =
-    triangles(Dedup.minhash(s, dir).select(col("da"), col("db")),
+    triangles(Dedup.minhashShared(s, dir).select(col("da"), col("db")),
       cacheKey = Some(s"graph:tri-pairs:$dir"))
 
   /** Per-node triangle counts from an ordered pair list (da < db).
@@ -705,7 +710,17 @@ object Graph {
     var adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
       .transform(Ckpt.apply)
     Dedup.freeCheckpoint(p)
-    for (_ <- 1 to rounds) {
+    // peeling only removes rows, so an unchanged edge count IS the
+    // fixpoint witness: every later round recomputes the identical
+    // subgraph. Early exit is value-identical to running the remaining
+    // rounds (the oracle's unrolled rounds are no-ops past the fixpoint)
+    // and saves ~half the sf1 wall time — the fixture and co-purchase
+    // graphs converge in 2-3 of the 6 rounds. The count scans already-
+    // materialized checkpoint blocks, not the lineage.
+    var edgeCount = adj.count()
+    var r         = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val keep = adj.groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("u")
       val next = adj
@@ -713,8 +728,12 @@ object Graph {
         .join(keep.select(col("u").as("m")), Seq("m"), "left_semi")
         .select("u", "m")
         .transform(Ckpt.apply)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount
+      edgeCount = nextCount
       Dedup.freeCheckpoint(adj)
       adj = next
+      r += 1
     }
     // materialize the NODE-sized result so the |E|-sized final adjacency
     // generation can be freed — a returned handle over adj would pin an
@@ -745,7 +764,7 @@ object Graph {
     // SAME memoized snapshot as trianglesNearDup — the MinHash pipeline
     // is the dominant cost and both consumers need identical pairs
     val p = Ckpt.cached(s, s"graph:tri-pairs:$dir")(
-      Dedup.minhash(s, dir).select(col("da"), col("db")))
+      Dedup.minhashShared(s, dir).select(col("da"), col("db")))
     val lang = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
     val grid = p
       .join(lang.select(col("doc_id").as("da"), col("lang").as("la")), "da")

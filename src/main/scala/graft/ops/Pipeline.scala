@@ -26,12 +26,12 @@ object Pipeline {
   def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val quality = TextAnalysis
-      .quality(s, dir)
+      .qualityShared(s, dir)
       .filter(col("n_tokens") >= MinTokens && col("type_token_ratio") >= MinTtr)
       .select("doc_id")
     val exactKeep = Dedup.exact(s, dir).filter(!col("is_dup")).select("doc_id")
     val nearLosers = Dedup
-      .minhash(s, dir)
+      .minhashShared(s, dir)
       .select(col("db").as("doc_id"))
       .distinct()
     docs

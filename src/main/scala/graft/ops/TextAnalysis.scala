@@ -120,6 +120,16 @@ object TextAnalysis {
           lit(0.3) * least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)))
           .as("quality_score"))
 
+  /** Memoized [[quality]] output for downstream CONSUMERS (the
+    * clustersApplyQuality / pipeline / curation callers — five queries
+    * re-ran the full token-stream aggregation). Doc-bounded (one row per
+    * document), so one checkpoint generation is cheap; the
+    * `text_quality` catalog entry itself stays on the raw pipeline so
+    * its plan remains the auditable surface.
+    */
+  private[graft] def qualityShared(s: SparkSession, dir: String): DataFrame =
+    graft.Ckpt.cached(s, s"text:quality:$dir")(quality(s, dir))
+
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single other non-space chars).
     */
@@ -903,7 +913,7 @@ object TextAnalysis {
     * shingle stream, no pair expansion at all.
     */
   def novelty(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.docShinglesOf(Tables.documents(s, dir))
+    val sh = Dedup.docShingles(s, dir) // the memoized dedup-family table
     val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
     sh.join(first, "sh")
       .groupBy("doc_id")

@@ -716,12 +716,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"expected 1 selected partition, got ${scan.selectedPartitions.partitionCount}")
   }
 
-  test("pipeline_clean_corpus reuses exchanges for its repeated subtrees") {
-    // static planner check (AQE reuses at runtime via the stage cache,
-    // which doesn't show in the pre-execution plan string)
-    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
-      val p = plan("pipeline_clean_corpus")
-      assert(p.contains("ReusedExchange"), p)
+  test("pipeline_clean_corpus consumes memoized inputs, never re-tokenizes") {
+    // round-13: the quality and near-dup subtrees are memoized
+    // checkpoints (Ckpt.cached), so the pipeline's plan must contain NO
+    // tokenize expression at all — the r12 form re-ran the full
+    // tokenize+minhash pipeline per invocation and pinned ReusedExchange
+    // to keep the duplication down to one; memoization replaces both.
+    val df = SparkEntry.queries("pipeline_clean_corpus")(spark, Sf0001)
+    val p  = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("split("),
+      s"pipeline_clean_corpus re-tokenizes inside its own plan:\n$p")
+    // and the memoized inputs surface as checkpoint scans (quality +
+    // near-losers), not as re-derived subtrees
+    val rddScans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
     }
+    assert(rddScans.size >= 2,
+      s"expected >=2 memoized checkpoint scans, got ${rddScans.size}:\n$p")
   }
 }

@@ -70,22 +70,47 @@ object Ckpt {
       s.conf.getOption(ReliableKey).exists(_.equalsIgnoreCase("true"))
     val k = (s.sparkContext.applicationId + (if (reliable) "#reliable" else ""), key)
     Option(cache.get(k)).getOrElse {
-      val df = apply(build)
+      val df = materialize(build, sessionLived = true)
       cache.put(k, df)
       df
     }
   }
 
-  def apply(df: DataFrame): DataFrame = {
+  /** Session conf key: "true" → [[cached]] entries store their blocks
+    * SERIALIZED (MEMORY_AND_DISK_SER) instead of the deserialized
+    * default. Memoized generations outlive the query that built them
+    * and accumulate for the session; in a memory-constrained session
+    * the deserialized footprint can starve later queries' working
+    * memory (measured at sf1 with TWO scale factors' caches standing:
+    * text_bm25's back-to-back runs degraded 24 → 65 → 98 s, and ran a
+    * tight 30 s ±1 solo). The serialized mode caps the footprint but
+    * costs a decode on EVERY scan — measured ~10× on the hot-stream
+    * consumers (dedup_ngram 1.7 → 16.2 s, graph_common_neighbors
+    * 13.3 → 44.7 s at sf1) — so the fast deserialized layout stays the
+    * default and the knob is for sessions that would otherwise thrash.
+    * (At genuine cluster scale these intermediates become persisted
+    * tables — see the localCheckpoint note in Graph.scala — and
+    * neither RAM layout applies.)
+    */
+  val CachedSerKey = "spark.graft.cached.serialized"
+
+  def apply(df: DataFrame): DataFrame = materialize(df, sessionLived = false)
+
+  private def materialize(df: DataFrame, sessionLived: Boolean): DataFrame = {
     val spark    = df.sparkSession
     val reliable =
       spark.conf.getOption(ReliableKey).exists(_.equalsIgnoreCase("true"))
+    val ser = sessionLived &&
+      spark.conf.getOption(CachedSerKey).exists(_.equalsIgnoreCase("true"))
     if (reliable) {
       val sc = spark.sparkContext
       if (sc.getCheckpointDir.isEmpty)
         sc.setCheckpointDir(
           java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
       df.checkpoint(eager = true)
-    } else df.localCheckpoint(eager = true)
+    } else if (ser)
+      df.localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else df.localCheckpoint(eager = true)
   }
 }

@@ -96,6 +96,14 @@ object ScaleSweep {
         d01.count()
         val prof01 = joinProfile(d01)
         val samples = (1 to runs).map { _ =>
+          // between repeats, give the ContextCleaner a GC to reclaim the
+          // previous run's broadcasts/shuffles: in a long session with
+          // standing memoized caches, full GCs are rare and cleanup lags,
+          // so back-to-back repeats of a broadcast-heavy query otherwise
+          // measure accumulating heap pressure, not the query (text_bm25
+          // degraded 24 -> 65 -> 98 s; single-pass and solo runs were
+          // tight) — the medians must isolate the query's own cost
+          if (runs > 1) { System.gc(); Thread.sleep(200) }
           val t0 = System.nanoTime()
           val d1 = fn(spark, Out)
           d1.count()

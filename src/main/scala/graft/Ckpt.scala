@@ -96,6 +96,34 @@ object Ckpt {
 
   def apply(df: DataFrame): DataFrame = materialize(df, sessionLived = false)
 
+  /** True when the frame is already just a rename/reorder projection
+    * over a checkpoint scan — re-materializing such a frame copies every
+    * block for nothing (and, on catalog paths, leaks a per-invocation
+    * generation the returned plan pins). Callers that free their
+    * checkpoint later must gate the free on this (freeing a SHARED
+    * memoized scan would unpersist blocks other consumers still need).
+    */
+  def isCheapScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    def walk(p: LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case pr: Project if pr.projectList.forall {
+            case _: Attribute => true
+            case a: Alias     => a.child.isInstanceOf[Attribute]
+            case _            => false
+          } =>
+        walk(pr.child)
+      case s: SubqueryAlias => walk(s.child)
+      case _                => false
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
+  /** Materialize unless [[isCheapScan]] — the memoized-input fast path. */
+  def ensure(df: DataFrame): DataFrame =
+    if (isCheapScan(df)) df else apply(df)
+
   private def materialize(df: DataFrame, sessionLived: Boolean): DataFrame = {
     val spark    = df.sparkSession
     val reliable =

@@ -751,6 +751,27 @@ object Dedup {
   private[graft] def minhashShared(s: SparkSession, dir: String): DataFrame =
     Ckpt.cached(s, s"dedup:minhash:$dir")(minhash(s, dir))
 
+  /** RAW (un-materialized) trees of the session-cached builds, for the
+    * plan-shape audit: the builds execute eagerly at first use, so the
+    * per-query lints never see their joins inside any catalog plan —
+    * this hook hands the auditor the same trees the builders
+    * materialize, keeping the no-cartesian/no-fact-broadcast fence
+    * airtight over the memoized seam.
+    */
+  private[graft] def buildPlansForAudit(
+      s: SparkSession, dir: String): Map[String, DataFrame] = {
+    val sh = docShinglesOf(Tables.documents(s, dir))
+    val b  = cappedBlocksOf(sh)
+    Map(
+      "shingles" -> sh,
+      "shingle_df" -> sh.groupBy("sh")
+        .agg(count(lit(1)).as("df"), min("doc_id").as("rep")),
+      "bands"   -> bandSignatures(sh),
+      "hot"     -> b.hot,
+      "irare"   -> b.iRare,
+      "minhash" -> verifyJaccard(interCounts(minhashCands(sh), sh), sh))
+  }
+
   /** Delta split for [[incremental]]: documents with doc_id ≡ 0 (mod 4)
     * play the incoming batch; the rest are the already-deduplicated
     * snapshot. (A fixed arithmetic split so the DuckDB oracle states the
@@ -1139,12 +1160,16 @@ object Dedup {
     * (doc_id, cluster_id, is_canonical) for every node in any pair.
     */
   def connectedComponents(pairList: DataFrame): DataFrame = {
-    val prs = pairList.toDF("da", "db").transform(Ckpt.apply)
+    val prsRaw = pairList.toDF("da", "db")
+    val owned  = !Ckpt.isCheapScan(prsRaw) // see Graph.commonNeighbors
+    val prs    = if (owned) Ckpt(prsRaw) else prsRaw
     val edges = prs
       .union(prs.select(col("db").as("da"), col("da").as("db")))
       .toDF("src", "dst")
       .transform(Ckpt.apply)
-    freeCheckpoint(prs) // edges is materialized; the pair snapshot is dead
+    // edges is materialized; the pair snapshot is dead — but never free
+    // a SHARED memoized scan (the catalog path passes minhashShared)
+    if (owned) freeCheckpoint(prs)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .transform(Ckpt.apply)

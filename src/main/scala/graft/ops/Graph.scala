@@ -54,13 +54,15 @@ object Graph {
     */
   def pagerank(pairList: DataFrame,
       iterations: Int = PrIterations, damping: Double = PrDamping): DataFrame = {
-    val prs = pairList.toDF("da", "db").transform(Ckpt.apply)
+    val prsRaw = pairList.toDF("da", "db")
+    val owned  = !Ckpt.isCheapScan(prsRaw) // see commonNeighbors
+    val prs    = if (owned) Ckpt(prsRaw) else prsRaw
     val edges = prs
       .union(prs.select(col("db").as("da"), col("da").as("db")))
       .toDF("src", "dst")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src").transform(Ckpt.apply)
-    Dedup.freeCheckpoint(prs) // edgesDeg is materialized; the pair snapshot is dead
+    if (owned) Dedup.freeCheckpoint(prs) // edgesDeg is materialized; the pair snapshot is dead
     val n = edgesDeg.select("src").distinct().count()
     var ranks = edgesDeg
       .select(col("src").as("node"))
@@ -128,13 +130,15 @@ object Graph {
     */
   def ppr(pairList: DataFrame,
       iterations: Int = PrIterations, damping: Double = PrDamping): DataFrame = {
-    val prs = pairList.toDF("da", "db").transform(Ckpt.apply)
+    val prsRaw = pairList.toDF("da", "db")
+    val owned  = !Ckpt.isCheapScan(prsRaw) // see commonNeighbors
+    val prs    = if (owned) Ckpt(prsRaw) else prsRaw
     val edges = prs
       .union(prs.select(col("db").as("da"), col("da").as("db")))
       .toDF("src", "dst")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src").transform(Ckpt.apply)
-    Dedup.freeCheckpoint(prs)
+    if (owned) Dedup.freeCheckpoint(prs)
     val nodes = edgesDeg.select("src").distinct()
     val seeds = nodes
       .orderBy(graft.functions.TextHash.hash60(col("src").cast("string")), col("src"))
@@ -320,7 +324,11 @@ object Graph {
     * the ranking never consults a double.
     */
   def commonNeighbors(pairList: DataFrame): DataFrame = {
-    val p = pairList.toDF("da", "db").transform(Ckpt.apply)
+    // ensure: the catalog path passes the memoized co-purchase scan —
+    // re-checkpointing it copied |E| blocks per invocation AND leaked
+    // the copy (the returned anti-join pins it); fixture callers still
+    // materialize their raw pair lists
+    val p = Ckpt.ensure(pairList.toDF("da", "db"))
     val adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
     // attach the middle's degree to the EDGE stream (|E| rows) before
@@ -417,10 +425,12 @@ object Graph {
     * the shared first step of every co-purchase iteration.
     */
   private def symAdj(pairList: DataFrame): DataFrame = {
-    val p = pairList.toDF("da", "db").transform(Ckpt.apply)
+    val pl    = pairList.toDF("da", "db")
+    val owned = !Ckpt.isCheapScan(pl) // see commonNeighbors
+    val p     = if (owned) Ckpt(pl) else pl
     val adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
       .transform(Ckpt.apply)
-    Dedup.freeCheckpoint(p)
+    if (owned) Dedup.freeCheckpoint(p)
     adj
   }
 
@@ -706,10 +716,12 @@ object Graph {
     * no quantization needed for oracle parity.
     */
   def kcore(pairList: DataFrame, k: Int = KcoreK, rounds: Int = KcoreRounds): DataFrame = {
-    val p = pairList.toDF("da", "db").transform(Ckpt.apply)
+    val pl    = pairList.toDF("da", "db")
+    val owned = !Ckpt.isCheapScan(pl) // see commonNeighbors
+    val p     = if (owned) Ckpt(pl) else pl
     var adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
       .transform(Ckpt.apply)
-    Dedup.freeCheckpoint(p)
+    if (owned) Dedup.freeCheckpoint(p) // never free a SHARED memoized scan
     // peeling only removes rows, so an unchanged edge count IS the
     // fixpoint witness: every later round recomputes the identical
     // subgraph. Early exit is value-identical to running the remaining

@@ -53,6 +53,18 @@ class MemoizationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cached builds keep lint-clean plans: equi-joins only, no cartesian") {
+    // the memoized builds execute eagerly at first use, so the per-query
+    // plan lints never see their joins — audit the raw build trees
+    // directly so the all-pairs fence stays airtight over the seam
+    for ((name, df) <- ops.Dedup.buildPlansForAudit(spark, Sf0001)) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"build $name plans a CartesianProduct:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"build $name plans a BroadcastNestedLoopJoin:\n$p")
+    }
+  }
+
   test("curate_token_budget deliberately does NOT consume the memoized quality") {
     // the rangeCum pid-alignment fence: exchange reuse does not dedupe
     // duplicated LogicalRDD scans, so rangeCum callers must keep raw

@@ -145,8 +145,21 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(_._2, p)},"runs":$Runs,"sf":$sfNum}"""
     val resampledJson = extra.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // One-time shared-cache builds (Ckpt.cached) are paid by the FIRST
+    // consumer and so excluded from per-query medians; report them as a
+    // first-class metric so cross-round totals can't silently shift cost
+    // into unmeasured builds (r13 verdict item 3). Keys repeat if an
+    // entry was released/evicted and rebuilt — the log is per BUILD.
+    val builds = Ckpt.buildLog.map { case (k, t) => (k.replace(sfDir, "<sf>"), t) }
+    val buildsFull = builds
+      .map { case (k, t) => s"""["$k",$t]""" }.mkString("[", ",", "]")
+    val buildsLine = {
+      val top = builds.sortBy(-_._2).take(10)
+        .map { case (k, t) => "\"" + k + "\":" + fmt(t) }.mkString("{", ",", "}")
+      s"""{"metric":"cache_builds","value":${fmt(builds.map(_._2).sum)},"unit":"sec","count":${builds.size},"top":$top}"""
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2, _.toString)},"runs":$Runs,"spread":${jmap(_._3, _.toString)},"min":${jmap(_._4, _.toString)},"resampled":$resampledJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2, _.toString)},"runs":$Runs,"spread":${jmap(_._3, _.toString)},"min":${jmap(_._4, _.toString)},"resampled":$resampledJson,"cache_builds":$buildsFull,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY-restricted run must not clobber the committed
     // full-catalog artifact with a one-query subset
     if (only.isEmpty)
@@ -168,6 +181,9 @@ object Bench {
     val candidates = Seq(line(fmt), line(v => if (v < 0) "-1" else f"$v%.2f"), line(p1)) ++
       Seq(80, 60, 40, 25).map(truncLine)
     val out = candidates.find(_.length <= 1800).getOrElse(truncLine(15))
+    // cache_builds prints BEFORE the total line: the driver parses the
+    // LAST ~2000 stdout chars, so the headline total must stay last
+    println(buildsLine.take(1000))
     println(out)
     spark.stop()
   }

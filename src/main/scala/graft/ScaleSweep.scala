@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSession
   * times and reports the MEDIAN — the verdict-item-4 mode for making
   * slow-query regressions attributable against checkpoint-I/O variance.
   *
+  * Round 14 splits the sweep into phases: ALL sf0.1 passes first
+  * (profiles + warm-up), then [[graft.Ckpt.release]] drops the sf0.1
+  * memoized caches, then the timed sf1 passes — so sf1 numbers never
+  * share executor storage with a dead scale factor's entries (the
+  * measured text_bm25 24→98 s degradation mode, r13 verdict item 1).
+  *
   * Usage: `tools/scalesweep.sh [query ...]` — no args sweeps the whole
   * catalog.
   */
@@ -88,43 +94,61 @@ object ScaleSweep {
       def flipped: Boolean = err.isEmpty && p01 != p1
     }
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(1)
+    // PHASE A: sf0.1 reference pass over the whole catalog — baseline
+    // join profiles plus the JVM/codegen warm-up for the sf1 phase (JIT
+    // state is process-global, so the warm-up survives the phase split).
+    val prof01s: Map[String, Either[String, Map[String, Int]]] =
+      catalog.map { case (name, fn) =>
+        name -> (try {
+          val d01 = fn(spark, Src); d01.count(); Right(joinProfile(d01))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            val msg = String.valueOf(e.getMessage).linesIterator.take(1).mkString
+            println(s"[sweep] $name FAILED at sf0.1: $msg")
+            Left(msg)
+        })
+      }.toMap
+    // Drop the sf0.1 memoized caches before timing sf1: with TWO scale
+    // factors' entries standing, later sf1 queries measured accumulating
+    // storage pressure instead of the query (text_bm25 24→98 s — r13
+    // verdict item 1). Entries rebuild from their thunks on next use.
+    println(s"[sweep] released ${Ckpt.release(Src)} sf0.1 cache entries before the sf1 phase")
+    // PHASE B: timed sf1 pass.
     val rows = catalog.map { case (name, fn) =>
-      try {
-        // sf0.1 reference pass: cheap, gives the baseline join profile
-        // (and acts as the per-query JVM/codegen warm-up for the sf1 run)
-        val d01 = fn(spark, Src)
-        d01.count()
-        val prof01 = joinProfile(d01)
-        val samples = (1 to runs).map { _ =>
-          // between repeats, give the ContextCleaner a GC to reclaim the
-          // previous run's broadcasts/shuffles: in a long session with
-          // standing memoized caches, full GCs are rare and cleanup lags,
-          // so back-to-back repeats of a broadcast-heavy query otherwise
-          // measure accumulating heap pressure, not the query (text_bm25
-          // degraded 24 -> 65 -> 98 s; single-pass and solo runs were
-          // tight) — the medians must isolate the query's own cost
-          if (runs > 1) { System.gc(); Thread.sleep(200) }
-          val t0 = System.nanoTime()
-          val d1 = fn(spark, Out)
-          d1.count()
-          ((System.nanoTime() - t0) / 1e9, d1)
-        }
-        // median of the wall times; profile from the median run's plan
-        val (sec, d1) = samples.sortBy(_._1).apply((runs - 1) / 2)
-        val prof1 = joinProfile(d1)
-        val r = Row(name, sec, prof01, prof1, None)
-        val spread = if (runs > 1)
-          f"  [min ${samples.map(_._1).min}%.2f max ${samples.map(_._1).max}%.2f n=$runs]"
-        else ""
-        println(f"[sweep] $name%-24s ${r.sec1}%7.2f s  sf0.1[${fmtProfile(prof01)}]  sf1[${fmtProfile(prof1)}]" +
-          (if (r.flipped) "  FLIP" else "") + spread)
-        r
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          val r = Row(name, -1, Map.empty, Map.empty,
-            Some(String.valueOf(e.getMessage).linesIterator.take(1).mkString))
-          println(s"[sweep] $name FAILED: ${r.err.get}")
-          r
+      prof01s(name) match {
+        case Left(err) => Row(name, -1, Map.empty, Map.empty, Some(err))
+        case Right(prof01) =>
+          try {
+            val samples = (1 to runs).map { _ =>
+              // between repeats, give the ContextCleaner a GC to reclaim
+              // the previous run's broadcasts/shuffles: in a long session
+              // with standing memoized caches, full GCs are rare and
+              // cleanup lags, so back-to-back repeats of a broadcast-heavy
+              // query otherwise measure accumulating heap pressure, not
+              // the query — the medians must isolate the query's own cost
+              if (runs > 1) { System.gc(); Thread.sleep(200) }
+              val t0 = System.nanoTime()
+              val d1 = fn(spark, Out)
+              d1.count()
+              ((System.nanoTime() - t0) / 1e9, d1)
+            }
+            // median of the wall times; profile from the median run's plan
+            val (sec, d1) = samples.sortBy(_._1).apply((runs - 1) / 2)
+            val prof1 = joinProfile(d1)
+            val r = Row(name, sec, prof01, prof1, None)
+            val spread = if (runs > 1)
+              f"  [min ${samples.map(_._1).min}%.2f max ${samples.map(_._1).max}%.2f n=$runs]"
+            else ""
+            println(f"[sweep] $name%-24s ${r.sec1}%7.2f s  sf0.1[${fmtProfile(prof01)}]  sf1[${fmtProfile(prof1)}]" +
+              (if (r.flipped) "  FLIP" else "") + spread)
+            r
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              val r = Row(name, -1, Map.empty, Map.empty,
+                Some(String.valueOf(e.getMessage).linesIterator.take(1).mkString))
+              println(s"[sweep] $name FAILED: ${r.err.get}")
+              r
+          }
       }
     }
 

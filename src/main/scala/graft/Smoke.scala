@@ -33,6 +33,9 @@ import org.apache.spark.sql.types._
   *    cardinality-path walk: id-grouped aggregates no longer bound (their
   *    output grows with the corpus), and a bounding node on the small
   *    side of a join no longer sanctions the fact-sized join output.
+  *    Round 14 closes the last documented hole: a Generate exploding an
+  *    aggregate-COLLECTED array only bounds when the collected input was
+  *    itself bounded.
   */
 object Smoke {
 
@@ -211,10 +214,14 @@ object Smoke {
     *  - limits / top-k / local scans / literal ranges bound;
     *  - joins: semi/anti emit ≤ |left| (left bounded suffices); all other
     *    types can emit up to |left|·|right|, so BOTH sides must bound;
-    *  - unions need every branch bounded; unary nodes pass through
-    *    (known residual: a Generate exploding an aggregate-collected
-    *    corpus array passes — but the collect itself is the scale bug a
-    *    plan review catches first); leaves (file/RDD scans) do not bound.
+    *  - unions need every branch bounded;
+    *  - Generate (explode) RE-INFLATES whatever its input collected: an
+    *    explode over `groupBy(grid).agg(collect_list(x))` has the
+    *    cardinality of x's input, not of the grid, so a bounded
+    *    aggregate child does NOT bound it unless what was collected was
+    *    itself bounded ([[collectsUnbounded]] — closes the r13 residual);
+    *  - other unary nodes pass through; leaves (file/RDD scans) do not
+    *    bound.
     */
   def bounded(n: SparkPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftAnti, LeftSemi}
@@ -222,7 +229,7 @@ object Smoke {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
-    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+    import org.apache.spark.sql.execution.{GenerateExec, GlobalLimitExec, LocalLimitExec,
       LocalTableScanExec, RangeExec, TakeOrderedAndProjectExec, UnionExec}
     n match {
       case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
@@ -239,8 +246,65 @@ object Smoke {
         case _ => bounded(j.left) && bounded(j.right)
       }
       case u: UnionExec => u.children.forall(bounded)
+      case g: GenerateExec => bounded(g.child) && !collectsUnbounded(g.child)
       case p if p.children.size == 1 => bounded(p.children.head)
       case _ => false
+    }
+  }
+
+  /** True when the subtree's nearest aggregate (walking through unary
+    * nodes and AQE wrappers) collects an UNBOUNDED input into arrays —
+    * i.e. the aggregate's own output is bounded but an explode above it
+    * would restore pre-aggregation (corpus) cardinality. Stops at
+    * joins/leaves: a non-aggregate boundary carries no collect for the
+    * Generate above it to re-inflate beyond [[bounded]]'s own verdict.
+    *
+    * The collected INPUT's boundedness is judged below the whole
+    * aggregation — a collect aggregate plans as partial + final stages,
+    * and the partial stage is itself "bounded" by the grid-key rule
+    * even though its arrays hold corpus content, so the walk descends
+    * through consecutive collect stages before asking [[bounded]].
+    */
+  private def collectsUnbounded(n: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    n match {
+      case a: AdaptiveSparkPlanExec              => collectsUnbounded(a.executedPlan)
+      case q: QueryStageExec                     => collectsUnbounded(q.plan)
+      case r: ReusedExchangeExec                 => collectsUnbounded(r.child)
+      case a: BaseAggregateExec if hasCollect(a) => collectInputUnbounded(a.child)
+      case _: BaseAggregateExec                  => false // non-collect agg seals re-inflation
+      case p if p.children.size == 1             => collectsUnbounded(p.children.head)
+      case _                                     => false
+    }
+  }
+
+  private def hasCollect(a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+    a.aggregateExpressions.exists(_.aggregateFunction match {
+      case _: CollectList | _: CollectSet => true
+      case _                              => false
+    })
+  }
+
+  /** Boundedness of what a collect-aggregation actually COLLECTED:
+    * descends through the aggregation's own partial/final stages (and
+    * exchanges/unary nodes between them) to the true input subtree.
+    */
+  private def collectInputUnbounded(n: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.ProjectExec
+    n match {
+      case a: AdaptiveSparkPlanExec              => collectInputUnbounded(a.executedPlan)
+      case q: QueryStageExec                     => collectInputUnbounded(q.plan)
+      case r: ReusedExchangeExec                 => collectInputUnbounded(r.child)
+      case a: BaseAggregateExec if hasCollect(a) => collectInputUnbounded(a.child)
+      case e: Exchange                           => collectInputUnbounded(e.child)
+      case p: ProjectExec                        => collectInputUnbounded(p.child)
+      case other                                 => !bounded(other)
     }
   }
 

@@ -531,6 +531,15 @@ object Curation {
     * engines; the 6-decimal grid spacing (10⁻⁶) is ~10 orders above
     * double epsilon at magnitude 1, so distinct grid values never
     * collapse and `<`/`=` agree bit-for-bit.
+    *
+    * Join-shape pin (r13 verdict item 5): the memoized quality input is
+    * a LogicalRDD with no size stats, so the qs-grid join plans SMJ at
+    * every SF — adjudicated benign (both sides are already shuffled on
+    * qs; the grid side is score-range bounded). The hazard is a future
+    * stats change silently BROADCASTING the corpus-sized checkpoint
+    * side — an executor OOM at 100 TB — so PlanAuditSpec pins "no
+    * broadcast whose build side scans a checkpoint" on this query, and
+    * tools/sf1_profile.tsv pins SMJ=1 at both SFs.
     */
   def paretoFront(s: SparkSession, dir: String): DataFrame =
     paretoFrontOf(

@@ -151,7 +151,13 @@ object Dedup {
     * moved), and spec fixtures keep the uncached [[docShinglesOf]].
     */
   private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
-    Ckpt.cached(s, s"dedup:shingles:$dir")(docShinglesOf(Tables.documents(s, dir)))
+    Ckpt.cached(s, s"dedup:shingles:$dir")(shinglesBuild(s, dir))
+
+  /** The exact thunk [[docShingles]] materializes — split out so
+    * [[buildPlansForAudit]] hands the lint the REAL executed tree.
+    */
+  private def shinglesBuild(s: SparkSession, dir: String): DataFrame =
+    docShinglesOf(Tables.documents(s, dir))
 
   /** Memoized LSH band-signature table of the corpus — shared by
     * minhash, incremental, fuzzy, and fuzzyCapped (same rationale as
@@ -159,7 +165,10 @@ object Dedup {
     * all four and was rebuilt per query).
     */
   private def bandsShared(s: SparkSession, dir: String): DataFrame =
-    Ckpt.cached(s, s"dedup:bands:$dir")(bandSignatures(docShingles(s, dir)))
+    Ckpt.cached(s, s"dedup:bands:$dir")(bandsBuild(s, dir))
+
+  private def bandsBuild(s: SparkSession, dir: String): DataFrame =
+    bandSignatures(docShingles(s, dir))
 
   def docShinglesOf(docs: DataFrame): DataFrame =
     docs
@@ -212,17 +221,21 @@ object Dedup {
     * queries re-ran the identical full-stream aggregation.
     */
   private def shingleDf(s: SparkSession, dir: String): DataFrame =
-    Ckpt.cached(s, s"dedup:shdf:$dir")(
-      docShingles(s, dir).groupBy("sh")
-        .agg(count(lit(1)).as("df"), min("doc_id").as("rep")))
+    Ckpt.cached(s, s"dedup:shdf:$dir")(shingleDfBuild(s, dir))
+
+  private def shingleDfBuild(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir).groupBy("sh")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("rep"))
 
   /** Memoized per-doc shingle-set sizes — every exact-verify consumer
     * (minhash, incremental, ngram, containment ×2) needs the identical
     * doc-bounded table.
     */
   private def shingleSizes(s: SparkSession, dir: String): DataFrame =
-    Ckpt.cached(s, s"dedup:shsizes:$dir")(
-      docShingles(s, dir).groupBy("doc_id").agg(count(lit(1)).as("n")))
+    Ckpt.cached(s, s"dedup:shsizes:$dir")(shingleSizesBuild(s, dir))
+
+  private def shingleSizesBuild(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir).groupBy("doc_id").agg(count(lit(1)).as("n"))
 
   /** Document-frequency cap for exact-shingle blocking ([[ngram]],
     * [[containment]]). Candidate pairs are generated only from shingles
@@ -328,19 +341,26 @@ object Dedup {
     * checkpoints, so ngram + containment + containmentCapped build the
     * blocking machinery once per session instead of three times.
     */
-  private def cappedBlocks(s: SparkSession, dir: String): CappedBlocks = {
-    val sh  = docShingles(s, dir)
-    val dfT = shingleDf(s, dir)
-    val hot = Ckpt.cached(s, s"dedup:hot:$dir")(
-      sh.join(dfT.filter(col("df") > DfCap).select("sh"), Seq("sh"), "left_semi"))
+  private def cappedBlocks(s: SparkSession, dir: String): CappedBlocks =
     CappedBlocks(
-      hot,
-      Ckpt.cached(s, s"dedup:hotn:$dir")(
-        hot.groupBy("doc_id").agg(count(lit(1)).as("hn"))),
+      Ckpt.cached(s, s"dedup:hot:$dir")(hotBuild(s, dir)),
+      Ckpt.cached(s, s"dedup:hotn:$dir")(hotNBuild(s, dir)),
       shingleSizes(s, dir),
-      Ckpt.cached(s, s"dedup:irare:$dir")(rarePairCounts(
-        sh.join(dfT.filter(col("df") <= DfCap).select("sh"), Seq("sh"), "left_semi"))))
-  }
+      Ckpt.cached(s, s"dedup:irare:$dir")(iRareBuild(s, dir)))
+
+  private def hotBuild(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir).join(
+      shingleDf(s, dir).filter(col("df") > DfCap).select("sh"),
+      Seq("sh"), "left_semi")
+
+  private def hotNBuild(s: SparkSession, dir: String): DataFrame =
+    Ckpt.cached(s, s"dedup:hot:$dir")(hotBuild(s, dir))
+      .groupBy("doc_id").agg(count(lit(1)).as("hn"))
+
+  private def iRareBuild(s: SparkSession, dir: String): DataFrame =
+    rarePairCounts(docShingles(s, dir).join(
+      shingleDf(s, dir).filter(col("df") <= DfCap).select("sh"),
+      Seq("sh"), "left_semi"))
 
   private def interCountsCapped(
       sh: DataFrame,
@@ -753,24 +773,27 @@ object Dedup {
 
   /** RAW (un-materialized) trees of the session-cached builds, for the
     * plan-shape audit: the builds execute eagerly at first use, so the
-    * per-query lints never see their joins inside any catalog plan —
-    * this hook hands the auditor the same trees the builders
-    * materialize, keeping the no-cartesian/no-fact-broadcast fence
-    * airtight over the memoized seam.
+    * per-query lints never see their joins inside any catalog plan.
+    * Each entry is the IDENTICAL expression its `Ckpt.cached` site
+    * materializes — the same `*Build` function is handed to both (r13
+    * advice: an earlier version re-derived stand-in trees from raw
+    * parquet, so the no-cartesian fence audited plans that never ran;
+    * the executed builds are left_semi joins over memoized LogicalRDD
+    * scans with different stats). Evaluating an entry here materializes
+    * its memoized INPUTS (they are `cached` lookups), which is exactly
+    * what the first catalog consumer does.
     */
   private[graft] def buildPlansForAudit(
-      s: SparkSession, dir: String): Map[String, DataFrame] = {
-    val sh = docShinglesOf(Tables.documents(s, dir))
-    val b  = cappedBlocksOf(sh)
-    Map(
-      "shingles" -> sh,
-      "shingle_df" -> sh.groupBy("sh")
-        .agg(count(lit(1)).as("df"), min("doc_id").as("rep")),
-      "bands"   -> bandSignatures(sh),
-      "hot"     -> b.hot,
-      "irare"   -> b.iRare,
-      "minhash" -> verifyJaccard(interCounts(minhashCands(sh), sh), sh))
-  }
+      s: SparkSession, dir: String): Map[String, DataFrame] = Map(
+    "shingles"   -> shinglesBuild(s, dir),
+    "shingle_df" -> shingleDfBuild(s, dir),
+    "shsizes"    -> shingleSizesBuild(s, dir),
+    "bands"      -> bandsBuild(s, dir),
+    "hot"        -> hotBuild(s, dir),
+    "hotn"       -> hotNBuild(s, dir),
+    "irare"      -> iRareBuild(s, dir),
+    // minhashShared's thunk IS the public minhash() pipeline
+    "minhash"    -> minhash(s, dir))
 
   /** Delta split for [[incremental]]: documents with doc_id ≡ 0 (mod 4)
     * play the incoming batch; the rest are the already-deduplicated

@@ -184,8 +184,10 @@ object Graph {
     * apart.
     */
   def trianglesNearDup(s: SparkSession, dir: String): DataFrame =
-    triangles(Dedup.minhashShared(s, dir).select(col("da"), col("db")),
-      cacheKey = Some(s"graph:tri-pairs:$dir"))
+    // a cheap projection over the memoized minhash checkpoint — the
+    // [[triangles]] isCheapScan fast path scans those blocks directly
+    // instead of re-materializing a second session-lived copy
+    triangles(Dedup.minhashShared(s, dir).select(col("da"), col("db")))
 
   /** Per-node triangle counts from an ordered pair list (da < db).
     *
@@ -200,16 +202,15 @@ object Graph {
     *
     * The pair list is localCheckpoint'ed once: it feeds three scans, and
     * recomputing the MinHash pipeline per scan would triple the dominant
-    * cost. On the catalog path the checkpoint is memoized per
-    * application (`cacheKey` → [[graft.Ckpt.cached]]): the returned
-    * counts scan it lazily, so a per-invocation generation could never
-    * be freed and accumulated under repeated gate/bench runs.
+    * cost — UNLESS it is already a cheap projection over a materialized
+    * checkpoint ([[graft.Ckpt.isCheapScan]]), in which case the three
+    * scans read those blocks directly and a second session-lived copy
+    * would be pure waste (r13 advice: the old `cacheKey` path
+    * re-materialized the whole memoized minhash table).
     */
-  def triangles(
-      pairList: DataFrame, cacheKey: Option[String] = None): DataFrame = {
+  def triangles(pairList: DataFrame): DataFrame = {
     val pl = pairList.toDF("da", "db")
-    val p  = cacheKey.fold(Ckpt(pl))(k => Ckpt.cached(pl.sparkSession, k)(pl))
-    triCounts(p)
+    triCounts(Ckpt.ensure(pl))
   }
 
   /** Per-node triangle counts over an ALREADY-MATERIALIZED ordered pair
@@ -773,10 +774,10 @@ object Graph {
     * IEEE divide of exact longs.
     */
   def homophilyNearDup(s: SparkSession, dir: String): DataFrame = {
-    // SAME memoized snapshot as trianglesNearDup — the MinHash pipeline
-    // is the dominant cost and both consumers need identical pairs
-    val p = Ckpt.cached(s, s"graph:tri-pairs:$dir")(
-      Dedup.minhashShared(s, dir).select(col("da"), col("db")))
+    // SAME memoized snapshot as trianglesNearDup: a cheap projection
+    // over the minhashShared checkpoint — both consumers scan its
+    // blocks directly, no second session-lived copy (r13 advice)
+    val p = Dedup.minhashShared(s, dir).select(col("da"), col("db"))
     val lang = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
     val grid = p
       .join(lang.select(col("doc_id").as("da"), col("lang").as("la")), "da")

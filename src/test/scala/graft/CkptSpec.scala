@@ -47,4 +47,89 @@ class CkptSpec extends AnyFunSuite with SparkTestBase {
         s"no checkpoint part files under $dir")
     }
   }
+
+  private def ckptRdds(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+  private def ckptIds(df: org.apache.spark.sql.DataFrame): Set[Int] =
+    ckptRdds(df).map(_.id).toSet
+
+  test("cached entries key on the checkpoint substrate (reliable flip)") {
+    // r13 advice: pin directly that a session flipping reliable mode is
+    // never served the local-mode blocks (they don't survive executor
+    // loss — the exact guarantee the flip buys)
+    val key   = "ckptspec:substrate"
+    val local = Ckpt.cached(spark, key)(spark.range(50).toDF("id"))
+    val rel   = withReliable(Ckpt.cached(spark, key)(spark.range(50).toDF("id")))
+    assert(ckptIds(rel) != ckptIds(local),
+      "reliable-mode lookup was served the local-mode materialization")
+    assert(rel.collect().toSeq == local.collect().toSeq)
+    // flipping BACK is again served the original local entry (memoized)
+    assert(ckptIds(Ckpt.cached(spark, key)(spark.range(50).toDF("id"))) == ckptIds(local))
+  }
+
+  test("cached entries key on the serialized-layout knob") {
+    // r13 advice: a mid-run flip of spark.graft.cached.serialized must
+    // build fresh serialized entries, not serve deserialized blocks the
+    // knob exists to cap
+    val key = "ckptspec:serk"
+    val des = Ckpt.cached(spark, key)(spark.range(40).toDF("id"))
+    withSQLConf(Ckpt.CachedSerKey -> "true") {
+      val ser = Ckpt.cached(spark, key)(spark.range(40).toDF("id"))
+      assert(ckptIds(ser) != ckptIds(des),
+        "serialized-mode lookup was served the deserialized materialization")
+      assert(!ckptRdds(ser).head.getStorageLevel.deserialized,
+        "entry built under the serialized knob is not stored serialized")
+    }
+    assert(ckptIds(Ckpt.cached(spark, key)(spark.range(40).toDF("id"))) == ckptIds(des))
+  }
+
+  test("chaos: reliable checkpoints survive block loss; local blocks are gone for good") {
+    // localCheckpoint truncates lineage — once its blocks are wiped
+    // (the single-JVM stand-in for losing an executor), the scan is
+    // unrecoverable. That is the documented local-mode trade-off...
+    val l = Ckpt(spark.range(0, 1000, 1, 4).toDF("id"))
+    ckptRdds(l).foreach(_.unpersist(blocking = true))
+    intercept[Exception](l.count())
+    // ...and the reliable substrate is exactly the cure: same wipe, but
+    // the data lives in checkpoint FILES, so the scan recovers fully
+    withReliable {
+      val r = Ckpt(spark.range(0, 1000, 1, 4).toDF("id"))
+      ckptRdds(r).foreach(_.unpersist(blocking = true))
+      assert(r.count() === 1000L)
+    }
+  }
+
+  test("chaos: reliable-mode iterative op recovers from an injected task failure") {
+    // r13 verdict item 6: kill a task mid-iteration with reliable mode
+    // on and prove the run converges to the clean answer. The crashing
+    // source sits UNDER connected components' first checkpoint build, so
+    // the failure fires inside a reliable checkpoint job; local[4,2]
+    // gives Spark one retry (the BehavioralSpec crash-test harness).
+    // Genuine executor loss is not constructible on local[*] — the
+    // block-loss chaos test above covers that half of the guarantee.
+    import spark.implicits._
+    CkptSpec.crashes.set(0)
+    val base = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (9L, 10L))
+      .toDF("da", "db")
+    val crashing = base.as[(Long, Long)].repartition(4).mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 &&
+        CkptSpec.crashes.getAndIncrement() == 0)
+        throw new RuntimeException("injected crash under a reliable checkpoint")
+      it
+    }.toDF("da", "db")
+    val expected = ops.Dedup.connectedComponents(base).collect().toSet
+    val got = withReliable(ops.Dedup.connectedComponents(crashing).collect().toSet)
+    assert(CkptSpec.crashes.get() >= 1, "crash was never injected")
+    assert(got == expected, "reliable-mode recovery diverged from the clean run")
+  }
+}
+
+object CkptSpec {
+  /** Cross-task crash latch for the failure-injection test (static so
+    * the serialized closure shares one counter across attempts).
+    */
+  val crashes = new java.util.concurrent.atomic.AtomicInteger(0)
 }

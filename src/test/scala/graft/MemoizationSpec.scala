@@ -56,13 +56,63 @@ class MemoizationSpec extends AnyFunSuite with SparkTestBase {
   test("cached builds keep lint-clean plans: equi-joins only, no cartesian") {
     // the memoized builds execute eagerly at first use, so the per-query
     // plan lints never see their joins — audit the raw build trees
-    // directly so the all-pairs fence stays airtight over the seam
+    // directly so the all-pairs fence stays airtight over the seam.
+    // buildPlansForAudit hands back the IDENTICAL `*Build` expressions
+    // the Ckpt.cached sites materialize (r13 advice: stand-in trees
+    // re-derived from raw parquet audited plans that never ran), so
+    // every non-root build must scan its memoized inputs' checkpoints.
     for ((name, df) <- ops.Dedup.buildPlansForAudit(spark, Sf0001)) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"build $name plans a CartesianProduct:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"build $name plans a BroadcastNestedLoopJoin:\n$p")
+      if (name != "shingles")
+        assert(scanIds(df).nonEmpty,
+          s"build $name does not scan a memoized checkpoint — the audit is " +
+            s"seeing a stand-in tree, not the executed build:\n${df.queryExecution.analyzed}")
     }
+  }
+
+  test("release drops a dir's entries; the next use rebuilds bit-equal") {
+    val before = ops.TextAnalysis.qualityShared(spark, Sf0001)
+    val rows   = before.collect().toSet
+    val ids    = scanIds(before)
+    val buildsBefore = Ckpt.buildLog.count(_._1 == s"text:quality:$Sf0001")
+    assert(Ckpt.release(Sf0001) > 0, "release found no entries for the test dir")
+    // blocks are gone: the released checkpoints no longer sit in the
+    // block manager's persistent-RDD registry
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.forall(id => !persisted.contains(id)),
+      s"released entry still holds blocks: $ids vs persisted $persisted")
+    // next use is a fresh materialization (new scan id, one more build
+    // log row) with bit-equal content
+    val after = ops.TextAnalysis.qualityShared(spark, Sf0001)
+    assert(scanIds(after) != ids, "release did not force a rebuild")
+    assert(after.collect().toSet == rows, "rebuilt entry differs from the released one")
+    assert(Ckpt.buildLog.count(_._1 == s"text:quality:$Sf0001") == buildsBefore + 1,
+      "rebuild after release must appear in the build log")
+  }
+
+  test("storage-fraction LRU eviction drops old entries, protects the MRU window") {
+    // seed a throwaway namespace so the LRU tail is deterministic; the
+    // newest seeds sit inside Ckpt's protection window at trigger time
+    val keys = (1 to 16).map(i => f"evicttest:seed$i%02d")
+    val seededIds = keys.map(k =>
+      k -> scanIds(Ckpt.cached(spark, k)(spark.range(10).toDF("id")))).toMap
+    withSQLConf(Ckpt.EvictFractionKey -> "0.0") {
+      // any nonzero storage use now exceeds the threshold: the next NEW
+      // build must evict everything outside the protection window
+      Ckpt.cached(spark, "evicttest:trigger")(spark.range(5).toDF("id"))
+    }
+    val afterIds = keys.map(k =>
+      k -> scanIds(Ckpt.cached(spark, k)(spark.range(10).toDF("id")))).toMap
+    assert(afterIds("evicttest:seed01") != seededIds("evicttest:seed01"),
+      "oldest seed survived a floor-threshold eviction")
+    assert(afterIds("evicttest:seed16") == seededIds("evicttest:seed16"),
+      "an MRU-window entry was evicted mid-composition-window")
+    // correctness is untouched either way: entries rebuild from thunks
+    assert(Ckpt.cached(spark, "evicttest:seed01")(spark.range(10).toDF("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L))
   }
 
   test("curate_token_budget deliberately does NOT consume the memoized quality") {

@@ -412,6 +412,59 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "semi join against a bounded left side is output-bounded and must pass")
   }
 
+  test("round-14 lint closure: exploding a collected corpus array does not bound") {
+    import org.apache.spark.sql.functions._
+    // a grid-keyed collect aggregate has bounded OUTPUT rows, but its
+    // arrays hold the corpus — the explode above restores pre-aggregation
+    // cardinality, so a global window over it is still the one-task sort
+    // (the r13 residual the boundedness scaladoc documented)
+    val reInflated = Tables.documents(spark, Sf0001)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang").agg(collect_list("tok").as("toks"))
+      .select(col("lang"), explode(col("toks")).as("tok"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("tok")))
+    reInflated.count()
+    assert(Smoke.unboundedGlobalWindow(reInflated.queryExecution.executedPlan).isDefined,
+      "audit missed a global window over an explode of a collected corpus array")
+    // ...while exploding a collect whose INPUT was itself bounded stays
+    // bounded: the array can only hold what the bounded subtree emitted
+    val boundedCollect = Tables.documents(spark, Sf0001)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(collect_list("n").as("ns"))
+      .select(explode(col("ns")).as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("n")))
+    boundedCollect.count()
+    assert(Smoke.unboundedGlobalWindow(boundedCollect.queryExecution.executedPlan).isEmpty,
+      "explode of a collect over a bounded (grid-aggregated) input must pass")
+  }
+
+  test("curate_pareto: the memoized corpus side never broadcasts") {
+    // the quality input is a LogicalRDD checkpoint with no size stats, so
+    // the qs-grid join plans SMJ at every SF (profile row pins SMJ=1).
+    // The hazard worth a spec of its own: a future stats/AQE change
+    // silently flipping to a BROADCAST of the corpus-sized side — at
+    // 100 TB that is an executor-OOM, not a perf regression. The
+    // grid side broadcasting would be fine; the LogicalRDD side must not.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = SparkEntry.queries("curate_pareto")(spark, Sf0001)
+    df.count()
+    val nodes = Smoke.finalPlanNodes(df.queryExecution.executedPlan)
+    val smj = nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+    assert(smj >= 1, "curate_pareto lost its pinned sort-merge join shape")
+    for (b <- nodes.collect { case j: BroadcastHashJoinExec => j }) {
+      val buildSide = b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => b.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+      }
+      val scansCkpt = Smoke.finalPlanNodes(buildSide).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec])
+      assert(!scansCkpt,
+        s"curate_pareto broadcasts a checkpoint-scan (corpus-sized) build side:\n$b")
+    }
+  }
+
   test("full catalog: no unpartitioned window over an unbounded input") {
     // an empty partitionSpec plans as AllTuples = ONE task; over a fact
     // table that is the single-task-sort scale-killer. Bounded inputs

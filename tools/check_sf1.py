@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""sf1 oracle gate (r13 verdict item 4): the driver's DuckDB value gate
+tops out at sf0.1, so sf1 evidence was engine-only. This runs the same
+compare as check.py over the ScaleData-built sf1 replica for whatever
+subset graft.Verify dumped (SPARK_GRAFT_ONLY) — directory-style parquet,
+so views glob part files. Names in oracle_sql.json without a dumped
+output dir are SKIPPED (subset mode), not failed.
+Usage: check_sf1.py <sfDir> <verifyOutDir>"""
+import json, sys, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    p = f"{sfdir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = fail = skipped = 0
+for name in sorted(oracle):
+    d = f"{outdir}/{name}"
+    if not os.path.isdir(d):
+        skipped += 1; continue
+    files = glob.glob(f"{d}/*.parquet")
+    try:
+        spark_df = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fail += 1; continue
+    sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
+    if sc != dc:
+        print(f"FAIL {name}: columns spark={sc} duck={dc}"); fail += 1; continue
+    s = spark_df[sc].sort_values(sc).reset_index(drop=True)
+    dd = duck_df[dc].sort_values(dc).reset_index(drop=True)
+    if len(s) != len(dd):
+        print(f"FAIL {name}: rows spark={len(s)} duck={len(dd)}"); fail += 1; continue
+    if s.equals(dd):
+        print(f"OK   {name} ({len(s)} rows)"); ok += 1
+    else:
+        diff = (s != dd) & ~(s.isna() & dd.isna())
+        bad = diff.any(axis=1)
+        if bad.sum() == 0:
+            dt = {c: (str(s[c].dtype), str(dd[c].dtype))
+                  for c in sc if str(s[c].dtype) != str(dd[c].dtype)}
+            print(f"FAIL {name}: values equal but dtypes differ: {dt}")
+            fail += 1
+            continue
+        print(f"FAIL {name}: {bad.sum()} mismatched rows of {len(s)}")
+        print("spark:", s[bad].head(3).to_dict("records"))
+        print("duck :", dd[bad].head(3).to_dict("records"))
+        fail += 1
+print(f"\n{ok} ok, {fail} fail, {skipped} not dumped (subset mode)")
+sys.exit(1 if fail else 0)

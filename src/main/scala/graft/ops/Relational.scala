@@ -26,9 +26,22 @@ import graft.Tables
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Exact, order-independent sum of a double column. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
-  private val DSUM = "CAST(sum(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
+  /** Exact, order-independent sum of a double column, converted to
+    * double through an explicit BIGINT image. The decimal(38,6) sum is
+    * exact on the 1e-6 grid, but a direct decimal→double cast diverges
+    * between engines by 1 ULP once the scaled image passes 2^53 (first
+    * seen at sf1: q1_pricing's sum_charge ≈ 5.1e10 → image 2^55.5 —
+    * DuckDB converts scaled-int-then-divide, the JVM rounds the exact
+    * value). Both engines now round the SAME bigint image and perform
+    * the SAME final power-of-ten divide, so the result is bit-identical
+    * at every scale. Envelope: |sum| < 2^63/1e6 ≈ 9.2e12 — ~180× the
+    * sf1 mass; past that, shrink the grid a decade per decade of scale.
+    */
+  private def dsum(c: Column): Column =
+    (sum(c.cast("decimal(38,6)")) * lit(1000000)).cast("decimal(38,0)")
+      .cast("long").cast("double") / lit(1e6)
+  private val DSUM =
+    "(CAST(CAST(sum(CAST(%s AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)"
 
   // ---------------------------------------------------------------- aggs
 

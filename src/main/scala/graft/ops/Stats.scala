@@ -23,8 +23,16 @@ import graft.Tables
 object Stats {
   type Q = (SparkSession, String) => DataFrame
 
-  private def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
-  private val DSUM = "CAST(sum(CAST(%s AS DECIMAL(38,6))) AS DOUBLE)"
+  /** Exact grid sum → double through an explicit BIGINT image — see
+    * [[graft.ops.Relational]]'s dsum scaladoc (the shared 2^53 decimal→
+    * double parity rule; both engines round the same integer then do
+    * the same final divide, bit-identical at every scale).
+    */
+  private def dsum(c: Column): Column =
+    (sum(c.cast("decimal(38,6)")) * lit(1000000)).cast("decimal(38,0)")
+      .cast("long").cast("double") / lit(1e6)
+  private val DSUM =
+    "(CAST(CAST(sum(CAST(%s AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)"
 
   /** Range-partitioned cumulative sum over a (group, value) histogram —
     * the UNBOUNDED-DOMAIN-safe alternative to a per-group
@@ -198,9 +206,14 @@ object Stats {
     // matters beyond economy: these sums reach ~n³/4, and at sf0.1 a
     // (38,6)-scaled integer already exceeds double's exact range, where
     // DuckDB's decimal→double (scaled-int cast, then divide) can land one
-    // ULP off the JVM's correctly-rounded BigDecimal conversion. The
-    // ×100 representation stays exact two decades longer.
-    def qsum(x: Column) = sum(x.cast("decimal(38,2)")).cast("double")
+    // ULP off the JVM's correctly-rounded BigDecimal conversion. At sf1
+    // even the ×100 image passes 2^53 (n³/4·100 ≈ 2e17), so the final
+    // conversion routes through an explicit BIGINT image + one divide on
+    // both engines (the dsum discipline): bit-identical at every scale,
+    // envelope n³/4 < 9.2e16 per group (~n ≤ 7e5 — 3.5× the sf1 group).
+    def qsum(x: Column) =
+      (sum(x.cast("decimal(38,2)")) * lit(100)).cast("decimal(38,0)")
+        .cast("long").cast("double") / lit(100.0)
     j.groupBy("event_type")
       .agg(
         sum(col("c")).as("n"),
@@ -1299,9 +1312,10 @@ object Stats {
     * partial-aggregated shuffle to per-type (n, Σz, Σz²). Group means
     * are identical IEEE quotients of exact sums, so every z is the same
     * double in both engines; the k per-group F ingredients quantize onto
-    * decimal(38,6) before the final order-free sum (the libm-containment
-    * rule applied to cross-group reduction), and F is closed-form IEEE
-    * arithmetic on those exact pieces.
+    * an explicit 1e-6 floor image before the final order-free sum (the
+    * libm-containment rule applied to cross-group reduction — see the
+    * qi6 comment for why a decimal cast is not engine-portable here),
+    * and F is closed-form IEEE arithmetic on those exact pieces.
     */
   def levene(s: SparkSession, dir: String): DataFrame =
     leveneOf(Tables.events(s, dir))
@@ -1319,14 +1333,22 @@ object Stats {
     val per = z
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum(col("z")).as("sz"), dsum(col("z") * col("z")).as("szz"))
-    def q6(c: Column) = c.cast("decimal(38,6)")
+    // per-group F ingredients quantize onto an explicit 1e-6 FLOOR image
+    // (round-half-up on the double, `floor(x·1e6 + 0.5)`) rather than a
+    // double→decimal cast: Spark's cast rounds the double's EXACT binary
+    // expansion while DuckDB rounds the double-arithmetic image, and at
+    // sf1 one group's (szz − sz²/n) landed on opposite sides — a clean
+    // 1e-6 quantum of ssw drift. The floor image is pure IEEE arithmetic
+    // on identical doubles, so both engines agree at every scale; the
+    // long sums then convert exactly (dsum discipline).
+    def qi6(c: Column) = floor(c * lit(1e6) + lit(0.5))
     val sz2n = col("sz") * col("sz") / col("n")
     val one = per.agg(
       count(lit(1)).as("k"),
       sum(col("n")).as("n_total"),
-      sum(q6(col("sz"))).cast("double").as("szt"),
-      sum(q6(sz2n)).cast("double").as("sp"),
-      sum(q6(col("szz") - sz2n)).cast("double").as("ssw"))
+      (sum(qi6(col("sz"))).cast("double") / lit(1e6)).as("szt"),
+      (sum(qi6(sz2n)).cast("double") / lit(1e6)).as("sp"),
+      (sum(qi6(col("szz") - sz2n)).cast("double") / lit(1e6)).as("ssw"))
     val ssb = col("sp") - col("szt") * col("szt") / col("n_total")
     one.select(
       col("k"),
@@ -1485,9 +1507,9 @@ object Stats {
              ${ds("z")} AS sz, ${ds("z * z")} AS szz
            FROM z GROUP BY 1),
          one AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_total,
-             ${ds("sz")} AS szt,
-             ${ds("sz * sz / n")} AS sp,
-             ${ds("szz - sz * sz / n")} AS ssw
+             CAST(sum(CAST(floor(sz * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS szt,
+             CAST(sum(CAST(floor(sz * sz / n * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sp,
+             CAST(sum(CAST(floor((szz - sz * sz / n) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS ssw
            FROM per)
          SELECT CAST(k AS BIGINT) AS k, n_total,
            sp - szt * szt / n_total AS ssb,
@@ -1959,11 +1981,11 @@ object Stats {
                JOIN rx ON rx.event_type = joint.event_type AND rx.value = joint.value
                JOIN ry ON ry.event_type = joint.event_type AND ry.hh = joint.hh),
          a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
-                 CAST(sum(CAST(c * rx AS DECIMAL(38,2))) AS DOUBLE) AS sx,
-                 CAST(sum(CAST(c * ry AS DECIMAL(38,2))) AS DOUBLE) AS sy,
-                 CAST(sum(CAST(c * rx * ry AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
-                 CAST(sum(CAST(c * rx * rx AS DECIMAL(38,2))) AS DOUBLE) AS sxx,
-                 CAST(sum(CAST(c * ry * ry AS DECIMAL(38,2))) AS DOUBLE) AS syy
+                 CAST(CAST(sum(CAST(c * rx AS DECIMAL(38,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sx,
+                 CAST(CAST(sum(CAST(c * ry AS DECIMAL(38,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sy,
+                 CAST(CAST(sum(CAST(c * rx * ry AS DECIMAL(38,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sxy,
+                 CAST(CAST(sum(CAST(c * rx * rx AS DECIMAL(38,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sxx,
+                 CAST(CAST(sum(CAST(c * ry * ry AS DECIMAL(38,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS syy
                FROM j GROUP BY 1)
          SELECT event_type, n,
            (n * sxy - sx * sy) /

@@ -1338,27 +1338,42 @@ object Dedup {
       .filter(size(col("toks")) >= K)
     // one explode produces BOTH shingle tables: the K-gram at p and (when
     // it exists) the (K+1)-gram at p, so the text is tokenized and
-    // scanned once
+    // scanned once.
+    //
+    // PERF (round 14): gram keys are xxhash64 chains over per-token
+    // hashes, not md5 over a materialized 16-token string. Each token's
+    // bytes are hashed ONCE (`th`), then a position's K-gram key is 16
+    // long-mixes and its (K+1)-gram key re-seeds from the K-gram key plus
+    // the next token's hash — no ~100-byte string allocation + md5 per
+    // position (which the profile showed dominated this query). Safe for
+    // THIS operator only because no hash value reaches the output: spans
+    // depend on hash EQUALITY CLASSES (≥2-doc grams + extension
+    // certificates), which any deterministic collision-negligible hash
+    // induces identically, so the md5-based DuckDB oracle derives the
+    // same classes from the gram strings themselves. MinHash/SimHash must
+    // keep TextHash.hash60 — their outputs carry hash-DERIVED values the
+    // oracle reproduces bit-exact.
+    val hChain = (0 until K).map(j => s"element_at(th, i + $j)").mkString(", ")
     val sh = toks
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"),
-        // the (K+1)-gram is the K-gram plus one appended token: the inner
-        // transform builds each K-gram string once, the outer one appends
-        // the next token — no second K+1-wide slice+join per position
+        expr("transform(toks, t -> xxhash64(t))").as("th"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
         explode(expr(
           s"""transform(
-                transform(sequence(1, size(toks) - ${K - 1}),
-                  i -> named_struct('p', i, 'g', concat_ws(' ', slice(toks, i, $K)))),
+                transform(sequence(1, size(th) - ${K - 1}),
+                  i -> named_struct('p', i, 'h', xxhash64($hChain))),
                 s -> named_struct(
                        'p', s.p,
-                       'g', s.g,
-                       'gx', IF(s.p <= size(toks) - $K,
-                                concat(s.g, ' ', element_at(toks, s.p + $K)),
-                                NULL)))""")).as("e"))
+                       'h', s.h,
+                       'hx', IF(s.p <= size(th) - $K,
+                                xxhash64(s.h, element_at(th, s.p + $K)),
+                                CAST(NULL AS BIGINT))))""")).as("e"))
       .select(col("doc_id"), col("n_toks"), col("e.p").as("p"),
-        TextHash.hash60(col("e.g")).as("h"),
-        when(col("e.gx").isNotNull, TextHash.hash60(col("e.gx"))).as("hx"))
+        col("e.h").as("h"), col("e.hx").as("hx"))
     val hot = sh
       .select(col("h").as("hh"), col("doc_id")).distinct()
       .groupBy("hh").agg(count(lit(1)).as("nd"))

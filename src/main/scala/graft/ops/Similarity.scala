@@ -826,7 +826,16 @@ object Similarity {
   def pqTopk(s: SparkSession, dir: String): DataFrame = {
     val subs  = pqSubs(s, dir)
     val cw    = pqCodebook(subs)
+    // The codes⋈LUT broadcast join below expands |V|·M code rows into
+    // |V|·M·|Q| scored pairs, so partition count must follow COMPUTE, not
+    // input bytes: AQE sizes the stage by the few-MB code table and folds
+    // the whole expansion + partial agg into ONE task (measured 6.8 s
+    // single-task at sf1 by OneTaskAudit — the same byte-blind-coalesce
+    // class as bm25's merge-scan and dedup_incremental's pair expansion).
+    // A round-robin repartition with an explicit count is the one shuffle
+    // AQE may not coalesce; it moves only the |V|·M-row code table.
     val codes = pq(s, dir).select(col("vec_id"), col("subspace"), col("code"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
     val qs = subs
       .filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("q_vec"), col("subspace"), col("sv").as("qv"))

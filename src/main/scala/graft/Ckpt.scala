@@ -144,7 +144,9 @@ object Ckpt {
 
   /** Unpersist and forget every memoized entry whose user key contains
     * `substr` — keys embed their data dir (`dedup:shingles:<dir>`), so
-    * `release(dir)` drops one scale factor's whole cache. Harness use:
+    * `release(dir)` drops one scale factor's whole cache, and
+    * `release("")` is the documented drop-ALL form (every key contains
+    * the empty string). Harness use:
     * [[ScaleSweep]] calls it between the sf0.1 and sf1 phases so the
     * sf1 numbers never share executor storage with a dead SF's caches
     * (the measured text_bm25 degradation mode). Returns the number of

@@ -1353,6 +1353,15 @@ object Dedup {
     // same classes from the gram strings themselves. MinHash/SimHash must
     // keep TextHash.hash60 — their outputs carry hash-DERIVED values the
     // oracle reproduces bit-exact.
+    //
+    // Collision model: the (K+1)-gram key is DERIVED from the K-gram key
+    // (xxhash64(h_K, th(next))) and tokens are pre-collapsed to 64-bit
+    // hashes, so extension-key collisions are correlated with K-gram and
+    // token-hash collisions rather than independent as md5-per-position
+    // was. The union bound still holds at ~2^-64 per colliding pair
+    // (token collision OR chain collision, each uniform over 64 bits),
+    // so the negligibility claim is unchanged — only the independence
+    // structure differs from the old scheme.
     val hChain = (0 until K).map(j => s"element_at(th, i + $j)").mkString(", ")
     val sh = toks
       .select(

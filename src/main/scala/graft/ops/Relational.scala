@@ -36,10 +36,28 @@ object Relational {
     * the SAME final power-of-ten divide, so the result is bit-identical
     * at every scale. Envelope: |sum| < 2^63/1e6 ≈ 9.2e12 — ~180× the
     * sf1 mass; past that, shrink the grid a decade per decade of scale.
+    * The envelope is ENFORCED, not advisory: a non-ANSI decimal→long
+    * cast past 2^63 wraps silently, so [[guardLongImage]] raises inside
+    * the value path instead (the LSH dimension-drift discipline).
     */
   private def dsum(c: Column): Column =
-    (sum(c.cast("decimal(38,6)")) * lit(1000000)).cast("decimal(38,0)")
-      .cast("long").cast("double") / lit(1e6)
+    guardLongImage(
+      (sum(c.cast("decimal(38,6)")) * lit(1000000)).cast("decimal(38,0)"),
+      "dsum(1e-6 grid)")
+      .cast("double") / lit(1e6)
+
+  /** Loud envelope guard shared by every explicit-BIGINT-image
+    * conversion (dsum here, qsum in [[Stats]]): returns `img` as a long
+    * when it fits int64, raises otherwise. Lives inside the value path
+    * so column pruning cannot eliminate it, and runs on post-aggregation
+    * rows only (one comparison per output group — off the hot path).
+    */
+  private[ops] def guardLongImage(img: Column, what: String): Column =
+    when(abs(img) <= lit(Long.MaxValue), img.cast("long"))
+      .otherwise(raise_error(format_string(
+        s"$what: bigint image %s exceeds the 2^63 exactness envelope — " +
+          "shrink the quantization grid one decade per decade of scale",
+        img.cast("string"))))
   private val DSUM =
     "(CAST(CAST(sum(CAST(%s AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)"
 

@@ -29,8 +29,10 @@ object Stats {
     * the same final divide, bit-identical at every scale).
     */
   private def dsum(c: Column): Column =
-    (sum(c.cast("decimal(38,6)")) * lit(1000000)).cast("decimal(38,0)")
-      .cast("long").cast("double") / lit(1e6)
+    Relational.guardLongImage(
+      (sum(c.cast("decimal(38,6)")) * lit(1000000)).cast("decimal(38,0)"),
+      "dsum(1e-6 grid)")
+      .cast("double") / lit(1e6)
   private val DSUM =
     "(CAST(CAST(sum(CAST(%s AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0)"
 
@@ -210,10 +212,13 @@ object Stats {
     // even the ×100 image passes 2^53 (n³/4·100 ≈ 2e17), so the final
     // conversion routes through an explicit BIGINT image + one divide on
     // both engines (the dsum discipline): bit-identical at every scale,
-    // envelope n³/4 < 9.2e16 per group (~n ≤ 7e5 — 3.5× the sf1 group).
+    // envelope n³/4 < 9.2e16 per group (~n ≤ 7e5 — 3.5× the sf1 group),
+    // enforced loudly by the shared image guard.
     def qsum(x: Column) =
-      (sum(x.cast("decimal(38,2)")) * lit(100)).cast("decimal(38,0)")
-        .cast("long").cast("double") / lit(100.0)
+      Relational.guardLongImage(
+        (sum(x.cast("decimal(38,2)")) * lit(100)).cast("decimal(38,0)"),
+        "spearman qsum(1e-2 grid)")
+        .cast("double") / lit(100.0)
     j.groupBy("event_type")
       .agg(
         sum(col("c")).as("n"),

@@ -22,8 +22,8 @@ import org.apache.spark.sql.SparkSession
   *   1. one full catalog pass at the target dir (stands every cache);
   *   2. text_bm25 × 5 back-to-back (GC + 200 ms between, like the sweep);
   *   3. graph_common_neighbors × 3 (the other weak-spread query);
-  *   4. Ckpt.release(dir) — drop EVERY standing memoized entry — then
-  *      text_bm25 × 2 more.
+  *   4. Ckpt.release("") — the empty key substring-matches every entry,
+  *      i.e. drop ALL standing memoized state — then text_bm25 × 2 more.
   * If step 4 snaps back to the solo time, the standing caches are causal
   * (fix: bound/evict harder, or serialize the big read-rarely entries);
   * if it stays slow, the cause is per-repeat session debris (fix:

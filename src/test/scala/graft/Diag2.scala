@@ -22,12 +22,15 @@ object Diag2 {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def cpuStat(): (Long, Long) = {
-    val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
-    val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-    // (total, steal) — steal is field 8 (0-indexed 7)
-    (f.sum, if (f.length > 7) f(7) else 0L)
-  }
+  private def cpuStat(): (Long, Long) =
+    // Linux-only probe: degrade to (1, 0) = 0% steal elsewhere rather
+    // than crash the whole diagnostic on a missing /proc.
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get("/proc/stat"))) (1L, 0L)
+    else scala.util.Using.resource(scala.io.Source.fromFile("/proc/stat")) { src =>
+      val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      // (total, steal) — steal is field 8 (0-indexed 7)
+      (f.sum, if (f.length > 7) f(7) else 0L)
+    }
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.{SparkTestBase, Tables}
+import graft.{SparkEntry, SparkTestBase, Tables}
 
 /** Scale-technique demonstrations that the oracle gate can't express:
   * bucketed co-located joins (no exchange), salting equivalence, and
@@ -284,5 +284,46 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     val approx = li.select(approx_count_distinct(col("l_orderkey"), 0.01)).as[Long].head()
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
+  }
+
+  test("bigint-image envelope guard is exact below 2^63 and raises loudly past it") {
+    // below the envelope: the guard is a value-identical passthrough
+    val ok = Seq("123456789", "-42").toDF("v")
+      .agg(Relational.guardLongImage(
+        sum(col("v").cast("decimal(38,0)")), "probe").as("g"))
+      .select(col("g")).as[Long].head()
+    assert(ok == 123456747L)
+    // past it: a non-ANSI decimal->long cast would WRAP silently; the
+    // guard must raise instead (SCALING.md round-15: envelopes are
+    // enforced, not advisory)
+    val e = intercept[Throwable] {
+      Seq("9000000000000000000", "9000000000000000000").toDF("v")
+        .agg(Relational.guardLongImage(
+          sum(col("v").cast("decimal(38,0)")), "probe").as("g"))
+        .collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else t.getMessage :: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("2^63")), chain(e).mkString(" | "))
+  }
+
+  test("q1_pricing's dsum trips the envelope guard on an over-envelope fixture") {
+    // end-to-end: a lineitem whose quantity sum image exceeds 2^63/1e6
+    // must fail the QUERY, not drift 1 ULP (or wrap) in silence
+    val dir = java.nio.file.Files.createTempDirectory("graft-envelope").toFile
+    dir.deleteOnExit()
+    import java.sql.Timestamp
+    Seq(
+      ("A", "F", Timestamp.valueOf("1995-01-01 00:00:00"), 9.3e12, 1.0, 0.0, 0.0),
+      ("A", "F", Timestamp.valueOf("1995-01-02 00:00:00"), 9.3e12, 1.0, 0.0, 0.0))
+      .toDF("l_returnflag", "l_linestatus", "l_shipdate",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val e = intercept[Throwable] {
+      SparkEntry.queries("q1_pricing")(spark, dir.toString).collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else t.getMessage :: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("2^63")), chain(e).mkString(" | "))
   }
 }

@@ -11,6 +11,18 @@ import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# r15: the r14 gate skipped the text/dedup families as "DuckDB temp-disk
+# bound" — that bound was DEFAULT-config duckdb. Give the oracle the
+# resources the box actually has (the gate is a judge-grade offline
+# check, not a production job): a large memory budget keeps the
+# recursive-CTE / explode-heavy oracles out of temp spill entirely, and
+# an explicit spill dir with room bounds the rest.
+tmp = os.environ.get("GRAFT_DUCK_TMP", "/tmp/graft_duck_tmp")
+os.makedirs(tmp, exist_ok=True)
+con.execute(f"SET temp_directory='{tmp}'")
+con.execute("SET memory_limit='80GB'")
+con.execute("SET max_temp_directory_size='60GB'")
+con.execute("SET threads=16")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     p = f"{sfdir}/{t}.parquet"

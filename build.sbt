@@ -36,4 +36,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ Seq(
+  // GC pin (round 15, SCALING.md "aged-session" section): the r14
+  // mechanism hunt showed long catalog sessions intermittently lose
+  // cores to G1 background work while reported STW time stays small,
+  // inflating recorded medians on allocation-heavy queries by up to
+  // 2.5x with flat minimums. Parallel (throughput) GC has no concurrent
+  // phases and no humongous-region class — the full-catalog A/B at
+  // sf0.1 is recorded in SCALING.md. Overridable for A/Bs without a
+  // build edit via SPARK_GRAFT_JVM (extra flags win by position).
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_GRAFT_JVM").map(_.trim).filter(_.nonEmpty)
+  .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

@@ -30,7 +30,21 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-ok = fail = skipped = 0
+ok = fail = skipped = timeout = 0
+# r15: per-oracle watchdog — at sf1 a handful of oracles (recursive-CTE
+# graph peeling, 36-hash minhash unrolls) can run for hours in DuckDB;
+# interrupt them and record TIMEOUT (excluded-but-visible) instead of
+# wedging the whole gate. Engine-side results for those queries remain
+# gated at sf0.01/sf0.1 by the driver.
+import threading
+BUDGET = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "600"))
+def with_budget(sql):
+    timer = threading.Timer(BUDGET, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        timer.cancel()
 for name in sorted(oracle):
     d = f"{outdir}/{name}"
     if not os.path.isdir(d):
@@ -39,8 +53,14 @@ for name in sorted(oracle):
     try:
         spark_df = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchdf()
-        duck_df = con.execute(oracle[name]).fetchdf()
+        duck_df = with_budget(oracle[name])
+    except duckdb.InterruptException:
+        print(f"TIMEOUT {name}: oracle exceeded {BUDGET:.0f}s, skipped")
+        timeout += 1; continue
     except Exception as e:
+        if "INTERRUPT" in str(e).upper():
+            print(f"TIMEOUT {name}: oracle exceeded {BUDGET:.0f}s, skipped")
+            timeout += 1; continue
         print(f"FAIL {name}: {e}"); fail += 1; continue
     sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
     if sc != dc:
@@ -64,5 +84,6 @@ for name in sorted(oracle):
         print("spark:", s[bad].head(3).to_dict("records"))
         print("duck :", dd[bad].head(3).to_dict("records"))
         fail += 1
-print(f"\n{ok} ok, {fail} fail, {skipped} not dumped (subset mode)")
+print(f"\n{ok} ok, {fail} fail, {timeout} oracle-timeout, "
+      f"{skipped} not dumped (subset mode)")
 sys.exit(1 if fail else 0)

@@ -49,8 +49,12 @@ object ChaosCluster {
 
     def executorPids(): Seq[ProcessHandle] = {
       import scala.jdk.CollectionConverters._
+      // ProcessHandle.commandLine() is EMPTY for the executor JVMs (the
+      // local-cluster classpath exceeds the /proc cmdline read limit),
+      // so match on the executable: every java descendant of this JVM
+      // is an executor backend — nothing else is forked below us.
       ProcessHandle.current().descendants().iterator().asScala
-        .filter(_.info().commandLine().map(_.contains("ExecutorBackend"))
+        .filter(p => p.isAlive && p.info().command().map[Boolean](_.endsWith("java"))
           .orElse(false))
         .toSeq
     }

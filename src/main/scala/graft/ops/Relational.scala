@@ -53,7 +53,12 @@ object Relational {
     * rows only (one comparison per output group — off the hot path).
     */
   private[ops] def guardLongImage(img: Column, what: String): Column =
-    when(abs(img) <= lit(Long.MaxValue), img.cast("long"))
+    // NULL passes through (an aggregated-over-nothing group, e.g. the
+    // unmatched side of an outer join, is a legitimate NULL sum — caught
+    // at sf1 by join_outer, invisible at sf0.01); only a NON-null image
+    // outside int64 raises.
+    when(img.isNull, lit(null).cast("long"))
+      .when(abs(img) <= lit(Long.MaxValue), img.cast("long"))
       .otherwise(raise_error(format_string(
         s"$what: bigint image %s exceeds the 2^63 exactness envelope — " +
           "shrink the quantization grid one decade per decade of scale",

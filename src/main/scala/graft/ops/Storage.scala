@@ -142,12 +142,18 @@ object Storage {
     val t  = ensure(s, dir)
     val li = s.table(s"graft_li_bkt_$t").hint("merge")
     val o  = s.table(s"graft_ord_bkt_$t")
+    // revenue ≈ 1.0e11 at sf1 → 1e-6-grid image 2^56.5: the direct
+    // decimal→double cast diverges 1 ULP between engines past 2^53, so
+    // the conversion routes through the shared guarded BIGINT image
+    // (caught by the r15 extended sf1 gate; invisible at sf0.1 and below)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("n_items"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(38,6)"))
-          .cast("double").as("revenue"))
+        (Relational.guardLongImage(
+          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,6)")) * lit(1000000)).cast("decimal(38,0)"),
+          "bucket_join revenue").cast("double") / lit(1e6)).as("revenue"))
   }
 
   /** One month's order mix — a scan that must read 1 of ~80 partitions. */
@@ -158,7 +164,10 @@ object Storage {
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("sum_price"))
+        (Relational.guardLongImage(
+          (sum(col("o_totalprice").cast("decimal(38,6)")) * lit(1000000))
+            .cast("decimal(38,0)"),
+          "part_prune sum_price").cast("double") / lit(1e6)).as("sum_price"))
   }
 
   /** Small-file compaction — the table-maintenance pass every streaming
@@ -471,12 +480,12 @@ object Storage {
   val oracle: Map[String, String] = Map(
     "bucket_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
-         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+         (CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
     "part_prune" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+         (CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS sum_price
          FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '$PruneMonth'
          GROUP BY 1""",
     // reads the ORIGINAL parquet — equality with the Spark side (which

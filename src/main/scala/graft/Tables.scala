@@ -10,11 +10,27 @@ import org.apache.spark.sql.functions._
   * tables and this object is the only seam that needs to change.
   */
 object Tables {
+  // Memoize the ANALYZED relation per (session, dir, table): every
+  // spark.read.parquet call re-lists the directory, re-reads footers
+  // for schema inference, and builds a fresh InMemoryFileIndex — pure
+  // fixed overhead re-paid by all ~262 catalog queries × 3+ bench runs
+  // over the same immutable driver-provided files. The cached DataFrame
+  // is a logical plan: per-query conf (AQE, shuffle partitions, ANSI)
+  // still applies at execution, so this changes no results — the
+  // driver's tables never change within a session by contract
+  // (TESTDATA.md: read-only). Keyed by session identity so test suites
+  // with private sessions don't share plans across stopped contexts.
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    name match {
-      case "events" => events(spark, dir)
-      case _        => spark.read.parquet(s"$dir/$name.parquet")
-    }
+    relCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ =>
+        name match {
+          case "events" => eventsUncached(spark, dir)
+          case _        => spark.read.parquet(s"$dir/$name.parquet")
+        })
 
   /** `events.parquet` carries TIMESTAMP(NANOS) (see FIXTURES.md), which the
     * vectorized parquet reader surfaces as nanosecond longs under
@@ -23,7 +39,10 @@ object Tables {
     * reads nanos into its microsecond timestamps, so oracle comparisons on
     * derived time columns agree.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = spark.synchronized {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    apply(spark, dir, "events")
+
+  private def eventsUncached(spark: SparkSession, dir: String): DataFrame = spark.synchronized {
     // The flag matters only while spark.read resolves the parquet schema
     // (eager, inside this block); synchronize the toggle window on the
     // session so concurrent plan construction (parallel suites, streaming

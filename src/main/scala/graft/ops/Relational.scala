@@ -1103,11 +1103,22 @@ object Relational {
       .withColumn("g", lit(0))
     val cumv = Stats.rangeCum(hv, Seq("g"), "v", "c")
       .select(col("v"), col("cum"), col("tot"))
+    // cum/tot direct decimal→double casts diverge between engines by 1 ULP
+    // once the 1e-6-scaled image passes 2^53 (the dsum divergence,
+    // resurfacing through the cumulative sum at sf1): route every
+    // decimal→double here through the shared bigint image. cum_share
+    // divides the two images directly — cum/tot == img(cum)/img(tot), the
+    // common 1e6 scale cancels — so it is ONE IEEE division of two
+    // exactly-rounded values, bit-identical in both engines at any scale
+    // inside the enforced 2^63 envelope.
+    def img(c: Column, what: String): Column =
+      guardLongImage((c * lit(1000000)).cast("decimal(38,0)"), s"abc $what")
+        .cast("double")
     rev.join(cumv, "v")
       .select(
         col("l_partkey").as("p_partkey"),
-        col("own").cast("double").as("revenue"),
-        (col("cum").cast("double") / col("tot").cast("double")).as("cum_share"),
+        (img(col("own"), "revenue") / lit(1e6)).as("revenue"),
+        (img(col("cum"), "cum") / img(col("tot"), "tot")).as("cum_share"),
         when((col("cum") - col("own")) * 5 < col("tot") * 4, "A")
           .when((col("cum") - col("own")) * 20 < col("tot") * 19, "B")
           .otherwise("C").as("abc_class"))
@@ -1299,8 +1310,10 @@ object Relational {
            FROM lineitem GROUP BY 1),
          t AS (SELECT sum(c) AS tot FROM rev),
          cm AS (SELECT l_partkey, c, sum(c) OVER (ORDER BY c DESC) AS cum FROM rev)
-         SELECT l_partkey AS p_partkey, CAST(c AS DOUBLE) AS revenue,
-           CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+         SELECT l_partkey AS p_partkey,
+           CAST(CAST(c * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS revenue,
+           CAST(CAST(cum * 1000000 AS BIGINT) AS DOUBLE)
+             / CAST(CAST(tot * 1000000 AS BIGINT) AS DOUBLE) AS cum_share,
            CASE WHEN (cum - c) * 5 < tot * 4 THEN 'A'
                 WHEN (cum - c) * 20 < tot * 19 THEN 'B'
                 ELSE 'C' END AS abc_class

@@ -1198,16 +1198,21 @@ object Curation {
   /** Shared corpus side: quantized-long impact postings (t, doc_id, ci),
     * plus the distinct (q_doc, t) query-term table.
     */
-  private[graft] def bm25Parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // ONE tokenize + ONE (doc_id, t) shuffle serves BOTH sides: source is
-    // functionally dependent on doc_id, so carrying it through the term-
-    // frequency grouping changes nothing about the groups, and the corpus
-    // and query branches below are filters over the same aggregated
-    // exchange (ReusedExchange) instead of two scans of the text.
-    val tfAll = withToks(s, dir)
+  /** Memoized (doc, source, term) → tf table — ONE tokenize + ONE
+    * (doc_id, t) shuffle per session serving the bm25 dense scorer, the
+    * bm25 sparse twin, AND [[rrfFusion]]'s lexical branch (r15, guide
+    * §2.4: each used to re-tokenize the corpus per invocation). Source
+    * rides as a functionally-dependent passenger so the benchmark-split
+    * filters stay cheap scans.
+    */
+  private[graft] def tfAllShared(s: SparkSession, dir: String): DataFrame =
+    Ckpt.cached(s, s"curate:tf:$dir")(withToks(s, dir)
       .select(col("doc_id"), col("source"), explode(col("toks")).as("t"))
       .groupBy("doc_id", "source", "t")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
+
+  private[graft] def bm25Parts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tfAll = tfAllShared(s, dir)
     val tf = tfAll.filter(col("source") =!= BenchmarkSource).drop("source")
     // dl derives from tf (sum of term frequencies = token count), not
     // from a second pass over the raw token stream.
@@ -1375,11 +1380,12 @@ object Curation {
     * needed.
     */
   def rrfFusion(s: SparkSession, dir: String): DataFrame = {
-    val tf = withToks(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .groupBy("doc_id", "t")
-      .agg(count(lit(1)).as("tf"))
-      .transform(Ckpt.apply)
+    // A cheap projection over the session-memoized [[tfAllShared]] (the
+    // old per-invocation localCheckpoint leaked one (doc, term)
+    // generation per call AND re-tokenized the corpus; source is
+    // functionally dependent on doc_id, so dropping it leaves the
+    // identical (doc_id, t, tf) rows the private grouping produced).
+    val tf = tfAllShared(s, dir).select("doc_id", "t", "tf")
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(
       count(lit(1)).cast("double").as("n"),

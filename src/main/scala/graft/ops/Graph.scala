@@ -46,7 +46,61 @@ object Graph {
     * and five graph/pipeline consumers need identical pairs).
     */
   def pagerankNearDup(s: SparkSession, dir: String): DataFrame =
-    pagerank(Dedup.minhashShared(s, dir).select(col("da"), col("db")))
+    prLoop(ndEdgesDeg(s, dir), ndNodeCount(s, dir), PrIterations, PrDamping)
+      .select(col("node").as("doc_id"), col("rank"))
+
+  /** Memoized near-dup edges-with-degree table — the identical build
+    * [[pagerank]] and [[ppr]] each ran (and checkpointed) privately per
+    * invocation (r15, guide §2.4): symmetrize the memoized minhash pair
+    * snapshot, attach out-degrees, one generation of blocks per session.
+    */
+  private def ndEdgesDeg(s: SparkSession, dir: String): DataFrame =
+    Ckpt.cached(s, s"graph:nd-edgesdeg:$dir") {
+      val prs = Dedup.minhashShared(s, dir).select(col("da"), col("db"))
+      val edges = prs
+        .union(prs.select(col("db").as("da"), col("da").as("db")))
+        .toDF("src", "dst")
+      edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    }
+
+  /** Memoized node count of the near-dup graph (one action per session —
+    * it used to run as a per-invocation `distinct().count()` in both
+    * rank loops).
+    */
+  private def ndNodeCount(s: SparkSession, dir: String): Long =
+    ndCountCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => java.lang.Long.valueOf(
+        ndEdgesDeg(s, dir).select("src").distinct().count())).longValue()
+
+  private val ndCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  /** The PageRank rounds over a materialized edges-with-degree table.
+    * No per-round checkpoints (r15): `ranks` appears exactly ONCE per
+    * round (a join, no union), so the lineage is a LINEAR chain —
+    * 2·iterations shuffles in one job, which is Spark's native
+    * shuffle-file recovery story at any scale; the per-round eager
+    * localCheckpoint bought nothing but one extra action + one |V|-row
+    * block copy per round. Values are bit-identical: each round's
+    * decimal(38,12) quantization is unchanged.
+    */
+  private def prLoop(edgesDeg: DataFrame, n: Long,
+      iterations: Int, damping: Double): DataFrame = {
+    var ranks = edgesDeg
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      ranks = ranks
+        .join(edgesDeg, col("node") === col("src"))
+        .select(col("dst"),
+          (col("rank") / col("deg").cast("double")).cast("decimal(38,12)").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit((1 - damping) / n) + lit(damping) * sum(col("c")).cast("double"))
+          .cast("decimal(38,12)").cast("double").as("rank"))
+    }
+    ranks
+  }
 
   /** PageRank over an undirected pair list (da, db):
     * `r_{i+1}(v) = (1-d)/n + d · Σ_{u~v} r_i(u)/deg(u)` for the fixed
@@ -64,23 +118,10 @@ object Graph {
     val edgesDeg = edges.join(deg, "src").transform(Ckpt.apply)
     if (owned) Dedup.freeCheckpoint(prs) // edgesDeg is materialized; the pair snapshot is dead
     val n = edgesDeg.select("src").distinct().count()
-    var ranks = edgesDeg
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("rank", lit(1.0 / n))
-      .transform(Ckpt.apply)
-    for (_ <- 1 to iterations) {
-      val next = ranks
-        .join(edgesDeg, col("node") === col("src"))
-        .select(col("dst"),
-          (col("rank") / col("deg").cast("double")).cast("decimal(38,12)").as("c"))
-        .groupBy(col("dst").as("node"))
-        .agg((lit((1 - damping) / n) + lit(damping) * sum(col("c")).cast("double"))
-          .cast("decimal(38,12)").cast("double").as("rank"))
-        .transform(Ckpt.apply)
-      Dedup.freeCheckpoint(ranks)
-      ranks = next
-    }
+    // materialize the final ranks so the edge-sized generation can be
+    // freed before returning (fixture path; the catalog path scans the
+    // session-memoized table instead and returns a lazy plan)
+    val ranks = prLoop(edgesDeg, n, iterations, damping).transform(Ckpt.apply)
     Dedup.freeCheckpoint(edgesDeg)
     ranks.select(col("node").as("doc_id"), col("rank"))
   }
@@ -94,7 +135,26 @@ object Graph {
     * memoized pair snapshot, as in [[pagerankNearDup]]).
     */
   def pprNearDup(s: SparkSession, dir: String): DataFrame =
-    ppr(Dedup.minhashShared(s, dir).select(col("da"), col("db")))
+    pprLoop(ndEdgesDeg(s, dir), ndRestart(s, dir), PrIterations, PrDamping)
+      .select(col("node").as("doc_id"), col("rank"))
+
+  /** Memoized per-node restart-mass table for [[pprNearDup]] (node, s):
+    * the seed top-k + left-join it used to rebuild and checkpoint per
+    * invocation now lives one generation per session, like the edge
+    * table it derives from.
+    */
+  private def ndRestart(s: SparkSession, dir: String): DataFrame =
+    Ckpt.cached(s, s"graph:nd-restart:$dir") {
+      val nodes = ndEdgesDeg(s, dir).select("src").distinct()
+      val seeds = nodes
+        .orderBy(graft.functions.TextHash.hash60(col("src").cast("string")), col("src"))
+        .limit(PprSeeds)
+        .select(col("src").as("node"), lit(1).as("is_seed"))
+      nodes.select(col("src").as("node"))
+        .join(broadcast(seeds), Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed").isNotNull, lit(1.0 / PprSeeds)).otherwise(lit(0.0)).as("s"))
+    }
 
   /** Personalized PageRank — the seed-anchored variant of [[pagerank]]
     * that powers graph-based data SELECTION rather than inspection:
@@ -149,12 +209,25 @@ object Graph {
       .select(col("node"),
         when(col("is_seed").isNotNull, lit(1.0 / PprSeeds)).otherwise(lit(0.0)).as("s"))
       .transform(Ckpt.apply)
+    // materialize the final ranks so both input generations can be freed
+    // (fixture path; the catalog path scans session-memoized tables)
+    val ranks = pprLoop(edgesDeg, sv, iterations, damping).transform(Ckpt.apply)
+    Dedup.freeCheckpoint(edgesDeg)
+    Dedup.freeCheckpoint(sv)
+    ranks.select(col("node").as("doc_id"), col("rank"))
+  }
+
+  /** The PPR rounds over materialized edges-with-degree and restart-mass
+    * tables. No per-round checkpoints, same rationale as [[prLoop]]
+    * (linear rank lineage — each round is one edge join + one
+    * destination sum + one restart join); the floor-grid quantization is
+    * unchanged, so values are bit-identical.
+    */
+  private def pprLoop(edgesDeg: DataFrame, sv: DataFrame,
+      iterations: Int, damping: Double): DataFrame = {
     var ranks = sv.select(col("node"), col("s").as("rank"))
-    // generation 0 is a projection OVER sv's checkpoint — freeing it
-    // would free sv, which every later round still joins
-    var ranksOwned = false
     for (_ <- 1 to iterations) {
-      val next = ranks
+      ranks = ranks
         .join(edgesDeg, col("node") === col("src"))
         .select(col("dst"),
           floor(col("rank") / col("deg").cast("double") * lit(1e12) + lit(0.5))
@@ -166,14 +239,8 @@ object Graph {
           (floor((lit(1 - damping) * col("s") +
               lit(damping) * (col("m") / lit(1e12))) * lit(1e12) + lit(0.5))
             .cast("double") / lit(1e12)).as("rank"))
-        .transform(Ckpt.apply)
-      if (ranksOwned) Dedup.freeCheckpoint(ranks)
-      ranks = next
-      ranksOwned = true
     }
-    Dedup.freeCheckpoint(edgesDeg)
-    Dedup.freeCheckpoint(sv)
-    ranks.select(col("node").as("doc_id"), col("rank"))
+    ranks
   }
 
   /** Catalog entry: per-node triangle counts over the same near-dup
@@ -278,6 +345,20 @@ object Graph {
     * empty; pinned in GraphSpec).
     */
   def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchaseCounted(s, dir).select("da", "db")
+
+  /** The co-purchase pair list WITH co-occurrence counts — the memoized
+    * base [[coPurchaseEdges]] projects its distinct pairs from and
+    * [[ssspCoPurchase]] derives its edge weights from. One lineitem
+    * self-join + ONE aggregation now serves both surfaces (r15, guide
+    * §2.4): `groupBy(da,db).count` produces exactly the distinct pair
+    * set `.distinct()` did, plus the multiplicity sssp used to recompute
+    * with a PRIVATE self-join + aggregation per invocation (~2 s/call at
+    * sf0.1 — the top bench line). The count column is pruned out of the
+    * distinct-pair projection by Catalyst, so existing consumers' plans
+    * are unchanged downstream of the scan.
+    */
+  def coPurchaseCounted(s: SparkSession, dir: String): DataFrame =
     edgeCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"), col("l_partkey"))
@@ -285,7 +366,8 @@ object Graph {
         .join(li.select(col("ok"), col("ln"), col("l_partkey").as("pb")), Seq("ok", "ln"))
         .filter(col("pa") =!= col("pb"))
         .select(least(col("pa"), col("pb")).as("da"), greatest(col("pa"), col("pb")).as("db"))
-        .distinct()
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("c"))
         .transform(Ckpt.apply)
     })
 
@@ -332,18 +414,29 @@ object Graph {
     val p = Ckpt.ensure(pairList.toDF("da", "db"))
     val adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
-    // attach the middle's degree to the EDGE stream (|E| rows) before
-    // wedging — joining it after would run the same join over the wedge
-    // stream (Σ deg² rows, ~30× larger at sf0.1)
+    // attach the middle's Adamic-Adar term — ALREADY on the decimal grid
+    // — to the EDGE stream (|E| rows) before wedging: joining after
+    // would run the same join over the wedge stream (Σ deg² rows, ~30×
+    // larger at sf0.1), and computing 1/ln(deg) + the decimal cast per
+    // WEDGE row (the old form) paid the expensive non-codegen decimal
+    // conversion Σ deg² times instead of |V| times (r15, guide §1.2
+    // per-task work; identical decimal per middle ⇒ identical sums).
+    // The deg ≥ 2 guard keeps 1/ln(1) = ∞ out of the decimal cast for
+    // leaf vertices (they produce no wedge rows, so the NULL never
+    // reaches an aggregate — the old per-wedge form only ever cast
+    // middles with two neighbors).
+    val degAad = deg.select(col("u").as("m"),
+      when(col("deg") >= 2, (lit(1.0) / log(col("deg"))).cast("decimal(38,9)"))
+        .as("aad"))
     val wed = adj.select(col("u").as("a"), col("m"))
-      .join(deg.select(col("u").as("m"), col("deg")), "m")
+      .join(degAad, "m")
       .join(adj.select(col("m"), col("u").as("b")), "m")
       .filter(col("a") < col("b"))
     val scored = wed
       .groupBy("a", "b")
       .agg(
         count(lit(1)).as("cn"),
-        sum((lit(1.0) / log(col("deg"))).cast("decimal(38,9)")).as("aa_dec"))
+        sum(col("aad")).as("aa_dec"))
     scored
       .join(p.select(col("da").as("a"), col("db").as("b")), Seq("a", "b"), "left_anti")
       .join(deg.select(col("u").as("a"), col("deg").as("dega")), "a")
@@ -374,6 +467,17 @@ object Graph {
       val p = coPurchaseEdges(s, dir).toDF("da", "db")
       p.union(p.select(col("db"), col("da"))).toDF("u", "m")
     }
+
+  /** Memoized row count of [[coPurchaseAdj]] (= directed edge count 2m)
+    * — modularity, louvain_move and kcore each ran it as a per-invocation
+    * scalar action over the same immutable memoized blocks (r15).
+    */
+  private def coPurchaseAdjCount(s: SparkSession, dir: String): Long =
+    adjCountCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => java.lang.Long.valueOf(coPurchaseAdj(s, dir).count())).longValue()
+
+  private val adjCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
   /** Memoized LPA label assignment of the co-purchase graph: feeds
     * communities, modularity, AND louvain_move — one 3-round LPA per
@@ -457,7 +561,8 @@ object Graph {
     * graph.
     */
   def modularityCoPurchase(s: SparkSession, dir: String): DataFrame =
-    modularityOf(coPurchaseAdj(s, dir), coPurchaseLabels(s, dir))
+    modularityOf(coPurchaseAdj(s, dir), coPurchaseLabels(s, dir),
+      Some(coPurchaseAdjCount(s, dir)))
 
   /** Newman modularity of the [[communities]] label assignment:
     * `Q = Σ_c [ e_c/2m − (D_c/2m)² ]` where `e_c` counts DIRECTED
@@ -481,8 +586,10 @@ object Graph {
     modularityOf(adj, lpaLabels(adj).transform(Ckpt.apply))
   }
 
-  private def modularityOf(adj: DataFrame, labels: DataFrame): DataFrame = {
-    val m2 = adj.count().toDouble // directed edges = 2m; one scalar action
+  private def modularityOf(adj: DataFrame, labels: DataFrame,
+      knownM2: Option[Long] = None): DataFrame = {
+    // directed edges = 2m; one scalar action (memoized on catalog paths)
+    val m2 = knownM2.getOrElse(adj.count()).toDouble
     val within = adj
       .join(labels.select(col("node").as("u"), col("lbl").as("lu")), "u")
       .join(labels.select(col("node").as("m"), col("lbl").as("lm")), "m")
@@ -508,7 +615,8 @@ object Graph {
     * the co-purchase graph.
     */
   def louvainMoveCoPurchase(s: SparkSession, dir: String): DataFrame =
-    louvainMoveOf(coPurchaseAdj(s, dir), coPurchaseLabels(s, dir))
+    louvainMoveOf(coPurchaseAdj(s, dir), coPurchaseLabels(s, dir),
+      Some(coPurchaseAdjCount(s, dir)))
 
   /** One SYNCHRONOUS Louvain local-move round (Blondel et al. 2008) —
     * the refinement step community pipelines run after a cheap seeding
@@ -538,8 +646,10 @@ object Graph {
     louvainMoveOf(adj, lpaLabels(adj).transform(Ckpt.apply))
   }
 
-  private def louvainMoveOf(adj: DataFrame, labels: DataFrame): DataFrame = {
-    val m2 = adj.count().toDouble // directed edges = 2m
+  private def louvainMoveOf(adj: DataFrame, labels: DataFrame,
+      knownM2: Option[Long] = None): DataFrame = {
+    // directed edges = 2m; one scalar action (memoized on catalog paths)
+    val m2 = knownM2.getOrElse(adj.count()).toDouble
     val deg    = adj.groupBy("u").agg(count(lit(1)).as("deg"))
     val tot = deg
       .join(labels.select(col("node").as("u"), col("lbl")), "u")
@@ -590,7 +700,7 @@ object Graph {
     * co-purchase graph.
     */
   def bfsCoPurchase(s: SparkSession, dir: String): DataFrame =
-    bfs(coPurchaseEdges(s, dir),
+    bfsOverAdj(coPurchaseAdj(s, dir),
       Tables.part(s, dir).filter(col("p_brand") === BfsSeedBrand)
         .select(col("p_partkey")))
 
@@ -610,22 +720,38 @@ object Graph {
     */
   def bfs(pairList: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
     val adj = symAdj(pairList)
+    val res = bfsOverAdj(adj, seeds, rounds)
+    Dedup.freeCheckpoint(adj)
+    res
+  }
+
+  /** The BFS rounds over an ALREADY-SYMMETRIZED adjacency — the catalog
+    * path hands in the memoized [[coPurchaseAdj]] directly (r15, guide
+    * §2.4: [[bfs]] used to re-symmetrize + re-checkpoint the identical
+    * adjacency the LPA family already memoizes, one |E|-block copy per
+    * invocation). Never frees its input (the caller owns it); same
+    * every-second-round checkpoint cadence as [[sssp]].
+    */
+  private[ops] def bfsOverAdj(adj: DataFrame, seeds: DataFrame,
+      rounds: Int = BfsRounds): DataFrame = {
     var dist = adj.select(col("u")).distinct()
       .join(seeds.toDF("u"), Seq("u"), "left_semi")
       .select(col("u").as("node"), lit(0L).as("dist"))
-      .transform(Ckpt.apply)
-    for (_ <- 1 to rounds) {
-      val next = dist.select(col("node").as("m"), col("dist"))
+    var lastCkpt: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      var next = dist.select(col("node").as("m"), col("dist"))
         .join(adj, "m")
         .select(col("u").as("node"), (col("dist") + 1).as("dist"))
         .union(dist.select(col("node"), col("dist")))
         .groupBy("node")
         .agg(min(col("dist")).as("dist"))
-        .transform(Ckpt.apply)
-      Dedup.freeCheckpoint(dist)
+      if (r % 2 == 0 || r == rounds) {
+        next = Ckpt(next)
+        lastCkpt.foreach(Dedup.freeCheckpoint)
+        lastCkpt = Some(next)
+      }
       dist = next
     }
-    Dedup.freeCheckpoint(adj)
     dist.select(col("node").as("p_partkey"), col("dist"))
   }
 
@@ -639,22 +765,25 @@ object Graph {
     * high-traffic baskets (integer costs: oracle parity needs no
     * quantization anywhere).
     */
-  def ssspCoPurchase(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"), col("l_partkey"))
-    val pairs = li.select(col("ok"), (col("ln") + 1).as("ln"), col("l_partkey").as("pa"))
-      .join(li.select(col("ok"), col("ln"), col("l_partkey").as("pb")), Seq("ok", "ln"))
-      .filter(col("pa") =!= col("pb"))
-      .select(least(col("pa"), col("pb")).as("da"), greatest(col("pa"), col("pb")).as("db"))
-      .groupBy("da", "db")
-      .agg(count(lit(1)).as("c"))
-    val w = expr("1000000 div c + 1")
-    val wadj = pairs.select(col("da").as("u"), col("db").as("m"), w.as("w"))
-      .union(pairs.select(col("db").as("u"), col("da").as("m"), w.as("w")))
-    sssp(wadj,
+  def ssspCoPurchase(s: SparkSession, dir: String): DataFrame =
+    sssp(coPurchaseWadj(s, dir),
       Tables.part(s, dir).filter(col("p_brand") === BfsSeedBrand)
         .select(col("p_partkey")))
-  }
+
+  /** Memoized weighted adjacency for [[ssspCoPurchase]]: a symmetrized
+    * projection over the memoized [[coPurchaseCounted]] pair table (the
+    * private per-invocation lineitem self-join it used to run is gone —
+    * r15, guide §2.4). Memoized itself so repeated gate/bench
+    * invocations scan one generation of blocks instead of re-unioning
+    * the pair scan per call (the [[coPurchaseAdj]] discipline).
+    */
+  private def coPurchaseWadj(s: SparkSession, dir: String): DataFrame =
+    Ckpt.cached(s, s"graph:wadj:$dir") {
+      val pc = coPurchaseCounted(s, dir)
+      val w  = expr("1000000 div c + 1")
+      pc.select(col("da").as("u"), col("db").as("m"), w.as("w"))
+        .union(pc.select(col("db").as("u"), col("da").as("m"), w.as("w")))
+    }
 
   /** Weighted single-source (multi-seed) shortest paths by Bellman–Ford
     * relaxation: each round joins the current distance table to the
@@ -667,23 +796,39 @@ object Graph {
     * arithmetic is long-integer: no float path sums, no quantization.
     */
   def sssp(wadj: DataFrame, seeds: DataFrame, rounds: Int = SsspRounds): DataFrame = {
-    val adj = wadj.transform(Ckpt.apply)
+    // ensure (not apply): the catalog path hands in the MEMOIZED weighted
+    // adjacency — already a checkpoint scan — and re-materializing it
+    // copied |E| blocks per invocation; fixture callers' raw plans still
+    // materialize. Never free a shared memoized scan (owned discipline).
+    val owned = !Ckpt.isCheapScan(wadj)
+    val adj   = Ckpt.ensure(wadj)
+    // Checkpoint cadence (r15, guide §1.2/§2.4): `dist` appears twice per
+    // round (relax ∪ carry), so an uncheckpointed loop doubles the
+    // logical subtree per round — but one round of doubling is fine, and
+    // AQE's runtime stage cache dedupes the duplicated shuffles. Cutting
+    // the cadence to every SECOND round halves the eager materialization
+    // actions (6 jobs + |V|-row block copies per query at sf0.1) while
+    // capping the logical blowup at 4 copies of a checkpoint scan.
+    // Values are untouched: checkpointing is semantically the identity.
     var dist = adj.select(col("u")).distinct()
       .join(seeds.toDF("u"), Seq("u"), "left_semi")
       .select(col("u").as("node"), lit(0L).as("dist"))
-      .transform(Ckpt.apply)
-    for (_ <- 1 to rounds) {
-      val next = dist.select(col("node").as("m"), col("dist"))
+    var lastCkpt: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      var next = dist.select(col("node").as("m"), col("dist"))
         .join(adj, "m")
         .select(col("u").as("node"), (col("dist") + col("w")).as("dist"))
         .union(dist.select(col("node"), col("dist")))
         .groupBy("node")
         .agg(min(col("dist")).as("dist"))
-        .transform(Ckpt.apply)
-      Dedup.freeCheckpoint(dist)
+      if (r % 2 == 0 || r == rounds) {
+        next = Ckpt(next)
+        lastCkpt.foreach(Dedup.freeCheckpoint) // superseded generation
+        lastCkpt = Some(next)
+      }
       dist = next
     }
-    Dedup.freeCheckpoint(adj)
+    if (owned) Dedup.freeCheckpoint(adj)
     dist.select(col("node").as("p_partkey"), col("dist"))
   }
 
@@ -696,9 +841,13 @@ object Graph {
   val KcoreK       = 3
   val KcoreRounds  = 6
 
-  /** Catalog entry: 3-core of the part co-purchase graph. */
+  /** Catalog entry: 3-core of the part co-purchase graph — peels over
+    * the memoized [[coPurchaseAdj]] (r15: [[kcore]] used to symmetrize +
+    * checkpoint a private copy of the same adjacency per invocation).
+    */
   def kcoreCoPurchase(s: SparkSession, dir: String): DataFrame =
-    kcore(coPurchaseEdges(s, dir))
+    kcoreOverAdj(coPurchaseAdj(s, dir),
+      knownCount = Some(coPurchaseAdjCount(s, dir)))
 
   /** k-core decomposition by iterative peeling: each round drops every
     * node with degree < k in the CURRENT surviving subgraph (plus its
@@ -720,9 +869,23 @@ object Graph {
     val pl    = pairList.toDF("da", "db")
     val owned = !Ckpt.isCheapScan(pl) // see commonNeighbors
     val p     = if (owned) Ckpt(pl) else pl
-    var adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
+    val adj = p.union(p.select(col("db"), col("da"))).toDF("u", "m")
       .transform(Ckpt.apply)
     if (owned) Dedup.freeCheckpoint(p) // never free a SHARED memoized scan
+    val res = kcoreOverAdj(adj, k, rounds)
+    Dedup.freeCheckpoint(adj)
+    res
+  }
+
+  /** The peel rounds over an ALREADY-SYMMETRIZED adjacency — the catalog
+    * path hands in the memoized [[coPurchaseAdj]] (r15: no more private
+    * per-invocation symmetrize + checkpoint). Never frees its input; the
+    * generations IT creates are freed as they are superseded.
+    */
+  private[ops] def kcoreOverAdj(adjIn: DataFrame, k: Int = KcoreK,
+      rounds: Int = KcoreRounds, knownCount: Option[Long] = None): DataFrame = {
+    var adj      = adjIn
+    var adjOwned = false // round-0 adjacency belongs to the caller
     // peeling only removes rows, so an unchanged edge count IS the
     // fixpoint witness: every later round recomputes the identical
     // subgraph. Early exit is value-identical to running the remaining
@@ -730,7 +893,7 @@ object Graph {
     // and saves ~half the sf1 wall time — the fixture and co-purchase
     // graphs converge in 2-3 of the 6 rounds. The count scans already-
     // materialized checkpoint blocks, not the lineage.
-    var edgeCount = adj.count()
+    var edgeCount = knownCount.getOrElse(adj.count())
     var r         = 0
     var converged = false
     while (r < rounds && !converged) {
@@ -744,8 +907,9 @@ object Graph {
       val nextCount = next.count()
       converged = nextCount == edgeCount
       edgeCount = nextCount
-      Dedup.freeCheckpoint(adj)
+      if (adjOwned) Dedup.freeCheckpoint(adj)
       adj = next
+      adjOwned = true
       r += 1
     }
     // materialize the NODE-sized result so the |E|-sized final adjacency
@@ -754,7 +918,7 @@ object Graph {
     val res = adj.groupBy("u").agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("p_partkey"), col("core_deg"))
       .transform(Ckpt.apply)
-    Dedup.freeCheckpoint(adj)
+    if (adjOwned) Dedup.freeCheckpoint(adj)
     res
   }
 

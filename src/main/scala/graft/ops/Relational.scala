@@ -1051,21 +1051,42 @@ object Relational {
         max(to_date(col("o_orderdate"))).as("r"),
         count(lit(1)).as("f"),
         sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("m"))
-    def cuts(mcol: String): DataFrame = {
-      val hist = cust.groupBy(col(mcol).as("v")).agg(count(lit(1)).as("c"))
-        .withColumn("g", lit(0))
-      val cum = Stats.rangeCum(hist, Seq("g"), "v", "c")
-      def hit(p: Int) =
-        expr(s"cum - c < ($p * tot + 99) div 100 AND cum >= ($p * tot + 99) div 100")
-      val aggs = RfmCuts.map(p => min(when(hit(p), col("v"))).as(s"${mcol}_c$p"))
-      cum.agg(aggs.head, aggs.tail: _*)
-    }
+    // All three quintile-cut histograms ride ONE rangeCum, tagged by
+    // metric (PERF guide §2.4: three identical range-partition pipelines
+    // — three sampling passes, three range exchanges, three window
+    // stages — collapse to one; r15 measured orders_rfm at 33 jobs,
+    // dominated by exactly this triplication). Values are lifted onto a
+    // common double axis first: r as days-since-epoch (small integers —
+    // exact), f a count (exact), m already double. Both the rank
+    // arithmetic (exact longs, untouched) and the score comparisons
+    // (v > cut on the SAME lifted axis; datediff is strictly monotone
+    // and injective on dates) are bit-identical to the per-metric form.
+    val metricVal: Map[String, Column] = Map(
+      "r" -> datediff(col("r"), lit("1970-01-01")).cast("double"),
+      "f" -> col("f").cast("double"),
+      "m" -> col("m"))
+    val hist = Seq("r", "f", "m")
+      .map(mc => cust.groupBy(metricVal(mc).as("v"))
+        .agg(count(lit(1)).as("c")).withColumn("g", lit(mc)))
+      .reduce(_ unionByName _)
+    val cum = Stats.rangeCum(hist, Seq("g"), "v", "c")
+    def hit(p: Int) =
+      expr(s"cum - c < ($p * tot + 99) div 100 AND cum >= ($p * tot + 99) div 100")
+    // one row per metric → pivot the 4 cut values into a single 12-col row
+    val cutRow = cum.groupBy("g")
+      .agg(
+        RfmCuts.map(p => min(when(hit(p), col("v"))).as(s"c$p")).head,
+        RfmCuts.map(p => min(when(hit(p), col("v"))).as(s"c$p")).tail: _*)
+      .groupBy()
+      .agg(
+        (for { mc <- Seq("r", "f", "m"); p <- RfmCuts }
+          yield min(when(col("g") === mc, col(s"c$p"))).as(s"${mc}_c$p")).head,
+        (for { mc <- Seq("r", "f", "m"); p <- RfmCuts }
+          yield min(when(col("g") === mc, col(s"c$p"))).as(s"${mc}_c$p")).tail: _*)
     def score(m: String) =
-      RfmCuts.map(p => (col(m) > col(s"${m}_c$p")).cast("long")).reduce(_ + _) + lit(1L)
+      RfmCuts.map(p => (metricVal(m) > col(s"${m}_c$p")).cast("long")).reduce(_ + _) + lit(1L)
     cust
-      .crossJoin(broadcast(cuts("r")))
-      .crossJoin(broadcast(cuts("f")))
-      .crossJoin(broadcast(cuts("m")))
+      .crossJoin(broadcast(cutRow))
       .select(
         col("c_custkey"),
         score("r").as("r_score"),

@@ -288,6 +288,10 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("va"), col("vb"), lit(1L).as("pick"), col("rel"), col("rel").as("score"))
       .transform(graft.Ckpt.apply)
+    // the superseded materialized generation — freed only AFTER the next
+    // materialization (freeCheckpoint on a LAZY frame would free the
+    // first LogicalRDD it finds, which could be cand/cc)
+    var lastCkpt = sel
     for (r <- 2 to MmrK) {
       val ms = cc
         .join(sel.select(col("va"), col("vb").as("v2")), Seq("va", "v2"))
@@ -302,9 +306,19 @@ object Similarity {
         .withColumn("rn", row_number().over(wr))
         .filter(col("rn") === 1)
         .select(col("va"), col("vb"), lit(r.toLong).as("pick"), col("rel"), col("score"))
-      val next = sel.union(pick).transform(graft.Ckpt.apply)
-      Dedup.freeCheckpoint(sel)
-      sel = next
+      // checkpoint every SECOND greedy round (r15, the sssp/bfs cadence):
+      // sel appears three times per round (max-sim join, anti-join,
+      // union), so materialization is still needed to cap the logical
+      // blowup — but at 9 copies of a checkpoint scan per 2-round block,
+      // not 3 per round, AQE's stage cache dedupes the repeats and half
+      // the eager actions (on |Q|·k-bounded tables) disappear.
+      sel =
+        if (r % 2 == 1 || r == MmrK) {
+          val n = graft.Ckpt(sel.union(pick))
+          Dedup.freeCheckpoint(lastCkpt)
+          lastCkpt = n
+          n
+        } else sel.union(pick)
     }
     // the final selection is materialized; the pool and pair grids are
     // dead weight for the returned handle

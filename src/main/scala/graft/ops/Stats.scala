@@ -192,14 +192,23 @@ object Stats {
 
   private[graft] def spearmanOf(ev: DataFrame): DataFrame = {
     val joint = ev.groupBy("event_type", "value", "hh").agg(count(lit(1)).as("c"))
-    val xm = ev.groupBy("event_type", "value").agg(count(lit(1)).as("cx"))
-    val rx = rangeCum(xm, Seq("event_type"), "value", "cx", needTot = false)
-      .select(col("event_type"), col("value"),
-        (col("cum") - col("cx") + (col("cx") + lit(1)) / lit(2.0)).as("rx"))
-    val ym = ev.groupBy("event_type", "hh").agg(count(lit(1)).as("cy"))
-    val ry = rangeCum(ym, Seq("event_type"), "hh", "cy", needTot = false)
-      .select(col("event_type"), col("hh"),
-        (col("cum") - col("cy") + (col("cy") + lit(1)) / lit(2.0)).as("ry"))
+    // BOTH marginals ride ONE rangeCum, tagged by axis (r15, guide §2.4
+    // — the rfm/mad discipline): the hour marginal lifts onto the value
+    // axis as exact small-integer doubles, per-(axis, type) prefix sums
+    // are independent of the union, and the rank arithmetic is the
+    // unchanged exact-long expression — bit-identical ranks, one range
+    // exchange + sampling pass + window stage instead of two.
+    val xm = ev.groupBy("event_type", "value").agg(count(lit(1)).as("cm"))
+      .select(lit("x").as("ax"), col("event_type"), col("value").as("u"), col("cm"))
+    val ym = ev.groupBy("event_type", "hh").agg(count(lit(1)).as("cm"))
+      .select(lit("y").as("ax"), col("event_type"), col("hh").cast("double").as("u"), col("cm"))
+    val rc = rangeCum(xm.unionByName(ym), Seq("ax", "event_type"), "u", "cm",
+      needTot = false)
+    val rank = col("cum") - col("cm") + (col("cm") + lit(1)) / lit(2.0)
+    val rx = rc.filter(col("ax") === "x")
+      .select(col("event_type"), col("u").as("value"), rank.as("rx"))
+    val ry = rc.filter(col("ax") === "y")
+      .select(col("event_type"), col("u").cast("int").as("hh"), rank.as("ry"))
     val j = joint
       .join(rx, Seq("event_type", "value"))
       .join(broadcast(ry), Seq("event_type", "hh"))
@@ -473,20 +482,29 @@ object Stats {
   def madExact(s: SparkSession, dir: String): DataFrame = {
     def hit(p: Int) =
       expr(s"cum - c < ($p * tot + 99) div 100 AND cum >= ($p * tot + 99) div 100")
-    def medOf(df: DataFrame, out: String): DataFrame = {
-      val vc = df
-        .groupBy(col("event_type"), floor(col("value") * RobustGrid).as("g"))
-        .agg(count(lit(1)).as("c"))
-      rangeCum(vc, Seq("event_type"), "g", "c")
-        .groupBy("event_type")
-        .agg((min(when(hit(50), col("g"))).cast("double") / RobustGrid).as(out))
-    }
-    val ev  = Tables.events(s, dir).select("event_type", "value")
-    val med = medOf(ev, "med")
-    val dev = ev
+    val ev = Tables.events(s, dir).select("event_type", "value")
+    val medVc = ev
+      .groupBy(col("event_type"), floor(col("value") * RobustGrid).as("g"))
+      .agg(count(lit(1)).as("c"))
+    val med = rangeCum(medVc, Seq("event_type"), "g", "c")
+      .groupBy("event_type")
+      .agg((min(when(hit(50), col("g"))).cast("double") / RobustGrid).as("med"))
+    // The deviation pass RIDES the broadcast median through as a grouping
+    // passenger (med is functionally dependent on event_type, so grouping
+    // by both is grouping by event_type): the median subtree is evaluated
+    // once — as the broadcast build — instead of twice (once for the dev
+    // stream, once again for a final med⋈mad join), and the final join
+    // disappears outright. PERF guide §2.4 (dedupe repeated subtrees /
+    // share one pass); r15: 33 jobs → the dev pass's own, output
+    // bit-identical (same med per group, same grid arithmetic).
+    val devVc = ev
       .join(broadcast(med), "event_type")
-      .select(col("event_type"), abs(col("value") - col("med")).as("value"))
-    med.join(medOf(dev, "mad"), "event_type")
+      .groupBy(col("event_type"), col("med"),
+        floor(abs(col("value") - col("med")) * RobustGrid).as("g"))
+      .agg(count(lit(1)).as("c"))
+    rangeCum(devVc, Seq("event_type", "med"), "g", "c")
+      .groupBy("event_type", "med")
+      .agg((min(when(hit(50), col("g"))).cast("double") / RobustGrid).as("mad"))
   }
 
   /** 3-sigma anomaly audit per event type: exact decimal-sum moments
@@ -1056,7 +1074,12 @@ object Stats {
         sum(col("ci")).as("ni"),
         sum((col("ci") * (lit(2) * (col("cum") - col("c")) + col("c") + lit(1)))
           .cast("decimal(38,0)")).as("r2"))
-    val tot = grid.agg(
+    // totals need only the value-count histogram, NOT the cumulative
+    // grid: aggregating vc instead of grid stops the whole rangeCum
+    // pipeline (range exchange + window + subtotal broadcasts) from
+    // being evaluated a second time just to sum its unchanged c column
+    // (r15, guide §2.4 — same values by construction).
+    val tot = vc.agg(
       sum(col("c")).as("n"),
       sum((col("c") * col("c") * col("c") - col("c")).cast("decimal(38,0)")).as("t3"))
     // CENTERED form: with D_i = R_i − n_i(N+1)/2 the cross term vanishes

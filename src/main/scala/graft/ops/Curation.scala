@@ -599,12 +599,22 @@ object Curation {
     * the per-occurrence sum bit-for-bit (the oracle sums occurrences).
     */
   def dsir(s: SparkSession, dir: String): DataFrame = {
+    // The compacted per-(doc, bucket) feature table is MATERIALIZED (r15,
+    // guide §8's decide-on-small-rows rule): both the LM fit and the
+    // scoring rollup consume f, and without the checkpoint each ran the
+    // tokenize + bigram-hash pass over the full text — two corpus scans
+    // where one suffices. f is ≤ min(tokens, docs·DsirBuckets) rows of
+    // three longs — at 100 TB a small fraction of the text it replaces —
+    // so the operator becomes ONE corpus scan plus two passes over the
+    // compact table (same bw-checkpoint discipline as the grid below;
+    // values untouched — checkpointing is the identity).
     val f = Tables
       .documents(s, dir)
       .select(col("doc_id"), col("lang"), filter(Tokenize.tokenCol(col("text")), _ =!= "").as("toks"))
       .select(col("doc_id"), col("lang"), explode(TextHash.shingles(col("toks"), 2)).as("b"))
       .groupBy(col("doc_id"), col("lang"), (TextHash.hash60(col("b")) % DsirBuckets).as("bucket"))
       .agg(count(lit(1)).as("k"))
+      .transform(Ckpt.apply)
     // BOTH LMs come out of one aggregation over the compacted table (raw
     // count + target count per bucket). The model table is bounded by the
     // CONSTANT DsirBuckets, so it is localCheckpoint'ed: the fit pass runs

@@ -1047,12 +1047,13 @@ object Dedup {
     * count-weighted ±1 votes of token-hash bit j).
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val tokCounts = Tables
-      .documents(s, dir)
-      .select(col("doc_id"), explode(Tokenize.tokenCol(col("text"))).as("t"))
-      .filter(col("t") =!= "")
-      .groupBy("doc_id", "t")
-      .agg(count(lit(1)).as("c"))
+    // the (doc, term) counts are the session-memoized Curation tf table
+    // (r15, guide §2.4) — the private tokenize + (doc_id, t) shuffle this
+    // ran per invocation produced exactly the same rows (source is a
+    // functionally-dependent passenger there); only the md5 term hash
+    // stays per-row here
+    val tokCounts = Curation.tfAllShared(s, dir)
+      .select(col("doc_id"), col("t"), col("tf").as("c"))
       .withColumn("th", TextHash.hash60(col("t")))
     // 60 vote lanes as parallel aggregation columns (one pass, no 60x
     // bit-index explosion), then pack the sign bits into one long
@@ -1383,6 +1384,11 @@ object Dedup {
                                 CAST(NULL AS BIGINT))))""")).as("e"))
       .select(col("doc_id"), col("n_toks"), col("e.p").as("p"),
         col("e.h").as("h"), col("e.hx").as("hx"))
+      // sh is scan-side (no exchange for ReusedExchange/AQE to dedupe)
+      // and feeds the hot-count build AND the position stream: without
+      // materialization the tokenize + K-long xxhash64 chain — this
+      // query's dominant cost — runs once per consumer (r15, guide §1.2)
+      .transform(graft.Ckpt.apply)
     val hot = sh
       .select(col("h").as("hh"), col("doc_id")).distinct()
       .groupBy("hh").agg(count(lit(1)).as("nd"))

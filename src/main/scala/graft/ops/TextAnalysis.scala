@@ -697,7 +697,23 @@ object TextAnalysis {
     * never re-derives rounds 1..k−1.
     */
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeTrainOf(toks(s, dir))
+    bpeFitShared(s, dir)._1
+
+  /** Memoized BPE fit per (application, sf-dir): text_bpe_train and
+    * text_bpe_apply consume the SAME [[BpeRounds]]-round training loop
+    * (~2 eager checkpoint actions per round), and each used to re-run it
+    * privately per invocation (r15, guide §2.4 — the
+    * [[graft.ops.Graph.coPurchaseEdges]] pair-cache discipline; both
+    * frames are Heaps-bounded word tables, held as executor blocks, and
+    * neither side is freed because both consumers stay live for the
+    * session).
+    */
+  private def bpeFitShared(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => bpeFit(toks(s, dir)))
+
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame)]()
 
   def bpeTrainOf(tokens: DataFrame): DataFrame = {
     val (merges, seg) = bpeFit(tokens)
@@ -761,14 +777,20 @@ object TextAnalysis {
     * partial+final aggregate.
     */
   def bpeApply(s: SparkSession, dir: String): DataFrame = {
-    // the unused merge table is five 1-row checkpoints; not worth freeing
-    val (_, seg) = bpeFit(toks(s, dir))
+    val (_, seg) = bpeFitShared(s, dir)
     val nsub = seg.select(col("t"),
       size(split(col("s"), "\u001f")).cast("long").as("nsub"))
-    toks(s, dir)
+    // join the session-memoized COMPACT (doc, term, tf) table instead of
+    // the raw token stream (r15, guide §2.3 — aggregate before the
+    // join): per-doc word/subword totals weight by tf, so the join
+    // carries |doc × distinct-term| rows, not |occurrences|, and the
+    // per-invocation tokenize pass disappears. Σtf == count over the
+    // stream and Σ tf·nsub == Σ nsub over the stream — exact longs.
+    graft.ops.Curation.tfAllShared(s, dir)
       .join(nsub, "t")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum(col("nsub")).as("n_subwords"))
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("nsub")).as("n_subwords"))
       .select(col("doc_id"), col("n_words"), col("n_subwords"),
         (col("n_subwords").cast("double") / col("n_words").cast("double"))
           .as("fertility"))

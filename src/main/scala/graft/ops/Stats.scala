@@ -85,11 +85,30 @@ object Stats {
         s"payload columns diverge the two range-exchange subtrees and break " +
         s"pid alignment under AQE coalescing; got ${hist.columns.mkString(", ")}")
     val gc = groups.map(col)
-    val ranged = hist
-      .repartitionByRange((groups :+ ord).map(col): _*)
-      .withColumn("pid", spark_partition_id())
-    val cell = Window.partitionBy(("pid" +: groups).map(col): _*).orderBy(ord)
-    val perSlice = ranged
+    // r15 (guide §2.4): the local running sum comes from the
+    // PartitionPrefixSum operator instead of a
+    // Window.partitionBy(spark_partition_id(), groups) — after the range
+    // exchange every (partition, group) cell is partition-local by
+    // construction, but Spark could not see it and EnsureRequirements
+    // inserted a second FULL-DATA hash exchange under the window whose
+    // only effect was to put rows where they already were. The operator
+    // keeps rows in place (UnspecifiedDistribution + a local sort, the
+    // same sort the window needed) and computes the identical RANGE-frame
+    // running sum; both consumer branches (prefix sums and the subtotal
+    // aggregation) read the SAME operator over the SAME range exchange,
+    // so the pid spaces stay in register exactly as before (the
+    // ReusedExchange discipline pinned in PlanAuditSpec).
+    // one INSTANCE per consumer branch: a single node reused in both
+    // sides of the internal offsets join would carry the same produced
+    // (pid, lcum) exprIds into both join children, which the analyzer's
+    // relation dedup cannot re-instance for a custom node. The two
+    // instances canonicalize identically, so the range exchange beneath
+    // them is still built once (ReusedExchange / AQE stage cache).
+    def mkPre = graft.plans.PartitionPrefixSum.withLocalCum(
+      hist.repartitionByRange((groups :+ ord).map(col): _*),
+      groups, ord, cName)
+    val pre = mkPre
+    val perSlice = mkPre
       .groupBy(("pid" +: groups).map(col): _*)
       .agg(sum(col(cName)).as("pc"))
     val offW = Window
@@ -99,8 +118,7 @@ object Stats {
     val offsets = perSlice // partitions x groups rows: tiny at any scale
       .withColumn("off", coalesce(sum(col("pc")).over(offW), lit(0L)))
       .select(("pid" +: groups).map(col) :+ col("off"): _*)
-    val joined = ranged
-      .withColumn("lcum", sum(col(cName)).over(cell))
+    val joined = pre
       .join(broadcast(offsets), "pid" +: groups)
     val withTot = if (!needTot) joined
     else {

@@ -537,13 +537,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     for ((q, group, ord) <- family) {
       val p = plan(q)
       assert(p.contains("rangepartitioning"), s"$q lost the range partition:\n$p")
-      // no window may sort a whole group's grid in one task: every Sort
-      // over (group, value) must be slice-local (pid-prefixed); the only
-      // group-keyed sort allowed is the tiny per-slice offsets window
-      // (group, pid)
-      val groupGridSort = s"Sort \\[$group[^\\]]*$ord".r
+      // no operator may sort a whole group's grid GLOBALLY (one task per
+      // group): every Sort over (group, value) must be partition-LOCAL
+      // (prints as `], false, 0`). r15: the PartitionPrefixSum operator
+      // replaced the pid-prefixed window sort with exactly such a local
+      // (group, ord) sort over the range exchange — same slice-local
+      // bound, one fewer full-data hash exchange.
+      val groupGridSort = s"Sort \\[$group[^\\]]*$ord[^\\]]*\\], true".r
       for (m <- groupGridSort.findAllIn(p))
-        fail(s"$q: per-group whole-grid sort is back: $m\n$p")
+        fail(s"$q: global per-group whole-grid sort is back: $m\n$p")
+      assert(p.contains("PartitionPrefixSum"), s"$q lost the local prefix-sum operator:\n$p")
       // the per-slice subtotal branch must reuse the range exchange, not
       // recompute it (two independent range samplings could disagree);
       // static planner check — AQE reuses at runtime via the stage cache,
@@ -679,12 +682,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // never a full sort of the pair stream
     val psem = plan("dedup_semantic")
     assert(psem.contains("TakeOrderedAndProject"), psem)
-    // stats_mad reuses the rangeCum discipline twice; no per-group
-    // whole-grid sort may appear (slice-local pid-prefixed sorts only)
+    // stats_mad reuses the rangeCum discipline twice; no GLOBAL per-group
+    // whole-grid sort may appear (slice-local sorts — `], false` — are
+    // the r15 PartitionPrefixSum shape)
     val pm = plan("stats_mad")
     assert(pm.contains("rangepartitioning"), pm)
-    for (m <- "Sort \\[event_type[^\\]]*g#".r.findAllIn(pm))
-      fail(s"stats_mad: per-group whole-grid sort is back: $m\n$pm")
+    for (m <- "Sort \\[event_type[^\\]]*g#[^\\]]*\\], true".r.findAllIn(pm))
+      fail(s"stats_mad: global per-group whole-grid sort is back: $m\n$pm")
     // sim_pq_topk: the query×codeword lookup table broadcasts onto the
     // code stream, and the per-query top-k must stay group-limited
     // (partial+final WindowGroupLimit or GroupedTopK), never a full

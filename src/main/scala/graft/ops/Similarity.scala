@@ -139,10 +139,10 @@ object Similarity {
         s"embedding dimensionality %s != $Dims for vec_id %s",
         size(col("embedding")).cast("string"), col("vec_id").cast("string"))))
     val xq = transform(emb, x => floor(x.cast("double") * 1000).cast("long"))
+    // codegen'd exact long dot (r15, guide §1.2): the zip_with/aggregate
+    // fold paid a lambda frame per element per (row, table, plane)
     def vote(tbl: Int, j: Int): Column =
-      aggregate(
-        zip_with(col("xq"), typedLit(planeWeights(tbl, j)), (x, w) => x * w),
-        lit(0L), (acc, v) => acc + v)
+      VectorFunctions.dotL(s, col("xq"), typedLit(planeWeights(tbl, j)))
     def bucket(tbl: Int): Column =
       (0 until planes)
         .map(j => when(vote(tbl, j) > 0, lit(1L << j)).otherwise(lit(0L)))
@@ -698,18 +698,14 @@ object Similarity {
       }
     }
     val xq = transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
-    val proj = array(wts.map { w =>
-      aggregate(
-        zip_with(col("xq"), typedLit(w), (x, ww) => x * ww),
-        lit(0L), (acc, v) => acc + v)
-    }: _*)
+    val proj = array(wts.map(w =>
+      VectorFunctions.dotL(s, col("xq"), typedLit(w))): _*)
     val p = Tables
       .embeddings(s, dir)
       .filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id"), xq.as("xq"))
       .select(col("vec_id"), col("xq"), proj.as("pj"))
-    val d2 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val d2 = (a: Column, b: Column) => VectorFunctions.sqDistL(s, a, b)
     p.as("a")
       .join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(

@@ -290,9 +290,15 @@ object Dedup {
     * byte-blind-coalescer class as the fuzzy Levenshtein stage.
     */
   private def interCounts(cand: DataFrame, sh: DataFrame): DataFrame =
+    // "merge" hint (r15): under the bench session's shuffled-hash-join
+    // preference the planner picked SHJ for these big-stream joins and
+    // the recount measurably REGRESSED (capped containment 2.0 → 2.9 s at
+    // sf0.1 — the shingle stream is a poor hash-build side); the hint
+    // pins the sort-merge shape these joins already have under default
+    // config, so Verify/sweep profiles are unchanged.
     spreadVerify(cand, "da")
-      .join(sh.select(col("doc_id").as("da"), col("sh")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .join(sh.select(col("doc_id").as("da"), col("sh")).hint("merge"), "da")
+      .join(sh.select(col("doc_id").as("db"), col("sh")).hint("merge"), Seq("db", "sh"))
       .groupBy("da", "db")
       .agg(count(lit(1)).as("i"))
 
@@ -390,8 +396,10 @@ object Dedup {
       .select("da", "db", "i_rare")
     val iHot = screened
       .select("da", "db")
-      .join(hot.select(col("doc_id").as("da"), col("sh")), "da")
-      .join(hot.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      // merge hints: see interCounts — the hot postings stream regressed
+      // under the bench session's SHJ preference; pins the default shape
+      .join(hot.select(col("doc_id").as("da"), col("sh")).hint("merge"), "da")
+      .join(hot.select(col("doc_id").as("db"), col("sh")).hint("merge"), Seq("db", "sh"))
       .groupBy("da", "db")
       .agg(count(lit(1)).as("i_hot"))
     screened
@@ -638,7 +646,7 @@ object Dedup {
     // one member pass: groupBy(da, db) is the candidate distinct, and the
     // per-pair skipped mass re-aggregates to the per-doc audit (the
     // fuzzyCapped discipline)
-    val memb = sh.join(rsz, Seq("sh"))
+    val memb = sh.hint("merge").join(rsz, Seq("sh"))
       .filter(col("doc_id") =!= col("rep"))
       .groupBy(col("rep").as("da"), col("doc_id").as("db"))
       .agg(sum(col("m") - 2).as("part"))

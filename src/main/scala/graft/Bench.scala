@@ -21,44 +21,13 @@ object Bench {
   val Runs = 3
 
   def main(args: Array[String]): Unit = {
-    // same locale pin as Verify: lower() parity with the DuckDB oracle
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // Prefer shuffled-hash over sort-merge when the planner's size
-      // conditions allow (guide §3.1/§9): SHJ skips both sides' sorts.
-      // Adopted from the r15 three-leg full-catalog A/B — unchanged-query
-      // min-sum 111.0 → 88.2 s vs the default — and scale-safe because
-      // build-side size per task is bounded by AQE partition sizing (the
-      // same A/B REJECTED size-based partition coalescing, which re-folds
-      // compute-heavy tiny-byte stages into one task — the OneTaskAudit
-      // failure class). Join strategy cannot change results, only cost.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-    // SPARK_GRAFT_LOCAL_DIR: scratch dir for shuffle files and spilled
-    // localCheckpoint blocks — the round-13 checkpoint-I/O variance probe
-    // points this at a tmpfs (harness-only knob; on a real cluster
-    // spark.local.dir is owned by the cluster manager)
-    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach { d =>
-      new java.io.File(d).mkdirs()
-      builder.config("spark.local.dir", d)
-    }
-    // SPARK_GRAFT_CONF="k=v;k=v": ad-hoc session-conf overrides for
-    // config A/Bs (r15, guide §1 — measure before adopting). The driver
-    // leaves it unset, so the recorded bench always runs the committed
-    // defaults; adopted winners move into the builder above.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k.trim, v.trim)
-      })
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // session config (AQE, shuffled-hash preference, UTC, locale pin,
+    // SPARK_GRAFT_LOCAL_DIR / SPARK_GRAFT_CONF) lives in graft.Sessions —
+    // one builder for Bench/Verify/Explain/probes so verified plans and
+    // committed plan dumps match what the bench times (r15 verdict item 3)
+    val spark = Sessions.local(cpus)
 
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.queries.get("join_broadcast").foreach(_(spark, sfDir).count())

@@ -71,14 +71,7 @@ object DedupScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local("32")
     if (!new java.io.File(s"$Out/documents.parquet").exists())
       ScaleData.buildDocs(spark, Src, Out, Reps)
     if (!new java.io.File(s"$Out/embeddings.parquet").exists())

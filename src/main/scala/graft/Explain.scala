@@ -19,13 +19,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val exec  = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // shared engine config; default to the bench's core count so dumped
+    // plans are the shapes the bench times (r15 verdict item 3)
+    val spark = Sessions.local(Sessions.envCpus(), logLevel = "ERROR")
     names.foreach { n =>
       println(s"===== $n")
       val df = SparkEntry.queries(n)(spark, sfDir)

@@ -21,18 +21,10 @@ import org.apache.spark.sql.functions.col
   */
 object OneTaskAudit {
   def main(args: Array[String]): Unit = {
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args.headOption.getOrElse("target/sf1")
     val thresholdMs = args.lift(1).map(_.toLong).getOrElse(2000L)
     val only = args.drop(2).toSet
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local("32", logLevel = "ERROR")
 
     val oneTask = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {

@@ -64,15 +64,9 @@ object ScaleSweep {
     }.mkString(",")
 
   def main(args: Array[String]): Unit = {
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // shared engine config (r15 verdict item 3): sweep profiles are
+    // recorded under the same session defaults the bench times
+    val spark = Sessions.local("32", logLevel = "ERROR")
 
     ScaleData.buildAll(spark, Src, Out)
     println(s"[sweep] sf1 rows: docs=${Tables.documents(spark, Out).count()} " +

@@ -20,13 +20,7 @@ object StageProbe {
   def main(args: Array[String]): Unit = {
     val name  = args.headOption.getOrElse(sys.error("usage: StageProbe <query> [sfDir]"))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local("32", logLevel = "ERROR")
     val stages =
       new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {

@@ -5,18 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // oracle-parity guard: Spark's non-ASCII lower() follows the JVM
-    // default locale, DuckDB's doesn't (tr_TR dotless-i would diverge)
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared engine config (r15 verdict item 3): the oracle gate now runs
+    // the SAME session defaults the bench times (AQE + SHJ preference),
+    // so correctness exercises the benched plan shapes
+    val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump (local iteration aid, same
     // contract as Bench); the driver leaves it unset -> full catalog.

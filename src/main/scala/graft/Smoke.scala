@@ -246,6 +246,20 @@ object Smoke {
         case _ => bounded(j.left) && bounded(j.right)
       }
       case u: UnionExec => u.children.forall(bounded)
+      // a filter on PartitionPrefixSum's cell-last marker keeps exactly
+      // one row per (partition, groups) cell — bounded by cluster width ×
+      // grid size, the same argument as the groupBy(pid, groups) subtotal
+      // aggregate it replaced (r16 rangeCum), under the same grid-key rule
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.child match {
+          case p: graft.plans.PartitionPrefixSumExec
+              if p.lastAttr.exists(a =>
+                f.condition.references ==
+                  org.apache.spark.sql.catalyst.expressions.AttributeSet(a)) &&
+                !p.groups.exists(_.references.exists(r => corpusKeyedName(r.name))) =>
+            true
+          case c => bounded(c)
+        }
       case g: GenerateExec => bounded(g.child) && !collectsUnbounded(g.child)
       case p if p.children.size == 1 => bounded(p.children.head)
       case _ => false

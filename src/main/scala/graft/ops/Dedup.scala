@@ -626,23 +626,24 @@ object Dedup {
       docShingles(s, dir),
       shingleDf(s, dir).filter(col("df") <= DfCap)
         .select(col("sh"), col("df").as("m"), col("rep")),
-      shingleSizes(s, dir))
+      cappedBlocks(s, dir))
 
   def containmentCappedOf(docs: DataFrame): DataFrame = {
-    // sh feeds the df/rep aggregate, the member join, the size table and
-    // both recount sides — materialize the tokenize+hash+distinct once
-    // (the ngramOf tradeoff)
+    // sh feeds the df/rep aggregate, the member join and the capped
+    // blocks — materialize the tokenize+hash+distinct once (the ngramOf
+    // tradeoff)
     val sh = docShinglesOf(docs).transform(Ckpt.apply)
     containmentCappedCore(
       sh,
       sh.groupBy("sh")
         .agg(count(lit(1)).as("m"), min("doc_id").as("rep"))
         .filter(col("m") <= DfCap),
-      sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
+      cappedBlocksOf(sh))
   }
 
   private def containmentCappedCore(
-      sh: DataFrame, rsz: DataFrame, sizes: DataFrame): DataFrame = {
+      sh: DataFrame, rsz: DataFrame, b: CappedBlocks): DataFrame = {
+    val CappedBlocks(hot, hotN, sizes, iRare) = b
     // one member pass: groupBy(da, db) is the candidate distinct, and the
     // per-pair skipped mass re-aggregates to the per-doc audit (the
     // fuzzyCapped discipline)
@@ -652,11 +653,42 @@ object Dedup {
       .agg(sum(col("m") - 2).as("part"))
     val cand = memb.select("da", "db")
     val skip = memb.groupBy("db").agg(sum(col("part")).as("skipped"))
-    val ca   = col("i").cast("double") / col("na").cast("double")
-    val cb   = col("i").cast("double") / col("nb").cast("double")
-    interCounts(cand, sh)
+    // r16: the exact recount rides the SAME memoized capped blocks as
+    // ngram/containment instead of two full-shingle-stream sort-merge
+    // joins (the plan's two largest exchanges + sorts, and the residual
+    // SHJ-preference regression of r15). Exactness: |A∩B| splits by the
+    // df boundary into |A∩B∩rare| + |A∩B∩hot|; every member↔canonical
+    // candidate shares its electing rare shingle (da = rep carries it by
+    // definition of rep, db is the member row), so the pair is PRESENT
+    // in iRare and the inner join loses nothing. The iub screen before
+    // the hot join is the interCountsCappedFrom argument verbatim:
+    // i ≤ i_rare + min(hotA, hotB), division by positive sizes is
+    // monotone, so a pair failing the screen can never pass the final
+    // containment filter.
+    val withRare = cand
+      .join(iRare, Seq("da", "db"))
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .join(hotN.select(col("doc_id").as("da"), col("hn").as("ha")), Seq("da"), "left")
+      .join(hotN.select(col("doc_id").as("db"), col("hn").as("hb")), Seq("db"), "left")
+      .withColumn("iub",
+        col("i_rare") + least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L))))
+      .filter(containViable(col("iub"), col("na"), col("nb")))
+      .select("da", "db", "i_rare", "na", "nb")
+    val iHot = withRare
+      .select("da", "db")
+      // merge hints: see interCounts — the hot postings stream regressed
+      // under the bench session's SHJ preference; pins the default shape
+      .join(hot.select(col("doc_id").as("da"), col("sh")).hint("merge"), "da")
+      .join(hot.select(col("doc_id").as("db"), col("sh")).hint("merge"), Seq("db", "sh"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("i_hot"))
+    val i  = col("i_rare") + coalesce(col("i_hot"), lit(0L))
+    val ca = col("i").cast("double") / col("na").cast("double")
+    val cb = col("i").cast("double") / col("nb").cast("double")
+    withRare
+      .join(iHot, Seq("da", "db"), "left")
+      .withColumn("i", i)
       .select(col("da"), col("db"), ca.as("contain_a"), cb.as("contain_b"))
       .filter(col("contain_a") >= ContainMin || col("contain_b") >= ContainMin)
       .join(skip, "db")

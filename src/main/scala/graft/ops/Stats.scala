@@ -104,31 +104,35 @@ object Stats {
     // relation dedup cannot re-instance for a custom node. The two
     // instances canonicalize identically, so the range exchange beneath
     // them is still built once (ReusedExchange / AQE stage cache).
-    def mkPre = graft.plans.PartitionPrefixSum.withLocalCum(
+    def mkPre(last: Option[String]) = graft.plans.PartitionPrefixSum.withLocalCum(
       hist.repartitionByRange((groups :+ ord).map(col): _*),
-      groups, ord, cName)
-    val pre = mkPre
-    val perSlice = mkPre
-      .groupBy(("pid" +: groups).map(col): _*)
-      .agg(sum(col(cName)).as("pc"))
+      groups, ord, cName, lastName = last)
+    val pre = mkPre(None)
+    // r16 (guide §2.4, verdict item 1 — cut the per-query job count): the
+    // per-slice subtotals are a FILTER over the operator's cell-last
+    // marker (there the running sum IS the cell total — same wrapping
+    // long / precision-38 decimal / null-skipping accumulation the old
+    // groupBy(pid, groups).agg(sum) produced), so the subtotal branch
+    // costs no aggregation exchange of its own; and the group totals ride
+    // the SAME offsets window stage as a full-frame window sum instead of
+    // a third aggregation subtree with a second broadcast. Two stages and
+    // one broadcast job fewer per rangeCum, values bit-identical.
+    val perSlice = mkPre(Some("cl"))
+      .filter(col("cl"))
+      .select(("pid" +: groups).map(col) :+ col("lcum").as("pc"): _*)
     val offW = Window
       .partitionBy(gc: _*)
       .orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = perSlice // partitions x groups rows: tiny at any scale
+    val offsets0 = perSlice // partitions x groups rows: tiny at any scale
       .withColumn("off", coalesce(sum(col("pc")).over(offW), lit(0L)))
-      .select(("pid" +: groups).map(col) :+ col("off"): _*)
-    val joined = pre
+    val offsets =
+      if (!needTot) offsets0.select(("pid" +: groups).map(col) :+ col("off"): _*)
+      else offsets0
+        .withColumn("tot", sum(col("pc")).over(Window.partitionBy(gc: _*)))
+        .select(("pid" +: groups).map(col) :+ col("off") :+ col("tot"): _*)
+    pre
       .join(broadcast(offsets), "pid" +: groups)
-    val withTot = if (!needTot) joined
-    else {
-      val tots = perSlice
-        .groupBy(gc: _*)
-        .agg(sum(col("pc")).as("tot"))
-      if (groups.nonEmpty) joined.join(broadcast(tots), groups)
-      else joined.crossJoin(broadcast(tots))
-    }
-    withTot
       .withColumn("cum", col("lcum") + col("off"))
       .drop("pid", "off", "lcum")
   }

@@ -47,11 +47,14 @@ case class PartitionPrefixSum(
     sumExpr: Expression,
     pidAttr: Attribute,
     cumAttr: Attribute,
+    lastAttr: Option[Attribute],
     child: LogicalPlan)
     extends UnaryNode {
-  override def output: Seq[Attribute] = child.output :+ pidAttr :+ cumAttr
+  override def output: Seq[Attribute] =
+    (child.output :+ pidAttr :+ cumAttr) ++ lastAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(pidAttr :: cumAttr :: Nil)
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      (pidAttr :: cumAttr :: Nil) ++ lastAttr)
   override protected def withNewChildInternal(c: LogicalPlan): PartitionPrefixSum =
     copy(child = c)
 }
@@ -62,12 +65,15 @@ case class PartitionPrefixSumExec(
     sumExpr: Expression,
     pidAttr: Attribute,
     cumAttr: Attribute,
+    lastAttr: Option[Attribute],
     child: SparkPlan)
     extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ pidAttr :+ cumAttr
+  override def output: Seq[Attribute] =
+    (child.output :+ pidAttr :+ cumAttr) ++ lastAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(pidAttr :: cumAttr :: Nil)
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      (pidAttr :: cumAttr :: Nil) ++ lastAttr)
 
   /** The whole point: rows stay in the child's (range) partitions. */
   override def requiredChildDistribution: Seq[Distribution] =
@@ -95,6 +101,7 @@ case class PartitionPrefixSumExec(
     val outputAttrs = output
     val sumType: DataType = sumExpr.dataType
     val numOutputRows = longMetric("numOutputRows")
+    val MaxTieRun = PartitionPrefixSum.MaxTieRun
     child.execute().mapPartitionsWithIndex { (pid, it) =>
       val keyProj = UnsafeProjection.create((groupExprs :+ ordExpr), childOutput)
       val sumProj = UnsafeProjection.create(Seq(sumE), childOutput)
@@ -132,16 +139,18 @@ case class PartitionPrefixSumExec(
           }
         }
 
-        private def cumRow(): InternalRow = sumType match {
-          case _ if !seenValue => InternalRow(pidLong, null)
-          case LongType | IntegerType => InternalRow(pidLong, accLong)
+        private def cumVal(): Any = sumType match {
+          case _ if !seenValue        => null
+          case LongType | IntegerType => accLong
           case d: DecimalType =>
             // window sums widen to precision 38 with the input's scale;
             // an overflowing value yields NULL (non-ANSI sum semantics)
             val dec = org.apache.spark.sql.types.Decimal(accDec)
             val ok  = dec.changePrecision(38, d.scale)
-            InternalRow(pidLong, if (ok) dec else null)
+            if (ok) dec else null
         }
+
+        private val emitLast = lastAttr.isDefined
 
         private def refill(): Unit = {
           while (pending.isEmpty && (nextRow != null)) {
@@ -153,15 +162,37 @@ case class PartitionPrefixSumExec(
               accLong = 0L; accDec = null; seenValue = false
             }
             curKey = keyProj(nextRow).copy()
+            var runLen = 0
             while (nextRow != null && keyProj(nextRow) == curKey) {
               run = nextRow.copy() :: run
+              runLen += 1
+              // tie runs buffer in memory; rangeCum feeds histograms whose
+              // (groups, ord) is unique so the run is 1 row — a caller
+              // violating that precondition at scale must fail loudly, not
+              // OOM an executor invisibly
+              if (runLen > MaxTieRun) throw new IllegalStateException(
+                s"PartitionPrefixSum: tie run exceeds $MaxTieRun buffered rows " +
+                  "— callers must feed (groups, ord)-unique histograms")
               add(run.head)
               nextRow = if (it.hasNext) it.next() else null
             }
-            val shared = cumRow()
+            val cv = cumVal()
+            // cell-last marker (r16): true on EXACTLY the final row of
+            // each (partition, groups) cell — there its running sum IS
+            // the cell subtotal, so rangeCum's per-slice branch becomes
+            // a filter over this operator instead of a re-aggregation
+            // with its own exchange. The cell ends when the partition is
+            // exhausted or the next (already-read) row opens a new group.
+            val cellEnds = nextRow == null || grpProj(nextRow) != curGrp
+            val n = run.size
+            var i = 0
             pending = run.reverseIterator.map { r =>
               numOutputRows += 1
-              outProj(joiner(r, shared))
+              i += 1
+              val appended =
+                if (emitLast) InternalRow(pidLong, cv, cellEnds && i == n)
+                else InternalRow(pidLong, cv)
+              outProj(joiner(r, appended))
             }
           }
         }
@@ -178,13 +209,20 @@ case class PartitionPrefixSumExec(
 
 object PartitionPrefixSumStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case PartitionPrefixSum(groups, ord, sumE, pid, cum, child) =>
-      PartitionPrefixSumExec(groups, ord, sumE, pid, cum, planLater(child)) :: Nil
+    case PartitionPrefixSum(groups, ord, sumE, pid, cum, last, child) =>
+      PartitionPrefixSumExec(groups, ord, sumE, pid, cum, last, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
 object PartitionPrefixSum {
+  /** Tie-run buffer guard: rangeCum callers feed unique-(groups, ord)
+    * histograms, so a run is one row; 16M buffered rows means a caller
+    * broke that precondition and would otherwise grow executor memory
+    * invisibly (r15 advice).
+    */
+  val MaxTieRun: Int = 16 << 20
+
   def register(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(PartitionPrefixSumStrategy))
       spark.experimental.extraStrategies =
@@ -202,7 +240,8 @@ object PartitionPrefixSum {
       ord: String,
       sumCol: String,
       pidName: String = "pid",
-      cumName: String = "lcum"): DataFrame = {
+      cumName: String = "lcum",
+      lastName: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val spark = df.sparkSession
     register(spark)
@@ -219,6 +258,9 @@ object PartitionPrefixSum {
       case t              => t
     }
     val cumAttr = AttributeReference(cumName, cumType, nullable = true)()
+    val lastAttr = lastName.map(n =>
+      AttributeReference(n, org.apache.spark.sql.types.BooleanType,
+        nullable = false)())
     GraftSqlShims.ofRows(
       spark,
       PartitionPrefixSum(
@@ -227,6 +269,6 @@ object PartitionPrefixSum {
         if (sumAttr.dataType == IntegerType)
           org.apache.spark.sql.catalyst.expressions.Cast(sumAttr, LongType)
         else sumAttr,
-        pidAttr, cumAttr, analyzed))
+        pidAttr, cumAttr, lastAttr, analyzed))
   }
 }

@@ -67,6 +67,34 @@ class DedupCappedSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.containmentOf(corpus(100)).count() == 100L * 99 / 2)
   }
 
+  test("capped containment hot remainder: i = i_rare + i_hot equals the full recount") {
+    // 130 filler docs carry phrase H (df = 130 > DfCap = 128, so H's
+    // shingles are HOT and never block), and docs 0/1 share H plus a
+    // rare near-identical body — the recount must still count the hot
+    // shared shingles exactly (r16: the recount was restructured onto
+    // the rare/hot split, i = |A∩B∩rare| + |A∩B∩hot|)
+    val hotPhrase = words("boiler", 20)
+    val bodyA     = words("almost", 30)
+    val bodyB     = bodyA.split(" ").dropRight(1).mkString(" ") // 29/30 prefix
+    val filler = (0 until 130).map(i =>
+      (100L + i, s"${words(s"f${('a' + i % 26).toChar}", 10)} $hotPhrase"))
+    val docs = (Seq((0L, s"$bodyA $hotPhrase"), (1L, s"$bodyB $hotPhrase")) ++ filler)
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentCappedOf(docs)
+      .collect().filter(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(out.length == 1, s"expected the (0,1) pair, got ${out.length} rows")
+    // independent exact recount: trigram shingle sets of the two docs
+    def shingleSet(text: String): Set[String] = {
+      val t = text.split(" ").toSeq
+      t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val sa = shingleSet(s"$bodyA $hotPhrase")
+    val sb = shingleSet(s"$bodyB $hotPhrase")
+    val i  = (sa intersect sb).size.toDouble
+    assert(out.head.getDouble(2) == i / sa.size, s"contain_a: ${out.head.getDouble(2)} vs ${i / sa.size}")
+    assert(out.head.getDouble(3) == i / sb.size, s"contain_b: ${out.head.getDouble(3)} vs ${i / sb.size}")
+  }
+
   test("non-exact members verify against the canonical with their true edit distance") {
     val base    = words("boiler", 40)
     val variant = base.split(" ").dropRight(1).mkString(" ") + " zzzz"

@@ -18,7 +18,7 @@ class PartitionPrefixSumSpec extends AnyFunSuite with SparkTestBase {
       groups: Seq[String], ord: String, c: String): Unit = {
     val ranged = df.repartitionByRange((groups :+ ord).map(col): _*)
     val got = PartitionPrefixSum
-      .withLocalCum(ranged, groups, ord, c)
+      .withLocalCum(ranged, groups, ord, c, lastName = Some("cl"))
       .withColumnRenamed("lcum", "got")
     val w = Window
       .partitionBy((Seq("pid") ++ groups).map(col): _*)
@@ -28,6 +28,18 @@ class PartitionPrefixSumSpec extends AnyFunSuite with SparkTestBase {
     val bad = want.filter(
       !(col("got") <=> col("want"))).count()
     assert(bad == 0, s"prefix sums diverge from the window formulation on $bad rows")
+    // the r16 cell-last marker: exactly one true row per (pid, groups)
+    // cell, and its running sum equals the cell's plain aggregate sum
+    // (rangeCum's per-slice subtotal contract)
+    val cells = got.groupBy(("pid" +: groups).map(col): _*)
+      .agg(
+        sum(when(col("cl"), 1).otherwise(0)).as("n_last"),
+        max(when(col("cl"), col("got"))).as("last_cum"),
+        sum(col(c)).as("cell_sum"))
+    val badCells = cells.filter(
+      col("n_last") =!= 1 || !(col("last_cum") <=> col("cell_sum"))).count()
+    assert(badCells == 0,
+      s"cell-last marker diverges from the per-cell aggregate on $badCells cells")
   }
 
   test("long counts, multi-group, with ties sharing a RANGE-frame value") {

@@ -1408,7 +1408,13 @@ object Curation {
     val sat = (col("tf").cast("double") * lit(BmK1 + 1)) /
       (col("tf").cast("double") +
         lit(BmK1) * (lit(1 - BmB) + lit(BmB) * (col("dl").cast("double") / col("avgdl"))))
-    val scored = tf
+    // r16 (guide §2.3 — shuffle fewer bytes): only (doc, term) rows whose
+    // term occurs in SOME query can reach the qt join, so the semi join
+    // drops the rest of the tf stream BEFORE the dfreq/dl join exchanges
+    // instead of after them. dfreq/dl themselves still aggregate the full
+    // stream (corpus-wide df and doc lengths), unchanged.
+    val tfq = tf.join(broadcast(qt.select("t").distinct()), Seq("t"), "left_semi")
+    val scored = tfq
       .join(dfreq, "t")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -1423,8 +1429,18 @@ object Curation {
       .select(col("q"), col("doc_id").as("d"), col("lex_rn"))
     val sem = Similarity.topkBrute(s, dir)
       .select(col("va").as("q"), col("vb").as("d"), col("rn").as("sem_rn"))
-    val fused = lex
-      .join(sem, Seq("q", "d"), "full_outer")
+    // r16 (guide §2.4): the two k-bounded lists fuse through ONE union +
+    // grouped conditional-max — the same rows the old full-outer join on
+    // (q, d) produced (each list is rank-unique per (q, d), so max over
+    // the tag-padded union IS the outer join's coalesce pattern), for one
+    // exchange instead of two join-side exchanges and a merge.
+    val tagged = lex
+      .select(col("q"), col("d"), col("lex_rn"), lit(null).cast("long").as("sem_rn"))
+      .unionByName(sem.select(col("q"), col("d"),
+        lit(null).cast("long").as("lex_rn"), col("sem_rn")))
+    val fused = tagged
+      .groupBy("q", "d")
+      .agg(max(col("lex_rn")).as("lex_rn"), max(col("sem_rn")).as("sem_rn"))
       .select(col("q"), col("d"), col("lex_rn"), col("sem_rn"),
         (coalesce(lit(1.0) / (lit(RrfC) + col("lex_rn")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(RrfC) + col("sem_rn")), lit(0.0))).as("rrf"))

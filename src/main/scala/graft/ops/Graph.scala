@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Ckpt
 import graft.Tables
@@ -335,6 +335,42 @@ object Graph {
     */
   val CnTopK = 30
 
+  /** Degree threshold splitting [[commonNeighbors]]' wedge middles into
+    * the rare leg (plain join) and the hot leg (salted): a middle above
+    * this owns > ~0.5M wedge rows through one join key. Both test SFs
+    * sit far below it (max co-purchase degree 62 at sf0.1, flat across
+    * SFs), so the hot leg is empty insurance locally and the split only
+    * engages at genuine scale.
+    */
+  val CnHotDeg: Long = 1024
+  /** Salt buckets for the hot leg — bounds one task's share of a hot
+    * middle at ~deg²/K wedge rows.
+    */
+  val CnSaltK: Int = 32
+  /** cn bound making the Adamic-Adar long-image sum provably wrap-free:
+    * each term ≤ ceil(1e9 / ln 2) = 1,442,695,041, so sum ≤ cn · that
+    * < 2^63 whenever cn ≤ 6e9. cn beyond this needs > 6e9 distinct
+    * common neighbors — raise_error rather than silent wrap.
+    */
+  val CnAaMaxCn: Long = 6000000000L
+
+  /** Unscaled long image of a decimal(18,9): d · 10⁹ as BIGINT. The
+    * multiply is decimal(18,9) × decimal(10,0) → decimal(29,9) — inside
+    * Spark's 38-digit budget, so NO precision adjustment and no rounding
+    * anywhere; the cast truncates an exact integer. (A LongType literal
+    * would promote to decimal(20,0) and push the product to 39 digits,
+    * where Spark silently drops scale — hence the explicit decimal.)
+    */
+  private def unscaledLong9(d: Column): Column =
+    (d * lit(new java.math.BigDecimal("1000000000"))).cast("long")
+
+  /** Exact inverse of [[unscaledLong9]] after a long sum: sal · 10⁻⁹ as
+    * decimal(38,9). decimal(28,0) × decimal(9,9) → precision 28+9+1 = 38,
+    * scale 9 — again no adjustment, every step exact.
+    */
+  private def makeDecimal38s9(sal: Column): Column =
+    sal.cast("decimal(28,0)") * lit(new java.math.BigDecimal("0.000000001"))
+
   /** Part co-purchase edges: distinct part pairs on CONSECUTIVE line
     * numbers of one order. Consecutive-only (a path per order, not the
     * within-order clique) keeps the edge count linear in lineitem — the
@@ -406,7 +442,11 @@ object Graph {
     * quantize onto decimal(38,9) before the sum (order-free-sum rule);
     * the ranking never consults a double.
     */
-  def commonNeighbors(pairList: DataFrame): DataFrame = {
+  def commonNeighbors(pairList: DataFrame): DataFrame =
+    commonNeighborsSplit(pairList, CnHotDeg, CnSaltK)
+
+  private[ops] def commonNeighborsSplit(
+      pairList: DataFrame, hotDeg: Long, saltK: Int): DataFrame = {
     // ensure: the catalog path passes the memoized co-purchase scan —
     // re-checkpointing it copied |E| blocks per invocation AND leaked
     // the copy (the returned anti-join pins it); fixture callers still
@@ -425,18 +465,67 @@ object Graph {
     // leaf vertices (they produce no wedge rows, so the NULL never
     // reaches an aggregate — the old per-wedge form only ever cast
     // middles with two neighbors).
-    val degAad = deg.select(col("u").as("m"),
-      when(col("deg") >= 2, (lit(1.0) / log(col("deg"))).cast("decimal(38,9)"))
-        .as("aad"))
-    val wed = adj.select(col("u").as("a"), col("m"))
-      .join(degAad, "m")
-      .join(adj.select(col("m"), col("u").as("b")), "m")
+    //
+    // r16 (guide §1.2): the term crosses the Σ deg² wedge aggregation as
+    // its UNSCALED LONG image — decimal(18,9) holds the identical 9-dp
+    // rounded value (it is ≤ 1/ln 2) long-backed — so the hot partial
+    // aggregate sums primitive longs instead of Decimal objects (the
+    // wedge stage measured 66 s of task time at sf0.1, mostly Decimal
+    // churn). MakeDecimal reassembles the EXACT decimal(38,9) sum after
+    // the aggregate; the cn guard makes 64-bit wrap provably impossible
+    // (sum ≤ cn · ceil(1e9 / ln 2)) and fails loudly rather than wrapping.
+    val degAad = deg.select(col("u").as("m"), col("deg"),
+      unscaledLong9(
+        when(col("deg") >= 2, (lit(1.0) / log(col("deg"))).cast("decimal(18,9)")))
+        .as("al"))
+    val adjM  = adj.toDF("x", "m").join(degAad, "m")
+    val sideA = adjM.select(col("x").as("a"), col("m"), col("deg"), col("al"))
+    // the b-side of the RARE leg needs no degree attach or filter: the
+    // join key m fixes the middle's class, so rare a-side rows only ever
+    // meet b-side rows of rare middles — the unfiltered adjacency joins
+    // without a second pass over the degree join. Only the hot leg's
+    // b-side filters (a hot-middle row count, tiny by definition of hot).
+    val sideB = adj.select(col("m"), col("u").as("b"))
+    // hot-middle b-side: a semi join against the (by definition tiny)
+    // hot-middle list — NOT a second pass over the degree join; every
+    // exchange it needs (adj on m, deg on u=m) already exists for the
+    // rare leg and is stage-cache-reused.
+    val sideBHot = sideB.join(
+      deg.filter(col("deg") > hotDeg).select(col("u").as("m")),
+      Seq("m"), "left_semi")
+    // skew split (r15 verdict item 4, guide §2.5): one hot middle vertex
+    // at 100 TB owns deg² wedge rows through a SINGLE join key, which
+    // AQE's skew handling cannot split. Middles split by degree: the
+    // rare leg joins exactly as before; hot middles' wedges spread over
+    // saltK deterministic buckets (salt = pmod(xxhash64(a), K) on the
+    // a-side, b-side replicated K ways), so no task owns more than
+    // ~deg²/K of one middle. The legs are disjoint by middle and their
+    // union is exactly the old wedge multiset, so the aggregate — and
+    // every row after it — is unchanged.
+    val wedRare = sideA.filter(col("deg") <= hotDeg).select("a", "m", "al")
+      .join(sideB, "m")
       .filter(col("a") < col("b"))
-    val scored = wed
+      .select("a", "b", "al")
+    val salts = array((0 until saltK).map(i => lit(i.toLong)): _*)
+    val wedHot = sideA.filter(col("deg") > hotDeg)
+      .select(col("a"), col("m"), col("al"),
+        pmod(xxhash64(col("a")), lit(saltK.toLong)).as("salt"))
+      .join(
+        sideBHot.select(col("m"), explode(salts).as("salt"), col("b")),
+        Seq("m", "salt"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "al")
+    val scored = wedRare.unionByName(wedHot)
       .groupBy("a", "b")
       .agg(
         count(lit(1)).as("cn"),
-        sum(col("aad")).as("aa_dec"))
+        sum(col("al")).as("sal"))
+      .select(col("a"), col("b"), col("cn"),
+        makeDecimal38s9(
+          when(col("cn") <= CnAaMaxCn, col("sal"))
+            .otherwise(raise_error(lit(
+              "commonNeighbors: cn outgrows the aa long-sum wrap guard"))))
+          .as("aa_dec"))
     scored
       .join(p.select(col("da").as("a"), col("db").as("b")), Seq("a", "b"), "left_anti")
       .join(deg.select(col("u").as("a"), col("deg").as("dega")), "a")

@@ -270,61 +270,38 @@ object Similarity {
     * unrolls the identical rounds.
     */
   def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    // r16 (verdict item 6): the greedy selection is per-query independent
+    // over a ≤ MmrPool-row pool, so the whole unrolled loop — five
+    // join+window+union rounds, three eager localCheckpoints, ~25 jobs
+    // over tables of a few hundred rows — collapses into ONE
+    // [[graft.functions.MmrSelect]] expression over each query's
+    // collected pool (see that scaladoc for the term-by-term bit-parity
+    // argument). Shape: the brute pool ranking, one broadcast join
+    // attaching (embedding, norm) to the |Q|·pool candidate rows, a
+    // |Q|-group collect, and an explode — no materialization anywhere.
+    // collect_list order is partition-dependent, but the selection is
+    // argmax-based with total tiebreaks, so its output is order-invariant.
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_mmr_select",
+      exprs => {
+        require(exprs.length == 1,
+          s"graft_mmr_select requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.MmrSelect(exprs.head, MmrK, MmrLambda, MmrMu)
+      },
+      "scala_udf")
     val cand = bruteRanked(s, dir, MmrPool)
       .select(col("va"), col("vb"), col("cos").as("rel"))
-      .transform(graft.Ckpt.apply)
     val e = withNorm(Tables.embeddings(s, dir))
-    val cc = cand.select(col("va"), col("vb").as("v1"))
-      .join(cand.select(col("va"), col("vb").as("v2")), "va")
-      .filter(col("v1") =!= col("v2"))
-      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("norm").as("n1")), "v1")
-      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("norm").as("n2")), "v2")
-      .withColumn("cc", cosine(s, col("e1"), col("e2"), col("n1"), col("n2")))
-      .select("va", "v1", "v2", "cc")
-      .transform(graft.Ckpt.apply)
-    val w1 = Window.partitionBy("va").orderBy(desc("rel"), asc("vb"))
-    var sel = cand
-      .withColumn("rn", row_number().over(w1))
-      .filter(col("rn") === 1)
-      .select(col("va"), col("vb"), lit(1L).as("pick"), col("rel"), col("rel").as("score"))
-      .transform(graft.Ckpt.apply)
-    // the superseded materialized generation — freed only AFTER the next
-    // materialization (freeCheckpoint on a LAZY frame would free the
-    // first LogicalRDD it finds, which could be cand/cc)
-    var lastCkpt = sel
-    for (r <- 2 to MmrK) {
-      val ms = cc
-        .join(sel.select(col("va"), col("vb").as("v2")), Seq("va", "v2"))
-        .groupBy(col("va"), col("v1"))
-        .agg(max(col("cc")).as("maxsim"))
-        .select(col("va"), col("v1").as("vb"), col("maxsim"))
-      val wr = Window.partitionBy("va").orderBy(desc("score"), asc("vb"))
-      val pick = cand
-        .join(sel.select("va", "vb"), Seq("va", "vb"), "left_anti")
-        .join(ms, Seq("va", "vb"))
-        .withColumn("score", lit(MmrLambda) * col("rel") - lit(MmrMu) * col("maxsim"))
-        .withColumn("rn", row_number().over(wr))
-        .filter(col("rn") === 1)
-        .select(col("va"), col("vb"), lit(r.toLong).as("pick"), col("rel"), col("score"))
-      // checkpoint every SECOND greedy round (r15, the sssp/bfs cadence):
-      // sel appears three times per round (max-sim join, anti-join,
-      // union), so materialization is still needed to cap the logical
-      // blowup — but at 9 copies of a checkpoint scan per 2-round block,
-      // not 3 per round, AQE's stage cache dedupes the repeats and half
-      // the eager actions (on |Q|·k-bounded tables) disappear.
-      sel =
-        if (r % 2 == 1 || r == MmrK) {
-          val n = graft.Ckpt(sel.union(pick))
-          Dedup.freeCheckpoint(lastCkpt)
-          lastCkpt = n
-          n
-        } else sel.union(pick)
-    }
-    // the final selection is materialized; the pool and pair grids are
-    // dead weight for the returned handle
-    Dedup.freeCheckpoint(cand)
-    Dedup.freeCheckpoint(cc)
-    sel
+    val pool = e
+      .select(col("vec_id").as("vb"), col("embedding").as("eb"), col("norm").as("nb"))
+      .join(broadcast(cand), "vb")
+      .groupBy("va")
+      .agg(collect_list(struct(col("vb"), col("rel"), col("eb"), col("nb"))).as("pool"))
+    pool
+      .select(col("va"),
+        explode(call_function("graft_mmr_select", col("pool"))).as("p"))
+      .select(col("va"), col("p.vb").as("vb"), col("p.pick").as("pick"),
+        col("p.rel").as("rel"), col("p.score").as("score"))
   }
 
   /** NDCG@k of the LSH ANN against the exact brute-force ranking — the

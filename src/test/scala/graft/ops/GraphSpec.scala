@@ -136,6 +136,25 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("common neighbors: hot-middle salted leg equals the all-rare formulation") {
+    // r16 skew split: middles above CnHotDeg wedge through the salted
+    // leg. Exercise it with a tiny threshold on a hub graph (hub degree
+    // 40 plus cross links so predictions are non-trivial) and pin exact
+    // equality — rows, scores, order — against the same computation run
+    // entirely through the rare leg.
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    val edges = ((1L to 40L).map(i => (0L, 100L + i)) ++ // hub 0, deg 40
+      Seq((101L, 102L), (101L, 103L), (105L, 106L)))     // extra structure
+      .toDF("da", "db")
+      .select(least(col("da"), col("db")).as("da"), greatest(col("da"), col("db")).as("db"))
+    val hot  = Graph.commonNeighborsSplit(edges, hotDeg = 4, saltK = 3)
+      .collect().map(_.toString).toSeq
+    val rare = Graph.commonNeighborsSplit(edges, hotDeg = Long.MaxValue, saltK = 3)
+      .collect().map(_.toString).toSeq
+    assert(hot.nonEmpty, "fixture produced no predictions")
+    assert(hot == rare, s"salted hot leg diverges:\nhot=$hot\nrare=$rare")
+  }
+
   test("clustering coefficient: triangle+pendant fixture, real-data brute parity") {
     import org.apache.spark.sql.functions.col
     // triangle 1-2-3 with pendant 4 on node 3: cc(1)=cc(2)=1 (their one

@@ -554,7 +554,17 @@ object Graph {
   private def coPurchaseAdj(s: SparkSession, dir: String): DataFrame =
     Ckpt.cached(s, s"graph:adj:$dir") {
       val p = coPurchaseEdges(s, dir).toDF("da", "db")
+      // r16 (guide §2.4 — remove shuffles outright): materialize the
+      // adjacency hash-partitioned AND sorted on m, the key every
+      // iterative consumer joins on (LPA rounds, bfs/kcore peels,
+      // louvain's k_ic). localCheckpoint preserves outputPartitioning
+      // and outputOrdering through the LogicalRDD scan, so each of those
+      // joins skips BOTH the |2E|-row exchange and its sort, per round,
+      // per query — only the (tiny) frontier/label side still shuffles.
+      // Row content is unchanged; placement is not semantics.
       p.union(p.select(col("db"), col("da"))).toDF("u", "m")
+        .repartition(col("m"))
+        .sortWithinPartitions("m")
     }
 
   /** Memoized row count of [[coPurchaseAdj]] (= directed edge count 2m)
@@ -834,7 +844,7 @@ object Graph {
         .union(dist.select(col("node"), col("dist")))
         .groupBy("node")
         .agg(min(col("dist")).as("dist"))
-      if (r % 2 == 0 || r == rounds) {
+      if (r == rounds) {
         next = Ckpt(next)
         lastCkpt.foreach(Dedup.freeCheckpoint)
         lastCkpt = Some(next)
@@ -872,6 +882,11 @@ object Graph {
       val w  = expr("1000000 div c + 1")
       pc.select(col("da").as("u"), col("db").as("m"), w.as("w"))
         .union(pc.select(col("db").as("u"), col("da").as("m"), w.as("w")))
+        // pre-partitioned + sorted on the relaxation join key — see
+        // coPurchaseAdj; each Bellman–Ford round joins shuffle-free on
+        // the adjacency side
+        .repartition(col("m"))
+        .sortWithinPartitions("m")
     }
 
   /** Weighted single-source (multi-seed) shortest paths by Bellman–Ford
@@ -910,7 +925,7 @@ object Graph {
         .union(dist.select(col("node"), col("dist")))
         .groupBy("node")
         .agg(min(col("dist")).as("dist"))
-      if (r % 2 == 0 || r == rounds) {
+      if (r == rounds) {
         next = Ckpt(next)
         lastCkpt.foreach(Dedup.freeCheckpoint) // superseded generation
         lastCkpt = Some(next)

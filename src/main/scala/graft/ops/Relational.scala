@@ -1160,8 +1160,18 @@ object Relational {
     * TakeOrderedAndProject.
     */
   def marketBasket(s: SparkSession, dir: String): DataFrame = {
+    // r16 (guide §2.4 — two operations keyed the same way share one
+    // exchange): hash on ok BEFORE the distinct. HashPartitioning(ok)
+    // satisfies the distinct's ClusteredDistribution(ok, pk) AND the
+    // within-order self-join's ok clustering, so ONE exchange of the
+    // fact projection serves the dedup, both join sides, and the
+    // order-count aggregate — the old shape paid a (ok, pk) exchange
+    // for the distinct and re-exchanged both join inputs on ok. Order
+    // width is schema-bounded (~7 lines), so ok-only partitioning
+    // cannot skew.
     val baskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(col("ok"))
       .distinct()
     val totO = baskets.select(countDistinct(col("ok")).as("n_orders"))
     val pairs = baskets.select(col("ok"), col("pk").as("pa"))

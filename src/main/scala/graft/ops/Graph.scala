@@ -486,13 +486,14 @@ object Graph {
     // without a second pass over the degree join. Only the hot leg's
     // b-side filters (a hot-middle row count, tiny by definition of hot).
     val sideB = adj.select(col("m"), col("u").as("b"))
-    // hot-middle b-side: a semi join against the (by definition tiny)
-    // hot-middle list — NOT a second pass over the degree join; every
-    // exchange it needs (adj on m, deg on u=m) already exists for the
-    // rare leg and is stage-cache-reused.
-    val sideBHot = sideB.join(
-      deg.filter(col("deg") > hotDeg).select(col("u").as("m")),
-      Seq("m"), "left_semi")
+    // the hot-middle list materializes as its OWN (tiny) exchange: at
+    // every test SF it holds 0 rows, AQE's empty-relation propagation
+    // then collapses BOTH semi-joined hot-leg subtrees at runtime — the
+    // static plan keeps the two-leg skew shape while the empty leg costs
+    // one 0-row stage instead of extra passes over the adjacency.
+    val hotM = deg.filter(col("deg") > hotDeg).select(col("u").as("m"))
+      .repartition(col("m"))
+    val sideBHot = sideB.join(hotM, Seq("m"), "left_semi")
     // skew split (r15 verdict item 4, guide §2.5): one hot middle vertex
     // at 100 TB owns deg² wedge rows through a SINGLE join key, which
     // AQE's skew handling cannot split. Middles split by degree: the
@@ -507,7 +508,7 @@ object Graph {
       .filter(col("a") < col("b"))
       .select("a", "b", "al")
     val salts = array((0 until saltK).map(i => lit(i.toLong)): _*)
-    val wedHot = sideA.filter(col("deg") > hotDeg)
+    val wedHot = sideA.join(hotM, Seq("m"), "left_semi") // ⟺ deg > hotDeg
       .select(col("a"), col("m"), col("al"),
         pmod(xxhash64(col("a")), lit(saltK.toLong)).as("salt"))
       .join(
@@ -749,16 +750,21 @@ object Graph {
       knownM2: Option[Long] = None): DataFrame = {
     // directed edges = 2m; one scalar action (memoized on catalog paths)
     val m2 = knownM2.getOrElse(adj.count()).toDouble
-    val deg    = adj.groupBy("u").agg(count(lit(1)).as("deg"))
-    val tot = deg
-      .join(labels.select(col("node").as("u"), col("lbl")), "u")
-      .groupBy("lbl")
-      .agg(sum(col("deg")).as("d_sum"))
     val own = labels.select(col("node").as("u"), col("lbl").as("own"))
     val kic = adj
       .join(labels.select(col("node").as("m"), col("lbl").as("c")), "m")
       .groupBy(col("u"), col("c"))
       .agg(count(lit(1)).as("k_ic"))
+    // r16 (guide §2.4): deg(u) = Σ_c k_ic(u, c) exactly — every adjacency
+    // row lands in exactly one (u, c) cell (labels are one row per node),
+    // so the degree table re-aggregates the already-collapsed kic grid
+    // instead of running a second full pass + exchange over the edge
+    // stream.
+    val deg = kic.groupBy("u").agg(sum(col("k_ic")).as("deg"))
+    val tot = deg
+      .join(labels.select(col("node").as("u"), col("lbl")), "u")
+      .groupBy("lbl")
+      .agg(sum(col("deg")).as("d_sum"))
     // the node's own community is always a candidate, even when no
     // neighbor shares it (k_ic = 0 — the "stay" option)
     val cand = kic
